@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver collect). First a warmup pass on sf0.001 primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINERS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_reduce_sum",
+    "q_with_field",
+    "q_sort",
+    "q_combinations",
+    "q_str_split_join",
+    "q_token_count",
+    "q_fingerprint",
+    "q_minhash_sig",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_bruteforce",
+    "q_events_sessionize",
+    "q_events_windowed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dask_awkward_sandbox_spark.plans import QUERIES
+    from dask_awkward_sandbox_spark.session import get_spark
+
+    spark = get_spark("dwax-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: tiny SF primes codegen/JIT so headline numbers measure the plan
+    for name in HEADLINERS[:3]:
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

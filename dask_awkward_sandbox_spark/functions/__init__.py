@@ -1,0 +1,8 @@
+from dask_awkward_sandbox_spark.functions import (
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
+
+__all__ = ["dedup", "similarity", "text_analysis", "multimodal"]

@@ -1,0 +1,200 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard dedup, all built on
+the cross-engine word hash from text_analysis (so minhash signatures
+and simhashes are oracle-checkable in DuckDB).
+
+Scale design (100 TB of documents):
+- exact: one shuffle on a 128-bit content hash; group sizes are
+  near-1 so no skew.
+- minhash_lsh: signatures are computed scan-side (JVM expressions,
+  no shuffle); banding turns O(n^2) similarity into an equi-join on
+  (band_id, band_hash) — each bucket is tiny, and the pair explosion
+  is bounded per-bucket. One shuffle for the bucket join, one for
+  pair dedup.
+- simhash: 64 scan-side expressions -> one 16/64-bit key; near-dup
+  lookup joins on rotated key bands (hamming-ball blocking).
+- ngram_jaccard: exact verification on candidate pairs only (never
+  all pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.functions.text_analysis import (
+    MOD,
+    tokens,
+    word_hash,
+)
+
+
+def minhash_perms(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod p.
+
+    Derived from the golden-ratio multiplier so both the Spark plan
+    and the DuckDB oracle can embed the same literals.
+    """
+    out = []
+    for i in range(num_perms):
+        a = (2654435761 * (i + 1) + 104729) % MOD
+        b = (40503 * (i + 1) * (i + 1) + 12345) % MOD
+        if a == 0:
+            a = 1
+        out.append((a, b))
+    return out
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep stats + canonical id."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.col(id_col)).alias("keep_id"),
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_perms: int = 16) -> DataFrame:
+    """Append minhash_0..minhash_{n-1} columns (scan-side, no shuffle)."""
+    hs = F.transform(tokens(F.col(text_col)), lambda w: word_hash(w))
+    out = df.withColumn("_hs", hs)
+
+    def _perm(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MOD))
+
+    for i, (a, b) in enumerate(minhash_perms(num_perms)):
+        out = out.withColumn(f"minhash_{i}", F.array_min(F.transform("_hs", _perm(a, b))))
+    return out.drop("_hs")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any
+    band's full sub-signature become a pair. Returns (id_a, id_b,
+    n_shared_bands) with id_a < id_b.
+
+    The band join is an equi-join on (band, band_key) — shuffle both
+    sides once, never cross-join.
+    """
+    rows = bands and num_perms // bands
+    sig = minhash_signature(df, text_col, num_perms)
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"minhash_{bi * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
+        )
+    exploded = sig.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    )
+    return (
+        pairs.groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
+    """Append a ``simhash`` column: sign-aggregated word-hash bits.
+
+    Pure scan-side expression tree (``bits`` folds over the token
+    hashes) — at scale this is a per-row map, no shuffle.
+    """
+    hs = F.transform(tokens(F.col(text_col)), lambda w: word_hash(w))
+    out = df.withColumn("_hs", hs)
+    acc = F.lit(0).cast("long")
+
+    def _bitstep(b: int):
+        return lambda a, x: a + F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
+
+    for b in range(bits):
+        wb = F.aggregate(F.col("_hs"), F.lit(0).cast("long"), _bitstep(b))
+        acc = acc + F.when(wb > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out.withColumn("simhash", acc).drop("_hs")
+
+
+def hamming64(a, b):
+    """Popcount of XOR — hamming distance between hash keys."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardups(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Blocking: half-key bands (pigeonhole — any pair within hamming
+    ``max_hamming`` <= bands-1 shares at least one exact band), so the
+    join is equi, not cross.
+    """
+    sh = simhash(df, text_col).select(F.col(id_col).alias("doc"), "simhash")
+    nbands = max_hamming + 1
+    width = 16 // nbands
+    bandcols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for i in range(nbands)
+    ]
+    ex = sh.select("doc", "simhash", F.explode(F.array(*bandcols)).alias("bk")).select(
+        "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, n: int = 1
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
+
+    ``n=1`` is bag-of-words; ``n>=2`` builds shingles scan-side. The
+    candidate table is the (small) LSH output — broadcast it.
+    """
+    toks = tokens(F.col(text_col))
+    if n > 1:
+        sz = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(sz - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    else:
+        grams = toks
+    gs = df.select(F.col(id_col).alias("doc"), F.array_distinct(grams).alias("grams"))
+    j = (
+        F.broadcast(pairs)
+        .join(gs.withColumnRenamed("doc", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(gs.withColumnRenamed("doc", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+    union = F.size(F.col("ga")).cast("double") + F.size(F.col("gb")).cast("double") - inter
+    return j.select(
+        "id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns beside a typed
+metadata struct. The Spark-side machinery here — schemas, Arrow-batch
+UDF signatures, partition sizing — is real and tested; the actual
+codec calls are stubbed (decode libraries are not in this container)
+behind ``DecodeUnavailable`` or a deterministic fake.
+
+Scale notes: binary payloads dominate row size, so ops that don't
+need bytes must prune them (nested-schema pruning handles struct
+metadata; keep payloads in a separate column, never inside the
+metadata struct). ``mapInArrow`` batches bound memory by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it low for
+multi-MB payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType(), True),  # image|audio|video
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised where a real codec (PIL/ffmpeg/torchaudio) would be
+    called; this container has none, so the decode step is stubbed."""
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes([(i * 7 + j * 13) % 256 for j in range(128 + (i % 5) * 32)])
+        rows.append(
+            (
+                i,
+                payload,
+                (kind, 64 + i % 4, 48, 16000 if kind == "audio" else None,
+                 30 if kind == "video" else None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> "object":
+    raise DecodeUnavailable("image decode requires PIL/opencv; not in container")
+
+
+def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real feature extractor: byte
+    histogram folded to ``dim`` floats. Same shape/contract as a real
+    embedding UDF, so the pipeline around it is fully exercised."""
+    acc = [0] * dim
+    for j, byte in enumerate(payload):
+        acc[j % dim] = (acc[j % dim] + byte) % 997
+    return [a / 997.0 for a in acc]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInArrow feature extraction over binary payloads — the real
+    multimodal hot path shape: Arrow batches in, Arrow batches out,
+    payload column pruned from the output."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            kinds = [m["kind"] for m in b.column("meta").to_pylist()]
+            payloads = b.column("payload").to_pylist()
+            feats = [fake_feature(p or b"", dim) for p in payloads]
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(kinds, pa.string()),
+                    pa.array([len(p or b"") for p in payloads], pa.int64()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["media_id", "kind", "n_bytes", "feature"],
+            )
+
+    return df.mapInArrow(fn, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling *plan* for video rows: emits (media_id, frame_idx)
+    pairs scan-side; the decode of each sampled frame is the stubbed
+    step. Demonstrates generator-based fan-out without Python."""
+    n = F.col("meta")["n_frames"]
+    idxs = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
+    return (
+        df.filter(F.col("meta")["kind"] == "video")
+        .select("media_id", F.explode(idxs).alias("frame_idx"))
+    )

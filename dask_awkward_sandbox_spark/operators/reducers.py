@@ -1,0 +1,209 @@
+"""Reducers over nested list columns (awkward axis=1) and tables.
+
+Spark-first re-expression of the reference's reducer surface
+(``/root/reference/src/dask_awkward/lib/reducers.py``). Per-list
+(axis=1) reductions are single-pass ``F.aggregate`` folds — JVM-side,
+inside whole-stage codegen, no shuffle. Whole-collection (axis=None /
+axis=0) reductions are expressed as relational aggregates so Catalyst
+plans map-side partial aggregation.
+
+Missing-value semantics match awkward: null elements are skipped
+(option types dropped before reducing); identity values for empty
+lists follow ak (sum->0, prod->1, count->0, any->False, all->True,
+min/max->null).
+
+ANSI-safe: no division without a guard, no element_at.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _vals(arr: Column) -> Column:
+    """Non-null elements cast to double — the reduction input."""
+    return F.filter(
+        F.transform(arr, lambda x: x.cast("double")), lambda x: x.isNotNull() & ~F.isnan(x)
+    )
+
+
+def count(arr: Column) -> Column:
+    """ak.count (axis=1): number of non-null elements."""
+    return F.size(F.filter(arr, lambda x: x.isNotNull())).cast("long")
+
+
+def count_nonzero(arr: Column) -> Column:
+    """ak.count_nonzero (axis=1)."""
+    return F.size(F.filter(arr, lambda x: x.isNotNull() & (x != F.lit(0)))).cast("long")
+
+
+def sum(arr: Column) -> Column:  # noqa: A001 - mirrors ak.sum
+    """ak.sum (axis=1); empty list -> 0.0."""
+    return F.aggregate(_vals(arr), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def prod(arr: Column) -> Column:
+    """ak.prod (axis=1); empty list -> 1.0."""
+    return F.aggregate(_vals(arr), F.lit(1.0), lambda acc, x: acc * x)
+
+
+def min(arr: Column) -> Column:  # noqa: A001
+    """ak.min (axis=1); empty -> null."""
+    return F.array_min(_vals(arr))
+
+
+def max(arr: Column) -> Column:  # noqa: A001
+    """ak.max (axis=1); empty -> null."""
+    return F.array_max(_vals(arr))
+
+
+def ptp(arr: Column) -> Column:
+    """ak.ptp (axis=1): max - min; empty -> null."""
+    return F.array_max(_vals(arr)) - F.array_min(_vals(arr))
+
+
+def any(arr: Column) -> Column:  # noqa: A001
+    """ak.any (axis=1); empty -> False."""
+    return F.exists(arr, lambda x: x.isNotNull() & x.cast("boolean"))
+
+
+def all(arr: Column) -> Column:  # noqa: A001
+    """ak.all (axis=1); empty -> True. Nulls skipped (awkward drops options)."""
+    return F.forall(arr, lambda x: x.isNull() | x.cast("boolean"))
+
+
+def mean(arr: Column) -> Column:
+    """ak.mean (axis=1); empty -> null."""
+    v = _vals(arr)
+    n = F.size(v)
+    return F.when(n > 0, F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / n)
+
+
+def _moments(arr: Column) -> Column:
+    """One-pass (n, sum, sumsq) accumulator struct."""
+    init = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("s"), F.lit(0.0).alias("ss")
+    )
+    return F.aggregate(
+        _vals(arr),
+        init,
+        lambda a, x: F.struct(
+            (a["n"] + 1).alias("n"), (a["s"] + x).alias("s"), (a["ss"] + x * x).alias("ss")
+        ),
+    )
+
+
+def var(arr: Column, ddof: int = 0) -> Column:
+    """ak.var (axis=1), population by default like awkward (ddof=0)."""
+    m = _moments(arr)
+    n, s, ss = m["n"], m["s"], m["ss"]
+    return F.when(n > ddof, (ss - s * s / n) / (n - F.lit(float(ddof))))
+
+
+def std(arr: Column, ddof: int = 0) -> Column:
+    """ak.std (axis=1)."""
+    return F.sqrt(var(arr, ddof))
+
+
+def moment(arr: Column, n: int) -> Column:
+    """ak.moment (axis=1): mean of x**n."""
+    v = _vals(arr)
+    cnt = F.size(v)
+    return F.when(cnt > 0, F.aggregate(v, F.lit(0.0), lambda a, x: a + F.pow(x, F.lit(n))) / cnt)
+
+
+def _argbest(arr: Column, better) -> Column:
+    pairs = F.filter(
+        F.transform(
+            arr, lambda x, i: F.struct(x.cast("double").alias("v"), i.cast("long").alias("i"))
+        ),
+        lambda p: p["v"].isNotNull(),
+    )
+    init = F.lit(None).cast("struct<v:double,i:bigint>")
+    best = F.aggregate(
+        pairs,
+        init,
+        lambda a, p: F.when(a.isNull() | better(p["v"], a["v"]), p).otherwise(a),
+    )
+    return best["i"]
+
+
+def argmin(arr: Column) -> Column:
+    """ak.argmin (axis=1); first index of the minimum; empty -> null."""
+    return _argbest(arr, lambda new, cur: new < cur)
+
+
+def argmax(arr: Column) -> Column:
+    """ak.argmax (axis=1); first index of the maximum; empty -> null."""
+    return _argbest(arr, lambda new, cur: new > cur)
+
+
+def softmax(arr: Column) -> Column:
+    """ak.softmax (axis=1): numerically-stable exp(x-max)/sum."""
+    v = _vals(arr)
+    m = F.array_max(v)
+    exps = F.transform(v, lambda x: F.exp(x - m))
+    denom = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
+    return F.transform(exps, lambda e: e / denom)
+
+
+def _pair_moments(x: Column, y: Column) -> Column:
+    """One-pass (n, sx, sy, sxx, syy, sxy) over parallel lists, skipping
+    pairs where either side is null."""
+    pairs = F.filter(
+        F.zip_with(
+            x,
+            y,
+            lambda a, b: F.struct(a.cast("double").alias("x"), b.cast("double").alias("y")),
+        ),
+        lambda p: p["x"].isNotNull() & p["y"].isNotNull(),
+    )
+    init = F.struct(
+        F.lit(0.0).alias("n"),
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("syy"),
+        F.lit(0.0).alias("sxy"),
+    )
+    return F.aggregate(
+        pairs,
+        init,
+        lambda a, p: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["sx"] + p["x"]).alias("sx"),
+            (a["sy"] + p["y"]).alias("sy"),
+            (a["sxx"] + p["x"] * p["x"]).alias("sxx"),
+            (a["syy"] + p["y"] * p["y"]).alias("syy"),
+            (a["sxy"] + p["x"] * p["y"]).alias("sxy"),
+        ),
+    )
+
+
+def covar(x: Column, y: Column) -> Column:
+    """ak.covar (axis=1), population."""
+    m = _pair_moments(x, y)
+    n = m["n"]
+    return F.when(n > 0, m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n))
+
+
+def corr(x: Column, y: Column) -> Column:
+    """ak.corr (axis=1): Pearson correlation."""
+    m = _pair_moments(x, y)
+    n = m["n"]
+    cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
+    vx = m["sxx"] / n - (m["sx"] / n) * (m["sx"] / n)
+    vy = m["syy"] / n - (m["sy"] / n) * (m["sy"] / n)
+    denom = F.sqrt(vx * vy)
+    return F.when((n > 0) & (denom > 0), cov / denom)
+
+
+def linear_fit(x: Column, y: Column) -> Column:
+    """ak.linear_fit (axis=1): least-squares; returns struct(slope, intercept)."""
+    m = _pair_moments(x, y)
+    n = m["n"]
+    det = n * m["sxx"] - m["sx"] * m["sx"]
+    slope = F.when(det != 0, (n * m["sxy"] - m["sx"] * m["sy"]) / det)
+    intercept = F.when(det != 0, (m["sy"] - slope * m["sx"]) / n)
+    return F.struct(slope.alias("slope"), intercept.alias("intercept"))

@@ -1,0 +1,434 @@
+"""Structure operations over nested (array / struct) columns.
+
+Spark-first re-expression of the reference's structure surface
+(``/root/reference/src/dask_awkward/lib/structure.py``): every
+function here is Column -> Column built from JVM higher-order
+functions, so it runs inside whole-stage codegen with zero Python in
+the row path and zero shuffles. Table-level variants (explode,
+concatenate, unflatten) take/return DataFrames.
+
+ANSI-safety: Spark 4 defaults to ANSI mode, so all element accesses
+use ``F.get`` (null on out-of-bounds) and casts from strings use
+``try_cast`` — semantics match awkward's option-type behavior
+(missing, not error).
+
+Reference parity notes cite file:line of the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# list shape
+# ---------------------------------------------------------------------------
+
+
+def num(arr: Column) -> Column:
+    """Length of each list. Null list -> null.
+
+    Parity: structure.py:num (ak.num axis=1).
+    """
+    return F.size(arr).cast("long")
+
+
+def flatten(arr: Column) -> Column:
+    """Remove one level of nesting from array<array<T>> -> array<T>.
+
+    For flattening a list column into rows (awkward axis=1 flatten of
+    the outermost list), use :func:`explode_flatten` at table level.
+    Parity: structure.py:flatten.
+    """
+    return F.flatten(arr)
+
+
+def explode_flatten(df: DataFrame, arr_col: str, keep: Sequence[str] = ()) -> DataFrame:
+    """Table-level flatten: one output row per list element.
+
+    Parity: ak.flatten(axis=1) on the collection; Spark expresses it
+    as a generator (explode) which Catalyst pipelines with the scan —
+    no shuffle.
+    """
+    cols = [F.col(c) for c in keep]
+    return df.select(*cols, F.explode(F.col(arr_col)).alias(arr_col))
+
+
+def ravel(df: DataFrame, arr_col: str) -> DataFrame:
+    """Fully flatten a (possibly doubly-nested) list column to rows."""
+    c = F.col(arr_col)
+    return df.select(F.explode(c).alias("_v")).select(F.col("_v").alias(arr_col))
+
+
+def local_index(arr: Column) -> Column:
+    """0-based index of each element within its list.
+
+    Parity: structure.py:local_index.
+    """
+    return F.transform(arr, lambda _, i: i.cast("long"))
+
+
+def run_lengths(arr: Column) -> Column:
+    """Lengths of runs of consecutive equal values within each list.
+
+    Parity: structure.py:run_lengths. Implemented as a single
+    ``aggregate`` fold carrying (previous value, current run length,
+    emitted lengths) — O(n) per list, JVM-side.
+    """
+    et = "string"
+    init = F.struct(
+        F.lit(None).cast(et).alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.array().cast("array<long>").alias("out"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["cur"] > F.lit(0)
+        same = same & (x.cast(et) == acc["prev"])
+        return F.when(
+            same,
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["cur"] + 1).alias("cur"),
+                acc["out"].alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.cast(et).alias("prev"),
+                F.lit(1).cast("long").alias("cur"),
+                F.when(acc["cur"] > 0, F.concat(acc["out"], F.array(acc["cur"])))
+                .otherwise(acc["out"])
+                .alias("out"),
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(acc["cur"] > 0, F.concat(acc["out"], F.array(acc["cur"]))).otherwise(
+            acc["out"]
+        )
+
+    return F.aggregate(arr, init, step, fin)
+
+
+# ---------------------------------------------------------------------------
+# zip / unzip / record fields
+# ---------------------------------------------------------------------------
+
+
+def zip(named: dict[str, Column]) -> Column:  # noqa: A001 - mirrors ak.zip
+    """Zip equal-length list columns into one array<struct>.
+
+    Parity: structure.py:zip. ``arrays_zip`` keeps it JVM-side and
+    names struct fields after the dict keys.
+    """
+    return F.arrays_zip(*[v.alias(k) for k, v in named.items()])
+
+
+def unzip(arr: Column, fields: Sequence[str]) -> list[Column]:
+    """Inverse of :func:`zip`: array<struct> -> one array per field.
+
+    Parity: structure.py:unzip.
+    """
+    def _extract(f: str):
+        return lambda s: s[f]
+
+    return [F.transform(arr, _extract(f)).alias(f) for f in fields]
+
+
+def with_field(arr: Column, name: str, value_fn) -> Column:
+    """Add/replace a field on each struct element of array<struct>.
+
+    ``value_fn`` maps the element struct Column to the new field.
+    Parity: structure.py:with_field.
+    """
+    return F.transform(arr, lambda s: s.withField(name, value_fn(s)))
+
+
+def without_field(arr: Column, name: str) -> Column:
+    """Drop a field from each struct element. Parity: structure.py:without_field."""
+    return F.transform(arr, lambda s: s.dropFields(name))
+
+
+# ---------------------------------------------------------------------------
+# cartesian / combinations
+# ---------------------------------------------------------------------------
+
+
+def cartesian(a: Column, b: Column) -> Column:
+    """All (x, y) pairs from two parallel lists, nested=False.
+
+    Parity: structure.py:cartesian — fields named "0"/"1" in awkward;
+    here ``_0``/``_1`` for SQL-identifier friendliness.
+    """
+    return F.flatten(
+        F.transform(
+            a,
+            lambda x: F.transform(b, lambda y: F.struct(x.alias("_0"), y.alias("_1"))),
+        )
+    )
+
+
+def argcartesian(a: Column, b: Column) -> Column:
+    """Index pairs version of :func:`cartesian`. Parity: structure.py:argcartesian."""
+    return F.flatten(
+        F.transform(
+            a,
+            lambda _, i: F.transform(
+                b, lambda __, j: F.struct(i.cast("long").alias("_0"), j.cast("long").alias("_1"))
+            ),
+        )
+    )
+
+
+def combinations(a: Column) -> Column:
+    """All unordered element pairs (i < j) within each list.
+
+    Parity: structure.py:combinations (n=2, replacement=False).
+    """
+    n = F.size(a)
+    return F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("_0"), y.alias("_1")),
+            ),
+        )
+    )
+
+
+def argcombinations(a: Column) -> Column:
+    """Index-pair version of :func:`combinations`."""
+    n = F.size(a)
+    return F.flatten(
+        F.transform(
+            a,
+            lambda _, i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(i.cast("long").alias("_0"), j.cast("long").alias("_1")),
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorting
+# ---------------------------------------------------------------------------
+
+
+def sort(arr: Column, ascending: bool = True) -> Column:
+    """Sort each list. Parity: structure.py:sort (nulls last like awkward)."""
+    s = F.array_sort(arr)
+    return s if ascending else F.reverse(s)
+
+
+def argsort(arr: Column, ascending: bool = True) -> Column:
+    """Indices that would sort each list. Parity: structure.py:argsort.
+
+    Stable: ties keep original order (comparator falls back to index).
+    """
+    pairs = F.transform(arr, lambda x, i: F.struct(x.alias("v"), i.cast("long").alias("i")))
+
+    if ascending:
+
+        def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+            return (
+                F.when(l["v"].isNull() & r["v"].isNull(), l["i"] - r["i"])
+                .when(l["v"].isNull(), F.lit(1))
+                .when(r["v"].isNull(), F.lit(-1))
+                .when(l["v"] < r["v"], F.lit(-1))
+                .when(l["v"] > r["v"], F.lit(1))
+                .otherwise(l["i"] - r["i"])
+            ).cast("int")
+
+    else:
+
+        def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+            return (
+                F.when(l["v"].isNull() & r["v"].isNull(), l["i"] - r["i"])
+                .when(l["v"].isNull(), F.lit(1))
+                .when(r["v"].isNull(), F.lit(-1))
+                .when(l["v"] > r["v"], F.lit(-1))
+                .when(l["v"] < r["v"], F.lit(1))
+                .otherwise(l["i"] - r["i"])
+            ).cast("int")
+
+    return F.transform(F.array_sort(pairs, cmp), lambda s: s["i"])
+
+
+# ---------------------------------------------------------------------------
+# option-type (missing value) handling
+# ---------------------------------------------------------------------------
+
+
+def firsts(arr: Column) -> Column:
+    """First element of each list, null if empty. Parity: structure.py:firsts."""
+    return F.get(arr, 0)
+
+
+def singletons(x: Column) -> Column:
+    """Wrap non-null scalars in 1-element lists, nulls in empty lists.
+
+    Parity: structure.py:singletons.
+    """
+    return F.when(x.isNotNull(), F.array(x)).otherwise(F.slice(F.array(x), 1, 0))
+
+
+def pad_none(arr: Column, target: int, clip: bool = False) -> Column:
+    """Pad each list with nulls up to ``target`` length.
+
+    Parity: structure.py:pad_none. ``clip`` truncates to exactly
+    ``target``.
+    """
+    et = _null_like(arr)
+    padded = F.concat(
+        arr,
+        F.array_repeat(et, F.greatest(F.lit(target) - F.size(arr), F.lit(0))),
+    )
+    return F.slice(padded, 1, target) if clip else padded
+
+
+def _null_like(arr: Column) -> Column:
+    # A null element of the same type as arr's elements: F.get on an
+    # empty slice is out-of-bounds -> typed null, no schema knowledge needed.
+    return F.get(F.slice(arr, 1, 0), 0)
+
+
+def fill_none(arr: Column, value) -> Column:
+    """Replace null elements with ``value``. Parity: structure.py:fill_none."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    return F.transform(arr, lambda x: F.coalesce(x, v))
+
+
+def drop_none(arr: Column) -> Column:
+    """Remove null elements. Parity: structure.py:drop_none."""
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def is_none(arr: Column) -> Column:
+    """Per-element null flag. Parity: structure.py:is_none (axis=1)."""
+    return F.transform(arr, lambda x: x.isNull())
+
+
+def mask(arr: Column, cond: Column, valid_when: bool = True) -> Column:
+    """Element-wise mask: keep value where cond==valid_when else null.
+
+    ``cond`` is a parallel array<boolean>. Parity: structure.py:mask.
+    """
+    flag = (lambda m: m) if valid_when else (lambda m: ~m)
+    return F.zip_with(arr, cond, lambda x, m: F.when(flag(m), x))
+
+
+def where(cond: Column, x: Column, y: Column) -> Column:
+    """Element-wise select from parallel lists. Parity: structure.py:where."""
+    pair = F.zip_with(x, y, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    return F.zip_with(cond, pair, lambda c, p: F.when(c, p["a"]).otherwise(p["b"]))
+
+
+# ---------------------------------------------------------------------------
+# elementwise numerics / casts
+# ---------------------------------------------------------------------------
+
+
+def values_astype(arr: Column, dtype: str) -> Column:
+    """Cast each element. Parity: structure.py:values_astype."""
+    return F.transform(arr, lambda x: x.cast(dtype))
+
+
+def strings_astype(arr: Column, dtype: str) -> Column:
+    """Parse string elements to ``dtype``; unparseable -> null (option
+    type), matching awkward's missing-value semantics under ANSI mode.
+    Parity: structure.py:strings_astype.
+    """
+    return F.transform(arr, lambda x: x.try_cast(dtype))
+
+
+def full_like(arr: Column, value) -> Column:
+    """Same-shape list filled with ``value``. Parity: structure.py:full_like."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    return F.transform(arr, lambda _: v)
+
+
+def ones_like(arr: Column) -> Column:
+    return full_like(arr, F.lit(1.0))
+
+
+def zeros_like(arr: Column) -> Column:
+    return full_like(arr, F.lit(0.0))
+
+
+def isclose(a: Column, b: Column, rtol: float = 1e-05, atol: float = 1e-08) -> Column:
+    """Element-wise approximate equality of parallel lists.
+
+    Parity: structure.py:isclose (numpy semantics).
+    """
+    return F.zip_with(
+        a,
+        b,
+        lambda x, y: F.abs(x - y) <= (F.lit(atol) + F.lit(rtol) * F.abs(y)),
+    )
+
+
+def nan_to_num(arr: Column, nan: float = 0.0) -> Column:
+    """Replace NaN elements. Parity: structure.py:nan_to_num."""
+    return F.transform(arr, lambda x: F.when(F.isnan(x), F.lit(nan)).otherwise(x))
+
+
+# ---------------------------------------------------------------------------
+# concatenate / unflatten / broadcast
+# ---------------------------------------------------------------------------
+
+
+def concatenate(dfs: Sequence[DataFrame]) -> DataFrame:
+    """axis=0 concatenation of partitioned collections.
+
+    Parity: operations.py:concatenate. ``unionByName`` is a pure
+    metadata operation — no shuffle, partitions append.
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def concatenate_axis1(arrs: Sequence[Column]) -> Column:
+    """axis=1 concatenation: element-wise list append. Parity:
+    operations.py:concatenate(axis=1)."""
+    return F.concat(*arrs)
+
+
+def unflatten(df: DataFrame, value_col: str, order_col: str, counts: Sequence[int]) -> DataFrame:
+    """Re-nest a flat column into lists of the given ``counts``,
+    taking elements in ``order_col`` order.
+
+    Parity: structure.py:unflatten. Distributed strategy: assign each
+    row its global rank (window over ``order_col``), broadcast-join
+    the cumulative-counts table to map rank -> group id, then
+    groupBy(group).collect. One shuffle for the rank, one for the
+    group — the counts table itself is tiny and broadcast.
+    """
+    from pyspark.sql import Window
+
+    bounds = []
+    start = 0
+    for gid, c in enumerate(counts):
+        bounds.append((gid, start, start + c))
+        start += c
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(bounds, "gid long, lo long, hi long")
+    w = Window.orderBy(order_col)
+    ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
+    joined = ranked.join(
+        F.broadcast(bdf), (F.col("_rank") >= F.col("lo")) & (F.col("_rank") < F.col("hi")), "inner"
+    )
+    return (
+        joined.groupBy("gid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rank").alias("r"), F.col(value_col).alias("v")))
+            ).alias("_p")
+        )
+        .select(F.col("gid"), F.transform("_p", lambda s: s["v"]).alias(value_col))
+    )

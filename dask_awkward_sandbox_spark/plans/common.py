@@ -1,0 +1,77 @@
+"""Shared helpers for query plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ITEM_FIELDS = [
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+# Item order within a list: FULL lexicographic struct order (Spark's
+# array_sort over structs). l_linenumber is NOT unique per order in the
+# testdata, so oracles must tiebreak on every field to match.
+ITEM_ORDER_SQL = (
+    "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus"
+)
+
+
+def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries timestamp[ns]; Spark reads nanos only as
+        # long (legacy conf), so normalize to a microsecond timestamp —
+        # the same truncation DuckDB applies coercing ns -> us.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div: ns values exceed 2**53, double division would
+            # lose precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: Column) -> Column:
+    """Exact integer money units: round(x*100) as long.
+
+    Sums of these stay exact (< 2**53) in either engine regardless of
+    accumulation order — the backbone of the oracle determinism
+    contract (see registry.py docstring).
+    """
+    return F.round(col * 100).cast("long")
+
+
+def order_items(spark: SparkSession, sf_dir: str, fields: list[str] | None = None) -> DataFrame:
+    """The awkward-style nested collection: one row per order with an
+    ``items: array<struct>`` column, list-ordered by l_linenumber.
+
+    ``l_linenumber`` leads the struct so ``array_sort``'s lexicographic
+    struct ordering is deterministic (linenumber is unique per order).
+
+    Scale note: this groupBy is the single shuffle of the nested
+    pipeline; every downstream axis=1 operator is shuffle-free. On a
+    real cluster the lineitem table would be bucketed by l_orderkey
+    (``bucketBy``) making even this build shuffle-free.
+    """
+    fields = fields or ITEM_FIELDS
+    assert fields[0] == "l_linenumber", "linenumber must lead for deterministic sort"
+    li = read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct(*fields))).alias("items")
+    )
+
+
+def fld(arr: Column, name: str) -> Column:
+    """Project one field out of an array<struct> -> array<field type>."""
+    return F.transform(arr, lambda s: s[name])

@@ -1,0 +1,119 @@
+"""Event-stream analytics: windowed aggregation, sessionization, JSON.
+
+These are the batch equivalents of the streaming/ module's structured
+streaming pipelines — identical transformations, so the oracle checks
+the streaming logic's semantics too (q_events_windowed is byte-for-
+byte the same aggregation the readStream pipeline runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.plans.common import cents, read
+from dask_awkward_sandbox_spark.plans.registry import query
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds — exact integer compare
+
+
+@query(
+    "q_events_windowed",
+    """
+    select event_type,
+           cast(floor(epoch(ts)/900)*900 as bigint) as bucket_start,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c
+    from events
+    group by event_type, bucket_start
+    """,
+)
+def q_events_windowed(spark, sf_dir):
+    """15-minute tumbling window per event type — the structured-
+    streaming windowed agg run in batch. Uses the real F.window()."""
+    e = read(spark, sf_dir, "events")
+    w = F.window("ts", "15 minutes")
+    return (
+        e.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_value_c"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w")["start"]).alias("bucket_start"),
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+@query(
+    "q_events_sessionize",
+    f"""
+    with e as (
+      select user_id, event_id, epoch_us(ts) as tus,
+             lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) as ptus
+      from events),
+    f as (
+      select user_id, event_id,
+             case when ptus is null or tus - ptus > {SESSION_GAP_US} then 1 else 0 end
+               as new_sess,
+             tus
+      from e),
+    g as (
+      select user_id,
+             sum(new_sess) over (partition by user_id order by tus, event_id
+                                 rows unbounded preceding) as sess
+      from f),
+    s as (select user_id, sess, count(*) as c from g group by user_id, sess)
+    select user_id, cast(count(*) as bigint) as n_sessions,
+           cast(max(c) as bigint) as max_sess_len
+    from s group by user_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min), the classic stateful-stream
+    operator expressed with windows. Scale: both windows partition by
+    user_id — one shuffle total, then per-user work is local."""
+    e = read(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    prev = F.lag(tus).over(byu)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev.isNull() | ((tus - prev) > SESSION_GAP_US), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sess", F.sum("new_sess").over(byu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("c"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("c").alias("max_sess_len"),
+    )
+
+
+@query(
+    "q_json_props",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n,
+           cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint)
+             as sum_k
+    from events
+    group by event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    """Semi-structured column: real from_json on the Spark side
+    (schema'd parse, JVM), regex extraction in the oracle — same
+    values for this data, two independent parses."""
+    e = read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+    )

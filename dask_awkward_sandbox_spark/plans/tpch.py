@@ -1,0 +1,178 @@
+"""TPC-H-style analytics plans — the scale-graded relational surface.
+
+These exercise the engine the way the reference's users exercise
+dask-awkward on flat fields: scan → filter → join → aggregate. Scale
+design per query is noted in the docstrings; dims broadcast, facts
+shuffle once on the aggregation key, aggregates are map-side partial
+(Catalyst does this for all algebraic aggs used here).
+
+Money sums use exact integer units computed as LONG sums (not double)
+so they remain exact beyond 2**53; at true 100 TB scale the same
+queries would switch the unit columns to DECIMAL(38,0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.plans.common import cents, read
+from dask_awkward_sandbox_spark.plans.registry import query
+
+# disc_price in units of 1e-4 ("price cents * (100 - discount cents)")
+_DISC_PRICE_U = (
+    "cast(round(l_extendedprice*100) as bigint) * (100 - cast(round(l_discount*100) as bigint))"
+)
+_CHARGE_U = f"{_DISC_PRICE_U} * (100 + cast(round(l_tax*100) as bigint))"
+
+
+def _disc_price_u(df):
+    return cents(df["l_extendedprice"]) * (F.lit(100) - cents(df["l_discount"]))
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    select l_returnflag, l_linestatus,
+           cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c,
+           cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) as sum_base_c,
+           cast(sum({_DISC_PRICE_U}) as bigint) as sum_disc_u,
+           cast(sum({_CHARGE_U}) as bigint) as sum_charge_u,
+           cast(sum(cast(round(l_quantity*100) as bigint)) as double)
+                 / count(*) / 100 as avg_qty,
+           cast(count(*) as bigint) as n
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1. Scale: single scan, predicate pushed to parquet,
+    map-side partial agg on a 6-group key — no skew possible."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty_c = cents(F.col("l_quantity"))
+    base_c = cents(F.col("l_extendedprice"))
+    disc_u = _disc_price_u(li)
+    charge_u = disc_u * (F.lit(100) + cents(F.col("l_tax")))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_c).alias("sum_qty_c"),
+        F.sum(base_c).alias("sum_base_c"),
+        F.sum(disc_u).alias("sum_disc_u"),
+        F.sum(charge_u).alias("sum_charge_u"),
+        (F.sum(qty_c).cast("double") / F.count(F.lit(1)) / 100).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    select l.l_orderkey,
+           cast(sum({_DISC_PRICE_U.replace('l_', 'l.l_')}) as bigint) as revenue_u,
+           strftime(o.o_orderdate, '%Y-%m-%d') as o_orderdate
+    from customer c
+    join orders o on o.o_custkey = c.c_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = 'BUILDING'
+      and o.o_orderdate < timestamp '1998-06-01'
+      and l.l_shipdate > timestamp '1998-06-01'
+    group by l.l_orderkey, o.o_orderdate
+    order by revenue_u desc, l.l_orderkey asc
+    limit 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3. Scale: customer is the small side of orders⋈customer —
+    broadcast it; lineitem⋈orders shuffles once on orderkey; top-k is
+    a total order (revenue desc, unique orderkey asc)."""
+    cut = F.lit("1998-06-01").cast("timestamp")
+    c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price_u(j)).alias("revenue_u"))
+        .select(
+            "l_orderkey",
+            "revenue_u",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue_u"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    f"""
+    select n.n_name,
+           cast(sum({_DISC_PRICE_U.replace('l_', 'l.l_')}) as bigint) as revenue_u
+    from region r
+    join nation n on n.n_regionkey = r.r_regionkey
+    join customer c on c.c_nationkey = n.n_nationkey
+    join orders o on o.o_custkey = c.c_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    join supplier s on s.s_suppkey = l.l_suppkey and s.s_nationkey = c.c_nationkey
+    where r.r_name = 'ASIA'
+      and o.o_orderdate >= timestamp '1996-01-01'
+      and o.o_orderdate < timestamp '1998-01-01'
+    group by n.n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5. Scale: region/nation/supplier/customer all broadcast;
+    the only shuffle is lineitem⋈orders on orderkey + final 5-group agg."""
+    r = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read(spark, sf_dir, "nation")
+    c = read(spark, sf_dir, "customer")
+    s = read(spark, sf_dir, "supplier")
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(F.sum(_disc_price_u(j)).alias("revenue_u"))
+
+
+@query(
+    "q_top_customers",
+    """
+    select c.c_custkey, c.c_name,
+           cast(sum(cast(round(o.o_totalprice*100) as bigint)) as bigint) as total_c,
+           cast(count(*) as bigint) as n_orders
+    from orders o join customer c on c.c_custkey = o.o_custkey
+    group by c.c_custkey, c.c_name
+    order by total_c desc, c_custkey asc
+    limit 20
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-k. Scale: aggregate orders FIRST
+    (shrinks to one row per customer), then broadcast-join customer —
+    never shuffle the pre-agg fact against the dim."""
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "total_c", "n_orders")
+        .orderBy(F.desc("total_c"), F.asc("c_custkey"))
+        .limit(20)
+    )

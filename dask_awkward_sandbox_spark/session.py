@@ -1,0 +1,60 @@
+"""SparkSession construction tuned for the nested-analytics engine.
+
+Scale design: these configs are chosen to survive a 1000-executor /
+100 TB deployment, not just local[32]:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting);
+- nested schema pruning on, so ``array<struct>`` reads only touch the
+  parquet leaves the query needs;
+- broadcast threshold raised: every TPC-H-ish dim table (region,
+  nation, supplier, part at moderate SF) broadcast-joins instead of
+  shuffling the fact table;
+- shuffle partitions default to 2x cores locally; on a real cluster
+  AQE coalesces from a high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "dask-awkward-sandbox-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame (lazy parquet scans)."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
