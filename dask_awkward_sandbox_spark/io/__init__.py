@@ -1,0 +1,14 @@
+from dask_awkward_sandbox_spark.io.json import from_json, to_json
+from dask_awkward_sandbox_spark.io.parquet import from_parquet, to_parquet
+from dask_awkward_sandbox_spark.io.text import from_text
+from dask_awkward_sandbox_spark.io.io import from_lists, to_dataframe
+
+__all__ = [
+    "from_json",
+    "to_json",
+    "from_parquet",
+    "to_parquet",
+    "from_text",
+    "from_lists",
+    "to_dataframe",
+]

@@ -1,0 +1,52 @@
+"""Parquet IO for nested collections.
+
+Parity: /root/reference/src/dask_awkward/lib/io/parquet.py
+(from_parquet/to_parquet). The reference's per-partition awkward
+buffers map to Spark's native nested parquet (list/struct groups);
+its necessary-columns optimization maps to Catalyst nested-schema
+pruning — ``columns=`` projection plus pushed filters reach the
+row-group reader, and at 100 TB partition pruning comes free from
+directory layout (``partition_by``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def from_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    row_group_size_hint: int | None = None,
+) -> DataFrame:
+    """Read (nested) parquet into a DataFrame.
+
+    ``columns`` projects eagerly so the pruned ReadSchema is visible
+    even before downstream ops; Catalyst would also derive it lazily.
+    """
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a (nested) DataFrame to parquet.
+
+    ``max_records_per_file`` bounds file size at scale (the
+    reference's rows-per-partition); ``partition_by`` creates the
+    directory layout that future scans partition-prune on.
+    """
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -6,6 +6,7 @@ Importing this package registers every query + DuckDB oracle pair in
 
 from dask_awkward_sandbox_spark.plans import (  # noqa: F401  (registration side effects)
     events,
+    io_queries,
     llm,
     nested,
     strings_queries,

@@ -1,0 +1,197 @@
+"""IO-surface queries: parquet/json/text roundtrips, from_lists,
+to_dataframe, strings_astype, unflatten.
+
+Roundtrip pattern: the Spark side WRITES derived data to a scratch
+dir, reads it back through the io/ module, and computes a summary;
+the oracle computes the same summary straight from the source views.
+A roundtrip bug (schema drift, lost rows, mangled nesting) breaks the
+match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.io import (
+    from_json,
+    from_lists,
+    from_parquet,
+    from_text,
+    to_dataframe,
+    to_json,
+    to_parquet,
+)
+from dask_awkward_sandbox_spark.io.text import to_text
+from dask_awkward_sandbox_spark.operators import structure as st
+from dask_awkward_sandbox_spark.plans.common import cents, order_items, read
+from dask_awkward_sandbox_spark.plans.registry import query
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(SCRATCH, tag, name)
+
+
+@query(
+    "q_parquet_roundtrip",
+    """
+    select l_orderkey, cast(count(*) as bigint) as n_items,
+           cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c
+    from lineitem group by l_orderkey
+    """,
+)
+def q_parquet_roundtrip(spark, sf_dir):
+    """Nested array<struct> -> parquet -> read back (with column
+    projection) -> reduce. Exercises nested parquet write/read and
+    read-side schema pruning."""
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
+    path = _scratch(sf_dir, "nested_items")
+    to_parquet(it, path, max_records_per_file=100_000)
+    back = from_parquet(spark, path, columns=["l_orderkey", "items"])
+    q = F.transform(F.col("items"), lambda s: cents(s["l_quantity"]))
+    return back.select(
+        "l_orderkey",
+        st.num(F.col("items")).alias("n_items"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_qty_c"),
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    """
+    select event_type, cast(count(*) as bigint) as n,
+           cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c
+    from events group by event_type
+    """,
+)
+def q_json_roundtrip(spark, sf_dir):
+    """events -> line-delimited JSON -> schema-ed read -> aggregate."""
+    e = read(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("value_c")
+    )
+    path = _scratch(sf_dir, "events_json")
+    to_json(e, path)
+    back = from_json(spark, path, schema="event_id long, event_type string, value_c long")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_value_c")
+    )
+
+
+@query(
+    "q_from_text",
+    """
+    select cast(count(*) as bigint) as n_lines,
+           cast(sum(length(text)) as bigint) as total_chars,
+           cast(min(length(text)) as bigint) as min_len
+    from documents
+    """,
+)
+def q_from_text(spark, sf_dir):
+    """documents.text -> plain text file -> from_text -> line stats.
+    (Doc texts contain no newlines, so lines == documents.)"""
+    d = read(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "docs_text")
+    to_text(d, "text", path)
+    lines = from_text(spark, path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+    )
+
+
+_LISTS_ROWS = [
+    (1, [1.0, 2.0, 3.0]),
+    (2, []),
+    (3, [5.0, None]),
+    (4, None),
+    (5, [7.5]),
+]
+
+_LISTS_ORACLE = """
+    with t(id, n_items, sum_v) as (values
+      (1, 3, 6.0), (2, 0, 0.0), (3, 2, 5.0), (4, null, null), (5, 1, 7.5))
+    select cast(id as bigint) as id, cast(n_items as bigint) as n_items,
+           cast(sum_v as double) as sum_v
+    from t
+"""
+
+
+@query("q_from_lists", _LISTS_ORACLE)
+def q_from_lists(spark, sf_dir):
+    """from_lists with ragged/None edges (empty list, null element,
+    null list) — the option-type semantics oracle-checked against a
+    hand-computed VALUES table."""
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    df = from_lists(spark, _LISTS_ROWS, "id long, v array<double>", num_partitions=2)
+    return df.select(
+        "id",
+        st.num(F.col("v")).alias("n_items"),
+        F.when(F.col("v").isNotNull(), red.sum(F.col("v"))).alias("sum_v"),
+    )
+
+
+@query(
+    "q_to_dataframe",
+    """
+    select l_orderkey, cast(l_linenumber as bigint) as items_l_linenumber,
+           cast(round(l_quantity*100) as bigint) as qty_c
+    from lineitem
+    """,
+)
+def q_to_dataframe(spark, sf_dir):
+    """Nested collection -> flat columnar frame (explode + struct
+    flattening), the dd.DataFrame conversion."""
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
+    flat = to_dataframe(it, explode_col="items")
+    return flat.select(
+        "l_orderkey",
+        F.col("items_l_linenumber").cast("long").alias("items_l_linenumber"),
+        cents(F.col("items_l_quantity")).alias("qty_c"),
+    )
+
+
+@query(
+    "q_strings_astype",
+    """
+    select event_type,
+           cast(sum(cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint) as sum_k,
+           cast(count(case when regexp_extract(props, '([0-9]+)', 1) = '' then 1 end)
+                as bigint) as n_unparseable
+    from events group by event_type
+    """,
+)
+def q_strings_astype(spark, sf_dir):
+    """ak.strings_astype: parse digit strings to ints elementwise with
+    null on failure (try_cast under ANSI mode)."""
+    e = read(spark, sf_dir, "events")
+    digits = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
+    wrapped = F.array(digits)  # exercise the array<string> elementwise path
+    parsed = st.strings_astype(wrapped, "long")
+    return e.select("event_type", F.get(parsed, 0).alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparseable"),
+    )
+
+
+@query("q_unflatten")  # rows-only: global-ordered re-nesting
+def q_unflatten(spark, sf_dir):
+    """ak.unflatten: re-nest a flat ordered column into given counts.
+    Global order requires a rank — the documented single-ordered-
+    window cost (at scale: pre-sorted bucketed input instead)."""
+    d = read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = d.count()
+    counts = [100] * (n // 100) + ([n % 100] if n % 100 else [])
+    out = st.unflatten(d, "n_chars", "doc_id", counts)
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    return out.select(
+        "gid",
+        st.num(F.col("n_chars")).alias("n"),
+        red.sum(F.col("n_chars")).cast("long").alias("sum_chars"),
+    ).orderBy("gid")

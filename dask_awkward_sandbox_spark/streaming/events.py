@@ -1,0 +1,157 @@
+"""Structured Streaming over the events stream.
+
+The streaming surface of the engine: file-source readStream ->
+watermarked event-time windows -> sinks, plus an
+applyInPandasWithState custom sessionizer (the stateful operator the
+reference's users would hand-roll with map_partitions + carry-over
+state).
+
+The batch plans in plans/events.py run the SAME aggregations, so the
+DuckDB oracle checks these semantics; tests/test_streaming.py runs
+the streams to completion and asserts stream == batch.
+
+Scale notes: windowed aggs shuffle once on (key, window) with
+watermark-bounded state; the sessionizer keeps one small state row
+per user (timeout-driven eviction), which is the canonical
+applyInPandasWithState memory contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP_US = 1_800_000_000
+
+# Spark's default JSON timestampFormat keeps only milliseconds; event
+# times are microsecond-resolution, so both the writer (tests/feeders)
+# and the stream reader must pin a micros-preserving format.
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events (json lines written by tests /
+    upstream collectors). maxFilesPerTrigger bounds batch size."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("timestampFormat", JSON_TS_FORMAT)
+        .json(path)
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "15 minutes", watermark: str = "1 hour"):
+    """Event-time tumbling window per event_type with late-data
+    watermark — identical aggregation to plans.events.q_events_windowed."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w")["start"]).alias("bucket_start"),
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+def sessionize_stateful(
+    stream: DataFrame, gap_us: int = SESSION_GAP_US, watermark: str = "1 hour"
+):
+    """Custom stateful operator: per-user gap sessionization with
+    applyInPandasWithState. Emits one row per CLOSED session
+    (user_id, session_start_us, n_events); open sessions stay in
+    state until the event-time gap timeout closes them.
+
+    Uses EventTimeTimeout (not ProcessingTimeTimeout): session close
+    is an event-time fact, the watermark makes eviction deterministic
+    under replay, and — operationally — processing-time timeouts force
+    the no-new-data micro-batch loop that never lets Trigger.AvailableNow
+    terminate. State is one small row per live user, evicted when the
+    watermark passes last_event + gap: bounded memory at any scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, session_start_us long, n_events long"
+    state_schema = "start_us long, last_us long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start_us": [start_us], "n_events": [n]}
+            )
+            return
+
+        rows = []
+        for pdf in pdf_iter:
+            us = (pdf["ts"].astype("int64") // 1000).tolist()
+            rows.extend(us)
+        rows.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        for us in rows:
+            if start_us is None:
+                start_us, last_us, n = us, us, 1
+            elif us - last_us > gap_us:
+                closed.append((user_id, start_us, n))
+                start_us, last_us, n = us, us, 1
+            else:
+                last_us, n = us, n + 1
+        state.update((start_us, last_us, n))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DF to a memory sink until all input is
+    consumed; returns the in-memory table name.
+
+    Uses Trigger.AvailableNow: the query processes everything the
+    source currently has and then terminates itself. This matters for
+    stateful operators with ProcessingTimeTimeout, where the default
+    trigger schedules empty micro-batches forever to poll for timed-out
+    state, so ``processAllAvailable()`` never observes an idle query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

@@ -1,0 +1,111 @@
+"""Structured-streaming tests: stream results must equal the batch
+plans computed over the same events (which are themselves
+oracle-checked in test_oracle_parity)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SCRATCH = "/root/repo/.scratch/streamtest"
+
+
+def _write_stream_input(spark):
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    path = os.path.join(SCRATCH, "events_json")
+    e = read(spark, SF, "events")
+    # single file: the file-source offers no cross-file time ordering,
+    # and gap sessionization needs in-order arrival (the in-batch sort
+    # handles intra-file order)
+    from dask_awkward_sandbox_spark.streaming.events import JSON_TS_FORMAT
+
+    e.repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+    return path
+
+
+def test_windowed_counts_stream_equals_batch(spark):
+    from dask_awkward_sandbox_spark.plans.events import q_events_windowed
+    from dask_awkward_sandbox_spark.streaming import (
+        stream_events_from_dir,
+        windowed_counts,
+    )
+    from dask_awkward_sandbox_spark.streaming.events import run_stream_to_memory
+
+    path = _write_stream_input(spark)
+    stream = stream_events_from_dir(spark, path)
+    assert stream.isStreaming
+    name = run_stream_to_memory(windowed_counts(stream), "win_counts")
+    got = {
+        (r["event_type"], r["bucket_start"]): (r["n"], r["sum_value_c"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket_start"]): (r["n"], r["sum_value_c"])
+        for r in q_events_windowed(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_stateful_closed_sessions(spark):
+    """The stateful sessionizer's closed sessions must agree with the
+    batch (window-function) sessionization for every session that is
+    closed by a later event. (The final open session per user only
+    closes on timeout, so it is excluded from the comparison.)"""
+    from pyspark.sql import Window
+
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming import sessionize_stateful
+    from dask_awkward_sandbox_spark.streaming.events import (
+        SESSION_GAP_US,
+        stream_events_from_dir,
+    )
+
+    path = _write_stream_input(spark)
+    stream = stream_events_from_dir(spark, path)
+    out = sessionize_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.table("sessions").collect()
+    }
+
+    # batch reference: window-function sessionization, drop each user's
+    # last session (still open in the stateful version)
+    e = read(spark, SF, "events")
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    prev = F.lag(tus).over(byu)
+    byu_flat = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        tus.alias("tus"),
+        F.when(prev.isNull() | ((tus - prev) > SESSION_GAP_US), 1).otherwise(0).alias("ns"),
+    ).withColumn(
+        "sess", F.sum("ns").over(byu_flat.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = flagged.groupBy("user_id", "sess").agg(
+        F.min("tus").alias("start_us"), F.count(F.lit(1)).alias("n")
+    )
+    wmax = Window.partitionBy("user_id")
+    closed = per.withColumn("maxs", F.max("sess").over(wmax)).filter(
+        F.col("sess") < F.col("maxs")
+    )
+    want = {
+        (r["user_id"], r["start_us"]): r["n"] for r in closed.collect()
+    }
+    # every batch-closed session must appear identically in the stream output
+    for k, v in want.items():
+        assert got.get(k) == v, f"session {k}: stream={got.get(k)} batch={v}"
