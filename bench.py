@@ -27,7 +27,7 @@ HEADLINERS = [
     "q_token_count",
     "q_fingerprint",
     "q_minhash_sig",
-    "q_dedup_minhash",
+    "q_dedup_minhash_clusters",
     "q_dedup_simhash",
     "q_ann_bruteforce",
     "q_events_sessionize",

@@ -81,17 +81,7 @@ def minhash_lsh_candidates(
     The band join is an equi-join on (band, band_key) — shuffle both
     sides once, never cross-join.
     """
-    rows = bands and num_perms // bands
-    sig = minhash_signature(df, text_col, num_perms)
-    band_cols = []
-    for bi in range(bands):
-        parts = [F.col(f"minhash_{bi * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
-        )
-    exploded = sig.select(
-        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    exploded = minhash_band_buckets(df, text_col, id_col, num_perms, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = a.join(
@@ -104,6 +94,89 @@ def minhash_lsh_candidates(
         pairs.groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def minhash_band_buckets(
+    df: DataFrame, text_col: str, id_col: str, num_perms: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc, band, key) LSH bucket membership — scan-side signatures,
+    one row per doc per band, no shuffle. Token-less docs carry no LSH
+    signal and are excluded (they'd otherwise all collide on the
+    empty-signature key; SQL engines instead drop them from the
+    unnest, so exclusion is also what the oracle computes)."""
+    rows = num_perms // bands
+    sig = minhash_signature(df, text_col, num_perms).filter(
+        F.col("minhash_0").isNotNull()
+    )
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"minhash_{bi * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: connected components over the "shares an LSH
+    band bucket" graph. Returns (doc, cluster) where cluster is the
+    min doc id of the component; keep-set = rows with doc == cluster.
+
+    THE scale path for minhash dedup. ``minhash_lsh_candidates``
+    materializes every within-bucket pair — O(sum b_i^2), which
+    explodes on real corpora where template/boilerplate text forms
+    thousand-doc buckets. Here a bucket of size n contributes n rows
+    (star edges to the bucket min), and min-label propagation runs
+    one groupBy-pair per iteration, converging in O(log diameter)
+    rounds. 100 TB: each iteration is two key-shuffles of |docs|*bands
+    rows; skewed buckets are irrelevant (partial min aggregation).
+    """
+    buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands).cache()
+    labels = buckets.select("doc").distinct().withColumn("label", F.col("doc")).cache()
+    try:
+        for _ in range(max_iter):
+            bucket_min = (
+                buckets.join(labels, "doc")
+                .groupBy("band", "key")
+                .agg(F.min("label").alias("bmin"))
+            )
+            doc_min = (
+                buckets.join(bucket_min, ["band", "key"])
+                .groupBy("doc")
+                .agg(F.min("bmin").alias("cand"))
+            )
+            new_labels = (
+                labels.join(doc_min, "doc", "left")
+                .select(
+                    "doc",
+                    F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc", F.col("label").alias("cluster"))
+    finally:
+        buckets.unpersist()
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:

@@ -226,6 +226,42 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_minhash_clusters",
+    rf"""
+    with recursive
+    t as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
+    p(pid, a, b) as {{perms}},
+    sig as (select doc_id, pid, min((a * h + b) % 1000000007) as mh
+            from t cross join p group by doc_id, pid),
+    bkey as (select doc_id, pid // 2 as band,
+                    md5(string_agg(mh::varchar, '_' order by pid)) as key
+             from sig group by doc_id, pid // 2),
+    edges as (select distinct a.doc_id as src, b.doc_id as dst
+              from bkey a join bkey b on a.band = b.band and a.key = b.key),
+    walk(doc, lab) as (
+        select doc_id, doc_id from documents
+        union
+        select e.src, w.lab from walk w join edges e on e.dst = w.doc
+    )
+    select cast(doc as bigint) as doc, cast(min(lab) as bigint) as cluster
+    from walk group by doc
+    """.replace("{perms}", _perm_values_sql()),
+)
+def q_dedup_minhash_clusters(spark, sf_dir):
+    """MinHash-LSH dedup, the scale path: connected components over
+    the shares-a-band-bucket graph (8 perms, 4 bands of 2), labels =
+    component-min doc id. Unlike the all-pairs candidate query, a
+    bucket of n near-dups costs n rows, not n^2/2 — boilerplate-heavy
+    corpora (and this testdata's planted dup clusters) stay linear.
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    bucket graph, min label per doc."""
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_clusters(
+        d, "text", "doc_id", num_perms=NUM_PERMS, bands=4
+    ).orderBy("doc")
+
+
 @query("q_simhash_neardups")  # rows-only: hamming-ball blocking join
 def q_simhash_neardups(spark, sf_dir):
     """SimHash near-dup pairs with pigeonhole band blocking."""
