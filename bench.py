@@ -43,8 +43,10 @@ def main() -> None:
     spark = get_spark("dwax-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: tiny SF primes codegen/JIT so headline numbers measure the plan
-    for name in HEADLINERS[:3]:
+    # warmup: run every headliner at tiny SF so codegen compile + JIT
+    # happen before the timed pass — numbers measure plan execution,
+    # not first-call compilation
+    for name in HEADLINERS:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()

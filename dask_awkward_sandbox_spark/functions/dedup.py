@@ -141,7 +141,8 @@ def minhash_dedup_clusters(
     rows; skewed buckets are irrelevant (partial min aggregation).
     """
     buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands).cache()
-    labels = buckets.select("doc").distinct().withColumn("label", F.col("doc")).cache()
+    cached = buckets.select("doc").distinct().withColumn("label", F.col("doc")).cache()
+    labels = cached
     try:
         for _ in range(max_iter):
             bucket_min = (
@@ -154,24 +155,23 @@ def minhash_dedup_clusters(
                 .groupBy("doc")
                 .agg(F.min("bmin").alias("cand"))
             )
-            new_labels = (
+            # carry the old label so convergence is a filter over the
+            # cached frame — one action materializes AND checks
+            merged = (
                 labels.join(doc_min, "doc", "left")
                 .select(
-                    "doc",
+                    F.col("doc"),
+                    F.col("label").alias("old"),
                     F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
                         "label"
                     ),
                 )
                 .cache()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = merged.filter(F.col("label") != F.col("old")).count()
+            cached.unpersist()
+            cached = merged
+            labels = merged.select("doc", "label")
             if changed == 0:
                 break
         return labels.select("doc", F.col("label").alias("cluster"))

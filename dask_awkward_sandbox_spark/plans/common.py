@@ -59,6 +59,12 @@ def order_items(spark: SparkSession, sf_dir: str, fields: list[str] | None = Non
     ``l_linenumber`` leads the struct so ``array_sort``'s lexicographic
     struct ordering is deterministic (linenumber is unique per order).
 
+    ``fields`` is the necessary-columns hook: pass the subset a query
+    actually touches and only those bytes reach the shuffle. With a
+    subset, list order among linenumber ties differs from the full
+    struct order — only order-INSENSITIVE queries (reductions,
+    value-sorts) may prune; positional ops must take full ITEM_FIELDS.
+
     Scale note: this groupBy is the single shuffle of the nested
     pipeline; every downstream axis=1 operator is shuffle-free. On a
     real cluster the lineitem table would be bucketed by l_orderkey

@@ -116,7 +116,7 @@ def q_firsts(spark, sf_dir):
 )
 def q_sort(spark, sf_dir):
     """ak.sort descending + list slice: top-2 quantities per order."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=['l_linenumber', 'l_quantity'])
     top2 = F.slice(st.sort(_qty_c(F.col("items")), ascending=False), 1, 2)
     return it.select("l_orderkey", F.explode(top2).alias("qty_c"))
 
@@ -199,7 +199,7 @@ def q_cartesian(spark, sf_dir):
 def q_combinations(spark, sf_dir):
     """ak.combinations (n=2): unordered pairs i<j; oracle uses the
     closed form sum_{i<j} x_i x_j = (S^2 - SS)/2."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=['l_linenumber', 'l_quantity'])
     pairs = st.combinations(_qty_c(F.col("items")))
     return it.select(
         "l_orderkey",
@@ -334,7 +334,7 @@ def q_mask_where(spark, sf_dir):
 def q_with_field(spark, sf_dir):
     """ak.with_field: add a computed field to each record, then reduce it;
     also exercises without_field."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=['l_linenumber', 'l_extendedprice', 'l_discount', 'l_tax'])
     enriched = st.with_field(
         F.col("items"),
         "disc_price_u",
@@ -386,7 +386,7 @@ def q_concatenate(spark, sf_dir):
 def q_reduce_sum(spark, sf_dir):
     """ak.sum / ak.prod (axis=1). prod oracle via exp-sum-log of exact
     ints, rounded back to the exact integer product."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=['l_linenumber', 'l_quantity', 'l_extendedprice', 'l_discount'])
     prod_in = F.transform(_disc_c(F.col("items")), lambda x: F.greatest(x, F.lit(1)))
     return it.select(
         "l_orderkey",

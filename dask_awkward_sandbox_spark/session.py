@@ -43,6 +43,12 @@ def get_spark(app_name: str = "dask-awkward-sandbox-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce by parallelism, not just bytes: nested-array HOFs
+        # (pair generation, minhash perms) are compute-dense per byte,
+        # and the default 1m floor folds their small shuffles onto a
+        # handful of cores. Harmless at cluster scale where real
+        # partitions dwarf this floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
