@@ -30,6 +30,7 @@ HEADLINERS = [
     "q_dedup_minhash_clusters",
     "q_dedup_simhash",
     "q_ann_bruteforce",
+    "q_ann_ivf",
     "q_events_sessionize",
     "q_events_windowed",
 ]

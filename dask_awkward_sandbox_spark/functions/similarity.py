@@ -1,15 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline, and random-hyperplane
-LSH bucketing as the scale path. All vector math is JVM-side
-(``zip_with`` + ``aggregate`` folds) — no Python in the row path.
+Brute-force cosine top-k as the exact baseline; two approximate scale
+paths: multi-table random-hyperplane LSH, and an IVF index (k-means
+coarse quantizer + posting-list probes). All per-row vector math is
+JVM-side (``zip_with`` + ``aggregate`` folds) — no Python in the row
+path; only quantizer training touches the driver, on a bounded sample.
 
 Scale design (1e9+ vectors): broadcast the (small) query set and
 stream the corpus through a single narrow stage for brute force; for
 corpus-vs-corpus, LSH buckets bound the pair explosion and the join
-is equi on (plane-signature), shuffling each side once. An IVF
-variant (k-means coarse quantizer) drops in by replacing the bucket
-key with nearest-centroid id.
+is equi on (table, signature) / list_id, shuffling each side once.
 """
 
 from __future__ import annotations
@@ -87,6 +87,120 @@ def neardup_pairs(
     return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<s: double, i: int>> of (dot-sim, centroid-id) — the
+    centroid table rides along as one flat array literal, so assignment
+    is a narrow JVM expression with no join. The per-centroid loop is a
+    ``transform`` lambda over a flattened (nlist*dim) constant, not
+    nlist unrolled aggregates: codegen stays one small loop body
+    regardless of nlist, where unrolling made compile time scale with
+    nlist and dominate small scans."""
+    nlist, dim = len(centroids), len(centroids[0])
+    # one expr string, not nlist*dim F.lit calls — each F.lit is a
+    # py4j round trip, and thousands of them cost seconds of pure
+    # driver-side chatter before Spark sees the plan
+    flat = F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for cent in centroids for x in cent) + ")"
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nlist - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, F.slice(flat, i * dim + 1, dim), lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s"),
+            i.cast("int").alias("i"),
+        ),
+    )
+
+
+def assign_nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Centroid id maximizing dot similarity (struct max breaks ties on
+    the higher id — deterministic either way)."""
+    return F.array_max(_centroid_sims(vec, centroids))["i"]
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 16,
+    iters: int = 5,
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Lloyd's iterations for the IVF coarse quantizer, trained on a
+    deterministic bounded sample (the ``sample_size`` lowest-id
+    vectors). Init is the first ``nlist`` sample vectors, so training
+    is fully deterministic given the data.
+    """
+    import numpy as np
+
+    # One bounded collect (sample_size x dim doubles), then Lloyd's on
+    # the driver in numpy: the quantizer needs distribution shape, not
+    # every row, and per-iteration Spark jobs would pay seconds of
+    # scheduling for microseconds of math. orderBy+limit compiles to
+    # TakeOrdered (per-partition top-k, no full sort/shuffle).
+    sample = (
+        df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for i in range(nlist):
+            members = X[assign == i]
+            if len(members):
+                C[i] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means
+    coarse quantizer, corpus partitioned into nlist posting lists,
+    each query scans only its nprobe nearest lists.
+
+    Scale path vs brute force: cost drops ~nlist/nprobe, the probe
+    join is equi on list_id (corpus shuffles once on list assignment,
+    reusable across query batches), and recall is tunable via nprobe.
+    """
+    centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters)
+    c = corpus.select(
+        F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
+    ).withColumn("list_id", assign_nearest_centroid(F.col("nb_vec"), centroids))
+    sims_desc = F.reverse(F.array_sort(_centroid_sims(F.col("q_vec"), centroids)))
+    probes = F.transform(F.slice(sims_desc, 1, nprobe), lambda s: s["i"])
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("list_id", F.explode(probes))
+    )
+    j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
+    sim = F.round(cosine(F.col("q_vec"), F.col("nb_vec")), round_digits)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nb_id"))
+    return (
+        j.select("q_id", "nb_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: hash-mixed components in
     [-1, 1] from (plane, dim-index) — reproducible anywhere."""
@@ -105,14 +219,19 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     planes: int = 4,
+    tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature buckets, exact
-    rank within the query's bucket. Recall grows with fewer planes /
-    multiple tables; cost drops ~2**planes vs brute force."""
-    def signature(vec: Column) -> Column:
+    rank over the union of the query's buckets across ``tables``
+    independent hash tables (OR-construction — per-table misses are
+    uncorrelated, so recall compounds while cost stays ~tables/
+    2**planes of brute force). The probe join is equi on
+    (table, bucket); candidate pairs dedupe before ranking."""
+
+    def signature(vec: Column, table: int) -> Column:
         bits = []
         for p in range(planes):
-            plane = _hyperplane(dim, p)
+            plane = _hyperplane(dim, table * planes + p)
             proj = F.aggregate(
                 F.zip_with(
                     vec,
@@ -128,20 +247,32 @@ def lsh_bucket_topk(
             out = out + bcol
         return out
 
-    c = corpus.select(
-        F.col(id_col).alias("nb_id"),
-        as_double(F.col(vec_col)).alias("nb_vec"),
-    ).withColumn("bucket", signature(F.col("nb_vec")))
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", signature(F.col("q_vec")))
-    j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["bucket"] == q["bucket"]))
+    def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        v = as_double(F.col(vecc))
+        tb = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), signature(v, t).alias("bucket"))
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc), v.alias(vecc + "_d"), F.explode(tb).alias("tb")
+        ).select(idc, vecc + "_d", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    c = with_buckets(corpus.select(F.col(id_col).alias("nb_id"), F.col(vec_col)), "nb_id", vec_col)
+    c = c.withColumnRenamed(vec_col + "_d", "nb_vec")
+    q = with_buckets(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)), "q_id", vec_col
+    ).withColumnRenamed(vec_col + "_d", "q_vec")
+    j = c.join(
+        F.broadcast(q),
+        (F.col("nb_id") != F.col("q_id")) & (c["t"] == q["t"]) & (c["bucket"] == q["bucket"]),
+    )
     sim = F.round(cosine(F.col("q_vec"), F.col("nb_vec")), 6)
+    cand = j.select("q_id", "nb_id", sim.alias("sim")).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nb_id"))
     return (
-        j.select("q_id", "nb_id", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

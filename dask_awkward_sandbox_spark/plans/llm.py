@@ -309,6 +309,19 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+@query("q_ann_ivf")  # rows-only: approximate by construction
+def q_ann_ivf(spark, sf_dir):
+    """IVF top-k: k-means coarse quantizer (deterministic init +
+    fixed Lloyd iterations), queries probe their 4 nearest of 16
+    posting lists. The corpus-partitioned scale path — cost ~nprobe/
+    nlist of brute force; recall vs brute force pytest-asserted."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4, iters=3).orderBy(
+        "q_id", "nb_id"
+    )
+
+
 @query("q_ann_lsh")  # rows-only: approximate by construction
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed top-k — the 1e9-vector scale path.

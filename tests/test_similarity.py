@@ -1,0 +1,66 @@
+"""ANN quality gates: the approximate indexes (hyperplane LSH, IVF)
+must recover a healthy fraction of the exact brute-force neighbors.
+Both are deterministic (fixed planes / init), so the recall floor is a
+stable regression bound, not a flaky statistical one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _truth_and_approx(spark, approx_fn):
+    from dask_awkward_sandbox_spark.functions import similarity
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["q_id"], r["nb_id"])
+        for r in similarity.brute_force_topk(e, q, k=5).collect()
+    }
+    approx = {(r["q_id"], r["nb_id"]) for r in approx_fn(e, q).collect()}
+    return truth, approx
+
+
+def test_ivf_recall(spark):
+    from dask_awkward_sandbox_spark.functions import similarity
+
+    truth, approx = _truth_and_approx(
+        spark,
+        lambda e, q: similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4, iters=3),
+    )
+    assert truth, "no ground-truth neighbors"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_lsh_recall(spark):
+    from dask_awkward_sandbox_spark.functions import similarity
+
+    truth, approx = _truth_and_approx(
+        spark,
+        lambda e, q: similarity.lsh_bucket_topk(e, q, dim=64, k=5, planes=3),
+    )
+    assert truth, "no ground-truth neighbors"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} below floor"
+
+
+def test_ivf_cost_bound(spark):
+    """Every query probes exactly nprobe of nlist posting lists — the
+    scan-fraction contract that makes IVF the scale path."""
+    from dask_awkward_sandbox_spark.functions import similarity
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "embeddings")
+    cents = similarity.kmeans_train(e, "embedding", "vec_id", nlist=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    assigned = e.select(
+        similarity.assign_nearest_centroid(
+            similarity.as_double(F.col("embedding")), cents
+        ).alias("list_id")
+    )
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 1 < n_lists <= 8
