@@ -25,8 +25,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     it = order_items(spark, "/root/testdata/sf0.001")
     items = F.col("items")
-    qty_c = F.transform(items, lambda s: cents(s["l_quantity"]))
-    price_c = F.transform(items, lambda s: cents(s["l_extendedprice"]))
+    qty_c = F.transform(items.getField("l_quantity"), cents)
+    price_c = F.transform(items.getField("l_extendedprice"), cents)
     revenue = F.zip_with(qty_c, price_c, lambda q, p: q * p)
     return it.select(
         "l_orderkey",

@@ -22,12 +22,14 @@ them (none of the reference's operator surface does).
 """
 
 from dask_awkward_sandbox_spark.session import get_spark, load_tables, TABLES
+from dask_awkward_sandbox_spark import core
 from dask_awkward_sandbox_spark.operators import reducers, strings, structure
 
 __all__ = [
     "get_spark",
     "load_tables",
     "TABLES",
+    "core",
     "structure",
     "reducers",
     "strings",

@@ -1,0 +1,89 @@
+"""Collection-level API: the Spark face of the reference's lazy
+Array/Record/Scalar collections (reference: lib/core.py).
+
+The mapping is intentionally thin — a partitioned nested collection IS
+a DataFrame with complex-typed columns, so the reference's
+collection verbs become DataFrame verbs:
+
+- ``map_partitions``  -> ``mapInArrow`` (Arrow record batches, the
+  zero-copy path) or ``mapInPandas`` (pandas convenience);
+- ``repartition``     -> ``repartition`` / ``coalesce`` (coalesce when
+  shrinking: no shuffle);
+- ``persist``         -> ``cache``; ``compute`` -> ``collect``;
+- ``visualize``       -> the Catalyst plan (``explain`` string) — the
+  task graph the reference would draw;
+- ``to_list``         -> collected plain-Python rows (ak.to_list).
+
+Scale notes: ``map_partitions`` user functions run once per Arrow
+batch, not per row; memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. ``compute``/
+``to_list`` pull to the driver — summaries only, never the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def map_partitions(
+    df: DataFrame,
+    fn: Callable,
+    schema: str,
+    arrow: bool = True,
+) -> DataFrame:
+    """Arbitrary per-partition transformation (dak.map_partitions,
+    reference lib/core.py).
+
+    ``fn`` receives an iterator of ``pyarrow.RecordBatch`` (arrow=True)
+    or ``pandas.DataFrame`` (arrow=False) and yields the same type
+    conforming to ``schema``. Prefer Column expressions for anything
+    they can express — this is the escape hatch, and it pays the
+    JVM<->Python Arrow transfer.
+    """
+    if arrow:
+        return df.mapInArrow(fn, schema)
+    return df.mapInPandas(fn, schema)
+
+
+def repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Change partition count; shrinking coalesces (no shuffle)."""
+    if num_partitions < df.rdd.getNumPartitions():
+        return df.coalesce(num_partitions)
+    return df.repartition(num_partitions)
+
+
+def persist(df: DataFrame) -> DataFrame:
+    """Materialize-on-first-use caching (dask persist)."""
+    return df.cache()
+
+
+def compute(df: DataFrame) -> list:
+    """Eager evaluation to driver rows (dask compute)."""
+    return df.collect()
+
+
+def to_list(df: DataFrame) -> list[dict]:
+    """ak.to_list: plain-Python nested values."""
+    return [row.asDict(recursive=True) for row in df.collect()]
+
+
+def visualize(df: DataFrame, extended: bool = False) -> str:
+    """The query plan as text — the engine's task graph."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "extended" if extended else "formatted"
+    )
+
+
+def map_batches_pandas(
+    df: DataFrame, fn: Callable[[object], object], schema: str
+) -> DataFrame:
+    """Convenience: per-batch pandas function lifted to the iterator
+    protocol mapInPandas expects."""
+
+    def gen(it: Iterator):
+        for pdf in it:
+            yield fn(pdf)
+
+    return df.mapInPandas(gen, schema)

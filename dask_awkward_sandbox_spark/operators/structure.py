@@ -129,12 +129,11 @@ def zip(named: dict[str, Column]) -> Column:  # noqa: A001 - mirrors ak.zip
 def unzip(arr: Column, fields: Sequence[str]) -> list[Column]:
     """Inverse of :func:`zip`: array<struct> -> one array per field.
 
-    Parity: structure.py:unzip.
+    Parity: structure.py:unzip. ``getField`` (GetArrayStructFields)
+    rather than a transform lambda, so parquet nested-schema pruning
+    narrows the scan to the extracted leaves.
     """
-    def _extract(f: str):
-        return lambda s: s[f]
-
-    return [F.transform(arr, _extract(f)).alias(f) for f in fields]
+    return [arr.getField(f).alias(f) for f in fields]
 
 
 def with_field(arr: Column, name: str, value_fn) -> Column:
@@ -432,3 +431,26 @@ def unflatten(df: DataFrame, value_col: str, order_col: str, counts: Sequence[in
         )
         .select(F.col("gid"), F.transform("_p", lambda s: s["v"]).alias(value_col))
     )
+
+
+def broadcast_arrays(scalar: Column, arr: Column) -> tuple[Column, Column]:
+    """Broadcast a per-row scalar against a per-row list: the scalar
+    becomes a list of the same length (ak.broadcast_arrays for the
+    scalar-vs-list case — the only shape Spark's type system admits).
+    Inside HOF lambdas the scalar can instead be referenced directly,
+    which is what the fused operators do; this exists for the explicit
+    collection-level form. Parity: structure.py:broadcast_arrays."""
+    return F.transform(arr, lambda _: scalar), arr
+
+
+def to_regular(arr: Column) -> Column:
+    """No-op: Spark arrays are always variable-length; regularity is a
+    property awkward tracks in the type, with no Spark analogue.
+    Parity: structure.py:to_regular."""
+    return arr
+
+
+def from_regular(arr: Column) -> Column:
+    """No-op counterpart of ``to_regular``. Parity:
+    structure.py:from_regular."""
+    return arr

@@ -79,5 +79,18 @@ def order_items(spark: SparkSession, sf_dir: str, fields: list[str] | None = Non
 
 
 def fld(arr: Column, name: str) -> Column:
-    """Project one field out of an array<struct> -> array<field type>."""
-    return F.transform(arr, lambda s: s[name])
+    """Project one field out of an array<struct> -> array<field type>.
+
+    Uses ``getField`` (GetArrayStructFields), NOT a ``transform``
+    lambda: Catalyst's nested-schema pruning sees through the former
+    and narrows the parquet ReadSchema to the one leaf, but cannot
+    prune through a lambda body — a transform here silently reads
+    every struct field off disk (verified in tests/test_plans.py)."""
+    return arr.getField(name)
+
+
+def fld_map(arr: Column, name: str, f) -> Column:
+    """Extract ``name`` from each struct, then map ``f`` over the
+    values — the pruning-friendly spelling of
+    ``transform(arr, s -> f(s[name]))``."""
+    return F.transform(arr.getField(name), f)

@@ -52,7 +52,7 @@ def q_parquet_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
     back = from_parquet(spark, path, columns=["l_orderkey", "items"])
-    q = F.transform(F.col("items"), lambda s: cents(s["l_quantity"]))
+    q = F.transform(F.col("items").getField("l_quantity"), cents)
     return back.select(
         "l_orderkey",
         st.num(F.col("items")).alias("n_items"),

@@ -28,15 +28,15 @@ DC = "cast(round(l_discount*100) as bigint)"   # discount cents
 
 
 def _qty_c(items):
-    return F.transform(items, lambda s: cents(s["l_quantity"]))
+    return F.transform(items.getField("l_quantity"), cents)
 
 
 def _price_c(items):
-    return F.transform(items, lambda s: cents(s["l_extendedprice"]))
+    return F.transform(items.getField("l_extendedprice"), cents)
 
 
 def _disc_c(items):
-    return F.transform(items, lambda s: cents(s["l_discount"]))
+    return F.transform(items.getField("l_discount"), cents)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +309,7 @@ def q_mask_where(spark, sf_dir):
     """ak.mask + ak.drop_none + ak.where + ak.is_none in one pass."""
     it = order_items(spark, sf_dir)
     q = _qty_c(F.col("items"))
-    is_r = F.transform(F.col("items"), lambda s: s["l_returnflag"] == "R")
+    is_r = F.transform(F.col("items").getField("l_returnflag"), lambda r: r == "R")
     masked = st.mask(q, is_r)
     n_kept = st.num(st.drop_none(masked)) - F.aggregate(
         st.is_none(q), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")

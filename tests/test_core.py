@@ -1,0 +1,75 @@
+"""Collection-level API tests (core.py — the reference's lib/core.py
+surface: map_partitions, repartition, persist/compute, to_list,
+visualize) plus the no-op/broadcast structure shims."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_map_partitions_arrow(spark):
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, x double")
+
+    def fn(batches):
+        for b in batches:
+            d = b.to_pydict()
+            d["x2"] = [v * 2 for v in d["x"]]
+            del d["x"]
+            import pyarrow as pa
+
+            yield pa.RecordBatch.from_pydict(d)
+
+    out = core.map_partitions(df, fn, "id long, x2 double")
+    rows = {r["id"]: r["x2"] for r in out.collect()}
+    assert rows[7] == 14.0 and len(rows) == 100
+
+
+def test_map_partitions_pandas(spark):
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    out = core.map_batches_pandas(df, lambda pdf: pdf.assign(y=pdf["id"] + 1), "id long, y long")
+    assert {r["y"] for r in out.collect()} == set(range(1, 11))
+
+
+def test_repartition_and_persist_compute(spark):
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.range(1000)
+    up = core.repartition(df, 8)
+    assert up.rdd.getNumPartitions() == 8
+    down = core.repartition(up, 2)
+    assert down.rdd.getNumPartitions() == 2
+    p = core.persist(down)
+    assert p.is_cached
+    assert len(core.compute(p.filter(F.col("id") < 10))) == 10
+    p.unpersist()
+
+
+def test_to_list_nested(spark):
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"a": 1})], "id long, v array<long>, s struct<a: long>"
+    )
+    out = core.to_list(df)
+    assert out == [{"id": 1, "v": [1, 2], "s": {"a": 1}}]
+
+
+def test_visualize_returns_plan(spark):
+    from dask_awkward_sandbox_spark import core
+
+    txt = core.visualize(spark.range(10).filter(F.col("id") > 3))
+    assert "Range" in txt
+
+
+def test_broadcast_arrays_and_regular_noops(spark):
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    df = spark.createDataFrame([(10, [1, 2, 3]), (5, [])], "s long, v array<long>")
+    b, a = st_.broadcast_arrays(F.col("s"), F.col("v"))
+    got = df.select(b.alias("b"), st_.to_regular(st_.from_regular(a)).alias("a")).collect()
+    assert got[0]["b"] == [10, 10, 10] and got[0]["a"] == [1, 2, 3]
+    assert got[1]["b"] == [] and got[1]["a"] == []

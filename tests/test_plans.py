@@ -1,0 +1,116 @@
+"""Physical-plan assertions: the scale-design claims of SURVEY §4,
+checked against what Catalyst actually produces.
+
+These are the local[32] stand-ins for 100 TB behavior: a filter that
+reaches the parquet scan here is the same PushedFilters at any scale;
+a broadcast join on a dim table here is the same absence of a
+fact-table shuffle there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _physical(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _physical(df)
+    # ReadSchema carries only the projected leaves
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_comment" not in rs, rs
+
+
+def _nested_parquet(spark):
+    import os
+
+    from dask_awkward_sandbox_spark.plans.common import order_items
+
+    path = "/root/repo/.scratch/plans/nested_items"
+    if not os.path.exists(path):
+        order_items(spark, SF).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_nested_schema_pruning(spark):
+    """Projecting one nested leaf through fld() must prune the parquet
+    ReadSchema to that leaf — the reference's necessary-columns
+    optimization, done by Catalyst. fld uses GetArrayStructFields
+    because pruning cannot see through a transform lambda; the second
+    assertion documents that trap staying real."""
+    from dask_awkward_sandbox_spark.plans.common import fld
+
+    back = _nested_parquet(spark)
+    df = back.select("l_orderkey", fld(F.col("items"), "l_quantity").alias("qs"))
+    rs = _physical(df).split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_returnflag" not in rs, rs
+
+    lam = back.select(
+        "l_orderkey", F.transform("items", lambda s: s["l_quantity"]).alias("qs")
+    )
+    rs_lam = _physical(lam).split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in rs_lam, "lambda now prunes — fld() can simplify"
+
+
+def test_dim_joins_broadcast_no_fact_shuffle(spark):
+    """q3/q5-style dim joins must broadcast: the fact table may only
+    shuffle for its aggregation, never for the join."""
+    from dask_awkward_sandbox_spark.plans.tpch import q3_shipping_priority
+
+    plan = _physical(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_whole_stage_codegen_covers_hof_pipeline(spark):
+    """The axis=1 operator chain (transform/aggregate folds) over a
+    materialized nested collection must stay entirely JVM-side: a
+    codegen'd columnar scan (the ``*(N)`` region) feeding Catalyst
+    expressions — never a Python eval node. (HOF lambdas themselves
+    run as JVM expressions outside the codegen region; that's Spark's
+    design, and still ~100x from row-at-a-time Python.)"""
+    from dask_awkward_sandbox_spark.plans.common import cents, fld
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    back = _nested_parquet(spark)
+    qty = F.transform(fld(F.col("items"), "l_quantity"), cents)
+    df = back.select("l_orderkey", red.sum(qty).alias("s"), red.max(qty).alias("m"))
+    plan = _physical(df)
+    assert "*(" in plan, plan  # codegen'd scan stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "aggregate(" in plan and "transform(" in plan, plan  # JVM HOFs
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """q1-style global agg must map-side combine (partial_ functions
+    below the exchange) so the shuffle moves one row per group per
+    task, not the table."""
+    from dask_awkward_sandbox_spark.plans.tpch import q1_pricing_summary
+
+    plan = _physical(q1_pricing_summary(spark, SF))
+    assert "partial_" in plan, plan
+
+
+def test_events_scan_prunes_and_pushes(spark):
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "events").filter(F.col("event_type") == "click").select(
+        "event_id", "event_type"
+    )
+    plan = _physical(e)
+    assert "PushedFilters: [" in plan and "EqualTo(event_type,click)" in plan, plan

@@ -1,0 +1,198 @@
+"""Property tests for the structure/reducer operator library over
+ragged edge cases — empty lists, null elements, null lists, single
+elements — mirroring the reference's eager-vs-lazy comparison tests.
+The oracle here is plain Python over the same values.
+
+Examples are kept small (each hypothesis example is a Spark job);
+coverage comes from shrinking-guided diversity, not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+elements = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+ragged = st.lists(
+    st.one_of(st.none(), st.lists(elements, max_size=5)), min_size=1, max_size=6
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    data = [(i, v) for i, v in enumerate(rows)]
+    return spark.createDataFrame(data, "id long, v array<bigint>")
+
+
+def _run(spark, rows, col):
+    out = _df(spark, rows).select("id", col.alias("r")).collect()
+    return [r["r"] for r in sorted(out, key=lambda r: r["id"])]
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_num(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.num(F.col("v")))
+    want = [len(v) if v is not None else None for v in rows]
+    assert got == want
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_firsts(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.firsts(F.col("v")))
+    want = [(v[0] if len(v) else None) if v is not None else None for v in rows]
+    assert got == want
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_drop_none_then_num(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.num(st_.drop_none(F.col("v"))))
+    want = [
+        sum(1 for x in v if x is not None) if v is not None else None for v in rows
+    ]
+    assert got == want
+
+
+@given(rows=ragged, fill=st.integers(min_value=-5, max_value=5))
+@settings(**SETTINGS)
+def test_fill_none(spark, rows, fill):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.fill_none(F.col("v"), fill))
+    want = [
+        [x if x is not None else fill for x in v] if v is not None else None
+        for v in rows
+    ]
+    assert got == want
+
+
+@given(rows=ragged, target=st.integers(min_value=0, max_value=6))
+@settings(**SETTINGS)
+def test_pad_none_clip_length(spark, rows, target):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.pad_none(F.col("v"), target, clip=True))
+    for v, g in zip(rows, got):
+        if v is None:
+            assert g is None
+        else:
+            assert len(g) == target
+            assert g[: len(v[:target])] == v[:target]
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_sort_non_nulls(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.sort(F.col("v")))
+    for v, g in zip(rows, got):
+        if v is None:
+            assert g is None
+            continue
+        nn = sorted(x for x in v if x is not None)
+        # array_sort puts nulls last
+        assert g[: len(nn)] == nn
+        assert all(x is None for x in g[len(nn):])
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_local_index(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.local_index(F.col("v")))
+    want = [list(range(len(v))) if v is not None else None for v in rows]
+    assert got == want
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_run_lengths(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.run_lengths(st_.drop_none(F.col("v"))))
+    for v, g in zip(rows, got):
+        if v is None:
+            assert g is None
+            continue
+        vals = [x for x in v if x is not None]
+        want, prev = [], object()
+        for x in vals:
+            if x == prev:
+                want[-1] += 1
+            else:
+                want.append(1)
+                prev = x
+        assert g == want
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_reduce_sum_mean(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import reducers as red
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    clean = st_.drop_none(F.col("v"))
+    got_sum = _run(spark, rows, red.sum(clean))
+    got_mean = _run(spark, rows, red.mean(clean))
+    for v, gs, gm in zip(rows, got_sum, got_mean):
+        vals = [x for x in v if x is not None] if v is not None else None
+        if v is None:
+            assert gs is None and gm is None
+        elif not vals:
+            assert gs == 0 and gm is None
+        else:
+            assert gs == sum(vals)
+            assert gm is not None and math.isclose(gm, sum(vals) / len(vals))
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
+def test_combinations_count(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(
+        spark, rows, st_.num(st_.combinations(st_.drop_none(F.col("v"))))
+    )
+    for v, g in zip(rows, got):
+        if v is None:
+            assert g is None
+            continue
+        n = sum(1 for x in v if x is not None)
+        assert g == n * (n - 1) // 2
