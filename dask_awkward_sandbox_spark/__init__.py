@@ -23,6 +23,7 @@ them (none of the reference's operator surface does).
 
 from dask_awkward_sandbox_spark.session import get_spark, load_tables, TABLES
 from dask_awkward_sandbox_spark import core
+from dask_awkward_sandbox_spark import inspect
 from dask_awkward_sandbox_spark.operators import reducers, strings, structure
 
 __all__ = [
@@ -30,6 +31,7 @@ __all__ = [
     "load_tables",
     "TABLES",
     "core",
+    "inspect",
     "structure",
     "reducers",
     "strings",

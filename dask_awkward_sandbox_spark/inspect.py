@@ -1,0 +1,115 @@
+"""Introspection + decimation utilities (reference: lib/inspect.py,
+lib/describe.py).
+
+``report_necessary_columns`` answers the same question as the
+reference's necessary-buffers report — "which IO columns does this
+computation actually read?" — but from Catalyst's physical plan: the
+pruned ReadSchema of every parquet scan, post column-pruning and
+nested-schema pruning. What the optimizer kept IS the necessary set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PARTITION_ROW_MASK = (1 << 33) - 1  # monotonically_increasing_id low bits
+
+
+def sample(
+    df: DataFrame,
+    factor: int | None = None,
+    probability: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Decimate to fewer rows (reference inspect.py:sample).
+
+    ``factor``: keep every Nth row, counting restarting per partition
+    (monotonically_increasing_id's low 33 bits are the within-partition
+    counter — same contract as the reference's per-partition ``[::N]``).
+    ``probability``: each row survives independently with probability p
+    (seeded, so the plan is reproducible).
+    """
+    if (factor is None and probability is None) or (
+        factor is not None and probability is not None
+    ):
+        raise ValueError("Give exactly one of factor or probability")
+    if factor:
+        within = F.monotonically_increasing_id().bitwiseAND(F.lit(_PARTITION_ROW_MASK))
+        return df.filter(within % factor == 0)
+    return df.filter(F.rand(seed) < float(probability))
+
+
+def report_necessary_columns(df: DataFrame) -> dict[str, frozenset[str]]:
+    """Map each scanned file location to the column set the optimized
+    plan actually reads (reference inspect.py:report_necessary_columns).
+
+    Nested fields appear as dotted paths (``items.l_quantity``) — if a
+    wide struct shows up un-narrowed here, some expression defeated
+    nested pruning (see plans/common.py:fld)."""
+    from dask_awkward_sandbox_spark.core import visualize
+
+    # the formatted explain: plain toString truncates long scan lines,
+    # losing Location/ReadSchema entirely on wide tables
+    plan = visualize(df)
+    out: dict[str, frozenset[str]] = {}
+    loc = None
+    for line in plan.splitlines():
+        line = line.strip()
+        m = re.match(r"Location: \w+ \[([^\]]*)\]", line)
+        if m:
+            loc = m.group(1).split(",")[0].strip()
+            continue
+        m = re.match(r"ReadSchema: (struct<.*>)$", line)
+        if m and loc is not None:
+            leaves = frozenset(_schema_leaves(m.group(1)))
+            out[loc] = out.get(loc, frozenset()) | leaves
+            loc = None
+    return out
+
+
+def _schema_leaves(schema: str) -> list[str]:
+    """Flatten ``struct<a:bigint,b:array<struct<c:double>>>`` to
+    dotted leaf paths [a, b.c]."""
+    body = schema[len("struct<") : -1]
+    leaves: list[str] = []
+
+    def walk(s: str, prefix: str) -> None:
+        depth, start = 0, 0
+        parts = []
+        for i, ch in enumerate(s):
+            if ch in "<([":
+                depth += 1
+            elif ch in ">)]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+        if s[start:]:
+            parts.append(s[start:])
+        for part in parts:
+            name, _, typ = part.partition(":")
+            name = name.strip()
+            m = re.match(r"(?:array<)*struct<(.*?)>+$", typ)
+            if m:
+                walk(m.group(1), f"{prefix}{name}.")
+            else:
+                leaves.append(f"{prefix}{name}")
+
+    walk(body, "")
+    return leaves
+
+
+def fields(df_or_col: DataFrame | Column | None, df: DataFrame | None = None) -> list[str]:
+    """Record field names (reference describe.py:fields): top-level
+    column names of a DataFrame."""
+    if isinstance(df_or_col, DataFrame):
+        return list(df_or_col.columns)
+    raise TypeError("fields() takes a DataFrame")
+
+
+def backend(*_args) -> str:
+    """Reference describe.py:backend — ours is always Spark."""
+    return "spark"

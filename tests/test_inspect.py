@@ -1,0 +1,72 @@
+"""Tests for inspect.py: decimation and the necessary-columns report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sample_factor_every_nth_per_partition(spark):
+    from dask_awkward_sandbox_spark import inspect as ins
+
+    df = spark.range(0, 1000, 1, 4)
+    out = ins.sample(df, factor=10)
+    n = out.count()
+    assert n == 100  # 4 partitions of 250 -> every 10th each
+    assert ins.sample(df, factor=1).count() == 1000
+
+
+def test_sample_probability_rough_and_seeded(spark):
+    from dask_awkward_sandbox_spark import inspect as ins
+
+    df = spark.range(0, 10_000, 1, 4)
+    a = ins.sample(df, probability=0.1, seed=7).count()
+    b = ins.sample(df, probability=0.1, seed=7).count()
+    assert a == b  # seeded => reproducible
+    assert 700 <= a <= 1300
+
+
+def test_sample_arg_validation(spark):
+    from dask_awkward_sandbox_spark import inspect as ins
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        ins.sample(df)
+    with pytest.raises(ValueError):
+        ins.sample(df, factor=2, probability=0.5)
+
+
+def test_report_necessary_columns_flat(spark):
+    from dask_awkward_sandbox_spark import inspect as ins
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rep = ins.report_necessary_columns(li.select("l_orderkey", "l_quantity"))
+    (cols,) = rep.values()
+    assert cols == frozenset({"l_orderkey", "l_quantity"})
+
+
+def test_report_necessary_columns_nested_pruned(spark):
+    import os
+
+    from dask_awkward_sandbox_spark import inspect as ins
+    from dask_awkward_sandbox_spark.plans.common import fld, order_items
+
+    path = "/root/repo/.scratch/plans/nested_items"
+    if not os.path.exists(path):
+        order_items(spark, SF).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    rep = ins.report_necessary_columns(
+        back.select("l_orderkey", fld(F.col("items"), "l_quantity").alias("q"))
+    )
+    (cols,) = rep.values()
+    assert cols == frozenset({"l_orderkey", "items.l_quantity"})
+
+
+def test_fields_and_backend(spark):
+    from dask_awkward_sandbox_spark import inspect as ins
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert ins.fields(df) == ["id", "s"]
+    assert ins.backend(df) == "spark"
