@@ -1,5 +1,10 @@
 from dask_awkward_sandbox_spark.io.json import from_json, to_json
-from dask_awkward_sandbox_spark.io.parquet import from_parquet, to_parquet
+from dask_awkward_sandbox_spark.io.parquet import (
+    from_parquet,
+    from_table,
+    to_bucketed_table,
+    to_parquet,
+)
 from dask_awkward_sandbox_spark.io.text import from_text
 from dask_awkward_sandbox_spark.io.io import from_lists, to_dataframe
 
@@ -8,6 +13,8 @@ __all__ = [
     "to_json",
     "from_parquet",
     "to_parquet",
+    "to_bucketed_table",
+    "from_table",
     "from_text",
     "from_lists",
     "to_dataframe",

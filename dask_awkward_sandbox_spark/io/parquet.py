@@ -50,3 +50,31 @@ def to_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def to_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table: rows hash-partitioned into
+    ``num_buckets`` files per partition on ``bucket_by``.
+
+    This is the 100 TB play for the nested build (SURVEY §4): a
+    groupBy/collect_list or join on the bucket key against a bucketed
+    table needs NO Exchange — the table layout IS the shuffle, paid
+    once at write time and amortized over every downstream query.
+    tests/test_plans.py asserts the Exchange-free plan.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def from_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a (bucketed) managed table."""
+    return spark.table(table)

@@ -114,3 +114,38 @@ def test_events_scan_prunes_and_pushes(spark):
     )
     plan = _physical(e)
     assert "PushedFilters: [" in plan and "EqualTo(event_type,click)" in plan, plan
+
+
+def test_bucketed_nested_build_is_shuffle_free(spark):
+    """Pre-bucketing lineitem on l_orderkey makes the nested
+    collect_list build Exchange-free: the table layout already IS the
+    hash partitioning the aggregation needs (SURVEY §4's 100 TB play —
+    pay the shuffle once at write, never again)."""
+    from dask_awkward_sandbox_spark.io import from_table, to_bucketed_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    to_bucketed_table(li, "li_bucketed", "l_orderkey", num_buckets=8)
+    try:
+        nested = (
+            from_table(spark, "li_bucketed")
+            .groupBy("l_orderkey")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "l_quantity"))
+                ).alias("items")
+            )
+        )
+        plan = _physical(nested)
+        assert "Exchange" not in plan, plan
+        # same aggregation over the plain parquet DOES shuffle
+        plain = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias(
+                "items"
+            )
+        )
+        assert "Exchange" in _physical(plain)
+        assert nested.count() == plain.count()
+    finally:
+        spark.sql("drop table if exists li_bucketed")
