@@ -19,6 +19,8 @@ HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "q_reduce_sum",
     "q_with_field",
     "q_sort",

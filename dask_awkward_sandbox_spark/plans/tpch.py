@@ -176,3 +176,80 @@ def q_top_customers(spark, sf_dir):
         .orderBy(F.desc("total_c"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    select cast(sum(cast(round(l_extendedprice*100) as bigint)
+                    * cast(round(l_discount*100) as bigint)) as bigint) as revenue_u,
+           cast(count(*) as bigint) as n
+    from lineitem
+    where l_shipdate >= timestamp '1997-01-01'
+      and l_shipdate <  timestamp '1998-01-01'
+      and l_discount between 0.02 and 0.04
+      and l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6. Scale: the pure-pushdown query — every predicate
+    reaches the parquet row-group reader, so the scan skips whole row
+    groups on l_shipdate/l_discount/l_quantity statistics; a single
+    global partial-aggregated sum follows."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))).alias(
+            "revenue_u"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    with t as (select l_orderkey,
+                      sum(cast(round(l_quantity*100) as bigint)) as sum_qty_c
+               from lineitem group by l_orderkey
+               having sum(cast(round(l_quantity*100) as bigint)) > 9000)
+    select c.c_name, o.o_custkey, o.o_orderkey,
+           cast(o.o_orderdate as timestamp) as o_orderdate,
+           cast(round(o.o_totalprice*100) as bigint) as totalprice_c,
+           cast(t.sum_qty_c as bigint) as sum_qty_c
+    from t
+    join orders o on o.o_orderkey = t.l_orderkey
+    join customer c on c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers), nested-style: the having
+    filter runs on the per-order nested aggregate BEFORE joining
+    orders/customer, so the join input is the small filtered set.
+    Scale: one fact shuffle for the groupBy; orders joins on its
+    primary key; customer broadcast."""
+    li = read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 9000)
+    )
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )

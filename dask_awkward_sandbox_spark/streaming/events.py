@@ -155,3 +155,16 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "co
     )
     q.awaitTermination()
     return name
+
+
+def stream_dedup_exact(stream: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"):
+    """Streaming exact dedup: keep the first arrival per key within
+    the watermark horizon (the streaming face of
+    functions.dedup.exact_dedup).
+
+    State holds one entry per key seen and is evicted once the
+    watermark passes — bounded memory under any input rate, which is
+    the contract that lets this run forever on the collector feed.
+    """
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -109,3 +109,30 @@ def test_sessionize_stateful_closed_sessions(spark):
     # every batch-closed session must appear identically in the stream output
     for k, v in want.items():
         assert got.get(k) == v, f"session {k}: stream={got.get(k)} batch={v}"
+
+
+def test_stream_dedup_exact(spark):
+    """Planted duplicates (the input written twice) must collapse to
+    the distinct event set, matching batch dropDuplicates."""
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming import stream_dedup_exact
+    from dask_awkward_sandbox_spark.streaming.events import (
+        JSON_TS_FORMAT,
+        run_stream_to_memory,
+        stream_events_from_dir,
+    )
+
+    path = os.path.join(SCRATCH, "events_dup_json")
+    e = read(spark, SF, "events")
+    doubled = e.unionAll(e)
+    doubled.repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+
+    stream = stream_events_from_dir(spark, path)
+    name = run_stream_to_memory(
+        stream_dedup_exact(stream, ["event_id"]), "dedup_events", output_mode="append"
+    )
+    got = spark.table(name).count()
+    want = e.select("event_id").distinct().count()
+    assert got == want
