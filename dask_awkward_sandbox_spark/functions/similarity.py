@@ -54,14 +54,23 @@ def brute_force_topk(
     Queries broadcast; ranking key is (rounded sim desc, id asc) — a
     total order, so results are engine-independent.
     """
+    # norms computed once per row, NOT per pair: the join evaluates
+    # its expressions per (query, neighbor) pair, so an inline
+    # cosine() would fold over each vector |queries| more times
     c = corpus.select(
         F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
-    )
+    ).withColumn("nb_norm", norm(F.col("nb_vec")))
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     j = c.join(F.broadcast(q), F.col("nb_id") != F.col("q_id"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("nb_vec")), round_digits)
+    sim = F.round(
+        F.when(
+            (F.col("q_norm") > 0) & (F.col("nb_norm") > 0),
+            dot(F.col("q_vec"), F.col("nb_vec")) / (F.col("q_norm") * F.col("nb_norm")),
+        ),
+        round_digits,
+    )
     scored = j.select("q_id", "nb_id", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nb_id"))
     return (
@@ -80,10 +89,20 @@ def neardup_pairs(
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold (exact, for corpora
     that fit a shuffle; LSH below for the ones that don't)."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    sim = F.round(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ),
+        round_digits,
+    )
     return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
@@ -179,19 +198,30 @@ def ivf_topk(
     reusable across query batches), and recall is tunable via nprobe.
     """
     centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters)
-    c = corpus.select(
-        F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
-    ).withColumn("list_id", assign_nearest_centroid(F.col("nb_vec"), centroids))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
+        )
+        .withColumn("list_id", assign_nearest_centroid(F.col("nb_vec"), centroids))
+        .withColumn("nb_norm", norm(F.col("nb_vec")))
+    )
     sims_desc = F.reverse(F.array_sort(_centroid_sims(F.col("q_vec"), centroids)))
     probes = F.transform(F.slice(sims_desc, 1, nprobe), lambda s: s["i"])
     q = (
         queries.select(
             F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
         )
+        .withColumn("q_norm", norm(F.col("q_vec")))
         .withColumn("list_id", F.explode(probes))
     )
     j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
-    sim = F.round(cosine(F.col("q_vec"), F.col("nb_vec")), round_digits)
+    sim = F.round(
+        F.when(
+            (F.col("q_norm") > 0) & (F.col("nb_norm") > 0),
+            dot(F.col("q_vec"), F.col("nb_vec")) / (F.col("q_norm") * F.col("nb_norm")),
+        ),
+        round_digits,
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nb_id"))
     return (
         j.select("q_id", "nb_id", sim.alias("sim"))
@@ -256,8 +286,17 @@ def lsh_bucket_topk(
             ]
         )
         return df.select(
-            F.col(idc), v.alias(vecc + "_d"), F.explode(tb).alias("tb")
-        ).select(idc, vecc + "_d", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+            F.col(idc),
+            v.alias(vecc + "_d"),
+            norm(v).alias(idc + "_norm"),
+            F.explode(tb).alias("tb"),
+        ).select(
+            idc,
+            vecc + "_d",
+            idc + "_norm",
+            F.col("tb.t").alias("t"),
+            F.col("tb.bucket").alias("bucket"),
+        )
 
     c = with_buckets(corpus.select(F.col(id_col).alias("nb_id"), F.col(vec_col)), "nb_id", vec_col)
     c = c.withColumnRenamed(vec_col + "_d", "nb_vec")
@@ -268,7 +307,14 @@ def lsh_bucket_topk(
         F.broadcast(q),
         (F.col("nb_id") != F.col("q_id")) & (c["t"] == q["t"]) & (c["bucket"] == q["bucket"]),
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("nb_vec")), 6)
+    sim = F.round(
+        F.when(
+            (F.col("q_id_norm") > 0) & (F.col("nb_id_norm") > 0),
+            dot(F.col("q_vec"), F.col("nb_vec"))
+            / (F.col("q_id_norm") * F.col("nb_id_norm")),
+        ),
+        6,
+    )
     cand = j.select("q_id", "nb_id", sim.alias("sim")).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nb_id"))
     return (
