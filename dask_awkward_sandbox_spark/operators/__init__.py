@@ -1,3 +1,3 @@
-from dask_awkward_sandbox_spark.operators import reducers, strings, structure
+from dask_awkward_sandbox_spark.operators import joins, reducers, strings, structure
 
-__all__ = ["structure", "reducers", "strings"]
+__all__ = ["structure", "reducers", "strings", "joins"]

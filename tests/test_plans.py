@@ -149,3 +149,32 @@ def test_bucketed_nested_build_is_shuffle_free(spark):
         assert nested.count() == plain.count()
     finally:
         spark.sql("drop table if exists li_bucketed")
+
+
+def test_salted_join_correct_and_scattered(spark):
+    """salted_join must produce exactly the plain-join result while
+    scattering a hot key across the salt space (the skew remedy when
+    one key would pin a single reducer)."""
+    from dask_awkward_sandbox_spark.operators.joins import salted_join
+
+    # 10k rows of one hot key + a long tail
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (9500, "cold")], "k long, label string"
+    )
+    got = salted_join(big, small, "k", salts=8)
+    plain = big.join(small, "k")
+    assert got.count() == plain.count() == 9_001
+    assert (
+        got.groupBy("label").count().orderBy("label").collect()
+        == plain.groupBy("label").count().orderBy("label").collect()
+    )
+    # the hot key's rows occupy multiple salt values
+    salt = F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+    n_salts = (
+        big.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
+    )
+    assert n_salts == 8
