@@ -179,7 +179,17 @@ def q_strings_astype(spark, sf_dir):
     )
 
 
-@query("q_unflatten")  # rows-only: global-ordered re-nesting
+@query(
+    "q_unflatten",
+    """
+    with r as (select n_chars,
+                      (row_number() over (order by doc_id) - 1) // 100 as gid
+               from documents)
+    select cast(gid as bigint) as gid, cast(count(*) as bigint) as n,
+           cast(sum(n_chars) as bigint) as sum_chars
+    from r group by gid
+    """,
+)
 def q_unflatten(spark, sf_dir):
     """ak.unflatten: re-nest a flat ordered column into given counts.
     Global order requires a rank — the documented single-ordered-

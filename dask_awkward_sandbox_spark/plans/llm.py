@@ -1,9 +1,10 @@
 """LLM-data-pipeline queries: dedup, text analysis, similarity search,
-multimodal plumbing — each wired to functions/ and (where SQL can
-express it) a DuckDB oracle. Minhash signatures, simhash keys and
-fingerprints ARE oracle-checked (the md5-derived word hash is
-reproducible in SQL); the LSH *join* pipelines get rows-only checks
-plus pytest coverage with planted duplicates.
+multimodal plumbing — each wired to functions/ and a DuckDB oracle.
+The md5-derived word hash is reproducible in SQL, so minhash
+signatures, band-join candidates, connected-component clusters,
+simhash keys/near-dup pairs and fingerprints are ALL value-checked;
+only the two approximate ANN searches (LSH, IVF) are rows-only, each
+with a pytest recall floor vs the exact oracle-checked brute force.
 """
 
 from __future__ import annotations
@@ -135,9 +136,9 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
 
 
-def _perm_values_sql() -> str:
+def _perm_values_sql(n: int = NUM_PERMS) -> str:
     rows = ", ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_perms(NUM_PERMS))
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_perms(n))
     )
     return f"(values {rows})"
 
@@ -214,12 +215,30 @@ def q_ngram_jaccard(spark, sf_dir):
     return j.select(F.col("id_a").alias("doc_id"), F.col("jaccard").alias("jaccard"))
 
 
-@query("q_dedup_minhash")  # rows-only: LSH banding join (non-SQL-expressible cheaply)
+@query(
+    "q_dedup_minhash",
+    rf"""
+    with t as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
+    p(pid, a, b) as {{perms16}},
+    sig as (select doc_id, pid, min((a * h + b) % 1000000007) as mh
+            from t cross join p group by doc_id, pid),
+    bkey as (select doc_id, pid // 4 as band,
+                    md5(string_agg(mh::varchar, '_' order by pid)) as key
+             from sig group by doc_id, pid // 4)
+    select a.doc_id as id_a, b.doc_id as id_b,
+           cast(count(*) as bigint) as n_shared_bands
+    from bkey a join bkey b on a.band = b.band and a.key = b.key
+                           and a.doc_id < b.doc_id
+    group by a.doc_id, b.doc_id
+    """.replace("{perms16}", _perm_values_sql(16)),
+)
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidate pairs (16 perms, 4 bands of 4): the scale
-    path for near-dup mining — equi-join on band keys, no cross join.
-    Signature correctness is oracle-checked by q_minhash_sig; the
-    banding recall/precision is pytest-verified with planted dups."""
+    """MinHash-LSH candidate pairs (16 perms, 4 bands of 4): the
+    equi-join-on-band-keys candidate generator. Full value oracle:
+    DuckDB rebuilds signatures, band keys and the blocking join.
+    (For corpora with giant dup clusters use
+    q_dedup_minhash_clusters — this one's output is inherently
+    O(sum bucket^2).)"""
     d = _docs(spark, sf_dir)
     return dedup.minhash_lsh_candidates(d, "text", "doc_id", num_perms=16, bands=4).orderBy(
         "id_a", "id_b"
@@ -262,12 +281,34 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     ).orderBy("doc")
 
 
-@query("q_simhash_neardups")  # rows-only: hamming-ball blocking join
+@query(
+    "q_simhash_neardups",
+    rf"""
+    with tok as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
+    bits as (select unnest(generate_series(0, 15)) as b),
+    w as (select doc_id, b, sum(((h >> b) & 1) * 2 - 1) as wb
+          from tok cross join bits group by doc_id, b),
+    sh as (select doc_id,
+                  cast(sum(case when wb > 0 then 1::bigint << b else 0 end) as bigint) as simhash
+           from w group by doc_id),
+    bands as (select unnest(generate_series(0, 3)) as band),
+    bk as (select doc_id, simhash, band, (simhash >> (band * 4)) & 15 as key
+           from sh cross join bands)
+    select distinct a.doc_id as id_a, b2.doc_id as id_b,
+           cast(bit_count(xor(a.simhash, b2.simhash)) as bigint) as hamming
+    from bk a join bk b2 on a.band = b2.band and a.key = b2.key and a.doc_id < b2.doc_id
+    where bit_count(xor(a.simhash, b2.simhash)) <= 3
+    """,
+)
 def q_simhash_neardups(spark, sf_dir):
-    """SimHash near-dup pairs with pigeonhole band blocking."""
-    return dedup.simhash_neardups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    """SimHash near-dup pairs with pigeonhole band blocking (4 bands
+    of 4 bits: any pair within hamming 3 shares a band). Full value
+    oracle: DuckDB rebuilds the simhash, bands, blocking join and
+    hamming filter."""
+    out = dedup.simhash_neardups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
