@@ -207,3 +207,37 @@ def linear_fit(x: Column, y: Column) -> Column:
     slope = F.when(det != 0, (n * m["sxy"] - m["sx"] * m["sy"]) / det)
     intercept = F.when(det != 0, (m["sy"] - slope * m["sx"]) / n)
     return F.struct(slope.alias("slope"), intercept.alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# axis=None (whole-collection) reductions: two-level — the per-list
+# JVM fold runs map-side inside the scan, then a relational aggregate
+# combines one partial per ROW (never one per element). At 100 TB the
+# shuffle moves |rows| partials per task, not |elements|; Catalyst
+# partial-aggregates those again before the single-exchange combine.
+# ---------------------------------------------------------------------------
+
+
+def sum0(arr: Column) -> Column:
+    """ak.sum(axis=None): global sum of every list element."""
+    return F.sum(sum(arr))
+
+
+def count0(arr: Column) -> Column:
+    """ak.count(axis=None): global non-null element count."""
+    return F.sum(count(arr))
+
+
+def min0(arr: Column) -> Column:
+    """ak.min(axis=None)."""
+    return F.min(min(arr))
+
+
+def max0(arr: Column) -> Column:
+    """ak.max(axis=None)."""
+    return F.max(max(arr))
+
+
+def mean0(arr: Column) -> Column:
+    """ak.mean(axis=None): exact global sum / count."""
+    return F.sum(sum(arr)) / F.sum(count(arr))

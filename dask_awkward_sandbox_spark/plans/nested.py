@@ -666,3 +666,29 @@ def q_map_partitions(spark, sf_dir):
                 yield ob
 
     return li.mapInArrow(fn, "l_orderkey long, l_linenumber long, qty2 long")
+
+
+@query(
+    "q_reduce_axis_none",
+    f"""
+    select cast(sum({QC}) as bigint) as total_qty_c,
+           cast(count(l_quantity) as bigint) as n_vals,
+           cast(min({QC}) as bigint) as min_qty_c,
+           cast(max({QC}) as bigint) as max_qty_c,
+           cast(sum({QC}) as double) / count(l_quantity) as mean_qty_c
+    from lineitem
+    """,
+)
+def q_reduce_axis_none(spark, sf_dir):
+    """ak.sum/count/min/max/mean(axis=None): whole-collection
+    reduction over the nested build — per-list fold map-side, one
+    partial per order row into the global agg (never per element)."""
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
+    q = _qty_c(F.col("items"))
+    return it.agg(
+        red.sum0(q).cast("long").alias("total_qty_c"),
+        red.count0(q).cast("long").alias("n_vals"),
+        red.min0(q).cast("long").alias("min_qty_c"),
+        red.max0(q).cast("long").alias("max_qty_c"),
+        red.mean0(q).alias("mean_qty_c"),
+    )
