@@ -87,3 +87,15 @@ def map_batches_pandas(
             yield fn(pdf)
 
     return df.mapInPandas(gen, schema)
+
+
+def copy(df: DataFrame) -> DataFrame:
+    """ak.copy: DataFrames are immutable — identity. Parity:
+    structure.py:copy."""
+    return df
+
+
+def to_packed(df: DataFrame) -> DataFrame:
+    """ak.to_packed: Spark/Tungsten rows carry no unreachable buffers
+    to strip — identity. Parity: structure.py:to_packed."""
+    return df

@@ -73,3 +73,11 @@ def test_broadcast_arrays_and_regular_noops(spark):
     got = df.select(b.alias("b"), st_.to_regular(st_.from_regular(a)).alias("a")).collect()
     assert got[0]["b"] == [10, 10, 10] and got[0]["a"] == [1, 2, 3]
     assert got[1]["b"] == [] and got[1]["a"] == []
+
+
+def test_copy_to_packed_identity(spark):
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.range(5)
+    assert core.copy(df) is df
+    assert core.to_packed(df) is df
