@@ -141,7 +141,15 @@ def minhash_dedup_clusters(
     rows; skewed buckets are irrelevant (partial min aggregation).
     """
     buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands).cache()
-    cached = buckets.select("doc").distinct().withColumn("label", F.col("doc")).cache()
+    # iteration 0 specialized: labels == doc, so bucket mins need no
+    # label join and the initial distinct-docs frame never materializes
+    first_bucket_min = buckets.groupBy("band", "key").agg(F.min("doc").alias("bmin"))
+    cached = (
+        buckets.join(first_bucket_min, ["band", "key"])
+        .groupBy("doc")
+        .agg(F.min("bmin").alias("label"))
+        .cache()
+    )
     labels = cached
     try:
         for _ in range(max_iter):
