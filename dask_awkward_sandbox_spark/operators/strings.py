@@ -269,9 +269,14 @@ def join(arr: Column, sep: str) -> Column:
     return F.array_join(arr, sep)
 
 
-def join_element_wise(a: Column, b: Column, sep: str) -> Column:
-    """Element-wise join of parallel string lists."""
-    return F.zip_with(a, b, lambda x, y: F.concat_ws(sep, x, y))
+def join_element_wise(a: Column, b: Column, sep: str, lists: bool = False) -> Column:
+    """Element-wise join across parallel columns with ``sep`` (pyarrow
+    binary_join_element_wise: one joined string per row). Pass
+    ``lists=True`` for parallel array<string> columns, joining
+    position-wise within each pair of lists."""
+    if lists:
+        return F.zip_with(a, b, lambda x, y: F.concat_ws(sep, x, y))
+    return F.concat_ws(sep, a, b)
 
 
 # -- membership ------------------------------------------------------------
