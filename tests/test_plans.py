@@ -178,3 +178,22 @@ def test_salted_join_correct_and_scattered(spark):
         big.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
     )
     assert n_salts == 8
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """Directory-partitioned parquet + an equality filter on the
+    partition column must show PartitionFilters in the scan and read
+    only the matching directory — free partition pruning at any scale."""
+    import os
+
+    from dask_awkward_sandbox_spark.io import from_parquet, to_parquet
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    path = "/root/repo/.scratch/plans/events_by_type"
+    if not os.path.exists(path):
+        to_parquet(read(spark, SF, "events"), path, partition_by=["event_type"])
+    back = from_parquet(spark, path).filter(F.col("event_type") == "click")
+    plan = _physical(back)
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1].splitlines()[0], plan
+    n_click = back.count()
+    assert n_click == read(spark, SF, "events").filter(F.col("event_type") == "click").count()
