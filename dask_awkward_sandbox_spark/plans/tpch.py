@@ -253,3 +253,79 @@ def q18_large_orders(spark, sf_dir):
             "sum_qty_c",
         )
     )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    select c.c_custkey, c.c_name, n.n_name,
+           cast(sum({_DISC_PRICE_U}) as bigint) as revenue_u,
+           cast(count(*) as bigint) as n_items
+    from customer c
+    join orders o on o.o_custkey = c.c_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    join nation n on n.n_nationkey = c.c_nationkey
+    where l.l_returnflag = 'R'
+    group by c.c_custkey, c.c_name, n.n_name
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item revenue by customer). Scale: the
+    returnflag filter pushes to the lineitem scan; lineitem-orders is
+    the one fact-fact shuffle join (on orderkey); customer and nation
+    broadcast onto the aggregated stream."""
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _disc_price_u(li)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_u"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    select sn.n_name as supp_nation, cn.n_name as cust_nation,
+           cast(extract(year from l.l_shipdate) as bigint) as l_year,
+           cast(sum({_DISC_PRICE_U}) as bigint) as revenue_u
+    from lineitem l
+    join orders o on o.o_orderkey = l.l_orderkey
+    join customer c on c.c_custkey = o.o_custkey
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation sn on sn.n_nationkey = s.s_nationkey
+    join nation cn on cn.n_nationkey = c.c_nationkey
+    where sn.n_name <> cn.n_name
+    group by sn.n_name, cn.n_name, extract(year from l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (cross-nation shipping volume by year). Scale: one
+    fact-fact shuffle (lineitem⋈orders on orderkey); supplier,
+    customer and both nation legs broadcast; the inequality filter
+    runs post-broadcast, never a shuffle of its own."""
+    li = read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = _disc_price_u(li)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(rev).alias("revenue_u"))
+    )

@@ -1,4 +1,6 @@
 from dask_awkward_sandbox_spark.streaming.events import (
+    enrich_with_dim,
+    run_stream_to_parquet,
     sessionize_stateful,
     stream_dedup_exact,
     stream_events_from_dir,
@@ -10,4 +12,6 @@ __all__ = [
     "windowed_counts",
     "sessionize_stateful",
     "stream_dedup_exact",
+    "enrich_with_dim",
+    "run_stream_to_parquet",
 ]

@@ -168,3 +168,31 @@ def stream_dedup_exact(stream: DataFrame, keys: list[str] | None = None, waterma
     """
     keys = keys or ["event_id"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins the (small) static
+    dimension. Spark broadcasts the static side per batch — no
+    stateful join state, no watermark requirement; the standard way to
+    decorate an event stream with reference data."""
+    return stream.join(F.broadcast(dim), on)
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+):
+    """Drive a stream into parquet files via foreachBatch with a
+    checkpoint: restarts resume from the last committed batch, and
+    per-batch idempotent writes give effective exactly-once file
+    output. Processes everything currently available, then stops."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode(mode).parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -136,3 +136,41 @@ def test_stream_dedup_exact(spark):
     got = spark.table(name).count()
     want = e.select("event_id").distinct().count()
     assert got == want
+
+
+def test_enrich_with_dim_and_parquet_sink(spark):
+    """Stream-static join decorates each event with its user's dim row;
+    the foreachBatch parquet sink lands exactly the input rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming import (
+        enrich_with_dim,
+        run_stream_to_parquet,
+    )
+    from dask_awkward_sandbox_spark.streaming.events import stream_events_from_dir
+
+    path = _write_stream_input(spark)
+    users = (
+        read(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"))
+    )
+    out_dir = os.path.join(SCRATCH, "enriched_parquet")
+    ckpt = os.path.join(SCRATCH, "enriched_ckpt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = stream_events_from_dir(spark, path)
+    enriched = enrich_with_dim(stream, users, "user_id")
+    run_stream_to_parquet(enriched, out_dir, ckpt)
+
+    back = spark.read.parquet(out_dir)
+    src = read(spark, SF, "events")
+    assert back.count() == src.count()
+    assert "tier" in back.columns
+    got = {r["user_id"]: r["tier"] for r in back.select("user_id", "tier").distinct().collect()}
+    assert all(t == ("a" if uid % 2 == 0 else "b") for uid, t in got.items())
