@@ -117,3 +117,73 @@ def q_json_props(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@query(
+    "q_events_funnel",
+    """
+    with m as (
+      select user_id,
+             min(case when event_type = 'view' then epoch_us(ts) end) as v
+      from events group by user_id),
+    c as (
+      select e.user_id, min(epoch_us(e.ts)) as c
+      from events e join m on m.user_id = e.user_id
+      where e.event_type = 'click' and epoch_us(e.ts) > m.v
+      group by e.user_id),
+    p as (
+      select e.user_id, min(epoch_us(e.ts)) as p
+      from events e join c on c.user_id = e.user_id
+      where e.event_type = 'purchase' and epoch_us(e.ts) > c.c
+      group by e.user_id)
+    select m.user_id,
+           cast(case when p.p is not null then 3
+                     when c.c is not null then 2
+                     when m.v is not null then 1
+                     else 0 end as bigint) as funnel_stage,
+           cast(m.v as bigint) as first_view_us
+    from m
+    left join c on c.user_id = m.user_id
+    left join p on p.user_id = m.user_id
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) per user, computed
+    awkward-style: one nested event list per user, then pure array
+    folds — min view time, min click after it, min purchase after
+    that. No window functions, no self-joins; at scale this is ONE
+    shuffle (the per-user nested build) instead of the oracle's three
+    join-aggregate passes."""
+    e = read(spark, sf_dir, "events")
+    evs = e.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("tus"), F.col("event_type").alias("et"))
+        ).alias("evs")
+    )
+
+    def min_after(kind, after):
+        ts = F.transform(
+            F.filter(
+                F.col("evs"), lambda s: (s["et"] == kind) & (s["tus"] > after)
+            ),
+            lambda s: s["tus"],
+        )
+        return F.array_min(ts)
+
+    v = F.array_min(
+        F.transform(F.filter(F.col("evs"), lambda s: s["et"] == "view"), lambda s: s["tus"])
+    )
+    stage = evs.select("user_id", "evs", v.alias("v"), min_after("click", v).alias("c"))
+    stage = stage.select(
+        "user_id", "v", "c", min_after("purchase", F.col("c")).alias("p")
+    )
+    return stage.select(
+        "user_id",
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_stage"),
+        F.col("v").cast("long").alias("first_view_us"),
+    )
