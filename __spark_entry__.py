@@ -21,12 +21,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from dask_awkward_sandbox_spark.operators import reducers as red
     from dask_awkward_sandbox_spark.operators import structure as st
-    from dask_awkward_sandbox_spark.plans.common import cents, order_items
+    from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items
 
     it = order_items(spark, "/root/testdata/sf0.001")
     items = F.col("items")
-    qty_c = F.transform(items.getField("l_quantity"), cents)
-    price_c = F.transform(items.getField("l_extendedprice"), cents)
+    qty_c = fld_map(items, "l_quantity", cents)
+    price_c = fld_map(items, "l_extendedprice", cents)
     revenue = F.zip_with(qty_c, price_c, lambda q, p: q * p)
     return it.select(
         "l_orderkey",

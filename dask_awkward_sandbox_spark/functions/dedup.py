@@ -182,7 +182,19 @@ def minhash_dedup_clusters(
             labels = merged.select("doc", "label")
             if changed == 0:
                 break
-        return labels.select("doc", F.col("label").alias("cluster"))
+        clustered = labels.select("doc", F.col("label").alias("cluster"))
+        # token-less docs carry no LSH signal (excluded from buckets);
+        # they are their own singleton clusters, so every input doc
+        # appears in the output — same totality the SQL oracle computes
+        singletons = (
+            df.select(F.col(id_col).alias("doc"))
+            .join(clustered, "doc", "left_anti")
+            .withColumn("cluster", F.col("doc"))
+        )
+        # NOTE: the returned frame reads the final iteration's cached
+        # relation (|docs| rows); callers looping over many corpora
+        # should unpersist via spark.catalog.clearCache() when done
+        return clustered.unionByName(singletons)
     finally:
         buckets.unpersist()
 
@@ -216,9 +228,16 @@ def simhash_neardups(df: DataFrame, text_col: str, id_col: str, max_hamming: int
 
     Blocking: half-key bands (pigeonhole — any pair within hamming
     ``max_hamming`` <= bands-1 shares at least one exact band), so the
-    join is equi, not cross.
+    join is equi, not cross. Token-less docs are excluded: their
+    simhash degenerates to 0 and every such doc would pair with every
+    other at hamming 0 — noise, and a divergence from SQL engines
+    whose unnest drops them entirely.
     """
-    sh = simhash(df, text_col).select(F.col(id_col).alias("doc"), "simhash")
+    has_tokens = F.size(tokens(F.col(text_col))) > 0
+    sh = (
+        simhash(df.filter(has_tokens), text_col)
+        .select(F.col(id_col).alias("doc"), "simhash")
+    )
     nbands = max_hamming + 1
     width = 16 // nbands
     bandcols = [

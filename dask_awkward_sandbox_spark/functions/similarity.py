@@ -35,10 +35,14 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed norms — the join-side form: norms are
+    computed once per ROW before a join, never per pair."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    d = dot(a, b)
-    na, nb = norm(a), norm(b)
-    return F.when((na > 0) & (nb > 0), d / (na * nb))
+    return cosine_from_norms(a, b, norm(a), norm(b))
 
 
 def brute_force_topk(
@@ -65,9 +69,8 @@ def brute_force_topk(
     ).withColumn("q_norm", norm(F.col("q_vec")))
     j = c.join(F.broadcast(q), F.col("nb_id") != F.col("q_id"))
     sim = F.round(
-        F.when(
-            (F.col("q_norm") > 0) & (F.col("nb_norm") > 0),
-            dot(F.col("q_vec"), F.col("nb_vec")) / (F.col("q_norm") * F.col("nb_norm")),
+        cosine_from_norms(
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
         ),
         round_digits,
     )
@@ -97,10 +100,7 @@ def neardup_pairs(
     ).withColumn("nb", norm(F.col("vb")))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(
-        F.when(
-            (F.col("na") > 0) & (F.col("nb") > 0),
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        ),
+        cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         round_digits,
     )
     return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
@@ -216,9 +216,8 @@ def ivf_topk(
     )
     j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
     sim = F.round(
-        F.when(
-            (F.col("q_norm") > 0) & (F.col("nb_norm") > 0),
-            dot(F.col("q_vec"), F.col("nb_vec")) / (F.col("q_norm") * F.col("nb_norm")),
+        cosine_from_norms(
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
         ),
         round_digits,
     )
@@ -308,10 +307,8 @@ def lsh_bucket_topk(
         (F.col("nb_id") != F.col("q_id")) & (c["t"] == q["t"]) & (c["bucket"] == q["bucket"]),
     )
     sim = F.round(
-        F.when(
-            (F.col("q_id_norm") > 0) & (F.col("nb_id_norm") > 0),
-            dot(F.col("q_vec"), F.col("nb_vec"))
-            / (F.col("q_id_norm") * F.col("nb_id_norm")),
+        cosine_from_norms(
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_id_norm"), F.col("nb_id_norm")
         ),
         6,
     )

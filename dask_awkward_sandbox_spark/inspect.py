@@ -36,7 +36,9 @@ def sample(
         factor is not None and probability is not None
     ):
         raise ValueError("Give exactly one of factor or probability")
-    if factor:
+    if factor is not None:
+        if factor < 1:
+            raise ValueError(f"factor must be >= 1, got {factor}")
         within = F.monotonically_increasing_id().bitwiseAND(F.lit(_PARTITION_ROW_MASK))
         return df.filter(within % factor == 0)
     return df.filter(F.rand(seed) < float(probability))

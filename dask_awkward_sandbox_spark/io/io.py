@@ -54,10 +54,12 @@ def to_dataframe(df: DataFrame, explode_col: str | None = None) -> DataFrame:
 
 
 def from_map(df_builder, items: Iterable, spark: SparkSession) -> DataFrame:
-    """Union the DataFrames produced by ``df_builder(item)`` — the
-    reference's from_map (per-input-partition builder). Each builder
-    output stays lazy; the union is metadata-only."""
+    """Union the DataFrames produced by ``df_builder(spark, item)`` —
+    the reference's from_map (per-input-partition builder). Each
+    builder output stays lazy; the union is metadata-only."""
     dfs = [df_builder(spark, it) for it in items]
+    if not dfs:
+        raise ValueError("from_map needs at least one item")
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)

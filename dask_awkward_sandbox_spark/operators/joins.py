@@ -30,7 +30,16 @@ def salted_join(
     so every (key, salt) pair finds its match. Correct for any key
     distribution; worth the ``salts``x small-side duplication exactly
     when a hot key would otherwise pin one reducer.
+
+    Only inner and left joins are valid: an outer-preserved SMALL side
+    would emit one null-padded row per unmatched salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "exploded small side would duplicate its unmatched rows "
+            "once per salt under right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
     b = big.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(

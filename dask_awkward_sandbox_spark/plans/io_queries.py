@@ -25,7 +25,7 @@ from dask_awkward_sandbox_spark.io import (
 )
 from dask_awkward_sandbox_spark.io.text import to_text
 from dask_awkward_sandbox_spark.operators import structure as st
-from dask_awkward_sandbox_spark.plans.common import cents, order_items, read
+from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items, read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SCRATCH = "/root/repo/.scratch"
@@ -52,7 +52,7 @@ def q_parquet_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
     back = from_parquet(spark, path, columns=["l_orderkey", "items"])
-    q = F.transform(F.col("items").getField("l_quantity"), cents)
+    q = fld_map(F.col("items"), "l_quantity", cents)
     return back.select(
         "l_orderkey",
         st.num(F.col("items")).alias("n_items"),
@@ -160,9 +160,9 @@ def q_to_dataframe(spark, sf_dir):
     "q_strings_astype",
     """
     select event_type,
-           cast(sum(cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint) as sum_k,
-           cast(count(case when regexp_extract(props, '([0-9]+)', 1) = '' then 1 end)
-                as bigint) as n_unparseable
+           cast(sum(try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint) as sum_k,
+           cast(count(case when try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)
+                           is null then 1 end) as bigint) as n_unparseable
     from events group by event_type
     """,
 )

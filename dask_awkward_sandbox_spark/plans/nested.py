@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from dask_awkward_sandbox_spark.operators import reducers as red
 from dask_awkward_sandbox_spark.operators import structure as st
-from dask_awkward_sandbox_spark.plans.common import cents, fld, order_items, read
+from dask_awkward_sandbox_spark.plans.common import cents, fld, fld_map, order_items, read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 # SQL fragments for exact integer units (see common.cents).
@@ -28,15 +28,15 @@ DC = "cast(round(l_discount*100) as bigint)"   # discount cents
 
 
 def _qty_c(items):
-    return F.transform(items.getField("l_quantity"), cents)
+    return fld_map(items, "l_quantity", cents)
 
 
 def _price_c(items):
-    return F.transform(items.getField("l_extendedprice"), cents)
+    return fld_map(items, "l_extendedprice", cents)
 
 
 def _disc_c(items):
-    return F.transform(items.getField("l_discount"), cents)
+    return fld_map(items, "l_discount", cents)
 
 
 # ---------------------------------------------------------------------------

@@ -178,16 +178,18 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream.join(F.broadcast(dim), on)
 
 
-def run_stream_to_parquet(
-    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "append"
-):
-    """Drive a stream into parquet files via foreachBatch with a
-    checkpoint: restarts resume from the last committed batch, and
-    per-batch idempotent writes give effective exactly-once file
-    output. Processes everything currently available, then stops."""
+def run_stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """Drive a stream into parquet via foreachBatch with a checkpoint.
+
+    Exactly-once comes from idempotent replay: each batch overwrites
+    its own ``batch_id=N`` subdirectory, so a batch re-run after a
+    crash-before-checkpoint-commit replaces its earlier partial output
+    instead of appending duplicates. Readers of ``path`` see batch_id
+    as an extra partition column. Processes everything currently
+    available, then stops."""
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        batch_df.write.mode(mode).parquet(path)
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
