@@ -291,3 +291,29 @@ def index_in(s: Column, values: list[str]) -> Column:
     arr = F.array(*[F.lit(v) for v in values])
     pos = F.array_position(arr, s)
     return F.when(pos > 0, (pos - 1).cast("long"))
+
+
+def to_categorical(df, col: str):
+    """Dictionary-encode a string column (ak.str.to_categorical):
+    returns (encoded_df, dictionary_df) where the dictionary maps each
+    distinct value to a dense 0-based code (ordered by value, so codes
+    are deterministic) and encoded_df carries ``<col>_code``.
+
+    Scale: the dictionary is distinct-values-sized — aggregate it
+    (one shuffle over distinct values, tiny output) and broadcast it
+    back; the fact table never shuffles. Parquet already
+    dictionary-encodes low-cardinality strings at the page level; this
+    operator is for when the CODES themselves are the feature.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(col)
+    dictionary = (
+        df.select(col)
+        .distinct()
+        .withColumn("code", (F.row_number().over(w) - 1).cast("long"))
+    )
+    encoded = df.join(F.broadcast(dictionary), col, "left").withColumnRenamed(
+        "code", f"{col}_code"
+    )
+    return encoded, dictionary

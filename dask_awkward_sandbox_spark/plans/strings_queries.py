@@ -179,3 +179,25 @@ def q_str_classify(spark, sf_dir):
         s.index_in(F.col("lang"), LANGS).alias("lang_idx"),
         s.is_in(F.col("lang"), LANGS).cast("int").alias("lang_known"),
     )
+
+
+@query(
+    "q_to_categorical",
+    """
+    select event_type,
+           cast(dense_rank() over (order by event_type) - 1 as bigint) as code,
+           cast(count(*) as bigint) as n
+    from events group by event_type
+    """,
+)
+def q_to_categorical(spark, sf_dir):
+    """ak.str.to_categorical: dictionary-encode event_type, then count
+    per (value, code) — codes are dense, 0-based, value-ordered in
+    both engines."""
+    from dask_awkward_sandbox_spark.operators.strings import to_categorical
+
+    e = read(spark, sf_dir, "events")
+    encoded, _ = to_categorical(e, "event_type")
+    return encoded.groupBy("event_type", F.col("event_type_code").alias("code")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
