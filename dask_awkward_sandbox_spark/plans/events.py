@@ -187,3 +187,56 @@ def q_events_funnel(spark, sf_dir):
         .alias("funnel_stage"),
         F.col("v").cast("long").alias("first_view_us"),
     )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_events_retention",
+    f"""
+    with s as (select user_id, min(epoch_us(ts)) as su
+               from events where event_type = 'signup' group by user_id),
+    a as (select distinct e.user_id,
+                 s.su // {WEEK_US} as cohort_week,
+                 (epoch_us(e.ts) - s.su) // {WEEK_US} as week_offset
+          from events e join s on s.user_id = e.user_id
+          where epoch_us(e.ts) >= s.su)
+    select cast(cohort_week as bigint) as cohort_week,
+           cast(week_offset as bigint) as week_offset,
+           cast(count(*) as bigint) as n_users
+    from a group by cohort_week, week_offset
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention, awkward-style: per-user event list,
+    signup time and active-week offsets computed as array folds, one
+    explode of the per-user distinct offsets. One shuffle (nested
+    build) + the final small agg — the SQL formulation joins the
+    event table against a per-user aggregate and re-scans it."""
+    e = read(spark, sf_dir, "events")
+    evs = e.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("tus"), F.col("event_type").alias("et"))
+        ).alias("evs")
+    )
+    su = F.array_min(
+        F.transform(F.filter(F.col("evs"), lambda s: s["et"] == "signup"), lambda s: s["tus"])
+    )
+    offsets = F.array_distinct(
+        F.transform(
+            F.filter(F.col("evs"), lambda s: s["tus"] >= F.col("su")),
+            lambda s: ((s["tus"] - F.col("su")) / WEEK_US).cast("long"),
+        )
+    )
+    per_user = (
+        evs.select("user_id", "evs", su.alias("su"))
+        .filter(F.col("su").isNotNull())
+        .select(
+            (F.col("su") / WEEK_US).cast("long").alias("cohort_week"),
+            F.explode(offsets).alias("week_offset"),
+        )
+    )
+    return per_user.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
