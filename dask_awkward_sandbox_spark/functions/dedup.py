@@ -152,7 +152,7 @@ def minhash_dedup_clusters(
     )
     labels = cached
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             bucket_min = (
                 buckets.join(labels, "doc")
                 .groupBy("band", "key")
@@ -165,17 +165,21 @@ def minhash_dedup_clusters(
             )
             # carry the old label so convergence is a filter over the
             # cached frame — one action materializes AND checks
-            merged = (
-                labels.join(doc_min, "doc", "left")
-                .select(
-                    F.col("doc"),
-                    F.col("label").alias("old"),
-                    F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
-                        "label"
-                    ),
-                )
-                .cache()
+            merged = labels.join(doc_min, "doc", "left").select(
+                F.col("doc"),
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
+                    "label"
+                ),
             )
+            # cut the lineage every few rounds: a pure cache chain grows
+            # the logical plan one join-layer per iteration (analyzer
+            # cost compounds, and an executor loss recomputes the whole
+            # chain). localCheckpoint materializes AND truncates.
+            if (it + 1) % 3 == 0:
+                merged = merged.localCheckpoint(eager=True)
+            else:
+                merged = merged.cache()
             changed = merged.filter(F.col("label") != F.col("old")).count()
             cached.unpersist()
             cached = merged

@@ -90,8 +90,11 @@ def neardup_pairs(
     threshold: float = 0.4,
     round_digits: int = 6,
 ) -> DataFrame:
-    """All (a < b) pairs with cosine >= threshold (exact, for corpora
-    that fit a shuffle; LSH below for the ones that don't)."""
+    """All (a < b) pairs with cosine >= threshold — EXACT but
+    all-pairs: the ``id_a < id_b`` join is non-equi, so it physically
+    becomes a nested-loop cross product. Test-oracle / tiny-corpus
+    use only; the production operator is ``neardup_pairs_blocked``
+    (LSH-bucket equi-join, linear in bucket sizes)."""
     a = df.select(
         F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
     ).withColumn("na", norm(F.col("va")))
@@ -104,6 +107,120 @@ def neardup_pairs(
         round_digits,
     )
     return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: hash-mixed components in
+    [-1, 1] from (plane, dim-index) — reproducible anywhere (including
+    a SQL oracle embedding the same literals)."""
+    comps = []
+    for d in range(dim):
+        h = (2654435761 * (plane * 1009 + d + 1) + 97) % MOD
+        comps.append((h / MOD) * 2.0 - 1.0)
+    return comps
+
+
+def _signature(vec: Column, table: int, dim: int, planes: int) -> Column:
+    """Hyperplane sign-bit signature of ``vec`` for hash table
+    ``table``: bit p is the sign of the projection onto plane
+    table*planes+p. A pure left-fold expression — the oracle unrolls
+    the identical left-associated sum."""
+    bits = []
+    for p in range(planes):
+        plane = hyperplane(dim, table * planes + p)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int = 3,
+    tables: int = 4,
+) -> DataFrame:
+    """Explode each vector into its ``tables`` (t, bucket) memberships:
+    (id_col, _vec double[], _norm, t, bucket). Scan-side expressions,
+    one output row per (vector, table) — no shuffle."""
+    v = as_double(F.col(vec_col))
+    tb = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), _signature(v, t, dim, planes).alias("bucket"))
+            for t in range(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        v.alias("_vec"),
+        norm(v).alias("_norm"),
+        F.explode(tb).alias("tb"),
+    ).select(
+        id_col,
+        "_vec",
+        "_norm",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def neardup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    planes: int = 3,
+    tables: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs via hyperplane-LSH blocking: candidates are
+    pairs sharing a (table, bucket); exact cosine verifies each
+    candidate; distinct collapses multi-table hits.
+
+    THE scale path for corpus-vs-corpus near-dup (the all-pairs form
+    is O(n^2) regardless of output size). The bucket join is equi on
+    (t, bucket) — each side shuffles once; a bucket of b vectors costs
+    b^2/2 candidate rows within that bucket only. Recall is the
+    OR-construction compound over ``tables`` independent hash tables;
+    both the Spark plan and the SQL oracle enumerate the same
+    deterministic planes, so the blocked semantics are exactly
+    value-checkable."""
+    b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables)
+    a, bb = b.alias("a"), b.alias("b")
+    j = a.join(
+        bb,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    sim = F.round(
+        cosine_from_norms(
+            F.col("a._vec"), F.col("b._vec"), F.col("a._norm"), F.col("b._norm")
+        ),
+        round_digits,
+    )
+    return (
+        j.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
 
 
 def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
@@ -230,16 +347,6 @@ def ivf_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane: hash-mixed components in
-    [-1, 1] from (plane, dim-index) — reproducible anywhere."""
-    comps = []
-    for d in range(dim):
-        h = (2654435761 * (plane * 1009 + d + 1) + 97) % MOD
-        comps.append((h / MOD) * 2.0 - 1.0)
-    return comps
-
-
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -256,59 +363,21 @@ def lsh_bucket_topk(
     uncorrelated, so recall compounds while cost stays ~tables/
     2**planes of brute force). The probe join is equi on
     (table, bucket); candidate pairs dedupe before ranking."""
-
-    def signature(vec: Column, table: int) -> Column:
-        bits = []
-        for p in range(planes):
-            plane = _hyperplane(dim, table * planes + p)
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(c) for c in plane]),
-                    lambda x, c: x * c,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for bcol in bits[1:]:
-            out = out + bcol
-        return out
-
-    def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        v = as_double(F.col(vecc))
-        tb = F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), signature(v, t).alias("bucket"))
-                for t in range(tables)
-            ]
-        )
-        return df.select(
-            F.col(idc),
-            v.alias(vecc + "_d"),
-            norm(v).alias(idc + "_norm"),
-            F.explode(tb).alias("tb"),
-        ).select(
-            idc,
-            vecc + "_d",
-            idc + "_norm",
-            F.col("tb.t").alias("t"),
-            F.col("tb.bucket").alias("bucket"),
-        )
-
-    c = with_buckets(corpus.select(F.col(id_col).alias("nb_id"), F.col(vec_col)), "nb_id", vec_col)
-    c = c.withColumnRenamed(vec_col + "_d", "nb_vec")
-    q = with_buckets(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)), "q_id", vec_col
-    ).withColumnRenamed(vec_col + "_d", "q_vec")
+    c = with_lsh_buckets(
+        corpus.select(F.col(id_col).alias("nb_id"), F.col(vec_col)),
+        "nb_id", vec_col, dim, planes, tables,
+    ).withColumnsRenamed({"_vec": "nb_vec", "_norm": "nb_norm"})
+    q = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)),
+        "q_id", vec_col, dim, planes, tables,
+    ).withColumnsRenamed({"_vec": "q_vec", "_norm": "q_norm"})
     j = c.join(
         F.broadcast(q),
         (F.col("nb_id") != F.col("q_id")) & (c["t"] == q["t"]) & (c["bucket"] == q["bucket"]),
     )
     sim = F.round(
         cosine_from_norms(
-            F.col("q_vec"), F.col("nb_vec"), F.col("q_id_norm"), F.col("nb_id_norm")
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
         ),
         6,
     )

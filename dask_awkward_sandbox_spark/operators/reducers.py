@@ -10,7 +10,10 @@ plans map-side partial aggregation.
 Missing-value semantics match awkward: null elements are skipped
 (option types dropped before reducing); identity values for empty
 lists follow ak (sum->0, prod->1, count->0, any->False, all->True,
-min/max->null).
+min/max->null). NaN is a VALUE, not a missing marker: it propagates
+through sum/prod/mean/var/moment like numpy, poisons min/max/ptp, and
+argmin/argmax return the first NaN index — matching ak/numpy, where
+only option types are skipped.
 
 ANSI-safe: no division without a guard, no element_at.
 """
@@ -22,10 +25,18 @@ from pyspark.sql import functions as F
 
 
 def _vals(arr: Column) -> Column:
-    """Non-null elements cast to double — the reduction input."""
-    return F.filter(
-        F.transform(arr, lambda x: x.cast("double")), lambda x: x.isNotNull() & ~F.isnan(x)
-    )
+    """Non-null elements cast to double — the reduction input.
+
+    Drops ONLY nulls (awkward's option-type skipping); NaN stays in
+    and propagates through the folds like numpy."""
+    return F.filter(F.transform(arr, lambda x: x.cast("double")), lambda x: x.isNotNull())
+
+
+def _nan_poisoned(arr: Column, result: Column) -> Column:
+    """numpy semantics for order statistics: any NaN element poisons
+    the result (Spark's array_min/array_max instead sort NaN last/
+    first, which would silently return a non-NaN extremum)."""
+    return F.when(F.exists(arr, F.isnan), F.lit(float("nan"))).otherwise(result)
 
 
 def count(arr: Column) -> Column:
@@ -49,18 +60,21 @@ def prod(arr: Column) -> Column:
 
 
 def min(arr: Column) -> Column:  # noqa: A001
-    """ak.min (axis=1); empty -> null."""
-    return F.array_min(_vals(arr))
+    """ak.min (axis=1); empty -> null; NaN element -> NaN."""
+    v = _vals(arr)
+    return _nan_poisoned(v, F.array_min(v))
 
 
 def max(arr: Column) -> Column:  # noqa: A001
-    """ak.max (axis=1); empty -> null."""
-    return F.array_max(_vals(arr))
+    """ak.max (axis=1); empty -> null; NaN element -> NaN."""
+    v = _vals(arr)
+    return _nan_poisoned(v, F.array_max(v))
 
 
 def ptp(arr: Column) -> Column:
-    """ak.ptp (axis=1): max - min; empty -> null."""
-    return F.array_max(_vals(arr)) - F.array_min(_vals(arr))
+    """ak.ptp (axis=1): max - min; empty -> null; NaN element -> NaN."""
+    v = _vals(arr)
+    return _nan_poisoned(v, F.array_max(v) - F.array_min(v))
 
 
 def any(arr: Column) -> Column:  # noqa: A001
@@ -121,10 +135,19 @@ def _argbest(arr: Column, better) -> Column:
         lambda p: p["v"].isNotNull(),
     )
     init = F.lit(None).cast("struct<v:double,i:bigint>")
+    # NaN wins over any non-NaN and the FIRST NaN sticks — numpy's
+    # argmin/argmax propagation (a NaN accumulator is never replaced)
     best = F.aggregate(
         pairs,
         init,
-        lambda a, p: F.when(a.isNull() | better(p["v"], a["v"]), p).otherwise(a),
+        lambda a, p: F.when(
+            a.isNull()
+            | (
+                ~F.isnan(a["v"])
+                & (F.isnan(p["v"]) | better(p["v"], a["v"]))
+            ),
+            p,
+        ).otherwise(a),
     )
     return best["i"]
 

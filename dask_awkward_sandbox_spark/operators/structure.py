@@ -400,37 +400,99 @@ def concatenate_axis1(arrs: Sequence[Column]) -> Column:
 
 def unflatten(df: DataFrame, value_col: str, order_col: str, counts: Sequence[int]) -> DataFrame:
     """Re-nest a flat column into lists of the given ``counts``,
-    taking elements in ``order_col`` order.
+    taking elements in ``order_col`` order (``order_col`` must be a
+    unique key for the ranks to be well-defined).
 
-    Parity: structure.py:unflatten. Distributed strategy: assign each
-    row its global rank (window over ``order_col``), broadcast-join
-    the cumulative-counts table to map rank -> group id, then
-    groupBy(group).collect. One shuffle for the rank, one for the
-    group — the counts table itself is tiny and broadcast.
+    Parity: structure.py:unflatten — including ak's edge semantics: a
+    count of 0 yields an empty list for that group, and a counts sum
+    that does not equal the row count raises ``ValueError`` instead of
+    silently dropping rows.
+
+    Distributed strategy (NO global-window rank — a
+    ``Window.orderBy`` with no partition funnels every row through one
+    task): range-partition + sort by ``order_col``, persist that
+    layout, then (1) one tiny job collects per-partition row counts to
+    the driver, (2) a narrow ``mapInArrow`` pass assigns each row
+    global_rank = partition_offset + local_index and its group id by
+    binary search over the counts prefix sums — all partitions rank in
+    parallel. One groupBy(gid) shuffle re-nests. The global sort is
+    the honest cost of unflatten's ordered semantics; everything after
+    it is parallel.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pyarrow as pa
 
-    bounds = []
-    start = 0
-    for gid, c in enumerate(counts):
-        bounds.append((gid, start, start + c))
-        start += c
+    starts: list[int] = [0]
+    for c in counts:
+        starts.append(starts[-1] + int(c))
+    total = starts[-1]
+    ends = np.asarray(starts[1:], dtype=np.int64)
+
     spark = df.sparkSession
-    bdf = spark.createDataFrame(bounds, "gid long, lo long, hi long")
-    w = Window.orderBy(order_col)
-    ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
-    joined = ranked.join(
-        F.broadcast(bdf), (F.col("_rank") >= F.col("lo")) & (F.col("_rank") < F.col("hi")), "inner"
+    vtype = df.schema[value_col].dataType.simpleString()
+    nparts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    prep = (
+        df.select(F.col(order_col).alias("_ord"), F.col(value_col).alias("_v"))
+        .repartitionByRange(nparts, F.col("_ord"))
+        .sortWithinPartitions("_ord")
+        .select(F.spark_partition_id().alias("_pid"), "_v")
+        .persist()
     )
-    return (
-        joined.groupBy("gid")
-        .agg(
+    try:
+        # pass 1: per-partition counts -> cumulative offsets (driver-side,
+        # |partitions| rows). Persisting `prep` pins the range boundaries so
+        # pass 2 sees the identical layout.
+        sizes = dict(prep.groupBy("_pid").count().collect())
+        nrows = sum(sizes.values())
+        if nrows != total:
+            raise ValueError(
+                f"unflatten: counts sum to {total} but the column has {nrows} rows"
+            )
+        offsets = {}
+        acc = 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+
+        # pass 2: narrow rank + group assignment, all partitions parallel
+        def assign(batches):
+            consumed: dict[int, int] = {}
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                pid = b.column("_pid")[0].as_py()
+                base = offsets[pid] + consumed.get(pid, 0)
+                consumed[pid] = consumed.get(pid, 0) + b.num_rows
+                ranks = np.arange(base, base + b.num_rows, dtype=np.int64)
+                gids = np.searchsorted(ends, ranks, side="right")
+                yield pa.record_batch(
+                    [pa.array(gids), pa.array(ranks), b.column("_v")],
+                    names=["gid", "_rank", "_v"],
+                )
+
+        ranked = prep.mapInArrow(assign, f"gid long, _rank long, _v {vtype}")
+        grouped = ranked.groupBy("gid").agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("_rank").alias("r"), F.col(value_col).alias("v")))
+                F.collect_list(F.struct(F.col("_rank").alias("r"), F.col("_v").alias("v")))
             ).alias("_p")
         )
-        .select(F.col("gid"), F.transform("_p", lambda s: s["v"]).alias(value_col))
-    )
+        # left join from the full group table: zero-count groups emit []
+        gdf = spark.createDataFrame([(g,) for g in range(len(counts))], "gid long")
+        out = (
+            gdf.join(grouped, "gid", "left")
+            .select(
+                "gid",
+                F.coalesce(
+                    F.transform("_p", lambda s: s["v"]),
+                    F.array().cast(f"array<{vtype}>"),
+                ).alias(value_col),
+            )
+        )
+        # materialize before unpersisting the sorted layout
+        out = out.localCheckpoint(eager=True)
+    finally:
+        prep.unpersist()
+    return out
 
 
 def broadcast_arrays(scalar: Column, arr: Column) -> tuple[Column, Column]:

@@ -29,9 +29,20 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries timestamp[ns]; Spark reads nanos only as
         # long (legacy conf), so normalize to a microsecond timestamp —
-        # the same truncation DuckDB applies coercing ns -> us.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # the same truncation DuckDB applies coercing ns -> us. The conf
+        # is SCOPED: captured into the DataFrame at read time, then
+        # restored so unrelated reads on the shared session are
+        # untouched (verified: execution after restore stays correct).
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):

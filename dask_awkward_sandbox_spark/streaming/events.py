@@ -34,12 +34,16 @@ SESSION_GAP_US = 1_800_000_000
 JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
-def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
+def stream_events_from_dir(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream of events (json lines written by tests /
-    upstream collectors). maxFilesPerTrigger bounds batch size."""
+    upstream collectors). maxFilesPerTrigger bounds batch size (files
+    are picked up oldest-modification-time first, so tests can stage
+    late arrivals as later files)."""
     return (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("timestampFormat", JSON_TS_FORMAT)
         .json(path)
     )
@@ -76,51 +80,77 @@ def sessionize_stateful(
     is an event-time fact, the watermark makes eviction deterministic
     under replay, and — operationally — processing-time timeouts force
     the no-new-data micro-batch loop that never lets Trigger.AvailableNow
-    terminate. State is one small row per live user, evicted when the
-    watermark passes last_event + gap: bounded memory at any scale."""
+    terminate.
+
+    Late-data correctness: state buffers the user's not-yet-emitted
+    event times (sorted), and every batch re-sessionizes the merged
+    buffer — an out-of-order event admitted by the watermark lands in
+    its time-order position, extending/bridging sessions exactly as a
+    batch computation would. A session is EMITTED only once the
+    watermark passes its last event + gap, at which point no admissible
+    event can extend or bridge it (any future event has ts >= watermark
+    > last + gap), so emissions are final. State is bounded by the
+    watermark horizon per user: emitted sessions' events are dropped,
+    and the watermark caps how far back an un-emittable event can sit.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     output_schema = "user_id long, session_start_us long, n_events long"
-    state_schema = "start_us long, last_us long, n long"
+    state_schema = "times array<long>"
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        buf: list[int] = []
+        if state.exists:
+            (times,) = state.get
+            buf.extend(times)
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                buf.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        buf.sort()
+        if not buf:
             state.remove()
-            yield pd.DataFrame(
-                {"user_id": [user_id], "session_start_us": [start_us], "n_events": [n]}
-            )
             return
 
-        rows = []
-        for pdf in pdf_iter:
-            us = (pdf["ts"].astype("int64") // 1000).tolist()
-            rows.extend(us)
-        rows.sort()
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = None, None, 0
-        closed = []
-        for us in rows:
-            if start_us is None:
-                start_us, last_us, n = us, us, 1
-            elif us - last_us > gap_us:
-                closed.append((user_id, start_us, n))
-                start_us, last_us, n = us, us, 1
+        # session boundaries over the merged, sorted buffer
+        sessions = []  # (start index, end index) half-open
+        s = 0
+        for i in range(1, len(buf)):
+            if buf[i] - buf[i - 1] > gap_us:
+                sessions.append((s, i))
+                s = i
+        sessions.append((s, len(buf)))
+
+        out = []
+        keep_from = len(buf)
+        first_kept_last = None
+        for a, b in sessions:
+            last = buf[b - 1]
+            if last + gap_us <= wm_us:
+                out.append((user_id, buf[a], b - a))
             else:
-                last_us, n = us, n + 1
-        state.update((start_us, last_us, n))
-        # close the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
-        if closed:
+                keep_from = a
+                first_kept_last = last
+                break
+        kept = buf[keep_from:]
+        if kept:
+            state.update((kept,))
+            # wake when the earliest kept session becomes closeable;
+            # must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(
+                max((first_kept_last + gap_us) // 1000, wm_ms + 1)
+            )
+        else:
+            state.remove()
+        if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [c[0] for c in closed],
-                    "session_start_us": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
+                    "user_id": [c[0] for c in out],
+                    "session_start_us": [c[1] for c in out],
+                    "n_events": [c[2] for c in out],
                 }
             )
 

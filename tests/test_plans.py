@@ -180,6 +180,76 @@ def test_salted_join_correct_and_scattered(spark):
     assert n_salts == 8
 
 
+def test_unflatten_has_no_single_partition_exchange(spark):
+    """unflatten must not funnel rows through a global-window rank: no
+    Exchange SinglePartition (one-task bottleneck) anywhere in the
+    plan — ranks come from per-partition offsets computed in parallel."""
+    from dask_awkward_sandbox_spark.operators.structure import unflatten
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    n = d.count()
+    counts = [0, n // 2, 0, n - n // 2 - n // 4, n // 4]
+    out = unflatten(d, "n_chars", "doc_id", counts)
+    # zero-count groups are present as empty lists (ak parity)
+    rows = {r["gid"]: r["n_chars"] for r in out.collect()}
+    assert rows[0] == [] and rows[2] == []
+    assert sum(len(v) for v in rows.values()) == n
+    # counts mismatch raises instead of silently dropping rows
+    try:
+        unflatten(d, "n_chars", "doc_id", [1])
+        raise AssertionError("expected ValueError on counts mismatch")
+    except ValueError:
+        pass
+
+
+def test_neardup_blocked_is_equi_join(spark):
+    """The registered embedding near-dup must block through LSH
+    buckets: an equi join, never a nested-loop cross product over the
+    corpus (the all-pairs form is test-oracle-only)."""
+    from dask_awkward_sandbox_spark.functions.similarity import neardup_pairs_blocked
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = neardup_pairs_blocked(e, dim=64, threshold=0.4)
+    plan = _physical(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_reducers_propagate_nan(spark):
+    """NaN is a value, not a missing marker: sum/mean/min/max/ptp go
+    NaN, argmin/argmax return the first NaN index; nulls are skipped
+    (ak option semantics)."""
+    import math
+
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    df = spark.createDataFrame(
+        [(1, [1.0, float("nan"), 3.0, None]), (2, [2.0, None, 5.0])],
+        "id long, v array<double>",
+    )
+    r = {
+        row["id"]: row
+        for row in df.select(
+            "id",
+            red.sum(F.col("v")).alias("s"),
+            red.mean(F.col("v")).alias("mu"),
+            red.min(F.col("v")).alias("mn"),
+            red.max(F.col("v")).alias("mx"),
+            red.ptp(F.col("v")).alias("p"),
+            red.argmin(F.col("v")).alias("am"),
+            red.argmax(F.col("v")).alias("ax"),
+            red.count(F.col("v")).alias("n"),
+        ).collect()
+    }
+    nanrow = r[1]
+    assert all(math.isnan(nanrow[c]) for c in ["s", "mu", "mn", "mx", "p"])
+    assert nanrow["am"] == 1 and nanrow["ax"] == 1  # first NaN index
+    assert nanrow["n"] == 3  # NaN counted, null skipped
+    ok = r[2]
+    assert ok["s"] == 7.0 and ok["mn"] == 2.0 and ok["mx"] == 5.0
+    assert ok["am"] == 0 and ok["ax"] == 2 and ok["n"] == 2
+
+
 def test_partitioned_write_prunes_partitions(spark):
     """Directory-partitioned parquet + an equality filter on the
     partition column must show PartitionFilters in the scan and read

@@ -51,64 +51,119 @@ def test_windowed_counts_stream_equals_batch(spark):
     assert got == want
 
 
-def test_sessionize_stateful_closed_sessions(spark):
-    """The stateful sessionizer's closed sessions must agree with the
-    batch (window-function) sessionization for every session that is
-    closed by a later event. (The final open session per user only
-    closes on timeout, so it is excluded from the comparison.)"""
+WATERMARK_US = 3600 * 1_000_000
+
+
+def _batch_sessions(spark, df):
+    """Window-function sessionization -> {(user, start_us): n}
+    restricted to sessions the final watermark closes (last + gap <=
+    max_ts - watermark) — exactly the stateful operator's emission
+    contract."""
     from pyspark.sql import Window
 
-    from dask_awkward_sandbox_spark.plans.common import read
-    from dask_awkward_sandbox_spark.streaming import sessionize_stateful
-    from dask_awkward_sandbox_spark.streaming.events import (
-        SESSION_GAP_US,
-        stream_events_from_dir,
-    )
+    from dask_awkward_sandbox_spark.streaming.events import SESSION_GAP_US
 
-    path = _write_stream_input(spark)
-    stream = stream_events_from_dir(spark, path)
+    tus = F.unix_micros(F.col("ts"))
+    byu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(byu)
+    flagged = df.select("user_id", "event_id", tus.alias("tus")).withColumn(
+        "ns",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "sess", F.sum("ns").over(byu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = flagged.groupBy("user_id", "sess").agg(
+        F.min("tus").alias("start_us"),
+        F.max("tus").alias("last_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wm = df.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - WATERMARK_US
+    closed = per.filter(F.col("last_us") + SESSION_GAP_US <= wm)
+    return {(r["user_id"], r["start_us"]): r["n"] for r in closed.collect()}
+
+
+def _run_sessionizer(spark, stream, name):
+    from dask_awkward_sandbox_spark.streaming import sessionize_stateful
+
     out = sessionize_stateful(stream)
     q = (
         out.writeStream.format("memory")
-        .queryName("sessions")
+        .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    got = {
+    return {
         (r["user_id"], r["session_start_us"]): r["n_events"]
-        for r in spark.table("sessions").collect()
+        for r in spark.table(name).collect()
     }
 
-    # batch reference: window-function sessionization, drop each user's
-    # last session (still open in the stateful version)
-    e = read(spark, SF, "events")
-    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tus = F.unix_micros(F.col("ts"))
-    prev = F.lag(tus).over(byu)
-    byu_flat = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    flagged = e.select(
-        "user_id",
-        "event_id",
-        tus.alias("tus"),
-        F.when(prev.isNull() | ((tus - prev) > SESSION_GAP_US), 1).otherwise(0).alias("ns"),
-    ).withColumn(
-        "sess", F.sum("ns").over(byu_flat.rowsBetween(Window.unboundedPreceding, 0))
+
+def test_sessionize_stateful_closed_sessions(spark):
+    """The stateful sessionizer must emit exactly the sessions the
+    final watermark closes, matching batch sessionization."""
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming.events import stream_events_from_dir
+
+    path = _write_stream_input(spark)
+    stream = stream_events_from_dir(spark, path)
+    got = _run_sessionizer(spark, stream, "sessions")
+    want = _batch_sessions(spark, read(spark, SF, "events"))
+    assert got == want
+
+
+def test_sessionize_stateful_out_of_order(spark):
+    """Late events admitted by the watermark must merge into their
+    time-order position (bridging/extending sessions), not corrupt
+    state — the batch result over the union is the contract."""
+    import shutil
+    import time
+
+    from dask_awkward_sandbox_spark.streaming.events import (
+        JSON_TS_FORMAT,
+        stream_events_from_dir,
     )
-    per = flagged.groupBy("user_id", "sess").agg(
-        F.min("tus").alias("start_us"), F.count(F.lit(1)).alias("n")
-    )
-    wmax = Window.partitionBy("user_id")
-    closed = per.withColumn("maxs", F.max("sess").over(wmax)).filter(
-        F.col("sess") < F.col("maxs")
-    )
-    want = {
-        (r["user_id"], r["start_us"]): r["n"] for r in closed.collect()
-    }
-    # every batch-closed session must appear identically in the stream output
-    for k, v in want.items():
-        assert got.get(k) == v, f"session {k}: stream={got.get(k)} batch={v}"
+
+    path = os.path.join(SCRATCH, "events_ooo_json")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = 1_700_000_000_000_000  # us
+    minute = 60_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, r[0], r[1], "view", 1.0, "{}") for i, r in enumerate(rows)],
+            "event_id long, us long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    # batch 1: in-order events incl. one far ahead; batch 2: a LATE
+    # event (t0+30min — admissible: watermark after batch 1 is
+    # t0+80min-1h = t0+20min) that bridges into the first session;
+    # batch 3: far-future event pushes the watermark so all closes.
+    batches = [
+        [(t0, 7), (t0 + 10 * minute, 7), (t0 + 80 * minute, 7)],
+        [(t0 + 30 * minute, 7)],
+        [(t0 + 600 * minute, 7)],
+    ]
+    for i, rows in enumerate(batches):
+        mk(rows).repartition(1).write.mode("append").option(
+            "timestampFormat", JSON_TS_FORMAT
+        ).json(path)
+        # file-source picks up oldest-mtime first; keep ordering strict
+        time.sleep(1.1)
+
+    stream = stream_events_from_dir(spark, path, max_files_per_trigger=1)
+    got = _run_sessionizer(spark, stream, "sessions_ooo")
+    # sessions: [t0, +10, +30] (late event bridges), [+80], [+600 open]
+    want = {(7, t0): 3, (7, t0 + 80 * minute): 1}
+    assert got == want
 
 
 def test_stream_dedup_exact(spark):
