@@ -15,6 +15,11 @@ import os
 import sys
 import time
 
+# r2 renames (see BASELINE.md for the r01-name mapping): q_with_field
+# -> q_zip_with_field, q_sort -> q_sort_argsort, q_combinations ->
+# q_cartesian_combinations, q_str_split_join -> q_str_split_classify,
+# q_token_count + q_fingerprint -> q_text_metrics, q_ann_ivf ->
+# q_ann_ivf_assign; q_embedding_neardup (LSH-blocked) newly tracked.
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -22,17 +27,17 @@ HEADLINERS = [
     "q6_forecast_revenue",
     "q18_large_orders",
     "q_reduce_sum",
-    "q_with_field",
-    "q_sort",
-    "q_combinations",
-    "q_str_split_join",
-    "q_token_count",
-    "q_fingerprint",
+    "q_zip_with_field",
+    "q_sort_argsort",
+    "q_cartesian_combinations",
+    "q_str_split_classify",
+    "q_text_metrics",
     "q_minhash_sig",
     "q_dedup_minhash_clusters",
     "q_dedup_simhash",
+    "q_embedding_neardup",
     "q_ann_bruteforce",
-    "q_ann_ivf",
+    "q_ann_ivf_assign",
     "q_events_sessionize",
     "q_events_windowed",
 ]

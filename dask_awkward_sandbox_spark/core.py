@@ -47,9 +47,16 @@ def map_partitions(
     return df.mapInPandas(fn, schema)
 
 
-def repartition(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Change partition count; shrinking coalesces (no shuffle)."""
-    if num_partitions < df.rdd.getNumPartitions():
+def repartition(df: DataFrame, num_partitions: int, shuffle: bool | None = None) -> DataFrame:
+    """Change partition count. ``shuffle=False`` coalesces (narrow, no
+    shuffle — only valid when shrinking), ``shuffle=True`` forces a
+    round-robin exchange; the default infers from the session's
+    shuffle-partition setting WITHOUT touching ``df.rdd`` (an RDD
+    conversion re-analyzes the plan and drops out of AQE)."""
+    if shuffle is None:
+        current = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        shuffle = num_partitions >= current
+    if not shuffle:
         return df.coalesce(num_partitions)
     return df.repartition(num_partitions)
 

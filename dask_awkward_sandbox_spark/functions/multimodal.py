@@ -70,6 +70,80 @@ def decode_image(payload: bytes) -> "object":
     raise DecodeUnavailable("image decode requires PIL/opencv; not in container")
 
 
+# -- BMP: the one REAL codec (pure-python header parse, no external libs) --
+
+BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _le4(col):
+    """Serialize an int column as 4 little-endian bytes, JVM-side:
+    per-byte hex + unhex — no UDF."""
+    parts = [
+        F.lpad(F.hex(F.shiftright(col.cast("long"), 8 * i) % 256), 2, "0")
+        for i in range(4)
+    ]
+    return F.unhex(F.concat(*parts))
+
+
+def bmp_column(width, height, payload):
+    """Assemble a BMP file image as a binary Column: 'BM' magic,
+    little-endian size/offset/width/height fields (24bpp, zero
+    compression), then ``payload`` as the pixel data. Pure JVM
+    expression — binary construction never leaves the executor."""
+    psize = F.length(payload)
+    return F.concat(
+        F.lit(b"BM"),
+        _le4(psize + F.lit(BMP_HEADER_LEN)),          # file size
+        F.lit(b"\x00\x00\x00\x00"),                    # reserved
+        _le4(F.lit(BMP_HEADER_LEN)),                   # pixel data offset
+        _le4(F.lit(40)),                               # DIB header size
+        _le4(width),
+        _le4(height),
+        F.lit(b"\x01\x00"),                            # planes = 1
+        F.lit(b"\x18\x00"),                            # 24 bpp
+        _le4(F.lit(0)),                                # BI_RGB
+        _le4(psize),                                   # image size
+        _le4(F.lit(2835)), _le4(F.lit(2835)),          # 72 DPI
+        _le4(F.lit(0)), _le4(F.lit(0)),                # palette
+        payload,
+    )
+
+
+def parse_bmp_header(buf: bytes) -> tuple[int, int, int]:
+    """Parse (width, height, n_payload_bytes) from real BMP bytes.
+    Raises ValueError on a bad magic — a genuine decoder contract."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    width, height = struct.unpack_from("<ii", buf, 18)
+    return width, height, len(buf) - offset
+
+
+def decode_bmp(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInArrow BMP header decode: Arrow batches of binary payloads
+    in, (media_id, width, height, n_bytes) out — the real multimodal
+    decode shape, with a real byte-level parser."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            parsed = [parse_bmp_header(p) for p in b.column(payload_col).to_pylist()]
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([p[0] for p in parsed], pa.int64()),
+                    pa.array([p[1] for p in parsed], pa.int64()),
+                    pa.array([p[2] for p in parsed], pa.int64()),
+                ],
+                names=["media_id", "width", "height", "n_bytes"],
+            )
+
+    return df.mapInArrow(fn, "media_id long, width long, height long, n_bytes long")
+
+
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real feature extractor: byte
     histogram folded to ``dim`` floats. Same shape/contract as a real

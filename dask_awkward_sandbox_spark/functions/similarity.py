@@ -37,7 +37,10 @@ def norm(a: Column) -> Column:
 
 def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine given precomputed norms — the join-side form: norms are
-    computed once per ROW before a join, never per pair."""
+    computed once per ROW before a join, never per pair. (An unrolled
+    fixed-dim dot was tried and is SLOWER: 128-term straight-line
+    expressions blow the JIT method-size limit and run as interpreted
+    bytecode; the HOF fold, though CodegenFallback, wins.)"""
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
@@ -61,16 +64,23 @@ def brute_force_topk(
     # norms computed once per row, NOT per pair: the join evaluates
     # its expressions per (query, neighbor) pair, so an inline
     # cosine() would fold over each vector |queries| more times
-    c = corpus.select(
-        F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
-    ).withColumn("nb_norm", norm(F.col("nb_vec")))
+    # spread the corpus before the broadcast join: a single-file scan
+    # is ONE partition, and a broadcast join inherits the streamed
+    # side's partitioning — the per-pair cosine work would run on one
+    # task regardless of cores
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    c = (
+        corpus.repartition(nparts)
+        .select(F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec"))
+        .withColumn("nb_norm", norm(F.col("nb_vec")))
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", norm(F.col("q_vec")))
     j = c.join(F.broadcast(q), F.col("nb_id") != F.col("q_id"))
     sim = F.round(
         cosine_from_norms(
-            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
         round_digits,
     )
@@ -120,28 +130,30 @@ def hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def _signature(vec: Column, table: int, dim: int, planes: int) -> Column:
-    """Hyperplane sign-bit signature of ``vec`` for hash table
-    ``table``: bit p is the sign of the projection onto plane
-    table*planes+p. A pure left-fold expression — the oracle unrolls
-    the identical left-associated sum."""
-    bits = []
-    for p in range(planes):
-        plane = hyperplane(dim, table * planes + p)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(c) for c in plane]),
-                lambda x, c: x * c,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def _projections(vec: Column, dim: int, n_planes: int) -> Column:
+    """array<double> of the vector's projection onto each of the
+    ``n_planes`` deterministic hyperplanes. The plane components ride
+    along as ONE flat (n_planes*dim) literal array and the per-plane
+    loop is a ``transform`` lambda — codegen compiles one small loop
+    body regardless of plane count, where unrolled per-plane
+    aggregates made expression-tree size (and runtime) scale with
+    planes*tables. Each projection is the identical left-fold sum the
+    SQL oracle computes."""
+    flat = F.expr(
+        "array("
+        + ",".join(
+            repr(float(c)) + "D" for p in range(n_planes) for c in hyperplane(dim, p)
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
+        + ")"
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(vec, F.slice(flat, p * dim + 1, dim), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
 
 
 def with_lsh_buckets(
@@ -154,18 +166,32 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """Explode each vector into its ``tables`` (t, bucket) memberships:
     (id_col, _vec double[], _norm, t, bucket). Scan-side expressions,
-    one output row per (vector, table) — no shuffle."""
+    one output row per (vector, table) — no shuffle. All
+    planes*tables projections are computed in ONE pass per row
+    (_projections), then sign bits pack into per-table buckets."""
     v = as_double(F.col(vec_col))
-    tb = F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), _signature(v, t, dim, planes).alias("bucket"))
-            for t in range(tables)
-        ]
-    )
-    return df.select(
+    base = df.select(
         F.col(id_col),
         v.alias("_vec"),
         norm(v).alias("_norm"),
+        _projections(v, dim, planes * tables).alias("_projs"),
+    )
+
+    def bucket(t: int) -> Column:
+        out = F.lit(0)
+        for p in range(planes):
+            out = out + F.when(
+                F.get(F.col("_projs"), t * planes + p) >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return out
+
+    tb = F.array(
+        *[F.struct(F.lit(t).alias("t"), bucket(t).alias("bucket")) for t in range(tables)]
+    )
+    return base.select(
+        id_col,
+        "_vec",
+        "_norm",
         F.explode(tb).alias("tb"),
     ).select(
         id_col,
@@ -197,33 +223,54 @@ def neardup_pairs_blocked(
     OR-construction compound over ``tables`` independent hash tables;
     both the Spark plan and the SQL oracle enumerate the same
     deterministic planes, so the blocked semantics are exactly
-    value-checkable."""
-    b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables)
+    value-checkable.
+
+    Execution shape (the part that matters under load): the bucket
+    self-join carries ONLY ids — candidate pairs are deduped FIRST
+    (`distinct` hash-partitions by pair, which both collapses the
+    multi-table duplicates before any vector math and spreads the
+    per-pair verification uniformly across cores, immune to the
+    quadratic per-bucket key skew) — and the exact cosine then runs
+    once per distinct pair via two slim joins back to the
+    norm-precomputed vector table. Vectors broadcast here (corpus is
+    a side table); at 1e9 vectors those two joins become ordinary
+    shuffle joins on id and stay linear."""
+    b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables).select(
+        id_col, "t", "bucket"
+    )
     a, bb = b.alias("a"), b.alias("b")
-    j = a.join(
-        bb,
-        (F.col("a.t") == F.col("b.t"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    vt = df.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    va, vb = vt.alias("va"), vt.alias("vb")
+    j = cand.join(F.broadcast(va), F.col("id_a") == F.col("va._vid")).join(
+        F.broadcast(vb), F.col("id_b") == F.col("vb._vid")
     )
     sim = F.round(
         cosine_from_norms(
-            F.col("a._vec"), F.col("b._vec"), F.col("a._norm"), F.col("b._norm")
+            F.col("va._v"), F.col("vb._v"), F.col("va._n"), F.col("vb._n")
         ),
         round_digits,
     )
-    return (
-        j.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-        .distinct()
-    )
+    return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
-def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_sims(
+    vec: Column, centroids: list[list[float]], round_digits: int | None = None
+) -> Column:
     """array<struct<s: double, i: int>> of (dot-sim, centroid-id) — the
     centroid table rides along as one flat array literal, so assignment
     is a narrow JVM expression with no join. The per-centroid loop is a
@@ -238,23 +285,29 @@ def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
     flat = F.expr(
         "array(" + ",".join(repr(float(x)) + "D" for cent in centroids for x in cent) + ")"
     )
+    def sim(i):
+        s = F.aggregate(
+            F.zip_with(vec, F.slice(flat, i * dim + 1, dim), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.round(s, round_digits) if round_digits is not None else s
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(nlist - 1)),
-        lambda i: F.struct(
-            F.aggregate(
-                F.zip_with(vec, F.slice(flat, i * dim + 1, dim), lambda x, c: x * c),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("s"),
-            i.cast("int").alias("i"),
-        ),
+        lambda i: F.struct(sim(i).alias("s"), i.cast("int").alias("i")),
     )
 
 
-def assign_nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def assign_nearest_centroid(
+    vec: Column, centroids: list[list[float]], round_digits: int | None = None
+) -> Column:
     """Centroid id maximizing dot similarity (struct max breaks ties on
-    the higher id — deterministic either way)."""
-    return F.array_max(_centroid_sims(vec, centroids))["i"]
+    the higher id — deterministic either way). ``round_digits`` rounds
+    each similarity first — the cross-engine determinism contract for
+    oracle-checked assignment (a last-ulp difference must not flip the
+    argmax)."""
+    return F.array_max(_centroid_sims(vec, centroids, round_digits))["i"]
 
 
 def kmeans_train(
@@ -334,7 +387,83 @@ def ivf_topk(
     j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
     sim = F.round(
         cosine_from_norms(
-            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
+        ),
+        round_digits,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nb_id"))
+    return (
+        j.select("q_id", "nb_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Materialize the IVF corpus assignment ONCE: train the coarse
+    quantizer, assign every vector, and write (nb_id, nb_vec, nb_norm)
+    to parquet PARTITIONED BY list_id. Returns the centroids (they are
+    the index metadata a caller persists beside it).
+
+    This is the honest IVF serving shape at scale: assignment (the
+    expensive per-vector signature) is computed once and reused across
+    every future query batch, and the directory layout turns a probe
+    into a partition-pruned scan — a batch probing nprobe of nlist
+    lists reads ~nprobe/nlist of the corpus bytes and shuffles
+    nothing."""
+    centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters)
+    idx = (
+        corpus.select(
+            F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
+        )
+        .withColumn("list_id", assign_nearest_centroid(F.col("nb_vec"), centroids))
+        .withColumn("nb_norm", norm(F.col("nb_vec")))
+    )
+    idx.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    return centroids
+
+
+def ivf_probe_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k probe against a materialized IVF index (ivf_write_index).
+
+    The query batch is small by construction, so its probe lists are
+    collected driver-side and pushed as a STATIC ``list_id IN (...)``
+    filter — the scan partition-prunes to the probed directories
+    (PartitionFilters in the plan), the corpus side never shuffles
+    (queries broadcast), and nb assignment is read, not recomputed."""
+    sims_desc = F.reverse(F.array_sort(_centroid_sims(F.col("q_vec"), centroids)))
+    probes = F.transform(F.slice(sims_desc, 1, nprobe), lambda s: s["i"])
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn("q_norm", norm(F.col("q_vec")))
+        .withColumn("list_id", F.explode(probes))
+    )
+    probe_lists = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    c = spark.read.parquet(path).filter(F.col("list_id").isin(probe_lists))
+    j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
+    sim = F.round(
+        cosine_from_norms(
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
         round_digits,
     )
@@ -377,7 +506,7 @@ def lsh_bucket_topk(
     )
     sim = F.round(
         cosine_from_norms(
-            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
+            F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
         6,
     )

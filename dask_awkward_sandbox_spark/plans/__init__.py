@@ -4,13 +4,17 @@ Importing this package registers every query + DuckDB oracle pair in
 ``registry.QUERIES`` / ``registry.ORACLES``.
 """
 
+# Registration order IS the driver's check order (the correctness gate
+# consumes the first 50 registered queries): flagship relational (tpch)
+# and string surfaces first, and the total is kept at exactly 50 so
+# every query gets a driver correctness row.
 from dask_awkward_sandbox_spark.plans import (  # noqa: F401  (registration side effects)
+    tpch,
+    strings_queries,
     events,
     io_queries,
     llm,
     nested,
-    strings_queries,
-    tpch,
 )
 from dask_awkward_sandbox_spark.plans.registry import ORACLES, QUERIES
 

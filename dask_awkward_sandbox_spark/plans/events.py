@@ -96,26 +96,72 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+WATERMARK_US = 3600 * 1_000_000  # sessionize_stateful's 1-hour watermark
+
+
 @query(
-    "q_json_props",
-    """
-    select event_type,
-           cast(count(*) as bigint) as n,
-           cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint)
-             as sum_k
-    from events
-    group by event_type
+    "q_stream_sessionize",
+    f"""
+    with e as (
+      select user_id, event_id, epoch_us(ts) as tus,
+             lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) as ptus
+      from events),
+    f as (
+      select user_id, event_id, tus,
+             case when ptus is null or tus - ptus > {SESSION_GAP_US} then 1 else 0 end as ns
+      from e),
+    g as (
+      select user_id, tus,
+             sum(ns) over (partition by user_id order by tus, event_id
+                           rows unbounded preceding) as sess
+      from f),
+    s as (select user_id, sess, min(tus) as session_start_us,
+                 max(tus) as last_us, cast(count(*) as bigint) as n_events
+          from g group by user_id, sess),
+    wm as (select max(epoch_us(ts)) - {WATERMARK_US} as w from events)
+    select user_id, cast(session_start_us as bigint) as session_start_us, n_events
+    from s, wm
+    where last_us + {SESSION_GAP_US} <= wm.w
     """,
 )
-def q_json_props(spark, sf_dir):
-    """Semi-structured column: real from_json on the Spark side
-    (schema'd parse, JVM), regex extraction in the oracle — same
-    values for this data, two independent parses."""
+def q_stream_sessionize(spark, sf_dir):
+    """The ACTUAL structured-streaming path under the driver's value
+    oracle: events are staged as a json file source, replayed through
+    ``sessionize_stateful`` (applyInPandasWithState, EventTimeTimeout,
+    1-hour watermark) with Trigger.AvailableNow into a memory sink,
+    and the emitted sessions are returned as a batch frame.
+
+    Deterministic because the emission contract is watermark-final: a
+    session is emitted iff last_event + gap <= final_watermark
+    (= max event time - 1h), independent of micro-batch boundaries —
+    the oracle computes exactly that set relationally. Single staged
+    file keeps the replay one data batch + one timeout batch."""
+    import os
+
+    from dask_awkward_sandbox_spark.streaming import sessionize_stateful
+    from dask_awkward_sandbox_spark.streaming.events import (
+        JSON_TS_FORMAT,
+        stream_events_from_dir,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join("/root/repo/.scratch", tag, "stream_sessionize_json")
     e = read(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k long")["k"]
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
+    e.repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+
+    out = sessionize_stateful(stream_events_from_dir(spark, path))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_stream_sessionize_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_sessionize_sink").select(
+        "user_id", "session_start_us", "n_events"
     )
 
 

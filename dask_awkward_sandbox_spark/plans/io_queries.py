@@ -1,5 +1,5 @@
 """IO-surface queries: parquet/json/text roundtrips, from_lists,
-to_dataframe, strings_astype, unflatten.
+to_dataframe, unflatten.
 
 Roundtrip pattern: the Spark side WRITES derived data to a scratch
 dir, reads it back through the io/ module, and computes a summary;
@@ -61,46 +61,46 @@ def q_parquet_roundtrip(spark, sf_dir):
 
 
 @query(
-    "q_json_roundtrip",
+    "q_json_io",
     """
     select event_type, cast(count(*) as bigint) as n,
-           cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c
+           cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c,
+           cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint)
+             as sum_k,
+           cast(sum(try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint)
+             as sum_k2,
+           cast(count(case when try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)
+                           is null then 1 end) as bigint) as n_unparseable
     from events group by event_type
     """,
 )
-def q_json_roundtrip(spark, sf_dir):
-    """events -> line-delimited JSON -> schema-ed read -> aggregate."""
+def q_json_io(spark, sf_dir):
+    """events -> line-delimited JSON -> schema-ed read -> aggregate.
+    The semi-structured props column rides through the roundtrip and
+    is decoded twice on the Spark side: a real from_json (schema'd
+    JVM parse) and ak.strings_astype (elementwise try_cast of digit
+    strings, null on failure); the oracle regex-extracts the same
+    numbers straight from the source view — independent parses, same
+    values."""
     e = read(spark, sf_dir, "events").select(
-        "event_id", "event_type", cents(F.col("value")).alias("value_c")
+        "event_id", "event_type", cents(F.col("value")).alias("value_c"), "props"
     )
     path = _scratch(sf_dir, "events_json")
     to_json(e, path)
-    back = from_json(spark, path, schema="event_id long, event_type string, value_c long")
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_value_c")
+    back = from_json(
+        spark, path, schema="event_id long, event_type string, value_c long, props string"
     )
-
-
-@query(
-    "q_from_text",
-    """
-    select cast(count(*) as bigint) as n_lines,
-           cast(sum(length(text)) as bigint) as total_chars,
-           cast(min(length(text)) as bigint) as min_len
-    from documents
-    """,
-)
-def q_from_text(spark, sf_dir):
-    """documents.text -> plain text file -> from_text -> line stats.
-    (Doc texts contain no newlines, so lines == documents.)"""
-    d = read(spark, sf_dir, "documents")
-    path = _scratch(sf_dir, "docs_text")
-    to_text(d, "text", path)
-    lines = from_text(spark, path)
-    return lines.agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.length("value")).alias("total_chars"),
-        F.min(F.length("value")).alias("min_len"),
+    k = F.from_json(F.col("props"), "k long")["k"]
+    digits = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
+    k2 = F.get(st.strings_astype(F.array(digits), "long"), 0)
+    return back.select("event_type", "value_c", k.alias("k"), k2.alias("k2")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("sum_value_c"),
+        F.sum("k").alias("sum_k"),
+        F.sum("k2").alias("sum_k2"),
+        F.count(F.when(F.col("k2").isNull(), 1)).alias("n_unparseable"),
     )
 
 
@@ -112,28 +112,46 @@ _LISTS_ROWS = [
     (5, [7.5]),
 ]
 
-_LISTS_ORACLE = """
+_SMALL_SOURCES_ORACLE = """
     with t(id, n_items, sum_v) as (values
-      (1, 3, 6.0), (2, 0, 0.0), (3, 2, 5.0), (4, null, null), (5, 1, 7.5))
+      (1, 3, 6.0), (2, 0, 0.0), (3, 2, 5.0), (4, null, null), (5, 1, 7.5)),
+    d as (select cast(count(*) as bigint) as n_lines,
+                 cast(sum(length(text)) as bigint) as total_chars,
+                 cast(min(length(text)) as bigint) as min_len
+          from documents)
     select cast(id as bigint) as id, cast(n_items as bigint) as n_items,
-           cast(sum_v as double) as sum_v
-    from t
+           cast(sum_v as double) as sum_v,
+           d.n_lines, d.total_chars, d.min_len
+    from t cross join d
 """
 
 
-@query("q_from_lists", _LISTS_ORACLE)
-def q_from_lists(spark, sf_dir):
+@query("q_small_sources", _SMALL_SOURCES_ORACLE)
+def q_small_sources(spark, sf_dir):
     """from_lists with ragged/None edges (empty list, null element,
-    null list) — the option-type semantics oracle-checked against a
-    hand-computed VALUES table."""
+    null list — the option-type semantics) x from_text (documents.text
+    -> plain text file -> line stats; doc texts contain no newlines,
+    so lines == documents). The 1-row text aggregate broadcast-crosses
+    onto the 5-row lists frame."""
     from dask_awkward_sandbox_spark.operators import reducers as red
 
+    d = read(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "docs_text")
+    to_text(d, "text", path)
+    lines = from_text(spark, path)
+    text_stats = lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+    )
+
     df = from_lists(spark, _LISTS_ROWS, "id long, v array<double>", num_partitions=2)
-    return df.select(
+    lists = df.select(
         "id",
         st.num(F.col("v")).alias("n_items"),
         F.when(F.col("v").isNotNull(), red.sum(F.col("v"))).alias("sum_v"),
     )
+    return lists.crossJoin(F.broadcast(text_stats))
 
 
 @query(
@@ -157,29 +175,6 @@ def q_to_dataframe(spark, sf_dir):
 
 
 @query(
-    "q_strings_astype",
-    """
-    select event_type,
-           cast(sum(try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint) as sum_k,
-           cast(count(case when try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)
-                           is null then 1 end) as bigint) as n_unparseable
-    from events group by event_type
-    """,
-)
-def q_strings_astype(spark, sf_dir):
-    """ak.strings_astype: parse digit strings to ints elementwise with
-    null on failure (try_cast under ANSI mode)."""
-    e = read(spark, sf_dir, "events")
-    digits = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
-    wrapped = F.array(digits)  # exercise the array<string> elementwise path
-    parsed = st.strings_astype(wrapped, "long")
-    return e.select("event_type", F.get(parsed, 0).alias("k")).groupBy("event_type").agg(
-        F.sum("k").alias("sum_k"),
-        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparseable"),
-    )
-
-
-@query(
     "q_unflatten",
     """
     with r as (select n_chars,
@@ -192,8 +187,8 @@ def q_strings_astype(spark, sf_dir):
 )
 def q_unflatten(spark, sf_dir):
     """ak.unflatten: re-nest a flat ordered column into given counts.
-    Global order requires a rank — the documented single-ordered-
-    window cost (at scale: pre-sorted bucketed input instead)."""
+    Range-partitioned rank assignment (per-partition offsets, no
+    global window) — see operators/structure.py:unflatten."""
     d = read(spark, sf_dir, "documents").select("doc_id", "n_chars")
     n = d.count()
     counts = [100] * (n // 100) + ([n % 100] if n % 100 else [])

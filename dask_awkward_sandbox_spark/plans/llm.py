@@ -1,15 +1,17 @@
 """LLM-data-pipeline queries: dedup, text analysis, similarity search,
-multimodal plumbing — each wired to functions/ and a DuckDB oracle.
-The md5-derived word hash is reproducible in SQL, so minhash
-signatures, band-join candidates, connected-component clusters,
-simhash keys/near-dup pairs and fingerprints are ALL value-checked;
-only the two approximate ANN searches (LSH, IVF) are rows-only, each
-with a pytest recall floor vs the exact oracle-checked brute force.
+multimodal — each wired to functions/ and a DuckDB oracle.
+The md5-derived word hash AND the hash-mixed LSH hyperplanes are
+reproducible in SQL, so minhash signatures, band-join candidates,
+connected-component clusters, simhash keys/near-dup pairs,
+fingerprints, hyperplane bucket tables, LSH-blocked embedding
+near-dup pairs and IVF seed-centroid assignment are ALL value-checked
+by the driver; only the end-to-end approximate top-k searches keep
+their guarantees in pytest (recall floors vs the exact oracle-checked
+brute force — tests/test_similarity.py).
 """
 
 from __future__ import annotations
 
-import pyarrow as pa
 from pyspark.sql import functions as F
 
 from dask_awkward_sandbox_spark.functions import dedup, similarity, text_analysis as ta
@@ -20,6 +22,34 @@ from dask_awkward_sandbox_spark.plans.registry import query
 TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)"
 H9 = "(('0x'||substr(md5(w),1,14))::bigint % 1000000007)"
 NUM_PERMS = 8
+
+# DuckDB fragment mirroring similarity.hyperplane exactly: component d
+# of plane p is a hash-mix mapped into [-1, 1] — identical float ops,
+# so both engines build bit-identical planes.
+PLANE_COMP = (
+    "((((2654435761 * (pl.plane * 1009 + d + 1) + 97) % 1000000007)"
+    " / 1000000007) * 2.0 - 1.0)"
+)
+# 3 sign bits x 6 tables: ~70% recall of >=0.4-cosine pairs on this
+# corpus at a pair budget of tables/2^planes = 3/4 of n^2/2 per
+# bucket-size; at real scale planes grows with log2(n/bucket_target)
+LSH_PLANES, LSH_TABLES, EMB_DIM = 3, 6, 64
+
+# Per-vector (t, bucket) membership table, rebuilt from scratch in SQL:
+# project each embedding onto the 12 deterministic hyperplanes, take
+# sign bits, pack each table's 3 bits into a bucket id.
+_BUCKETS_CTE = f"""
+    e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    pl as (select unnest(range({LSH_PLANES * LSH_TABLES})) as plane),
+    proj as (
+      select e.vec_id, pl.plane // {LSH_PLANES} as t, pl.plane % {LSH_PLANES} as bit,
+             list_sum(list_transform(range({EMB_DIM}),
+                                     d -> e.v[d+1] * {PLANE_COMP})) as pr
+      from e cross join pl),
+    b as (select vec_id, t,
+                 sum(case when pr >= 0 then 1 << bit else 0 end) as bucket
+          from proj group by vec_id, t)
+"""
 
 
 def _docs(spark, sf_dir):
@@ -36,85 +66,57 @@ def _emb(spark, sf_dir):
 
 
 @query(
-    "q_token_count",
+    "q_text_metrics",
     rf"""
-    select doc_id,
+    with q as (
+      select doc_id,
+             cast(len({TOKENS}) as double) as n,
+             cast(len(list_distinct({TOKENS})) as double) as d,
+             cast(length(text) as double) as ln,
+             cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as double) as np
+      from documents),
+    fp as (
+      select doc_id, cast(sum({H9} * i) % 1000000007 as bigint) as fp
+      from (select doc_id, unnest({TOKENS}) as w,
+                   generate_subscripts({TOKENS}, 1) as i
+            from documents)
+      group by doc_id)
+    select d0.doc_id,
            cast(len({TOKENS}) as bigint) as n_ws,
-           cast(len(regexp_extract_all(text, '{ta.BPE_PATTERN}')) as bigint) as n_bpe
-    from documents
-    """,
-)
-def q_token_count(spark, sf_dir):
-    """Whitespace + BPE-ish token counting (regexp, JVM-side)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        ta.token_count_ws(F.col("text")).alias("n_ws"),
-        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
-    )
-
-
-@query(
-    "q_lang_id",
-    r"""
-    select doc_id,
+           cast(len(regexp_extract_all(text, '{ta.BPE_PATTERN}')) as bigint) as n_bpe,
            cast(len(regexp_extract_all(text, '\bthe\b'))
                 + len(regexp_extract_all(text, '\band\b'))
                 + len(regexp_extract_all(text, '\bof\b')) as bigint) as en_score,
            case when len(regexp_extract_all(text, '\bthe\b'))
                      + len(regexp_extract_all(text, '\band\b'))
                      + len(regexp_extract_all(text, '\bof\b')) > 3
-                then 'en' else 'other' end as pred_lang
-    from documents
+                then 'en' else 'other' end as pred_lang,
+           case when q.n > 0 and q.ln > 0
+                then 0.3 * least(q.n / 200.0, 1.0) + 0.3 * (q.d / q.n)
+                     + 0.4 * (1.0 - q.np / q.ln)
+                else 0.0 end as quality,
+           fp.fp
+    from documents d0
+    join q using (doc_id)
+    left join fp on fp.doc_id = d0.doc_id
     """,
 )
-def q_lang_id(spark, sf_dir):
-    """Stopword-count language-ID heuristic."""
+def q_text_metrics(spark, sf_dir):
+    """The text-analysis suite in one per-document pass: whitespace +
+    BPE-ish token counting, stopword-count language-ID, heuristic
+    quality score (identical expression tree both engines), and the
+    position-weighted rolling fingerprint on the shared word hash.
+    All pure JVM expression trees — one scan, no shuffle."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
+        ta.token_count_ws(F.col("text")).alias("n_ws"),
+        ta.token_count_bpe(F.col("text")).alias("n_bpe"),
         ta.en_stopword_score(F.col("text")).alias("en_score"),
         ta.lang_id(F.col("text")).alias("pred_lang"),
+        ta.quality_score(F.col("text")).alias("quality"),
+        ta.fingerprint(F.col("text")).alias("fp"),
     )
-
-
-@query(
-    "q_quality",
-    rf"""
-    with s as (
-      select doc_id,
-             cast(len({TOKENS}) as double) as n,
-             cast(len(list_distinct({TOKENS})) as double) as d,
-             cast(length(text) as double) as ln,
-             cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as double) as np
-      from documents)
-    select doc_id,
-           case when n > 0 and ln > 0
-                then 0.3 * least(n / 200.0, 1.0) + 0.3 * (d / n) + 0.4 * (1.0 - np / ln)
-                else 0.0 end as quality
-    from s
-    """,
-)
-def q_quality(spark, sf_dir):
-    """Heuristic quality score: identical expression tree both engines."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", ta.quality_score(F.col("text")).alias("quality"))
-
-
-@query(
-    "q_fingerprint",
-    rf"""
-    with t as (select doc_id, unnest({TOKENS}) as w,
-                      generate_subscripts({TOKENS}, 1) as i
-               from documents)
-    select doc_id, cast(sum({H9} * i) % 1000000007 as bigint) as fp
-    from t group by doc_id
-    """,
-)
-def q_fingerprint(spark, sf_dir):
-    """Position-weighted rolling fingerprint on the shared word hash."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -184,8 +186,12 @@ def q_minhash_sig(spark, sf_dir):
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash from the shared word hash — exact oracle."""
-    return dedup.simhash(_docs(spark, sf_dir), "text", bits=16).select("doc_id", "simhash")
+    """16-bit SimHash from the shared word hash — exact oracle.
+    Token-less documents are filtered on the Spark side to mirror the
+    oracle (whose unnest produces no rows for them) — same edge
+    treatment as the minhash band queries."""
+    d = _docs(spark, sf_dir).filter(F.size(ta.tokens(F.col("text"))) > 0)
+    return dedup.simhash(d, "text", bits=16).select("doc_id", "simhash")
 
 
 @query(
@@ -337,40 +343,88 @@ def q_ann_bruteforce(spark, sf_dir):
 
 @query(
     "q_embedding_neardup",
-    """
-    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
-    select a.vec_id as id_a, b.vec_id as id_b,
-           round(list_cosine_similarity(a.v, b.v), 6) as sim
-    from e a join e b on b.vec_id > a.vec_id
-    where round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    f"""
+    with {_BUCKETS_CTE},
+    cand as (select distinct a.vec_id as id_a, c.vec_id as id_b
+             from b a join b c on a.t = c.t and a.bucket = c.bucket
+                              and a.vec_id < c.vec_id)
+    select cand.id_a, cand.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) as sim
+    from cand
+    join e ea on ea.vec_id = cand.id_a
+    join e eb on eb.vec_id = cand.id_b
+    where round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above threshold."""
-    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
-
-
-@query("q_ann_ivf")  # rows-only: approximate by construction
-def q_ann_ivf(spark, sf_dir):
-    """IVF top-k: k-means coarse quantizer (deterministic init +
-    fixed Lloyd iterations), queries probe their 4 nearest of 16
-    posting lists. The corpus-partitioned scale path — cost ~nprobe/
-    nlist of brute force; recall vs brute force pytest-asserted."""
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4, iters=3).orderBy(
-        "q_id", "nb_id"
+    """Embedding-cosine near-duplicate pairs above threshold, blocked
+    through hyperplane-LSH buckets (equi-join on (table, bucket),
+    never an all-pairs product) and exact-verified within buckets.
+    Full value oracle: DuckDB rebuilds the same deterministic planes,
+    bucket table, blocking join, and cosine filter."""
+    return similarity.neardup_pairs_blocked(
+        _emb(spark, sf_dir), dim=EMB_DIM, threshold=0.4,
+        planes=LSH_PLANES, tables=LSH_TABLES,
     )
 
 
-@query("q_ann_lsh")  # rows-only: approximate by construction
-def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed top-k — the 1e9-vector scale path.
-    Deterministic planes, so results are stable run-to-run; recall vs
-    brute force is pytest-asserted."""
+@query(
+    "q_ann_lsh_buckets",
+    f"""
+    with {_BUCKETS_CTE}
+    select vec_id, cast(t as bigint) as t, cast(bucket as bigint) as bucket
+    from b
+    """,
+)
+def q_ann_lsh_buckets(spark, sf_dir):
+    """The deterministic half of hyperplane-LSH top-k under a full
+    value oracle: every vector's (table, bucket) membership — sign
+    bits of projections onto the shared deterministic planes. The
+    end-to-end approximate top-k built on these buckets
+    (similarity.lsh_bucket_topk) keeps its recall floor in pytest."""
+    b = similarity.with_lsh_buckets(
+        _emb(spark, sf_dir), "vec_id", "embedding", EMB_DIM,
+        planes=LSH_PLANES, tables=LSH_TABLES,
+    )
+    return b.select(
+        "vec_id", F.col("t").cast("long").alias("t"), F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+@query(
+    "q_ann_ivf_assign",
+    """
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    c as (select row_number() over (order by vec_id) - 1 as list_id, v
+          from e order by vec_id limit 16),
+    sims as (select e.vec_id, c.list_id,
+                    round(list_sum(list_transform(range(64),
+                                                  d -> e.v[d+1] * c.v[d+1])), 6) as s
+             from e cross join c)
+    select vec_id, cast(list_id as bigint) as list_id
+    from sims
+    qualify row_number() over (partition by vec_id
+                               order by s desc, list_id desc) = 1
+    """,
+)
+def q_ann_ivf_assign(spark, sf_dir):
+    """The deterministic half of IVF under a full value oracle:
+    posting-list assignment of every corpus vector against the seed
+    centroids (the 16 lowest-id vectors — kmeans_train's
+    deterministic init, iters=0). Similarities are rounded to 6
+    digits on both sides so a last-ulp fold difference cannot flip
+    the argmax; ties break to the higher list id in both engines.
+    The Lloyd-refined end-to-end top-k (similarity.ivf_topk) keeps
+    its recall + probe-cost bounds in pytest."""
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 50 == 0)
-    return similarity.lsh_bucket_topk(e, q, dim=64, k=5, planes=3).orderBy("q_id", "nb_id")
+    centroids = similarity.kmeans_train(e, "embedding", "vec_id", nlist=16, iters=0)
+    v = similarity.as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        similarity.assign_nearest_centroid(v, centroids, round_digits=6)
+        .cast("long")
+        .alias("list_id"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -381,28 +435,32 @@ def q_ann_lsh(spark, sf_dir):
 @query(
     "q_multimodal_features",
     """
-    select doc_id, cast(octet_length(encode(text)) as bigint) as n_bytes
+    select doc_id,
+           cast(n_chars % 256 + 1 as bigint) as width,
+           cast(doc_id % 128 + 1 as bigint) as height,
+           cast(octet_length(encode(text)) as bigint) as n_bytes
     from documents
     """,
 )
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column plumbing over real data: utf-8 payload bytes ->
-    Arrow-batched feature extraction (fake_feature stands in for the
-    codec). Oracle checks the byte accounting; feature values are
-    pytest-verified against the pure-python reference."""
+    """REAL multimodal decode over real bytes: each document's utf-8
+    payload is wrapped into a valid BMP file image JVM-side
+    (bmp_column: magic, little-endian header fields, pixel data),
+    then an Arrow-batched pure-python decoder (parse_bmp_header)
+    reads width/height/payload-size back OUT of the bytes. The oracle
+    predicts the header fields from the source columns — a
+    construction or parsing bug on either side breaks the match."""
+    from dask_awkward_sandbox_spark.functions.multimodal import bmp_column, decode_bmp
+
     d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.struct(
-            F.lit("text").alias("kind"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("int").alias("n_frames"),
-        ).alias("meta"),
-    ).withColumnRenamed("doc_id", "media_id")
-
-    from dask_awkward_sandbox_spark.functions.multimodal import extract_features
-
-    feats = extract_features(d)
-    return feats.select(F.col("media_id").alias("doc_id"), F.col("n_bytes"))
+        F.col("doc_id").alias("media_id"),
+        bmp_column(
+            F.col("n_chars") % 256 + 1,
+            F.col("doc_id") % 128 + 1,
+            F.encode(F.col("text"), "utf-8"),
+        ).alias("payload"),
+    )
+    out = decode_bmp(d)
+    return out.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "n_bytes"
+    )

@@ -3,7 +3,10 @@
 Each query exercises a slice of operators/strings.py (the dak.str
 namespace) with a DuckDB oracle computing the same transform
 independently. Full-text outputs are md5-hashed so the comparison is
-exact without hauling long strings through the harness.
+exact without hauling long strings through the harness. Queries are
+consolidated (several operator families per query, one column each)
+so the whole surface fits the driver's correctness gate;
+tests/test_strings_sweep.py additionally drives every function.
 """
 
 from __future__ import annotations
@@ -22,34 +25,14 @@ def _docs(spark, sf_dir):
 
 
 @query(
-    "q_str_basic",
+    "q_str_shape_pad",
     """
     select doc_id,
            upper(substr(text, 1, 20)) as head_u,
            cast(length(text) as bigint) as len,
            reverse(lang) as rlang,
            upper(substr(source, 1, 1)) || lower(substr(source, 2)) as cap_src,
-           repeat(lang, 3) as lang3
-    from documents
-    """,
-)
-def q_str_basic(spark, sf_dir):
-    """lower/upper/capitalize/length/reverse/repeat/slice."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        s.upper(s.slice(F.col("text"), 0, 20)).alias("head_u"),
-        s.length(F.col("text")).alias("len"),
-        s.reverse(F.col("lang")).alias("rlang"),
-        s.capitalize(F.col("source")).alias("cap_src"),
-        s.repeat(F.col("lang"), 3).alias("lang3"),
-    )
-
-
-@query(
-    "q_str_pad_trim",
-    """
-    select doc_id,
+           repeat(lang, 3) as lang3,
            case when length(lang) >= 8 then lang else lpad(lang, 8, '.') end as lp,
            case when length(lang) >= 8 then lang else rpad(lang, 8, '.') end as rp,
            repeat('*', cast(floor(greatest(9 - length(lang), 0) / 2) as int)) || lang ||
@@ -60,11 +43,18 @@ def q_str_basic(spark, sf_dir):
     from documents
     """,
 )
-def q_str_pad_trim(spark, sf_dir):
-    """lpad/rpad/center/ltrim(charset)/trim_whitespace."""
+def q_str_shape_pad(spark, sf_dir):
+    """Case/shape family (lower/upper/capitalize/length/reverse/repeat/
+    slice) + pad/trim family (lpad/rpad/center/ltrim(charset)/
+    trim_whitespace), one column per operator."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
+        s.upper(s.slice(F.col("text"), 0, 20)).alias("head_u"),
+        s.length(F.col("text")).alias("len"),
+        s.reverse(F.col("lang")).alias("rlang"),
+        s.capitalize(F.col("source")).alias("cap_src"),
+        s.repeat(F.col("lang"), 3).alias("lang3"),
         s.lpad(F.col("lang"), 8, ".").alias("lp"),
         s.rpad(F.col("lang"), 8, ".").alias("rp"),
         s.center(F.col("lang"), 9, "*").alias("ctr"),
@@ -74,8 +64,8 @@ def q_str_pad_trim(spark, sf_dir):
 
 
 @query(
-    "q_str_match",
-    """
+    "q_str_match_replace",
+    r"""
     select doc_id,
            cast(starts_with(text, 'the') as int) as sw,
            cast(case when text like '%scan' then 1 else 0 end as int) as ew,
@@ -83,13 +73,18 @@ def q_str_pad_trim(spark, sf_dir):
            cast(len(regexp_extract_all(text, 'jo[a-z]+')) as bigint) as n_jo,
            cast(strpos(text, 'spark') - 1 as bigint) as f_spark,
            cast(regexp_matches(text, 'wind[a-z]+') as int) as m_wind,
-           cast(case when text like '%group%' then 1 else 0 end as int) as lk
+           cast(case when text like '%group%' then 1 else 0 end as int) as lk,
+           md5(replace(text, 'data', 'DATA')) as r_sub,
+           md5(regexp_replace(text, '\s+', '_', 'g')) as r_re,
+           md5('<<' || substr(text, 11)) as r_slice,
+           nullif(regexp_extract(text, '(jo[a-z]+)', 1), '') as ex
     from documents
     """,
 )
-def q_str_match(spark, sf_dir):
-    """starts/ends_with, count_substring(_regex), find_substring,
-    match_substring_regex, match_like."""
+def q_str_match_replace(spark, sf_dir):
+    """Match family (starts/ends_with, count_substring(_regex),
+    find_substring, match_substring_regex, match_like) + replace
+    family (replace_substring(_regex), replace_slice, extract_regex)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -100,50 +95,6 @@ def q_str_match(spark, sf_dir):
         s.find_substring(F.col("text"), "spark").alias("f_spark"),
         s.match_substring_regex(F.col("text"), "wind[a-z]+").cast("int").alias("m_wind"),
         s.match_like(F.col("text"), "%group%").cast("int").alias("lk"),
-    )
-
-
-_TOKENS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)"
-
-
-@query(
-    "q_str_split_join",
-    f"""
-    select doc_id,
-           cast(len({_TOKENS_SQL}) as bigint) as n_tokens,
-           array_to_string(({_TOKENS_SQL})[1:3], '-') as first3,
-           cast(length(array_to_string({_TOKENS_SQL}, ' ')) as bigint) as rejoined_len
-    from documents
-    """,
-)
-def q_str_split_join(spark, sf_dir):
-    """split_whitespace / join / list slice over token arrays."""
-    d = _docs(spark, sf_dir)
-    toks = s.split_whitespace(F.col("text"))
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        s.join(F.slice(toks, 1, 3), "-").alias("first3"),
-        s.length(s.join(toks, " ")).alias("rejoined_len"),
-    )
-
-
-@query(
-    "q_str_replace",
-    r"""
-    select doc_id,
-           md5(replace(text, 'data', 'DATA')) as r_sub,
-           md5(regexp_replace(text, '\s+', '_', 'g')) as r_re,
-           md5('<<' || substr(text, 11)) as r_slice,
-           nullif(regexp_extract(text, '(jo[a-z]+)', 1), '') as ex
-    from documents
-    """,
-)
-def q_str_replace(spark, sf_dir):
-    """replace_substring(_regex), replace_slice, extract_regex."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
         F.md5(s.replace_substring(F.col("text"), "data", "DATA")).alias("r_sub"),
         F.md5(s.replace_substring_regex(F.col("text"), r"\s+", "_")).alias("r_re"),
         F.md5(s.replace_slice(F.col("text"), 0, 10, "<<")).alias("r_slice"),
@@ -151,10 +102,16 @@ def q_str_replace(spark, sf_dir):
     )
 
 
+_TOKENS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)"
+
+
 @query(
-    "q_str_classify",
+    "q_str_split_classify",
     f"""
     select doc_id,
+           cast(len({_TOKENS_SQL}) as bigint) as n_tokens,
+           array_to_string(({_TOKENS_SQL})[1:3], '-') as first3,
+           cast(length(array_to_string({_TOKENS_SQL}, ' ')) as bigint) as rejoined_len,
            cast(regexp_matches(lang, '^[a-zA-Z]+$') as int) as alpha_lang,
            cast(regexp_matches(text, '^[\\x00-\\x7F]*$') as int) as ascii_text,
            cast(case when length(regexp_extract(source, '([0-9]+)', 1)) > 0
@@ -166,12 +123,18 @@ def q_str_replace(spark, sf_dir):
     from documents
     """,
 )
-def q_str_classify(spark, sf_dir):
-    """is_alpha/is_ascii/is_digit/is_lower + is_in/index_in."""
+def q_str_split_classify(spark, sf_dir):
+    """split_whitespace / join / list slice over token arrays +
+    is_alpha/is_ascii/is_digit/is_lower classification + is_in/
+    index_in dictionary membership."""
     d = _docs(spark, sf_dir)
+    toks = s.split_whitespace(F.col("text"))
     digits = F.regexp_extract(F.col("source"), "([0-9]+)", 1)
     return d.select(
         "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        s.join(F.slice(toks, 1, 3), "-").alias("first3"),
+        s.length(s.join(toks, " ")).alias("rejoined_len"),
         s.is_alpha(F.col("lang")).cast("int").alias("alpha_lang"),
         s.is_ascii(F.col("text")).cast("int").alias("ascii_text"),
         s.is_digit(digits).cast("int").alias("digit_src"),

@@ -289,6 +289,49 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "q_money_decimal",
+    f"""
+    select l_returnflag, l_linestatus,
+           cast(cast(sum(cast({_DISC_PRICE_U} as decimal(38,0))) as decimal(38,0))
+                as varchar) as sum_disc_dec,
+           cast(cast(sum(cast({_CHARGE_U} as decimal(38,0))) as decimal(38,0))
+                as varchar) as sum_charge_dec,
+           cast(count(*) as bigint) as n
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def q_money_decimal(spark, sf_dir):
+    """Q1's money aggregates carried in DECIMAL(38,0) end-to-end — the
+    100 TB money-unit contract. A LONG sum of charge units (price_c *
+    (100-disc_c) * (100+tax_c) ~ 1e11/row) overflows 2**63 around 1e8
+    rows, i.e. well inside a 100 TB lineitem; the decimal path is
+    exact to 38 digits and still map-side partial-aggregated (Spark's
+    decimal sum is an algebraic agg, same shuffle shape as the long
+    sum). Per-row units stay LONG (exact, cheap); only the sum widens.
+    Output serializes the decimals as strings: both engines' pandas
+    bridges coerce wide decimals to float64 (lossy past 2^53), so the
+    exact comparison must ride a lossless type."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_u = _disc_price_u(li)
+    charge_u = disc_u * (F.lit(100) + cents(F.col("l_tax")))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(disc_u.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_disc_dec"),
+        F.sum(charge_u.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_charge_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q7_volume_shipping",
     f"""
     select sn.n_name as supp_nation, cn.n_name as cust_nation,

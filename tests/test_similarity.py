@@ -64,3 +64,32 @@ def test_ivf_cost_bound(spark):
     )
     n_lists = assigned.select("list_id").distinct().count()
     assert 1 < n_lists <= 8
+
+
+def test_ivf_indexed_probe_matches_and_prunes(spark):
+    """Materialize-and-reuse IVF: the indexed probe must (a) return
+    exactly what the inline ivf_topk returns for the same quantizer,
+    (b) partition-prune the corpus scan to the probed lists
+    (PartitionFilters on list_id), and (c) never shuffle the corpus
+    side (queries broadcast — no Exchange between scan and join)."""
+    import os
+
+    from dask_awkward_sandbox_spark.functions import similarity
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    path = os.path.join("/root/repo/.scratch", "ivf_index_test")
+    cents = similarity.ivf_write_index(e, path, nlist=16, iters=3)
+
+    probe = similarity.ivf_probe_indexed(spark, path, q, cents, k=5, nprobe=4)
+    inline = similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4, iters=3)
+    got = {(r["q_id"], r["nb_id"]) for r in probe.collect()}
+    want = {(r["q_id"], r["nb_id"]) for r in inline.collect()}
+    assert got == want and got
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # corpus side must go scan -> join without an Exchange
+    assert "SortMergeJoin" not in plan
