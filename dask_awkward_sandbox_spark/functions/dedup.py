@@ -175,9 +175,11 @@ def minhash_dedup_clusters(
             # cut the lineage every few rounds: a pure cache chain grows
             # the logical plan one join-layer per iteration (analyzer
             # cost compounds, and an executor loss recomputes the whole
-            # chain). localCheckpoint materializes AND truncates.
+            # chain). Lazy localCheckpoint truncates at the next action
+            # (the convergence count below) — no extra materialization
+            # job vs the cache path.
             if (it + 1) % 3 == 0:
-                merged = merged.localCheckpoint(eager=True)
+                merged = merged.localCheckpoint(eager=False)
             else:
                 merged = merged.cache()
             changed = merged.filter(F.col("label") != F.col("old")).count()

@@ -235,13 +235,16 @@ def neardup_pairs_blocked(
     norm-precomputed vector table. Vectors broadcast here (corpus is
     a side table); at 1e9 vectors those two joins become ordinary
     shuffle joins on id and stay linear."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables).select(
         id_col, "t", "bucket"
     )
-    a, bb = b.alias("a"), b.alias("b")
+    # spread the streamed side across bucket keys (a single-file scan
+    # is one partition and would enumerate every candidate on one task)
+    a, bb = b.repartition(nparts, "t", "bucket").alias("a"), b.alias("b")
     cand = (
         a.join(
-            bb,
+            F.broadcast(bb),
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

@@ -189,8 +189,10 @@ def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash from the shared word hash — exact oracle.
     Token-less documents are filtered on the Spark side to mirror the
     oracle (whose unnest produces no rows for them) — same edge
-    treatment as the minhash band queries."""
-    d = _docs(spark, sf_dir).filter(F.size(ta.tokens(F.col("text"))) > 0)
+    treatment as the minhash band queries. trim(text) != '' IS the
+    token-less predicate (tokens split on whitespace), without paying
+    a second regex tokenization per row."""
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     return dedup.simhash(d, "text", bits=16).select("doc_id", "simhash")
 
 

@@ -155,8 +155,13 @@ def q_flatten_softmax(spark, sf_dir):
 def q_sort_argsort(spark, sf_dir):
     """ak.sort (descending + list slice: top-2 values per list) and
     ak.argsort (stable first index of the minimum, then fetch that
-    record) in one per-order pass."""
-    it = order_items(spark, sf_dir)
+    record) in one per-order pass.
+
+    Pruned to the two touched fields: sorted VALUES and the argmin
+    item's (ln, qty) outputs are identical under any tie order beyond
+    the (l_linenumber, l_quantity) prefix, so the build only ships
+    those leaves through the shuffle."""
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     q = _qty_c(F.col("items"))
     top2 = F.slice(st.sort(q, ascending=False), 1, 2)
     idx = st.argsort(q)

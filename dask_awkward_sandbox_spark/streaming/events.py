@@ -228,3 +228,55 @@ def run_stream_to_parquet(stream_df: DataFrame, path: str, checkpoint: str):
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_attribution_join(
+    stream: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: attribute each ``then_type`` event
+    to every ``first_type`` event by the same user in the preceding
+    ``within`` window — the canonical attribution shape (view ->
+    purchase), expressed as two watermarked streams over the same
+    source.
+
+    Scale/state contract: both sides carry a watermark and the join
+    condition bounds event-time distance, so Spark evicts buffered
+    rows once the watermark passes their join horizon — state is
+    O(rate x within), never unbounded. The equi-part of the condition
+    (user_id) is the shuffle key; the range part prunes in-state.
+    Inner joins under AvailableNow are exactly the batch interval
+    join, which is the pytest oracle."""
+    v = (
+        stream.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_event"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        stream.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "v_event",
+        "p_event",
+        F.unix_micros("v_ts").alias("v_us"),
+        F.unix_micros("p_ts").alias("p_us"),
+    )

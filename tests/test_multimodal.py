@@ -56,3 +56,61 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(mm.DecodeUnavailable):
         mm.decode_image(b"\x89PNG")
+
+
+def test_bmp_roundtrip_against_python_reference(spark):
+    """bmp_column (JVM binary construction) must produce bytes that a
+    PURE-PYTHON struct.pack reference reproduces exactly, and
+    parse_bmp_header must read the fields back out — hypothesis-style
+    sweep over widths/heights/payload sizes incl. edge values."""
+    import struct
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    def py_bmp(width, height, payload):
+        return (
+            b"BM"
+            + struct.pack("<I", len(payload) + 54)
+            + b"\x00\x00\x00\x00"
+            + struct.pack("<I", 54)
+            + struct.pack("<I", 40)
+            + struct.pack("<ii", width, height)
+            + b"\x01\x00\x18\x00"
+            + struct.pack("<I", 0)
+            + struct.pack("<I", len(payload))
+            + struct.pack("<I", 2835) * 2
+            + struct.pack("<I", 0) * 2
+            + payload
+        )
+
+    cases = [
+        (1, 1, b""),
+        (255, 1, b"x"),
+        (256, 128, b"hello world"),
+        (65537, 300, bytes(range(256))),
+        (12345, 4096, b"\x00" * 100),
+    ]
+    df = spark.createDataFrame(
+        [(i, w, h, p) for i, (w, h, p) in enumerate(cases)],
+        "media_id long, w int, h int, payload binary",
+    ).select(
+        "media_id",
+        mm.bmp_column(F.col("w"), F.col("h"), F.col("payload")).alias("payload"),
+    )
+    got = {r["media_id"]: bytes(r["payload"]) for r in df.collect()}
+    for i, (w, h, p) in enumerate(cases):
+        assert got[i] == py_bmp(w, h, p), f"case {i}: JVM bytes != python reference"
+        assert mm.parse_bmp_header(got[i]) == (w, h, len(p))
+
+    out = {r["media_id"]: r for r in mm.decode_bmp(df).collect()}
+    for i, (w, h, p) in enumerate(cases):
+        assert (out[i]["width"], out[i]["height"], out[i]["n_bytes"]) == (w, h, len(p))
+
+
+def test_parse_bmp_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    with _pytest.raises(ValueError):
+        mm.parse_bmp_header(b"\x89PNG" + b"\x00" * 60)

@@ -229,3 +229,47 @@ def test_enrich_with_dim_and_parquet_sink(spark):
     assert "tier" in back.columns
     got = {r["user_id"]: r["tier"] for r in back.select("user_id", "tier").distinct().collect()}
     assert all(t == ("a" if uid % 2 == 0 else "b") for uid, t in got.items())
+
+
+def test_stream_stream_attribution_join(spark):
+    """Watermarked stream-stream interval join (view -> purchase
+    within 30 min) must equal the batch interval join over the same
+    events."""
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_dir,
+        stream_stream_attribution_join,
+    )
+
+    path = _write_stream_input(spark)
+    stream = stream_events_from_dir(spark, path)
+    out = stream_stream_attribution_join(stream)
+    assert out.isStreaming
+    name = run_stream_to_memory(out, "attrib", output_mode="append")
+    got = {
+        (r["user_id"], r["v_event"], r["p_event"])
+        for r in spark.table(name).collect()
+    }
+
+    e = read(spark, SF, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_event"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r["v_user"], r["v_event"], r["p_event"])
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got and got == want
