@@ -372,3 +372,80 @@ def q7_volume_shipping(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.sum(rev).alias("revenue_u"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H-style surface — tests-only (the registry is capped at
+# the driver's 50-slot gate); oracle-checked in tests/test_tpch_extra.py.
+# Adapted to the testdata's columns (no partsupp/commitdate/shipmode).
+# ---------------------------------------------------------------------------
+
+
+def q4_priority_semi(spark, sf_dir):
+    """TPC-H Q4 shape: order counts by priority for orders having at
+    least one returned lineitem — a LEFT SEMI join (exists), which
+    Spark executes as a semi hash join on orderkey: the fact shuffles
+    once, no row multiplication, no distinct needed."""
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    sj = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+    return sj.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one ship-month. part is the
+    broadcast dim; the month filter pushes to the lineitem scan. The
+    ratio is computed from exact integer unit sums with the same
+    expression both engines."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = _disc_price_u(j)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return j.agg(
+        F.sum(promo).alias("promo_u"),
+        F.sum(rev).alias("total_u"),
+        (F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct"),
+    )
+
+
+def q16_supplier_breadth(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type-prefix)
+    from the lineitem-part join — exercises count(distinct) (Spark
+    expands it to a two-level aggregate: partial distinct per
+    partition, then exact merge — no naive row explosion)."""
+    li = read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.substring("p_type", 1, 6).alias("p_type6")
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand", "p_type6").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of
+    (brand, size-range, qty-range) branches. Catalyst pushes the
+    common conjuncts and keeps the OR as one scan predicate — one pass
+    over lineitem, part broadcast, no union-of-three-scans."""
+    li = read(spark, sf_dir, "lineitem")
+    p = read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (qty >= 1) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (qty >= 10) & (qty <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (qty >= 20) & (qty <= 40))
+    )
+    f = j.filter(cond)
+    return f.agg(
+        F.sum(_disc_price_u(f)).alias("revenue_u"), F.count(F.lit(1)).alias("n")
+    )
