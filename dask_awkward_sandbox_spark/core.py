@@ -50,12 +50,14 @@ def map_partitions(
 def repartition(df: DataFrame, num_partitions: int, shuffle: bool | None = None) -> DataFrame:
     """Change partition count. ``shuffle=False`` coalesces (narrow, no
     shuffle — only valid when shrinking), ``shuffle=True`` forces a
-    round-robin exchange; the default infers from the session's
-    shuffle-partition setting WITHOUT touching ``df.rdd`` (an RDD
-    conversion re-analyzes the plan and drops out of AQE)."""
+    round-robin exchange; the default inspects the DataFrame's ACTUAL
+    partition count and coalesces only when provably shrinking —
+    coalesce cannot grow, so guessing from session conf could silently
+    return the original count. The inspection plans (not runs) the
+    query via ``df.rdd``; pass ``shuffle`` explicitly to skip it."""
     if shuffle is None:
-        current = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        shuffle = num_partitions >= current
+        current = df.rdd.getNumPartitions()
+        shuffle = num_partitions > current
     if not shuffle:
         return df.coalesce(num_partitions)
     return df.repartition(num_partitions)

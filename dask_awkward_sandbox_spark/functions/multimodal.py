@@ -77,9 +77,13 @@ BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
 
 def _le4(col):
     """Serialize an int column as 4 little-endian bytes, JVM-side:
-    per-byte hex + unhex — no UDF."""
+    per-byte hex + unhex — no UDF. ``pmod`` (not ``%``) keeps each
+    byte in [0,255] for NEGATIVE values too (Spark ``%`` keeps the
+    dividend sign; hex of a negative long is 16 chars and lpad would
+    keep the wrong end) — so two's-complement ints like a top-down
+    BMP's negative height serialize correctly."""
     parts = [
-        F.lpad(F.hex(F.shiftright(col.cast("long"), 8 * i) % 256), 2, "0")
+        F.lpad(F.hex(F.pmod(F.shiftright(col.cast("long"), 8 * i), F.lit(256))), 2, "0")
         for i in range(4)
     ]
     return F.unhex(F.concat(*parts))

@@ -118,7 +118,7 @@ WATERMARK_US = 3600 * 1_000_000  # sessionize_stateful's 1-hour watermark
     s as (select user_id, sess, min(tus) as session_start_us,
                  max(tus) as last_us, cast(count(*) as bigint) as n_events
           from g group by user_id, sess),
-    wm as (select max(epoch_us(ts)) - {WATERMARK_US} as w from events)
+    wm as (select (max(epoch_us(ts)) // 1000) * 1000 - {WATERMARK_US} as w from events)
     select user_id, cast(session_start_us as bigint) as session_start_us, n_events
     from s, wm
     where last_us + {SESSION_GAP_US} <= wm.w
@@ -133,10 +133,22 @@ def q_stream_sessionize(spark, sf_dir):
 
     Deterministic because the emission contract is watermark-final: a
     session is emitted iff last_event + gap <= final_watermark
-    (= max event time - 1h), independent of micro-batch boundaries —
-    the oracle computes exactly that set relationally. Single staged
-    file keeps the replay one data batch + one timeout batch."""
+    (= ms-floored max event time - 1h — Spark truncates event times to
+    milliseconds before subtracting the delay, and the oracle floors
+    identically so a sub-millisecond boundary can't flip a session),
+    independent of micro-batch boundaries — the oracle computes exactly
+    that set relationally.
+
+    The replay is deliberately OUT OF ORDER: file 1 holds every event
+    except a deferred slice from the last (watermark - 10min) of the
+    timeline, file 2 (older mtime ordering, one file per trigger)
+    delivers that slice late. Every deferred event is admissible (its
+    time is >= final watermark + 10min), so the stateful operator must
+    merge them into already-buffered sessions — the driver oracle
+    itself exercises the late-merge path, and the final emitted set is
+    unchanged because emission is watermark-final."""
     import os
+    import time
 
     from dask_awkward_sandbox_spark.streaming import sessionize_stateful
     from dask_awkward_sandbox_spark.streaming.events import (
@@ -147,11 +159,24 @@ def q_stream_sessionize(spark, sf_dir):
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = os.path.join("/root/repo/.scratch", tag, "stream_sessionize_json")
     e = read(spark, sf_dir, "events")
-    e.repartition(1).write.mode("overwrite").option(
+    tus = F.unix_micros(F.col("ts"))
+    max_us = e.agg(F.max(tus)).collect()[0][0]
+    # deferred slice: strictly inside (final_watermark + 10min,
+    # max - 1min] so batch 1 still carries the stream-head event (the
+    # watermark never regresses) and no deferred row is droppable late
+    lo, hi = max_us - WATERMARK_US + 600_000_000, max_us - 60_000_000
+    deferred = (tus >= lo) & (tus <= hi) & (F.col("event_id") % 7 == 0)
+    e.filter(~deferred).repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+    time.sleep(1.2)  # file source orders by mtime: late file strictly second
+    e.filter(deferred).repartition(1).write.mode("append").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
 
-    out = sessionize_stateful(stream_events_from_dir(spark, path))
+    out = sessionize_stateful(
+        stream_events_from_dir(spark, path, max_files_per_trigger=1)
+    )
     q = (
         out.writeStream.format("memory")
         .queryName("q_stream_sessionize_sink")

@@ -89,6 +89,10 @@ def test_bmp_roundtrip_against_python_reference(spark):
         (256, 128, b"hello world"),
         (65537, 300, bytes(range(256))),
         (12345, 4096, b"\x00" * 100),
+        # top-down BMPs carry a NEGATIVE height — two's-complement
+        # little-endian serialization must hold (pmod, not %, in _le4)
+        (64, -48, b"topdown"),
+        (2, -2, b"ab"),
     ]
     df = spark.createDataFrame(
         [(i, w, h, p) for i, (w, h, p) in enumerate(cases)],

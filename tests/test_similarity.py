@@ -90,6 +90,7 @@ def test_ivf_indexed_probe_matches_and_prunes(spark):
 
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # corpus side must go scan -> join without an Exchange
     assert "SortMergeJoin" not in plan

@@ -77,7 +77,11 @@ def _batch_sessions(spark, df):
         F.max("tus").alias("last_us"),
         F.count(F.lit(1)).alias("n"),
     )
-    wm = df.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - WATERMARK_US
+    # Spark truncates the max event time to MILLISECONDS before
+    # subtracting the watermark delay — floor identically or a session
+    # ending in the sub-ms window flips between engines
+    max_us = df.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm = (max_us // 1000) * 1000 - WATERMARK_US
     closed = per.filter(F.col("last_us") + SESSION_GAP_US <= wm)
     return {(r["user_id"], r["start_us"]): r["n"] for r in closed.collect()}
 
