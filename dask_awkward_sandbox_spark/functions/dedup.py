@@ -277,13 +277,20 @@ def simhash_neardups(df: DataFrame, text_col: str, id_col: str, max_hamming: int
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, n: int = 1
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, n: int = 1,
+    small_candidates: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
 
-    ``n=1`` is bag-of-words; ``n>=2`` builds shingles scan-side. The
-    candidate table is the (small) LSH output — broadcast it.
-    """
+    ``n=1`` is bag-of-words; ``n>=2`` builds shingles scan-side.
+
+    The candidate table is LSH output, which on a boilerplate-heavy
+    corpus is O(sum bucket^2) — potentially corpus-sized — so it is
+    NOT hinted by default: the id-equi joins let AQE broadcast from
+    runtime size when the candidates really are small, and degrade to
+    linear shuffle joins when they are not. ``small_candidates=True``
+    opts into the pinned broadcast plan when the caller knows the
+    candidate set is bounded."""
     toks = tokens(F.col(text_col))
     if n > 1:
         sz = F.size(toks)
@@ -294,8 +301,9 @@ def ngram_jaccard_pairs(
     else:
         grams = toks
     gs = df.select(F.col(id_col).alias("doc"), F.array_distinct(grams).alias("grams"))
+    cand = F.broadcast(pairs) if small_candidates else pairs
     j = (
-        F.broadcast(pairs)
+        cand
         .join(gs.withColumnRenamed("doc", "id_a").withColumnRenamed("grams", "ga"), "id_a")
         .join(gs.withColumnRenamed("doc", "id_b").withColumnRenamed("grams", "gb"), "id_b")
     )

@@ -211,6 +211,7 @@ def neardup_pairs_blocked(
     planes: int = 3,
     tables: int = 4,
     round_digits: int = 6,
+    small_corpus: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via hyperplane-LSH blocking: candidates are
     pairs sharing a (table, bucket); exact cosine verifies each
@@ -232,19 +233,35 @@ def neardup_pairs_blocked(
     per-pair verification uniformly across cores, immune to the
     quadratic per-bucket key skew) — and the exact cosine then runs
     once per distinct pair via two slim joins back to the
-    norm-precomputed vector table. Vectors broadcast here (corpus is
-    a side table); at 1e9 vectors those two joins become ordinary
-    shuffle joins on id and stay linear."""
+    norm-precomputed vector table.
+
+    Broadcast policy: every joined table here is CORPUS-derived
+    (bucket membership = |corpus| x tables rows; the vector table =
+    |corpus| rows of dim doubles), so hard broadcast hints would be an
+    executor OOM at 1e9 vectors — a hint overrides AQE's size logic.
+    The default plans plain equi-joins and lets AQE pick broadcast
+    from the RUNTIME size when a side is genuinely small, degrading to
+    linear shuffle joins at scale. ``small_corpus=True`` is the
+    explicit opt-in that pins the r2-era broadcast plan for corpora
+    the caller KNOWS fit in an executor (skips three exchanges)."""
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables).select(
         id_col, "t", "bucket"
     )
-    # spread the streamed side across bucket keys (a single-file scan
-    # is one partition and would enumerate every candidate on one task)
-    a, bb = b.repartition(nparts, "t", "bucket").alias("a"), b.alias("b")
+    if small_corpus:
+        # spread the streamed side across bucket keys (a single-file
+        # scan is one partition, and a broadcast join inherits the
+        # streamed side's partitioning — every candidate would
+        # enumerate on one task); the build side broadcasts
+        a = b.repartition(nparts, "t", "bucket").alias("a")
+        bb = F.broadcast(b.alias("b"))
+    else:
+        # both sides exchange on the equi keys — Catalyst spreads the
+        # scan, AQE upgrades to broadcast only if runtime stats allow
+        a, bb = b.alias("a"), b.alias("b")
     cand = (
         a.join(
-            F.broadcast(bb),
+            bb,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -259,8 +276,10 @@ def neardup_pairs_blocked(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
     va, vb = vt.alias("va"), vt.alias("vb")
-    j = cand.join(F.broadcast(va), F.col("id_a") == F.col("va._vid")).join(
-        F.broadcast(vb), F.col("id_b") == F.col("vb._vid")
+    if small_corpus:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    j = cand.join(va, F.col("id_a") == F.col("va._vid")).join(
+        vb, F.col("id_b") == F.col("vb._vid")
     )
     sim = F.round(
         cosine_from_norms(
