@@ -17,20 +17,25 @@ import time
 
 # r2 renames (see BASELINE.md for the r01-name mapping): q_with_field
 # -> q_zip_with_field, q_sort -> q_sort_argsort, q_combinations ->
-# q_cartesian_combinations, q_str_split_join -> q_str_split_classify,
-# q_token_count + q_fingerprint -> q_text_metrics, q_ann_ivf ->
-# q_ann_ivf_assign; q_embedding_neardup (LSH-blocked) newly tracked.
+# q_cartesian_combinations, q_token_count + q_fingerprint ->
+# q_text_metrics, q_ann_ivf -> q_ann_ivf_assign; q_embedding_neardup
+# (LSH-blocked) newly tracked.
+# r3 merges: q_reduce_sum folded into q_reduce_order_count;
+# q_str_split_classify (+shape_pad +match_replace) folded into the
+# single-scan q_str_surface; q_window_funcs + q16_supplier_breadth
+# newly tracked.
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q18_large_orders",
-    "q_reduce_sum",
+    "q16_supplier_breadth",
+    "q_reduce_order_count",
     "q_zip_with_field",
     "q_sort_argsort",
     "q_cartesian_combinations",
-    "q_str_split_classify",
+    "q_str_surface",
     "q_text_metrics",
     "q_minhash_sig",
     "q_dedup_minhash_clusters",
@@ -40,6 +45,7 @@ HEADLINERS = [
     "q_ann_ivf_assign",
     "q_events_sessionize",
     "q_events_windowed",
+    "q_window_funcs",
 ]
 
 

@@ -96,6 +96,54 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+_VC = "cast(round(value*100) as bigint)"
+
+
+@query(
+    "q_window_funcs",
+    f"""
+    select user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) over w as prev_gap_us,
+           lead(epoch_us(ts)) over w - epoch_us(ts) as next_gap_us,
+           cast(row_number() over w as bigint) as rn,
+           cast(ntile(4) over w as bigint) as nt,
+           cast(rank() over v as bigint) as rk,
+           cast(dense_rank() over v as bigint) as dr
+    from events
+    window w as (partition by user_id order by ts, event_id),
+           v as (partition by user_id order by {_VC} desc)
+    """,
+)
+def q_window_funcs(spark, sf_dir):
+    """The window-function operator family (operators/windows.py) in
+    one pass over events: lag/lead (inter-event gaps), row_number and
+    ntile over the time order, rank/dense_rank over the value order —
+    tie semantics exercised for real (value cents repeat within a
+    user, so rank gaps vs dense ranks diverge).
+
+    Scale shape: both specs partition by user_id, so the whole query
+    is ONE hash shuffle on user_id; the second ORDER BY only adds a
+    per-partition sort. No global window anywhere (plan-asserted in
+    tests/test_plans.py)."""
+    from dask_awkward_sandbox_spark.operators import windows as win
+
+    e = read(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts"))
+    vc = cents(F.col("value"))
+    w = win.window_spec(["user_id"], ["ts", "event_id"])
+    v = win.window_spec(["user_id"], [vc.desc()])
+    return e.select(
+        "user_id",
+        "event_id",
+        (tus - win.lag(tus, w)).alias("prev_gap_us"),
+        (win.lead(tus, w) - tus).alias("next_gap_us"),
+        win.row_number(w).cast("long").alias("rn"),
+        win.ntile(4, w).cast("long").alias("nt"),
+        win.rank(v).cast("long").alias("rk"),
+        win.dense_rank(v).cast("long").alias("dr"),
+    )
+
+
 WATERMARK_US = 3600 * 1_000_000  # sessionize_stateful's 1-hour watermark
 
 

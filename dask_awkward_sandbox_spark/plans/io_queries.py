@@ -1,11 +1,15 @@
 """IO-surface queries: parquet/json/text roundtrips, from_lists,
-to_dataframe, unflatten.
+to_dataframe, sample, unflatten.
 
 Roundtrip pattern: the Spark side WRITES derived data to a scratch
 dir, reads it back through the io/ module, and computes a summary;
 the oracle computes the same summary straight from the source views.
 A roundtrip bug (schema drift, lost rows, mangled nesting) breaks the
 match.
+
+Queries are consolidated (one slot covers several IO surfaces, one
+column-group each) so the whole §2 surface fits the driver's 50-slot
+correctness gate.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from dask_awkward_sandbox_spark.inspect import sample
 from dask_awkward_sandbox_spark.io import (
     from_json,
     from_lists,
@@ -40,48 +45,97 @@ def _scratch(sf_dir: str, name: str) -> str:
     "q_parquet_roundtrip",
     """
     select l_orderkey, cast(count(*) as bigint) as n_items,
-           cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c
+           cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c,
+           cast(count(*) as bigint) as flat_n,
+           cast(sum(l_linenumber) as bigint) as flat_sum_ln
     from lineitem group by l_orderkey
     """,
 )
 def q_parquet_roundtrip(spark, sf_dir):
     """Nested array<struct> -> parquet -> read back (with column
-    projection) -> reduce. Exercises nested parquet write/read and
-    read-side schema pruning."""
+    projection) -> reduce; exercises nested parquet write/read and
+    read-side schema pruning. The SAME read-back frame then goes
+    through ``to_dataframe`` (explode + struct flattening, the
+    dd.DataFrame conversion) and re-aggregates — the flat_* columns
+    only match if the flatten is lossless."""
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
     back = from_parquet(spark, path, columns=["l_orderkey", "items"])
     q = fld_map(F.col("items"), "l_quantity", cents)
-    return back.select(
+    nested_side = back.select(
         "l_orderkey",
         st.num(F.col("items")).alias("n_items"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_qty_c"),
     )
+    flat = to_dataframe(back, explode_col="items")
+    flat_side = flat.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("flat_n"),
+        F.sum(F.col("items_l_linenumber").cast("long")).alias("flat_sum_ln"),
+    )
+    return nested_side.join(flat_side, "l_orderkey")
 
 
-@query(
-    "q_json_io",
+_LISTS_ROWS = [
+    (1, [1.0, 2.0, 3.0]),
+    (2, []),
+    (3, [5.0, None]),
+    (4, None),
+    (5, [7.5]),
+]
+
+# sample(factor) leg: an 11-row single-partition frame, so the
+# per-partition every-Nth contract has a closed-form oracle (positions
+# 0,3,6,9 -> ids 1,4,7,10)
+_SAMPLE_IDS = list(range(1, 12))
+
+_SMALL_SOURCES_ORACLE = """
+    with j as (
+      select event_type, cast(count(*) as bigint) as n,
+             cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c,
+             cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint)
+               as sum_k,
+             cast(sum(try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint)
+               as sum_k2,
+             cast(count(case when try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)
+                             is null then 1 end) as bigint) as n_unparseable
+      from events group by event_type),
+    d as (select cast(count(*) as bigint) as n_lines,
+                 cast(sum(length(text)) as bigint) as total_chars,
+                 cast(min(length(text)) as bigint) as min_len
+          from documents),
+    l as (select cast(4 as bigint) as n_lists,
+                 cast(6 as bigint) as total_items,
+                 cast(18.5 as double) as sum_v_total),
+    s as (select cast(4 as bigint) as n_sampled, cast(22 as bigint) as sum_sampled)
+    select j.*, d.*, l.*, s.*
+    from j cross join d cross join l cross join s
+"""
+
+
+@query("q_small_sources", _SMALL_SOURCES_ORACLE)
+def q_small_sources(spark, sf_dir):
+    """Small-source surface in one slot, per-event-type granularity on
+    the meatiest leg:
+
+    - events -> line-delimited JSON -> schema-ed from_json read ->
+      aggregate. The semi-structured props column rides through the
+      roundtrip and is decoded twice: a real F.from_json (schema'd JVM
+      parse) and ak.strings_astype (elementwise try_cast, null on
+      failure); the oracle regex-extracts the same numbers straight
+      from the source view — independent parses, same values.
+    - from_lists with ragged/None edges (empty list, null element,
+      null list — the option-type semantics), aggregated to totals.
+    - documents.text -> plain text file -> from_text line stats (doc
+      texts contain no newlines, so lines == documents).
+    - sample(factor=3) per-partition decimation over a single-partition
+      from_lists frame (closed-form positions).
+
+    The 1-row aggregates broadcast-cross onto the per-event-type frame.
     """
-    select event_type, cast(count(*) as bigint) as n,
-           cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c,
-           cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint)
-             as sum_k,
-           cast(sum(try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)) as bigint)
-             as sum_k2,
-           cast(count(case when try_cast(regexp_extract(props, '([0-9]+)', 1) as bigint)
-                           is null then 1 end) as bigint) as n_unparseable
-    from events group by event_type
-    """,
-)
-def q_json_io(spark, sf_dir):
-    """events -> line-delimited JSON -> schema-ed read -> aggregate.
-    The semi-structured props column rides through the roundtrip and
-    is decoded twice on the Spark side: a real from_json (schema'd
-    JVM parse) and ak.strings_astype (elementwise try_cast of digit
-    strings, null on failure); the oracle regex-extracts the same
-    numbers straight from the source view — independent parses, same
-    values."""
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    # JSON roundtrip (per-event-type)
     e = read(spark, sf_dir, "events").select(
         "event_id", "event_type", cents(F.col("value")).alias("value_c"), "props"
     )
@@ -93,9 +147,9 @@ def q_json_io(spark, sf_dir):
     k = F.from_json(F.col("props"), "k long")["k"]
     digits = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
     k2 = F.get(st.strings_astype(F.array(digits), "long"), 0)
-    return back.select("event_type", "value_c", k.alias("k"), k2.alias("k2")).groupBy(
-        "event_type"
-    ).agg(
+    json_side = back.select(
+        "event_type", "value_c", k.alias("k"), k2.alias("k2")
+    ).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value_c").alias("sum_value_c"),
         F.sum("k").alias("sum_k"),
@@ -103,74 +157,38 @@ def q_json_io(spark, sf_dir):
         F.count(F.when(F.col("k2").isNull(), 1)).alias("n_unparseable"),
     )
 
-
-_LISTS_ROWS = [
-    (1, [1.0, 2.0, 3.0]),
-    (2, []),
-    (3, [5.0, None]),
-    (4, None),
-    (5, [7.5]),
-]
-
-_SMALL_SOURCES_ORACLE = """
-    with t(id, n_items, sum_v) as (values
-      (1, 3, 6.0), (2, 0, 0.0), (3, 2, 5.0), (4, null, null), (5, 1, 7.5)),
-    d as (select cast(count(*) as bigint) as n_lines,
-                 cast(sum(length(text)) as bigint) as total_chars,
-                 cast(min(length(text)) as bigint) as min_len
-          from documents)
-    select cast(id as bigint) as id, cast(n_items as bigint) as n_items,
-           cast(sum_v as double) as sum_v,
-           d.n_lines, d.total_chars, d.min_len
-    from t cross join d
-"""
-
-
-@query("q_small_sources", _SMALL_SOURCES_ORACLE)
-def q_small_sources(spark, sf_dir):
-    """from_lists with ragged/None edges (empty list, null element,
-    null list — the option-type semantics) x from_text (documents.text
-    -> plain text file -> line stats; doc texts contain no newlines,
-    so lines == documents). The 1-row text aggregate broadcast-crosses
-    onto the 5-row lists frame."""
-    from dask_awkward_sandbox_spark.operators import reducers as red
-
+    # from_text line stats (1 row)
     d = read(spark, sf_dir, "documents")
-    path = _scratch(sf_dir, "docs_text")
-    to_text(d, "text", path)
-    lines = from_text(spark, path)
+    tpath = _scratch(sf_dir, "docs_text")
+    to_text(d, "text", tpath)
+    lines = from_text(spark, tpath)
     text_stats = lines.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("value")).alias("total_chars"),
         F.min(F.length("value")).alias("min_len"),
     )
 
-    df = from_lists(spark, _LISTS_ROWS, "id long, v array<double>", num_partitions=2)
-    lists = df.select(
-        "id",
-        st.num(F.col("v")).alias("n_items"),
-        F.when(F.col("v").isNotNull(), red.sum(F.col("v"))).alias("sum_v"),
+    # from_lists option-type edges (1 row of totals)
+    lists = from_lists(spark, _LISTS_ROWS, "id long, v array<double>", num_partitions=2)
+    list_stats = lists.agg(
+        F.count(F.col("v")).alias("n_lists"),
+        F.sum(st.num(F.col("v"))).alias("total_items"),
+        F.sum(F.when(F.col("v").isNotNull(), red.sum(F.col("v")))).alias("sum_v_total"),
     )
-    return lists.crossJoin(F.broadcast(text_stats))
 
+    # sample(factor) decimation (1 row). spark.range pins ONE ordered
+    # partition with no shuffle (from_lists' num_partitions goes
+    # through a round-robin repartition, which does not preserve the
+    # row order the every-Nth contract is defined over)
+    ids = spark.range(_SAMPLE_IDS[0], _SAMPLE_IDS[-1] + 1, 1, 1)
+    sample_stats = sample(ids, factor=3).agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("id").alias("sum_sampled")
+    )
 
-@query(
-    "q_to_dataframe",
-    """
-    select l_orderkey, cast(l_linenumber as bigint) as items_l_linenumber,
-           cast(round(l_quantity*100) as bigint) as qty_c
-    from lineitem
-    """,
-)
-def q_to_dataframe(spark, sf_dir):
-    """Nested collection -> flat columnar frame (explode + struct
-    flattening), the dd.DataFrame conversion."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
-    flat = to_dataframe(it, explode_col="items")
-    return flat.select(
-        "l_orderkey",
-        F.col("items_l_linenumber").cast("long").alias("items_l_linenumber"),
-        cents(F.col("items_l_quantity")).alias("qty_c"),
+    return (
+        json_side.crossJoin(F.broadcast(text_stats))
+        .crossJoin(F.broadcast(list_stats))
+        .crossJoin(F.broadcast(sample_stats))
     )
 
 

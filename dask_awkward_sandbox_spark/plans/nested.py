@@ -278,26 +278,56 @@ def q_run_lengths(spark, sf_dir):
                  cast(row_number() over (partition by l_orderkey
                                          order by {ORD}) - 1 as bigint) as idx,
                  {QC} as qty_c
-          from lineitem)
+          from lineitem),
+    b as (select l_orderkey,
+                 cast(count(*) as bigint) as ones_n,
+                 cast(7*count(*) as bigint) as full7_sum,
+                 cast(0 as bigint) as zeros_sum,
+                 cast(count(*) as bigint) as n_close,
+                 cast(0 as bigint) as n_far,
+                 cast(sum({QC}) - 5 as bigint) as nanfix_sum
+          from lineitem group by l_orderkey)
     select g.l_orderkey, i.idx, v.qty_c as qty_c,
-           coalesce(v.qty_c, -1) as qty_f
+           coalesce(v.qty_c, -1) as qty_f,
+           b.ones_n, b.full7_sum, b.zeros_sum, b.n_close, b.n_far, b.nanfix_sum
     from g cross join i
     left join v on v.l_orderkey = g.l_orderkey and v.idx = i.idx
+    join b on b.l_orderkey = g.l_orderkey
     """,
 )
 def q_pad_fill_none(spark, sf_dir):
     """ak.pad_none(target=4, clip=True) — fixed-width view with nulls —
-    and ak.fill_none over the same padded list, exploded side by side."""
+    and ak.fill_none over the same padded list, exploded side by side;
+    plus the elementwise like/close family as per-order legs:
+    ak.ones_like / full_like / zeros_like (shape-preserving fills,
+    reduced back to counts), ak.isclose under both a passing and a
+    failing atol, and ak.nan_to_num over a list with a planted NaN
+    (sqrt(-1)) replaced by -5 before summing."""
     it = order_items(spark, sf_dir)
-    padded = st.pad_none(_qty_c(F.col("items")), 4, clip=True)
+    q = _qty_c(F.col("items"))
+    qd = F.transform(q, lambda x: x.cast("double"))
+    padded = st.pad_none(q, 4, clip=True)
     filled = st.fill_none(padded, F.lit(-1).cast("long"))
     z = F.arrays_zip(padded.alias("qty_c"), filled.alias("qty_f"))
-    ex = it.select("l_orderkey", F.posexplode_outer(z).alias("idx", "p"))
+    shifted = F.transform(qd, lambda x: x + 0.5)
+    n_true = lambda bools: F.size(F.filter(bools, lambda b: b))  # noqa: E731
+    with_nan = F.concat(qd, F.array(F.sqrt(F.lit(-1.0))))
+    ex = it.select(
+        "l_orderkey",
+        F.posexplode_outer(z).alias("idx", "p"),
+        red.sum(st.ones_like(q)).cast("long").alias("ones_n"),
+        red.sum(st.full_like(q, 7.0)).cast("long").alias("full7_sum"),
+        red.sum(st.zeros_like(q)).cast("long").alias("zeros_sum"),
+        n_true(st.isclose(qd, shifted, rtol=0.0, atol=0.6)).cast("long").alias("n_close"),
+        n_true(st.isclose(qd, shifted, rtol=0.0, atol=0.4)).cast("long").alias("n_far"),
+        red.sum(st.nan_to_num(with_nan, nan=-5.0)).cast("long").alias("nanfix_sum"),
+    )
     return ex.select(
         "l_orderkey",
         F.col("idx").cast("long").alias("idx"),
         F.col("p")["qty_c"].alias("qty_c"),
         F.col("p")["qty_f"].alias("qty_f"),
+        "ones_n", "full7_sum", "zeros_sum", "n_close", "n_far", "nanfix_sum",
     )
 
 
@@ -305,21 +335,32 @@ def q_pad_fill_none(spark, sf_dir):
     "q_concatenate",
     f"""
     select l_returnflag, cast(count(*) as bigint) as n,
-           cast(sum({QC}) as bigint) as sum_qty_c
+           cast(sum({QC}) as bigint) as sum_qty_c,
+           cast(count(case when l_quantity > 30 then 1 end) as bigint) as n_high_qty,
+           cast(count(case when l_quantity > 30 then 1 end)
+                + count(case when l_discount > 0.05 then 1 end) as bigint) as n_cat2
     from lineitem group by l_returnflag
     """,
 )
 def q_concatenate(spark, sf_dir):
     """ak.concatenate axis=0: union of two disjoint filtered halves
-    recovers the whole (metadata-only union, no shuffle)."""
+    recovers the whole (metadata-only union, no shuffle); plus
+    ak.singletons (non-null scalar -> 1-list, null -> empty list) and
+    ak.concatenate axis=1 (elementwise list append) — the per-row
+    list lengths aggregate to the non-null counts."""
     li = read(spark, sf_dir, "lineitem")
     cut = F.lit("1998-01-01").cast("timestamp")
     lo = li.filter(F.col("l_shipdate") < cut)
     hi = li.filter(F.col("l_shipdate") >= cut)
     both = st.concatenate([lo, hi])
+    s_qty = st.singletons(F.when(F.col("l_quantity") > 30, cents(F.col("l_quantity"))))
+    s_disc = st.singletons(F.when(F.col("l_discount") > 0.05, cents(F.col("l_discount"))))
+    cat2 = st.concatenate_axis1([s_qty, s_disc])
     return both.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(F.size(s_qty)).alias("n_high_qty"),
+        F.sum(F.size(cat2)).alias("n_cat2"),
     )
 
 
@@ -329,34 +370,13 @@ def q_concatenate(spark, sf_dir):
 
 
 @query(
-    "q_reduce_sum",
-    f"""
-    select l_orderkey, cast(sum({QC}) as bigint) as sum_qty_c,
-           cast(sum({PC}) as bigint) as sum_price_c,
-           cast(round(exp(sum(ln(greatest({DC}, 1))))) as bigint) as prod_disc_c
-    from lineitem group by l_orderkey
-    """,
-)
-def q_reduce_sum(spark, sf_dir):
-    """ak.sum / ak.prod (axis=1). prod oracle via exp-sum-log of exact
-    ints, rounded back to the exact integer product."""
-    it = order_items(
-        spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
-    )
-    prod_in = F.transform(_disc_c(F.col("items")), lambda x: F.greatest(x, F.lit(1)))
-    return it.select(
-        "l_orderkey",
-        red.sum(_qty_c(F.col("items"))).cast("long").alias("sum_qty_c"),
-        red.sum(_price_c(F.col("items"))).cast("long").alias("sum_price_c"),
-        F.round(red.prod(prod_in)).cast("long").alias("prod_disc_c"),
-    )
-
-
-@query(
     "q_reduce_order_count",
     f"""
     with b as (
       select l_orderkey,
+             cast(sum({QC}) as bigint) as sum_qty_c,
+             cast(sum({PC}) as bigint) as sum_price_c,
+             cast(round(exp(sum(ln(greatest({DC}, 1))))) as bigint) as prod_disc_c,
              cast(min({QC}) as bigint) as min_qty_c,
              cast(max({PC}) as bigint) as max_price_c,
              cast(max({QC}) - min({QC}) as bigint) as ptp_qty_c,
@@ -379,14 +399,19 @@ def q_reduce_sum(spark, sf_dir):
     """,
 )
 def q_reduce_order_count(spark, sf_dir):
-    """Order statistics + counting + boolean reducers in one per-order
-    pass: ak.min/max/ptp, ak.argmin/argmax (first index of the
+    """Arithmetic + order statistics + counting + boolean reducers in
+    one per-order pass: ak.sum/prod (prod oracle via exp-sum-log of
+    exact ints), ak.min/max/ptp, ak.argmin/argmax (first index of the
     extremum), ak.count/count_nonzero, ak.any/all (axis=1)."""
     it = order_items(spark, sf_dir)
     q = _qty_c(F.col("items"))
     d = _disc_c(F.col("items"))
+    prod_in = F.transform(d, lambda x: F.greatest(x, F.lit(1)))
     return it.select(
         "l_orderkey",
+        red.sum(q).cast("long").alias("sum_qty_c"),
+        red.sum(_price_c(F.col("items"))).cast("long").alias("sum_price_c"),
+        F.round(red.prod(prod_in)).cast("long").alias("prod_disc_c"),
         red.min(q).cast("long").alias("min_qty_c"),
         red.max(_price_c(F.col("items"))).cast("long").alias("max_price_c"),
         red.ptp(q).cast("long").alias("ptp_qty_c"),

@@ -375,12 +375,24 @@ def q7_volume_shipping(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Extended TPC-H-style surface — tests-only (the registry is capped at
-# the driver's 50-slot gate); oracle-checked in tests/test_tpch_extra.py.
-# Adapted to the testdata's columns (no partsupp/commitdate/shipmode).
+# Extended TPC-H-style surface (q4/q14/q16/q19 shapes), adapted to the
+# testdata's columns (no partsupp/commitdate/shipmode). Join-strategy
+# plan assertions live in tests/test_tpch_extra.py.
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "q4_priority_semi",
+    """
+    select o_orderpriority, cast(count(*) as bigint) as n_orders
+    from orders o
+    where o.o_orderdate >= timestamp '1997-01-01'
+      and o.o_orderdate <  timestamp '1998-01-01'
+      and exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey and l.l_returnflag = 'R')
+    group by o_orderpriority
+    """,
+)
 def q4_priority_semi(spark, sf_dir):
     """TPC-H Q4 shape: order counts by priority for orders having at
     least one returned lineitem — a LEFT SEMI join (exists), which
@@ -395,6 +407,19 @@ def q4_priority_semi(spark, sf_dir):
     return sj.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+@query(
+    "q14_promo_effect",
+    f"""
+    select cast(sum(case when p.p_type like 'PROMO%' then {_DISC_PRICE_U} else 0 end)
+                as bigint) as promo_u,
+           cast(sum({_DISC_PRICE_U}) as bigint) as total_u,
+           100.0 * sum(case when p.p_type like 'PROMO%' then {_DISC_PRICE_U} else 0 end)
+                 / sum({_DISC_PRICE_U}) as promo_pct
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+    where l.l_shipdate >= timestamp '1997-09-01'
+      and l.l_shipdate <  timestamp '1997-10-01'
+    """,
+)
 def q14_promo_effect(spark, sf_dir):
     """TPC-H Q14: promo revenue share for one ship-month. part is the
     broadcast dim; the month filter pushes to the lineitem scan. The
@@ -415,6 +440,16 @@ def q14_promo_effect(spark, sf_dir):
     )
 
 
+@query(
+    "q16_supplier_breadth",
+    """
+    select p.p_brand, substr(p.p_type, 1, 6) as p_type6,
+           cast(count(distinct l.l_suppkey) as bigint) as n_suppliers,
+           cast(count(*) as bigint) as n_items
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+    group by p.p_brand, p_type6
+    """,
+)
 def q16_supplier_breadth(spark, sf_dir):
     """TPC-H Q16 shape: distinct suppliers per (brand, type-prefix)
     from the lineitem-part join — exercises count(distinct) (Spark
@@ -431,6 +466,20 @@ def q16_supplier_breadth(spark, sf_dir):
     )
 
 
+@query(
+    "q19_disjunctive",
+    f"""
+    select cast(sum({_DISC_PRICE_U}) as bigint) as revenue_u,
+           cast(count(*) as bigint) as n
+    from lineitem l join part p on p.p_partkey = l.l_partkey
+    where (p.p_brand = 'Brand#1' and p.p_size <= 10
+           and l.l_quantity between 1 and 20)
+       or (p.p_brand = 'Brand#2' and p.p_size <= 20
+           and l.l_quantity between 10 and 30)
+       or (p.p_brand = 'Brand#3' and p.p_size <= 30
+           and l.l_quantity between 20 and 40)
+    """,
+)
 def q19_disjunctive(spark, sf_dir):
     """TPC-H Q19 shape: revenue under a DISJUNCTION of
     (brand, size-range, qty-range) branches. Catalyst pushes the

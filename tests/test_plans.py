@@ -232,6 +232,25 @@ def test_neardup_blocked_is_equi_join(spark):
             assert rows
 
 
+def test_window_funcs_partitioned_no_global_exchange(spark):
+    """q_window_funcs must hash-partition on user_id — never an
+    Exchange SinglePartition (the global-window one-task funnel) — and
+    the two window specs over the same keys must reuse ONE exchange.
+    window_spec itself refuses an accidental global window."""
+    import pytest as _pytest
+
+    from dask_awkward_sandbox_spark.operators import windows as win
+    from dask_awkward_sandbox_spark.plans.events import q_window_funcs
+
+    plan = _physical(q_window_funcs(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+    with _pytest.raises(ValueError, match="partition"):
+        win.window_spec([], ["ts"])
+
+
 def test_reducers_propagate_nan(spark):
     """NaN is a value, not a missing marker: sum/mean/min/max/ptp go
     NaN, argmin/argmax return the first NaN index; nulls are skipped
