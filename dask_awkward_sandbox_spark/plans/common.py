@@ -27,10 +27,13 @@ ITEM_ORDER_SQL = (
 
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries timestamp[ns]; Spark reads nanos only as
-        # long (legacy conf), so normalize to a microsecond timestamp —
-        # the same truncation DuckDB applies coercing ns -> us. The conf
-        # is SCOPED: captured into the DataFrame at read time, then
+        # events.parquet's ``ts`` precision varies by generator run:
+        # timestamp[ns] (Spark reads nanos only as long, legacy conf) or
+        # timestamp[us] without tz (Spark reads TIMESTAMP_NTZ). Normalize
+        # both to a session-tz TIMESTAMP at microsecond precision — the
+        # session tz is pinned UTC (session.py), so epoch values match
+        # DuckDB's naive-as-UTC reading of the same file. The conf is
+        # SCOPED: captured into the DataFrame at read time, then
         # restored so unrelated reads on the shared session are
         # untouched (verified: execution after restore stays correct).
         key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -43,12 +46,16 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div: ns values exceed 2**53, double division would
             # lose precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # naive wall time -> instant in the UTC session tz: exact,
+            # and what epoch_us(ts) computes on the oracle side
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
