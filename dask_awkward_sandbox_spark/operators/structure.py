@@ -218,9 +218,27 @@ def argcombinations(a: Column) -> Column:
 
 
 def sort(arr: Column, ascending: bool = True) -> Column:
-    """Sort each list. Parity: structure.py:sort (nulls last like awkward)."""
-    s = F.array_sort(arr)
-    return s if ascending else F.reverse(s)
+    """Sort each list. Parity: structure.py:sort (nulls last like awkward).
+
+    awkward places None last in BOTH directions, so descending cannot be
+    ``reverse(array_sort(...))`` (that would move nulls first).  Ascending
+    stays on the built-in ``array_sort`` (already nulls-last); descending
+    uses the same nulls-always-last comparator :func:`argsort` uses.
+    """
+    if ascending:
+        return F.array_sort(arr)
+
+    def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+        return (
+            F.when(l.isNull() & r.isNull(), F.lit(0))
+            .when(l.isNull(), F.lit(1))
+            .when(r.isNull(), F.lit(-1))
+            .when(l > r, F.lit(-1))
+            .when(l < r, F.lit(1))
+            .otherwise(F.lit(0))
+        ).cast("int")
+
+    return F.array_sort(arr, cmp)
 
 
 def argsort(arr: Column, ascending: bool = True) -> Column:

@@ -147,9 +147,13 @@ def q_flatten_softmax(spark, sf_dir):
     a as (select l_orderkey, cast(l_linenumber as bigint) as min_ln, {QC} as min_qty_c
           from lineitem
           qualify row_number() over (partition by l_orderkey
-                                     order by l_quantity asc, {ORD}) = 1)
-    select a.l_orderkey, t1.top1_qty_c, t2.top2_qty_c, a.min_ln, a.min_qty_c
+                                     order by l_quantity asc, {ORD}) = 1),
+    m as (select l_orderkey, max(case when l_linenumber <> 1 then {QC} end) as top1_masked_qty_c
+          from lineitem group by l_orderkey)
+    select a.l_orderkey, t1.top1_qty_c, t2.top2_qty_c, a.min_ln, a.min_qty_c,
+           m.top1_masked_qty_c
     from a join t1 using (l_orderkey) left join t2 using (l_orderkey)
+           join m using (l_orderkey)
     """,
 )
 def q_sort_argsort(spark, sf_dir):
@@ -166,12 +170,20 @@ def q_sort_argsort(spark, sf_dir):
     top2 = F.slice(st.sort(q, ascending=False), 1, 2)
     idx = st.argsort(q)
     first_item = F.get(F.col("items"), F.get(idx, 0).cast("int"))
+    # null-bearing descending sort: nulls must land LAST, so element 0 is
+    # the max of the surviving values (every order has a linenumber-1 row,
+    # so every list carries at least one null).
+    masked_q = F.transform(
+        F.col("items"),
+        lambda s: F.when(s["l_linenumber"] != 1, cents(s["l_quantity"])),
+    )
     return it.select(
         "l_orderkey",
         F.get(top2, 0).alias("top1_qty_c"),
         F.get(top2, 1).alias("top2_qty_c"),
         first_item["l_linenumber"].cast("long").alias("min_ln"),
         cents(first_item["l_quantity"]).alias("min_qty_c"),
+        F.get(st.sort(masked_q, ascending=False), 0).alias("top1_masked_qty_c"),
     )
 
 

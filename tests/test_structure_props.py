@@ -125,6 +125,28 @@ def test_sort_non_nulls(spark, rows):
 
 @given(rows=ragged)
 @settings(**SETTINGS)
+def test_sort_descending_nulls_last(spark, rows):
+    """awkward places None last in BOTH directions; sort and argsort
+    must agree on the same input (VERDICT r3 found edge)."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators import structure as st_
+
+    got = _run(spark, rows, st_.sort(F.col("v"), ascending=False))
+    idx = _run(spark, rows, st_.argsort(F.col("v"), ascending=False))
+    for v, g, ix in zip(rows, got, idx):
+        if v is None:
+            assert g is None and ix is None
+            continue
+        nn = sorted((x for x in v if x is not None), reverse=True)
+        assert g[: len(nn)] == nn
+        assert all(x is None for x in g[len(nn):])
+        # sort/argsort agreement: gathering by argsort reproduces sort
+        assert [v[i] for i in ix] == g
+
+
+@given(rows=ragged)
+@settings(**SETTINGS)
 def test_local_index(spark, rows):
     from pyspark.sql import functions as F
 
