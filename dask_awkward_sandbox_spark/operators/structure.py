@@ -393,6 +393,72 @@ def nan_to_num(arr: Column, nan: float = 0.0) -> Column:
     return F.transform(arr, lambda x: F.when(F.isnan(x), F.lit(nan)).otherwise(x))
 
 
+def _coerce(col: Column, src_t, tgt_t) -> Column:
+    """Recursively coerce ``col`` from ``src_t`` to ``tgt_t``."""
+    from pyspark.sql import types as T
+
+    if src_t == tgt_t:
+        return col
+    if isinstance(tgt_t, T.StructType):
+        if not isinstance(src_t, T.StructType):
+            raise TypeError(f"cannot enforce {src_t.simpleString()} -> struct")
+        src_fields = {f.name: f.dataType for f in src_t.fields}
+        out = []
+        for f in tgt_t.fields:
+            if f.name in src_fields:
+                out.append(_coerce(col[f.name], src_fields[f.name], f.dataType).alias(f.name))
+            else:
+                # new field: all-missing option type, like ak.enforce_type
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.struct(*out)
+    if isinstance(tgt_t, T.ArrayType):
+        if not isinstance(src_t, T.ArrayType):
+            raise TypeError(f"cannot enforce {src_t.simpleString()} -> array")
+        return F.transform(col, lambda x: _coerce(x, src_t.elementType, tgt_t.elementType))
+    if isinstance(tgt_t, T.MapType):
+        if not isinstance(src_t, T.MapType):
+            raise TypeError(f"cannot enforce {src_t.simpleString()} -> map")
+        m = F.transform_keys(col, lambda k, _: _coerce(k, src_t.keyType, tgt_t.keyType))
+        return F.transform_values(m, lambda _, v: _coerce(v, src_t.valueType, tgt_t.valueType))
+    # atomic: try_cast so unconvertible values become null (option
+    # type), matching awkward's missing-value packing under ANSI mode
+    return col.try_cast(tgt_t.simpleString())
+
+
+def enforce_type(df: DataFrame, target) -> DataFrame:
+    """Coerce a whole collection to a target schema.
+
+    Parity: structure.py:enforce_type (ak.enforce_type via
+    map_partitions in the reference). Spark-first: the coercion is a
+    single Project of recursively-built cast expressions — no Python
+    in the row path, fully codegen'd, and column pruning still reaches
+    the scan because every expression is rooted at a named column.
+
+    Rules (mirroring ak.enforce_type's structural coercions):
+    - atomic -> atomic: ``try_cast`` (unparseable -> null option)
+    - array -> array / map -> map: recurse on element/key/value
+    - struct -> struct: recurse per target field; fields missing from
+      the source become all-null (option) columns; source fields not
+      in the target are dropped (projection)
+    - top level: same add/drop semantics over df.columns
+
+    ``target`` is a ``StructType`` or a DDL string like
+    ``"a bigint, items array<struct<x: int, y: string>>"``.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(target, str):
+        target = T.StructType.fromDDL(target)
+    src = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in src:
+            cols.append(_coerce(F.col(f.name), src[f.name], f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # concatenate / unflatten / broadcast
 # ---------------------------------------------------------------------------

@@ -47,7 +47,9 @@ def _scratch(sf_dir: str, name: str) -> str:
     select l_orderkey, cast(count(*) as bigint) as n_items,
            cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c,
            cast(count(*) as bigint) as flat_n,
-           cast(sum(l_linenumber) as bigint) as flat_sum_ln
+           cast(sum(l_linenumber) as bigint) as flat_sum_ln,
+           cast(sum(l_linenumber) as bigint) as enf_sum_ln,
+           cast(count(*) as bigint) as enf_n_bogus_null
     from lineitem group by l_orderkey
     """,
 )
@@ -73,7 +75,27 @@ def q_parquet_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("flat_n"),
         F.sum(F.col("items_l_linenumber").cast("long")).alias("flat_sum_ln"),
     )
-    return nested_side.join(flat_side, "l_orderkey")
+    # enforce_type leg: coerce the read-back frame to a target schema
+    # (narrow linenumber, stringify quantity, add an all-null field) and
+    # prove the coercion is lossless where it should be: the narrowed
+    # linenumbers still sum to the oracle's, and the NEW field is null
+    # for every element (counted per order).
+    enf = st.enforce_type(
+        back,
+        "l_orderkey bigint, "
+        "items array<struct<l_linenumber: smallint, l_quantity: string, l_bogus: double>>",
+    )
+    enf_side = enf.select(
+        "l_orderkey",
+        F.aggregate(
+            F.col("items"), F.lit(0).cast("long"),
+            lambda a, s: a + s["l_linenumber"].cast("long"),
+        ).alias("enf_sum_ln"),
+        F.size(F.filter(F.col("items"), lambda s: s["l_bogus"].isNull()))
+        .cast("long")
+        .alias("enf_n_bogus_null"),
+    )
+    return nested_side.join(flat_side, "l_orderkey").join(enf_side, "l_orderkey")
 
 
 _LISTS_ROWS = [
