@@ -11,6 +11,7 @@ nested-schema pruning. What the optimizer kept IS the necessary set.
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -102,6 +103,81 @@ def _schema_leaves(schema: str) -> list[str]:
 
     walk(body, "")
     return leaves
+
+
+class NecessaryBuffers(NamedTuple):
+    """Per-scan buffer report (reference inspect.py:NecessaryBuffers).
+
+    awkward distinguishes data buffers from shape-only (offsets)
+    buffers. The Spark/parquet mapping documented here:
+
+    - ``data_and_shape``: ReadSchema leaf paths whose VALUES are
+      consumed by some expression in the optimized plan.
+    - ``shape_only``: leaf paths the pruned scan still reads but whose
+      values feed nothing — they survive only to materialize list
+      offsets / row cardinality (e.g. the single leaf Spark must keep
+      under an array that only feeds ``size()``). This is the moral
+      twin of awkward's offsets-only buffers: bytes read for shape.
+    """
+
+    data_and_shape: frozenset[str]
+    shape_only: frozenset[str]
+
+
+# expression heads whose operands are consumed for cardinality, not value
+_SHAPE_CLASSES = {"Size", "ArraySize", "Cardinality", "IsNull", "IsNotNull"}
+# expression heads that ARE a column / nested-field reference
+_REF_CLASSES = {"AttributeReference", "GetStructField", "GetArrayStructFields"}
+
+
+def _plan_value_refs(df: DataFrame) -> tuple[set[str], set[str]]:
+    """Walk the optimized Catalyst plan's expression trees, collecting
+    dotted column paths referenced as values (data) vs only inside
+    cardinality contexts (shape)."""
+    data: set[str] = set()
+    shape: set[str] = set()
+
+    def nodes(pl):
+        yield pl
+        for i in range(pl.children().size()):
+            yield from nodes(pl.children().apply(i))
+
+    def walk(e, in_shape: bool) -> None:
+        cls = e.getClass().getSimpleName()
+        if cls in _REF_CLASSES:
+            (shape if in_shape else data).add(e.sql().replace("`", ""))
+            return  # a deeper walk would re-add the chain's base attr
+        nxt = in_shape or cls in _SHAPE_CLASSES
+        for j in range(e.children().size()):
+            walk(e.children().apply(j), nxt)
+
+    for n in nodes(df._jdf.queryExecution().optimizedPlan()):
+        if n.children().size() == 0:
+            continue  # leaf relations list their outputs, consuming nothing
+        ex = n.expressions()
+        for i in range(ex.size()):
+            walk(ex.apply(i), False)
+    return data, shape
+
+
+def report_necessary_buffers(df: DataFrame) -> dict[str, NecessaryBuffers]:
+    """Split each scan's necessary columns into data vs shape-only
+    buffers (reference inspect.py:report_necessary_buffers; see
+    :class:`NecessaryBuffers` for the documented Spark mapping)."""
+    cols = report_necessary_columns(df)
+    data, _ = _plan_value_refs(df)
+
+    def is_data(leaf: str) -> bool:
+        return any(
+            leaf == r or leaf.startswith(r + ".") or r.startswith(leaf + ".")
+            for r in data
+        )
+
+    out: dict[str, NecessaryBuffers] = {}
+    for loc, leaves in cols.items():
+        d = frozenset(leaf for leaf in leaves if is_data(leaf))
+        out[loc] = NecessaryBuffers(data_and_shape=d, shape_only=frozenset(leaves) - d)
+    return out
 
 
 def fields(df_or_col: DataFrame | Column | None, df: DataFrame | None = None) -> list[str]:

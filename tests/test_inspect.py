@@ -70,3 +70,42 @@ def test_fields_and_backend(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     assert ins.fields(df) == ["id", "s"]
     assert ins.backend(df) == "spark"
+
+
+def test_report_necessary_buffers_shape_vs_data(spark):
+    import os
+
+    from dask_awkward_sandbox_spark import inspect as ins
+    from dask_awkward_sandbox_spark.plans.common import fld, order_items
+
+    path = "/root/repo/.scratch/plans/nested_items"
+    if not os.path.exists(path):
+        order_items(spark, SF).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+
+    # pure-shape query: only size(items) — whatever leaves the pruned
+    # scan keeps are offsets-only, no data buffer is consumed
+    (rep,) = ins.report_necessary_buffers(
+        back.select(F.size("items").alias("n"))
+    ).values()
+    assert rep.data_and_shape == frozenset()
+    assert rep.shape_only  # at least one leaf read purely for shape
+
+    # mixed query: l_quantity values consumed, size() alongside
+    (rep,) = ins.report_necessary_buffers(
+        back.select(
+            F.size("items").alias("n"),
+            F.aggregate(
+                fld(F.col("items"), "l_quantity"), F.lit(0.0), lambda a, x: a + x
+            ).alias("s"),
+        )
+    ).values()
+    assert "items.l_quantity" in rep.data_and_shape
+    assert "items.l_quantity" not in rep.shape_only
+
+    # full-data query: every read leaf is a data buffer
+    (rep,) = ins.report_necessary_buffers(
+        back.select("l_orderkey", fld(F.col("items"), "l_quantity").alias("q"))
+    ).values()
+    assert rep.data_and_shape == frozenset({"l_orderkey", "items.l_quantity"})
+    assert rep.shape_only == frozenset()
