@@ -63,6 +63,51 @@ def repartition(df: DataFrame, num_partitions: int, shuffle: bool | None = None)
     return df.repartition(num_partitions)
 
 
+def npartitions(df: DataFrame) -> int:
+    """Partition count of the collection (reference Array.npartitions)."""
+    return df.rdd.getNumPartitions()
+
+
+def partitions(df: DataFrame, start: int, stop: int | None = None) -> DataFrame:
+    """Partition-wise getitem: ``Array.partitions[start:stop]``
+    (reference lib/core.py, the ``.partitions`` accessor).
+
+    For a pure file scan (the overwhelmingly common case — the
+    reference's accessor is used to peek at a slice of a parquet
+    dataset), the selected partitions map to input FILES and the
+    result is a re-read of only those files: the other files are never
+    opened, matching the reference's graph-slicing efficiency. Files
+    are sorted by path, mirroring the deterministic partition order of
+    ``from_parquet``.
+
+    For a derived DataFrame (joins/aggs upstream), partition identity
+    only exists at runtime, so the fallback filters on
+    ``spark_partition_id()`` — every partition is computed but only the
+    selected ones survive. Callers who need the fast path should slice
+    straight after the read, like reference users do.
+    """
+    from pyspark.sql import functions as F
+
+    if stop is None:
+        stop = start + 1
+    if start < 0 or stop < start:
+        raise ValueError(f"bad partition range [{start}, {stop})")
+
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    if (
+        plan.children().size() == 0
+        and "parquet" in plan.toString().lower()
+        and df.inputFiles()
+    ):
+        files = sorted(df.inputFiles())
+        sel = files[start:stop]
+        if not sel:
+            return df.sparkSession.createDataFrame([], df.schema)
+        return df.sparkSession.read.schema(df.schema).parquet(*sel)
+    pid = F.spark_partition_id()
+    return df.filter((pid >= F.lit(start)) & (pid < F.lit(stop)))
+
+
 def persist(df: DataFrame) -> DataFrame:
     """Materialize-on-first-use caching (dask persist)."""
     return df.cache()

@@ -81,3 +81,51 @@ def test_copy_to_packed_identity(spark):
     df = spark.range(5)
     assert core.copy(df) is df
     assert core.to_packed(df) is df
+
+
+def test_partitions_file_sliced(spark, tmp_path):
+    """Partition-wise getitem on a pure scan re-reads ONLY the selected
+    files (reference Array.partitions graph-slicing)."""
+    from dask_awkward_sandbox_spark import core
+
+    path = str(tmp_path / "parts")
+    spark.range(0, 1000).repartition(4).write.parquet(path)
+    back = spark.read.parquet(path)
+    files = sorted(back.inputFiles())
+    assert len(files) == 4
+
+    sel = core.partitions(back, 1, 3)
+    # plan-level: exactly the two selected files are inputs
+    assert sorted(sel.inputFiles()) == files[1:3]
+    # value-level: selected partitions' rows, nothing else
+    import pyspark.sql.functions as F
+
+    per_file = {
+        r["f"]: r["n"]
+        for r in back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = sum(n for f, n in per_file.items() if f in files[1:3])
+    assert sel.count() == want
+
+    # npartitions + single-partition form
+    assert core.npartitions(back) == 4
+    one = core.partitions(back, 0)
+    assert sorted(one.inputFiles()) == files[0:1]
+
+    # empty slice -> empty frame, same schema
+    empty = core.partitions(back, 10, 20)
+    assert empty.count() == 0 and empty.schema == back.schema
+
+
+def test_partitions_derived_fallback(spark):
+    """Derived frames fall back to a spark_partition_id filter: the
+    union of all slices is the whole collection, slices are disjoint."""
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.range(0, 100).repartition(5, "id")
+    agg = df.groupBy((df.id % 7).alias("k")).count()
+    n = core.npartitions(agg)
+    total = sum(core.partitions(agg, i).count() for i in range(n))
+    assert total == agg.count()
