@@ -293,11 +293,19 @@ def index_in(s: Column, values: list[str]) -> Column:
     return F.when(pos > 0, (pos - 1).cast("long"))
 
 
-def to_categorical(df, col: str):
+def to_categorical(df, col: str, max_distinct: int = 10_000_000):
     """Dictionary-encode a string column (ak.str.to_categorical):
     returns (encoded_df, dictionary_df) where the dictionary maps each
     distinct value to a dense 0-based code (ordered by value, so codes
     are deterministic) and encoded_df carries ``<col>_code``.
+
+    CARDINALITY CONTRACT: the dictionary must be broadcast-sized — it
+    is broadcast-joined back onto the fact table, and its global
+    ``row_number`` window runs on a single task. Both are fine exactly
+    because a *categorical* column has bounded distinct values; a
+    near-unique column is not categorical and is rejected by the
+    ``max_distinct`` guard (a driver-side count of the already-tiny
+    distinct table, cheap relative to the encode itself).
 
     Scale: the dictionary is distinct-values-sized — aggregate it
     (one shuffle over distinct values, tiny output) and broadcast it
@@ -307,12 +315,16 @@ def to_categorical(df, col: str):
     """
     from pyspark.sql import Window
 
+    distinct = df.select(col).distinct()
+    n = distinct.count()
+    if n > max_distinct:
+        raise ValueError(
+            f"to_categorical: {n} distinct values in {col!r} exceeds "
+            f"max_distinct={max_distinct}; this column is not categorical "
+            "(the dictionary must fit the broadcast threshold)"
+        )
     w = Window.orderBy(col)
-    dictionary = (
-        df.select(col)
-        .distinct()
-        .withColumn("code", (F.row_number().over(w) - 1).cast("long"))
-    )
+    dictionary = distinct.withColumn("code", (F.row_number().over(w) - 1).cast("long"))
     encoded = df.join(F.broadcast(dictionary), col, "left").withColumnRenamed(
         "code", f"{col}_code"
     )

@@ -56,6 +56,17 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # naive wall time -> instant in the UTC session tz: exact,
             # and what epoch_us(ts) computes on the oracle side
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        from pyspark.sql.types import TimestampType
+
+        # fail loudly if a generator/config change hands us a dtype the
+        # dispatch above didn't normalize (e.g. inferTimestampNTZ off):
+        # a silent pass-through would shift every windowed oracle
+        actual = df.schema["ts"].dataType
+        if not isinstance(actual, TimestampType):
+            raise TypeError(
+                f"events.ts normalized to {actual.simpleString()}, expected timestamp; "
+                "update the dispatch in plans/common.py:read"
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
