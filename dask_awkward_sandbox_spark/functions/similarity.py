@@ -429,6 +429,7 @@ def ivf_write_index(
     vec_col: str = "embedding",
     nlist: int = 16,
     iters: int = 5,
+    round_digits: int | None = None,
 ) -> list[list[float]]:
     """Materialize the IVF corpus assignment ONCE: train the coarse
     quantizer, assign every vector, and write (nb_id, nb_vec, nb_norm)
@@ -446,7 +447,9 @@ def ivf_write_index(
         corpus.select(
             F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
         )
-        .withColumn("list_id", assign_nearest_centroid(F.col("nb_vec"), centroids))
+        .withColumn(
+            "list_id", assign_nearest_centroid(F.col("nb_vec"), centroids, round_digits)
+        )
         .withColumn("nb_norm", norm(F.col("nb_vec")))
     )
     idx.write.partitionBy("list_id").mode("overwrite").parquet(path)

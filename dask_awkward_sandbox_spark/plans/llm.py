@@ -410,22 +410,30 @@ def q_ann_lsh_buckets(spark, sf_dir):
     """,
 )
 def q_ann_ivf_assign(spark, sf_dir):
-    """The deterministic half of IVF under a full value oracle:
-    posting-list assignment of every corpus vector against the seed
-    centroids (the 16 lowest-id vectors — kmeans_train's
-    deterministic init, iters=0). Similarities are rounded to 6
-    digits on both sides so a last-ulp fold difference cannot flip
-    the argmax; ties break to the higher list id in both engines.
-    The Lloyd-refined end-to-end top-k (similarity.ivf_topk) keeps
-    its recall + probe-cost bounds in pytest."""
+    """The deterministic half of IVF under a full value oracle,
+    r4: routed through the MATERIALIZED index roundtrip. The corpus
+    assignment (against the seed centroids — the 16 lowest-id
+    vectors, kmeans_train's deterministic init, iters=0) is written
+    to parquet PARTITIONED BY list_id (similarity.ivf_write_index:
+    the serving shape whose directory layout turns probes into
+    partition-pruned scans), read back, and the read-back table is
+    what the oracle checks — a write/read/partition-layout bug
+    breaks the match. Similarities are rounded to 6 digits on both
+    sides so a last-ulp fold difference cannot flip the argmax; ties
+    break to the higher list id in both engines. The partition-pruned
+    probe (similarity.ivf_probe_indexed) keeps its plan-asserted
+    PartitionFilters + recall bounds in pytest."""
+    import os
+
     e = _emb(spark, sf_dir)
-    centroids = similarity.kmeans_train(e, "embedding", "vec_id", nlist=16, iters=0)
-    v = similarity.as_double(F.col("embedding"))
-    return e.select(
-        "vec_id",
-        similarity.assign_nearest_centroid(v, centroids, round_digits=6)
-        .cast("long")
-        .alias("list_id"),
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join("/root/repo/.scratch", tag, "ivf_index")
+    similarity.ivf_write_index(
+        e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0, round_digits=6
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("nb_id").alias("vec_id"), F.col("list_id").cast("long").alias("list_id")
     )
 
 
