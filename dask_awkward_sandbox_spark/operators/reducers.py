@@ -32,6 +32,26 @@ def _vals(arr: Column) -> Column:
     return F.filter(F.transform(arr, lambda x: x.cast("double")), lambda x: x.isNotNull())
 
 
+def _let(*cols: Column, body) -> Column:
+    """Bind each expression ONCE and hand them to ``body`` as lambda
+    variables (a singleton-array ``transform``).
+
+    Catalyst has no CSE across higher-order-function lambdas (fresh
+    lambda-variable ids make identical subtrees unequal) and HOFs run
+    interpreted, so a subtree referenced k times re-evaluates k times —
+    and one referenced inside a per-ELEMENT lambda re-evaluates n
+    times, turning an O(n) reducer into O(n²) per list. Lambda-variable
+    reads are O(1), so routing shared subtrees through this bind makes
+    every composite reducer single-evaluation. Arithmetic is untouched
+    (same expressions, same fold order) — only evaluation count drops,
+    so oracle bit-exactness is preserved.
+    """
+    bound = F.array(F.struct(*[c.alias(f"_b{i}") for i, c in enumerate(cols)]))
+    return F.get(
+        F.transform(bound, lambda s: body(*[s[f"_b{i}"] for i in range(len(cols))])), 0
+    )
+
+
 def _nan_poisoned(arr: Column, result: Column) -> Column:
     """numpy semantics for order statistics: any NaN element poisons
     the result (Spark's array_min/array_max instead sort NaN last/
@@ -61,20 +81,20 @@ def prod(arr: Column) -> Column:
 
 def min(arr: Column) -> Column:  # noqa: A001
     """ak.min (axis=1); empty -> null; NaN element -> NaN."""
-    v = _vals(arr)
-    return _nan_poisoned(v, F.array_min(v))
+    return _let(_vals(arr), body=lambda v: _nan_poisoned(v, F.array_min(v)))
 
 
 def max(arr: Column) -> Column:  # noqa: A001
     """ak.max (axis=1); empty -> null; NaN element -> NaN."""
-    v = _vals(arr)
-    return _nan_poisoned(v, F.array_max(v))
+    return _let(_vals(arr), body=lambda v: _nan_poisoned(v, F.array_max(v)))
 
 
 def ptp(arr: Column) -> Column:
     """ak.ptp (axis=1): max - min; empty -> null; NaN element -> NaN."""
-    v = _vals(arr)
-    return _nan_poisoned(v, F.array_max(v) - F.array_min(v))
+    return _let(
+        _vals(arr),
+        body=lambda v: _nan_poisoned(v, F.array_max(v) - F.array_min(v)),
+    )
 
 
 def any(arr: Column) -> Column:  # noqa: A001
@@ -89,9 +109,12 @@ def all(arr: Column) -> Column:  # noqa: A001
 
 def mean(arr: Column) -> Column:
     """ak.mean (axis=1); empty -> null."""
-    v = _vals(arr)
-    n = F.size(v)
-    return F.when(n > 0, F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / n)
+    return _let(
+        _vals(arr),
+        body=lambda v: F.when(
+            F.size(v) > 0, F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+        ),
+    )
 
 
 def _moments(arr: Column) -> Column:
@@ -110,9 +133,12 @@ def _moments(arr: Column) -> Column:
 
 def var(arr: Column, ddof: int = 0) -> Column:
     """ak.var (axis=1), population by default like awkward (ddof=0)."""
-    m = _moments(arr)
-    n, s, ss = m["n"], m["s"], m["ss"]
-    return F.when(n > ddof, (ss - s * s / n) / (n - F.lit(float(ddof))))
+
+    def fin(m: Column) -> Column:
+        n, s, ss = m["n"], m["s"], m["ss"]
+        return F.when(n > ddof, (ss - s * s / n) / (n - F.lit(float(ddof))))
+
+    return _let(_moments(arr), body=fin)
 
 
 def std(arr: Column, ddof: int = 0) -> Column:
@@ -122,9 +148,13 @@ def std(arr: Column, ddof: int = 0) -> Column:
 
 def moment(arr: Column, n: int) -> Column:
     """ak.moment (axis=1): mean of x**n."""
-    v = _vals(arr)
-    cnt = F.size(v)
-    return F.when(cnt > 0, F.aggregate(v, F.lit(0.0), lambda a, x: a + F.pow(x, F.lit(n))) / cnt)
+    return _let(
+        _vals(arr),
+        body=lambda v: F.when(
+            F.size(v) > 0,
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + F.pow(x, F.lit(n))) / F.size(v),
+        ),
+    )
 
 
 def _argbest(arr: Column, better) -> Column:
@@ -163,12 +193,28 @@ def argmax(arr: Column) -> Column:
 
 
 def softmax(arr: Column) -> Column:
-    """ak.softmax (axis=1): numerically-stable exp(x-max)/sum."""
-    v = _vals(arr)
-    m = F.array_max(v)
-    exps = F.transform(v, lambda x: F.exp(x - m))
-    denom = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
-    return F.transform(exps, lambda e: e / denom)
+    """ak.softmax (axis=1): numerically-stable exp(x-max)/sum.
+
+    Every intermediate is ``_let``-bound: the naive spelling embeds
+    ``array_max(v)`` (and then the exps aggregate) inside per-element
+    lambdas, which interpreted-HOF evaluation re-computes for EVERY
+    element — O(n²) per list. Bound, the whole softmax is two O(n)
+    passes."""
+    return _let(
+        _vals(arr),
+        body=lambda v: _let(
+            v,
+            F.array_max(v),
+            body=lambda v2, m: _let(
+                F.transform(v2, lambda x: F.exp(x - m)),
+                body=lambda exps: _let(
+                    exps,
+                    F.aggregate(exps, F.lit(0.0), lambda a, x: a + x),
+                    body=lambda e2, denom: F.transform(e2, lambda e: e / denom),
+                ),
+            ),
+        ),
+    )
 
 
 def _pair_moments(x: Column, y: Column) -> Column:
@@ -206,30 +252,39 @@ def _pair_moments(x: Column, y: Column) -> Column:
 
 def covar(x: Column, y: Column) -> Column:
     """ak.covar (axis=1), population."""
-    m = _pair_moments(x, y)
-    n = m["n"]
-    return F.when(n > 0, m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n))
+
+    def fin(m: Column) -> Column:
+        n = m["n"]
+        return F.when(n > 0, m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n))
+
+    return _let(_pair_moments(x, y), body=fin)
 
 
 def corr(x: Column, y: Column) -> Column:
     """ak.corr (axis=1): Pearson correlation."""
-    m = _pair_moments(x, y)
-    n = m["n"]
-    cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
-    vx = m["sxx"] / n - (m["sx"] / n) * (m["sx"] / n)
-    vy = m["syy"] / n - (m["sy"] / n) * (m["sy"] / n)
-    denom = F.sqrt(vx * vy)
-    return F.when((n > 0) & (denom > 0), cov / denom)
+
+    def fin(m: Column) -> Column:
+        n = m["n"]
+        cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
+        vx = m["sxx"] / n - (m["sx"] / n) * (m["sx"] / n)
+        vy = m["syy"] / n - (m["sy"] / n) * (m["sy"] / n)
+        denom = F.sqrt(vx * vy)
+        return F.when((n > 0) & (denom > 0), cov / denom)
+
+    return _let(_pair_moments(x, y), body=fin)
 
 
 def linear_fit(x: Column, y: Column) -> Column:
     """ak.linear_fit (axis=1): least-squares; returns struct(slope, intercept)."""
-    m = _pair_moments(x, y)
-    n = m["n"]
-    det = n * m["sxx"] - m["sx"] * m["sx"]
-    slope = F.when(det != 0, (n * m["sxy"] - m["sx"] * m["sy"]) / det)
-    intercept = F.when(det != 0, (m["sy"] - slope * m["sx"]) / n)
-    return F.struct(slope.alias("slope"), intercept.alias("intercept"))
+
+    def fin(m: Column) -> Column:
+        n = m["n"]
+        det = n * m["sxx"] - m["sx"] * m["sx"]
+        slope = F.when(det != 0, (n * m["sxy"] - m["sx"] * m["sy"]) / det)
+        intercept = F.when(det != 0, (m["sy"] - slope * m["sx"]) / n)
+        return F.struct(slope.alias("slope"), intercept.alias("intercept"))
+
+    return _let(_pair_moments(x, y), body=fin)
 
 
 # ---------------------------------------------------------------------------
