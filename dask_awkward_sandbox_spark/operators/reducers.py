@@ -32,24 +32,7 @@ def _vals(arr: Column) -> Column:
     return F.filter(F.transform(arr, lambda x: x.cast("double")), lambda x: x.isNotNull())
 
 
-def _let(*cols: Column, body) -> Column:
-    """Bind each expression ONCE and hand them to ``body`` as lambda
-    variables (a singleton-array ``transform``).
-
-    Catalyst has no CSE across higher-order-function lambdas (fresh
-    lambda-variable ids make identical subtrees unequal) and HOFs run
-    interpreted, so a subtree referenced k times re-evaluates k times —
-    and one referenced inside a per-ELEMENT lambda re-evaluates n
-    times, turning an O(n) reducer into O(n²) per list. Lambda-variable
-    reads are O(1), so routing shared subtrees through this bind makes
-    every composite reducer single-evaluation. Arithmetic is untouched
-    (same expressions, same fold order) — only evaluation count drops,
-    so oracle bit-exactness is preserved.
-    """
-    bound = F.array(F.struct(*[c.alias(f"_b{i}") for i, c in enumerate(cols)]))
-    return F.get(
-        F.transform(bound, lambda s: body(*[s[f"_b{i}"] for i in range(len(cols))])), 0
-    )
+from dask_awkward_sandbox_spark.operators.structure import let as _let  # noqa: E402
 
 
 def _nan_poisoned(arr: Column, result: Column) -> Column:

@@ -27,6 +27,26 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def let(*cols: Column, body) -> Column:
+    """Bind each expression ONCE and hand them to ``body`` as lambda
+    variables (a singleton-array ``transform``).
+
+    Catalyst has no CSE across higher-order-function lambdas (fresh
+    lambda-variable ids make identical subtrees unequal) and HOFs run
+    interpreted, so a subtree referenced k times re-evaluates k times —
+    and one referenced inside a per-ELEMENT lambda re-evaluates n
+    times, turning an O(n) operator into O(n²) per list. Lambda-variable
+    reads are O(1), so routing shared subtrees through this bind makes
+    composite operators single-evaluation. Arithmetic is untouched
+    (same expressions, same order) — only evaluation count drops, so
+    oracle bit-exactness is preserved.
+    """
+    bound = F.array(F.struct(*[c.alias(f"_b{i}") for i, c in enumerate(cols)]))
+    return F.get(
+        F.transform(bound, lambda s: body(*[s[f"_b{i}"] for i in range(len(cols))])), 0
+    )
+
+
 def num(arr: Column) -> Column:
     """Length of each list. Null list -> null.
 
@@ -160,24 +180,41 @@ def cartesian(a: Column, b: Column) -> Column:
 
     Parity: structure.py:cartesian — fields named "0"/"1" in awkward;
     here ``_0``/``_1`` for SQL-identifier friendliness.
+
+    Inputs are ``let``-bound: ``b`` sits inside ``a``'s per-element
+    lambda, so an unbound complex expression would re-derive per
+    element (O(n²) re-evaluation, see :func:`let`).
     """
-    return F.flatten(
-        F.transform(
-            a,
-            lambda x: F.transform(b, lambda y: F.struct(x.alias("_0"), y.alias("_1"))),
-        )
+    return let(
+        a,
+        b,
+        body=lambda aa, bb: F.flatten(
+            F.transform(
+                aa,
+                lambda x: F.transform(
+                    bb, lambda y: F.struct(x.alias("_0"), y.alias("_1"))
+                ),
+            )
+        ),
     )
 
 
 def argcartesian(a: Column, b: Column) -> Column:
     """Index pairs version of :func:`cartesian`. Parity: structure.py:argcartesian."""
-    return F.flatten(
-        F.transform(
-            a,
-            lambda _, i: F.transform(
-                b, lambda __, j: F.struct(i.cast("long").alias("_0"), j.cast("long").alias("_1"))
-            ),
-        )
+    return let(
+        a,
+        b,
+        body=lambda aa, bb: F.flatten(
+            F.transform(
+                aa,
+                lambda _, i: F.transform(
+                    bb,
+                    lambda __, j: F.struct(
+                        i.cast("long").alias("_0"), j.cast("long").alias("_1")
+                    ),
+                ),
+            )
+        ),
     )
 
 
@@ -185,31 +222,43 @@ def combinations(a: Column) -> Column:
     """All unordered element pairs (i < j) within each list.
 
     Parity: structure.py:combinations (n=2, replacement=False).
+    ``a`` is ``let``-bound — it appears inside its own per-element
+    lambda (the tail slice), see :func:`let`.
     """
-    n = F.size(a)
-    return F.flatten(
-        F.transform(
-            a,
-            lambda x, i: F.transform(
-                F.slice(a, i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("_0"), y.alias("_1")),
-            ),
+
+    def build(aa: Column) -> Column:
+        n = F.size(aa)
+        return F.flatten(
+            F.transform(
+                aa,
+                lambda x, i: F.transform(
+                    F.slice(aa, i + 2, F.greatest(n - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("_0"), y.alias("_1")),
+                ),
+            )
         )
-    )
+
+    return let(a, body=build)
 
 
 def argcombinations(a: Column) -> Column:
     """Index-pair version of :func:`combinations`."""
-    n = F.size(a)
-    return F.flatten(
-        F.transform(
-            a,
-            lambda _, i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(i.cast("long").alias("_0"), j.cast("long").alias("_1")),
-            ),
+
+    def build(aa: Column) -> Column:
+        n = F.size(aa)
+        return F.flatten(
+            F.transform(
+                aa,
+                lambda _, i: F.transform(
+                    F.sequence(i + 1, n - 1),
+                    lambda j: F.struct(
+                        i.cast("long").alias("_0"), j.cast("long").alias("_1")
+                    ),
+                ),
+            )
         )
-    )
+
+    return let(a, body=build)
 
 
 # ---------------------------------------------------------------------------

@@ -251,9 +251,15 @@ def q_cartesian_combinations(spark, sf_dir):
     unordered pairs i<j) per order; closed-form oracles
     (sum_ij x_i y_j == sum(x)sum(y); sum_{{i<j}} x_i x_j == (S²-SS)/2)."""
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_discount"])
-    cart = st.cartesian(_qty_c(F.col("items")), _disc_c(F.col("items")))
-    comb = st.combinations(_qty_c(F.col("items")))
-    return it.select(
+    # materialize the O(n²)-sized pair arrays ONCE (each feeds two
+    # consumers; see q_reduce_order_count note on HOF lambda CSE)
+    pre = it.select(
+        "l_orderkey",
+        st.cartesian(_qty_c(F.col("items")), _disc_c(F.col("items"))).alias("_cart"),
+        st.combinations(_qty_c(F.col("items"))).alias("_comb"),
+    )
+    cart, comb = F.col("_cart"), F.col("_comb")
+    return pre.select(
         "l_orderkey",
         st.num(cart).alias("n_pairs_cart"),
         F.aggregate(cart, F.lit(0.0), lambda a, p: a + p["_0"] * p["_1"])
