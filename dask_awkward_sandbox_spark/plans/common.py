@@ -86,7 +86,11 @@ def order_items(spark: SparkSession, sf_dir: str, fields: list[str] | None = Non
     ``items: array<struct>`` column, list-ordered by l_linenumber.
 
     ``l_linenumber`` leads the struct so ``array_sort``'s lexicographic
-    struct ordering is deterministic (linenumber is unique per order).
+    struct ordering matches the oracle's ORD prefix. NOTE: linenumber
+    REPEATS within an order in this testdata, so determinism comes
+    from the full struct being the sort key, not from any single
+    field; pruned builds are only safe when tie groups on the pruned
+    prefix are value-indistinguishable in every exposed output.
 
     ``fields`` is the necessary-columns hook: pass the subset a query
     actually touches and only those bytes reach the shuffle. With a

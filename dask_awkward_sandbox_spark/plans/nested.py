@@ -76,8 +76,10 @@ def q_num_firsts_mask(spark, sf_dir):
     """ak.num (plus length after elementwise filter), ak.firsts, and
     ak.mask / ak.drop_none / ak.where / ak.is_none in one per-order
     pass — all JVM higher-order functions over the nested build."""
-    # Pruned to the three touched leaves; l_linenumber is unique per
-    # order so list order (and firsts) is deterministic under pruning.
+    # Pruned to the three touched leaves; items tying on the pruned
+    # (ln, qty, rf) prefix are indistinguishable in every exposed
+    # output (firsts only surfaces ln/qty), so any tie permutation vs
+    # the oracle's full-struct order is value-invisible.
     it = order_items(
         spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_returnflag"]
     )
@@ -130,7 +132,7 @@ def q_flatten_softmax(spark, sf_dir):
     numerically-stable) alongside each record, then flatten back to
     rows (explode_flatten) — a lossless roundtrip carrying derived
     per-element columns."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_extendedprice"])
     z = F.arrays_zip(
         st.local_index(F.col("items")).alias("idx"),
         F.col("items").alias("item"),
@@ -293,6 +295,9 @@ def q_cartesian_combinations(spark, sf_dir):
 def q_run_lengths(spark, sf_dir):
     """ak.run_lengths over the returnflag sequence of each order;
     oracle is the classic gaps-and-islands rewrite."""
+    # NOT prunable: run boundaries depend on the full tie order
+    # (l_linenumber repeats within an order, and returnflag adjacency
+    # among ties follows the full-struct ORD the oracle uses)
     it = order_items(spark, sf_dir)
     rl = st.run_lengths(fld(F.col("items"), "l_returnflag"))
     ex = it.select("l_orderkey", F.posexplode(rl).alias("idx", "run_len"))
@@ -333,7 +338,7 @@ def q_pad_fill_none(spark, sf_dir):
     reduced back to counts), ak.isclose under both a passing and a
     failing atol, and ak.nan_to_num over a list with a planted NaN
     (sqrt(-1)) replaced by -5 before summing."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     q = _qty_c(F.col("items"))
     qd = F.transform(q, lambda x: x.cast("double"))
     padded = st.pad_none(q, 4, clip=True)
@@ -444,10 +449,12 @@ def q_reduce_order_count(spark, sf_dir):
     # so the NaN/option handling the generic reducers carry is vacuous
     # here; `least`/`greatest` seed from null for min/max.
     #
-    # Fields are pruned to the four touched leaves: l_linenumber is
-    # UNIQUE per order, so the array_sort item order is fully
-    # determined by the pruned prefix and positional reducers
-    # (argmin/argmax) stay deterministic.
+    # Fields are pruned to the four touched leaves. l_linenumber DOES
+    # repeat within an order, but items tying on the whole pruned
+    # prefix share l_quantity, so a tie permutation moves only
+    # equal-qc items between equal positions — argmin/argmax return
+    # the same index either way, and every other reducer is
+    # order-insensitive (exact integer sums).
     it = order_items(
         spark, sf_dir,
         fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
@@ -542,7 +549,7 @@ def q_reduce_stats(spark, sf_dir):
     ak.moment n=2,3 (axis=1). Oracle uses the SAME one-pass formulas
     over exact integer sums, so both engines evaluate identical IEEE
     expressions."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     q = _qty_c(F.col("items"))
     return it.select(
         "l_orderkey",
@@ -586,7 +593,7 @@ def q_fit_corr(spark, sf_dir):
     reductions qty_c vs price_c per order, identical expression trees
     on both sides for bit-exact agreement; rows where either
     denominator degenerates are filtered on both sides."""
-    it = order_items(spark, sf_dir)
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_extendedprice"])
     x, y = _qty_c(F.col("items")), _price_c(F.col("items"))
     fit = red.linear_fit(x, y)
     out = it.select(
