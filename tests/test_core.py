@@ -129,3 +129,28 @@ def test_partitions_derived_fallback(spark):
     n = core.npartitions(agg)
     total = sum(core.partitions(agg, i).count() for i in range(n))
     assert total == agg.count()
+
+
+def test_let_binding_semantics(spark):
+    """structure.let: binds once, null-propagates, supports multi-bind
+    and nested arrays."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators.structure import let
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, []), (3, None)], "id long, v array<double>"
+    )
+    # multi-bind: (array, scalar) -> normalized by max
+    out = df.select(
+        "id",
+        let(
+            F.col("v"),
+            F.array_max(F.col("v")),
+            body=lambda v, m: F.transform(v, lambda x: x / m),
+        ).alias("r"),
+    ).collect()
+    rows = {r["id"]: r["r"] for r in out}
+    assert rows[1] == [1.0 / 3.0, 2.0 / 3.0, 1.0]
+    assert rows[2] == []
+    assert rows[3] is None
