@@ -93,18 +93,22 @@ def skew_demo(spark, sf_dir: str, reps: int) -> dict:
         prev[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
-        out = {}
-        for label, joined in (
-            ("plain", big.join(small, "k")),
-            ("salted", salted_join(big, small, "k", salts=32)),
-        ):
-            best = None
-            for _ in range(min(reps, 2)):  # 2x delta clears noise; bound the wall
+        # INTERLEAVED reps: box contention comes in bursts, so
+        # back-to-back per-variant reps can land one variant entirely
+        # inside a burst and invert the comparison; alternating gives
+        # both variants the same exposure and min-of-3 drops the burst
+        plans = {
+            "plain": agg(big.join(small, "k")),
+            "salted": agg(salted_join(big, small, "k", salts=32)),
+        }
+        best: dict[str, float] = {}
+        for _ in range(max(reps, 3)):
+            for label, p in plans.items():
                 t0 = time.perf_counter()
-                agg(joined).write.format("noop").mode("overwrite").save()
+                p.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            out[label] = round(best, 3)
+                best[label] = min(best.get(label, dt), dt)
+        out = {label: round(v, 3) for label, v in best.items()}
     finally:
         for k, v in prev.items():
             if v is None:
