@@ -227,10 +227,17 @@ def q_zip_with_field(spark, sf_dir):
         lambda s: cents(s["l_extendedprice"]) * (F.lit(100) - cents(s["l_discount"])),
     )
     slim = st.without_field(enriched, "l_tax")
-    return it.select(
+    # materialize the two folded arrays once (unzip re-derives z per
+    # extracted leg; see q_reduce_order_count note on HOF lambda CSE)
+    pre = it.select(
         "l_orderkey",
-        red.sum(dot).cast("long").alias("dot_c"),
-        red.sum(fld(slim, "disc_price_u")).cast("long").alias("sum_disc_price_u"),
+        dot.alias("_dot"),
+        fld(slim, "disc_price_u").alias("_dpu"),
+    )
+    return pre.select(
+        "l_orderkey",
+        red.sum(F.col("_dot")).cast("long").alias("dot_c"),
+        red.sum(F.col("_dpu")).cast("long").alias("sum_disc_price_u"),
     )
 
 
