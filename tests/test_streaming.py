@@ -277,3 +277,27 @@ def test_stream_stream_attribution_join(spark):
         ).collect()
     }
     assert got and got == want
+
+
+def test_sessionize_stateful_larger_state(spark):
+    """SURVEY §7 'sessionize at larger state': the same stream==batch
+    contract with 10x the users and events (sf0.01 — thousands of
+    concurrently-open per-user sessions held in state at once, across
+    multiple state partitions)."""
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming.events import (
+        JSON_TS_FORMAT,
+        stream_events_from_dir,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    path = os.path.join(SCRATCH, "events_json_sf001")
+    e = read(spark, sf, "events")
+    e.repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+    stream = stream_events_from_dir(spark, path)
+    got = _run_sessionizer(spark, stream, "sessions_large")
+    want = _batch_sessions(spark, read(spark, sf, "events"))
+    assert len(want) > 1000  # the point: this is real state, not a toy
+    assert got == want
