@@ -348,12 +348,18 @@ def pad_none(arr: Column, target: int, clip: bool = False) -> Column:
     Parity: structure.py:pad_none. ``clip`` truncates to exactly
     ``target``.
     """
-    et = _null_like(arr)
-    padded = F.concat(
-        arr,
-        F.array_repeat(et, F.greatest(F.lit(target) - F.size(arr), F.lit(0))),
-    )
-    return F.slice(padded, 1, target) if clip else padded
+    def build(a: Column) -> Column:
+        padded = F.concat(
+            a,
+            F.array_repeat(
+                _null_like(a), F.greatest(F.lit(target) - F.size(a), F.lit(0))
+            ),
+        )
+        return F.slice(padded, 1, target) if clip else padded
+
+    # let-bound: the input is referenced four times (concat, repeat
+    # count, null-element typing); see :func:`let`
+    return let(arr, body=build)
 
 
 def _null_like(arr: Column) -> Column:
