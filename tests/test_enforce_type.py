@@ -52,3 +52,14 @@ def test_enforce_type_drops_and_mismatch(spark):
 
     with pytest.raises(TypeError):
         enforce_type(df, "id array<long>, s string, x double").collect()
+
+
+def test_enforce_type_map(spark):
+    from dask_awkward_sandbox_spark.operators.structure import enforce_type
+
+    df = spark.createDataFrame(
+        [(1, {"a": "10", "b": "x"})], "id long, m map<string, string>"
+    )
+    out = enforce_type(df, "id long, m map<string, bigint>")
+    m = out.collect()[0]["m"]
+    assert m == {"a": 10, "b": None}  # unparseable value -> null option
