@@ -480,6 +480,39 @@ def _coerce(col: Column, src_t, tgt_t) -> Column:
     return col.try_cast(tgt_t.simpleString())
 
 
+def with_parameter(df: DataFrame, column: str, key: str, value) -> DataFrame:
+    """ak.with_parameter: attach a layout parameter to a column.
+
+    Spark analogue: column METADATA on the schema field — it rides the
+    plan, survives ``parquet`` write/read (Spark serializes field
+    metadata into the file's schema JSON), and is readable back via
+    :func:`parameters`. Parity: reference lib/structure.py
+    ``with_parameter``. Behavior DISPATCH (awkward's class registry
+    keyed on ``__record__``) remains a documented non-goal — this
+    stores and transports the tags, it does not change operator
+    semantics based on them.
+    """
+    md = dict(df.schema[column].metadata or {})
+    md[key] = value
+    return df.withColumn(column, F.col(column).alias(column, metadata=md))
+
+
+def with_name(df: DataFrame, column: str, name: str) -> DataFrame:
+    """ak.with_name: set the record name (the ``__record__``
+    parameter). Parity: reference lib/structure.py ``with_name``."""
+    return with_parameter(df, column, "__record__", name)
+
+
+def parameters(df: DataFrame, column: str) -> dict:
+    """Read a column's layout parameters (ak ``.layout.parameters``)."""
+    return dict(df.schema[column].metadata or {})
+
+
+def without_parameters(df: DataFrame, column: str) -> DataFrame:
+    """ak.without_parameters: strip all layout parameters."""
+    return df.withColumn(column, F.col(column).alias(column, metadata={}))
+
+
 def enforce_type(df: DataFrame, target) -> DataFrame:
     """Coerce a whole collection to a target schema.
 

@@ -154,3 +154,26 @@ def test_let_binding_semantics(spark):
     assert rows[1] == [1.0 / 3.0, 2.0 / 3.0, 1.0]
     assert rows[2] == []
     assert rows[3] is None
+
+
+def test_with_name_parameters_roundtrip(spark, tmp_path):
+    """with_name/with_parameter store tags as column metadata that
+    survives a parquet roundtrip; without_parameters strips them."""
+    from dask_awkward_sandbox_spark.operators import structure as st
+
+    df = spark.createDataFrame(
+        [(1, [{"x": 1.0}])], "id long, pts array<struct<x: double>>"
+    )
+    named = st.with_name(df, "pts", "Point")
+    named = st.with_parameter(named, "pts", "units", "cm")
+    assert st.parameters(named, "pts") == {"__record__": "Point", "units": "cm"}
+    # values untouched
+    assert named.collect() == df.collect()
+
+    path = str(tmp_path / "named")
+    named.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert st.parameters(back, "pts") == {"__record__": "Point", "units": "cm"}
+
+    stripped = st.without_parameters(named, "pts")
+    assert st.parameters(stripped, "pts") == {}
