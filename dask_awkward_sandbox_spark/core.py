@@ -63,8 +63,31 @@ def repartition(df: DataFrame, num_partitions: int, shuffle: bool | None = None)
     return df.repartition(num_partitions)
 
 
+def _scan_files(df: DataFrame) -> list[str] | None:
+    """Sorted input files when ``df`` is a pure parquet scan, else None."""
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    if (
+        plan.children().size() == 0
+        and "parquet" in plan.toString().lower()
+        and df.inputFiles()
+    ):
+        return sorted(df.inputFiles())
+    return None
+
+
 def npartitions(df: DataFrame) -> int:
-    """Partition count of the collection (reference Array.npartitions)."""
+    """Partition count of the collection (reference Array.npartitions).
+
+    For a pure file scan this is the INPUT FILE count — the same index
+    space :func:`partitions` slices (dask's parquet partitions are
+    file/row-group chunks). Spark's runtime scan tasks bin-pack or
+    split files, so ``rdd.getNumPartitions()`` would disagree with the
+    slicing contract; it remains the answer for derived frames, where
+    ``partitions`` also falls back to runtime partition ids.
+    """
+    files = _scan_files(df)
+    if files is not None:
+        return len(files)
     return df.rdd.getNumPartitions()
 
 
@@ -85,7 +108,13 @@ def partitions(df: DataFrame, start: int, stop: int | None = None) -> DataFrame:
     ``spark_partition_id()`` — every partition is computed but only the
     selected ones survive. Callers who need the fast path should slice
     straight after the read, like reference users do.
+
+    Index space: ``range(npartitions(df))`` — input files on the fast
+    path (hive partition-column values are recovered via ``basePath``,
+    the files' common root), runtime partition ids on the fallback.
     """
+    import os
+
     from pyspark.sql import functions as F
 
     if stop is None:
@@ -93,17 +122,20 @@ def partitions(df: DataFrame, start: int, stop: int | None = None) -> DataFrame:
     if start < 0 or stop < start:
         raise ValueError(f"bad partition range [{start}, {stop})")
 
-    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
-    if (
-        plan.children().size() == 0
-        and "parquet" in plan.toString().lower()
-        and df.inputFiles()
-    ):
-        files = sorted(df.inputFiles())
+    files = _scan_files(df)
+    if files is not None:
         sel = files[start:stop]
         if not sel:
             return df.sparkSession.createDataFrame([], df.schema)
-        return df.sparkSession.read.schema(df.schema).parquet(*sel)
+        # basePath = the dataset root (common dir of ALL files, not
+        # just the slice): without it a partitionBy-layout read would
+        # silently null every partition-column value
+        base = os.path.commonpath([os.path.dirname(f) for f in files])
+        return (
+            df.sparkSession.read.schema(df.schema)
+            .option("basePath", base)
+            .parquet(*sel)
+        )
     pid = F.spark_partition_id()
     return df.filter((pid >= F.lit(start)) & (pid < F.lit(stop)))
 

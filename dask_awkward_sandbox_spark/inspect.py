@@ -147,7 +147,11 @@ def _plan_value_refs(df: DataFrame) -> tuple[set[str], set[str]]:
         if cls in _REF_CLASSES:
             (shape if in_shape else data).add(e.sql().replace("`", ""))
             return  # a deeper walk would re-add the chain's base attr
-        nxt = in_shape or cls in _SHAPE_CLASSES
+        # a cardinality head consumes only its PURE-REFERENCE operands
+        # as shape; anything nested deeper (e.g. the predicate inside
+        # size(filter(arr, p)) still reads values) reverts to data —
+        # conservative: over-reporting data never understates bytes
+        nxt = cls in _SHAPE_CLASSES if not in_shape else False
         for j in range(e.children().size()):
             walk(e.children().apply(j), nxt)
 
@@ -163,7 +167,12 @@ def _plan_value_refs(df: DataFrame) -> tuple[set[str], set[str]]:
 def report_necessary_buffers(df: DataFrame) -> dict[str, NecessaryBuffers]:
     """Split each scan's necessary columns into data vs shape-only
     buffers (reference inspect.py:report_necessary_buffers; see
-    :class:`NecessaryBuffers` for the documented Spark mapping)."""
+    :class:`NecessaryBuffers` for the documented Spark mapping).
+
+    Known limit: value references are collected plan-wide and matched
+    to scans BY NAME, so in a multi-scan plan a leaf that is data in
+    one scan marks the same-named leaf in every other scan as data too
+    (conservative — shape_only is never over-reported)."""
     cols = report_necessary_columns(df)
     data, _ = _plan_value_refs(df)
 

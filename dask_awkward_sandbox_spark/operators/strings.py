@@ -293,7 +293,7 @@ def index_in(s: Column, values: list[str]) -> Column:
     return F.when(pos > 0, (pos - 1).cast("long"))
 
 
-def to_categorical(df, col: str, max_distinct: int = 10_000_000):
+def to_categorical(df, col: str, max_distinct: int = 1_000_000):
     """Dictionary-encode a string column (ak.str.to_categorical):
     returns (encoded_df, dictionary_df) where the dictionary maps each
     distinct value to a dense 0-based code (ordered by value, so codes
@@ -304,8 +304,11 @@ def to_categorical(df, col: str, max_distinct: int = 10_000_000):
     ``row_number`` window runs on a single task. Both are fine exactly
     because a *categorical* column has bounded distinct values; a
     near-unique column is not categorical and is rejected by the
-    ``max_distinct`` guard (a driver-side count of the already-tiny
-    distinct table, cheap relative to the encode itself).
+    ``max_distinct`` guard (default 1M ≈ tens of MB of short strings,
+    inside a sane broadcast budget — raise it only with the memory to
+    match). NOTE the guard makes this call EAGER: it counts the
+    distinct table when invoked; the distinct frame is cached so the
+    guard's shuffle is reused by the dictionary/encode that follows.
 
     Scale: the dictionary is distinct-values-sized — aggregate it
     (one shuffle over distinct values, tiny output) and broadcast it
@@ -315,7 +318,7 @@ def to_categorical(df, col: str, max_distinct: int = 10_000_000):
     """
     from pyspark.sql import Window
 
-    distinct = df.select(col).distinct()
+    distinct = df.select(col).distinct().cache()
     n = distinct.count()
     if n > max_distinct:
         raise ValueError(

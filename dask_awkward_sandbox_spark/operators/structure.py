@@ -465,7 +465,10 @@ def _coerce(col: Column, src_t, tgt_t) -> Column:
             else:
                 # new field: all-missing option type, like ak.enforce_type
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return F.struct(*out)
+        # guard: F.struct() alone would materialize a MISSING record
+        # into a present all-null-fields record, breaking option-type
+        # parity (a null struct must stay null)
+        return F.when(col.isNotNull(), F.struct(*out))
     if isinstance(tgt_t, T.ArrayType):
         if not isinstance(src_t, T.ArrayType):
             raise TypeError(f"cannot enforce {src_t.simpleString()} -> array")
@@ -473,7 +476,13 @@ def _coerce(col: Column, src_t, tgt_t) -> Column:
     if isinstance(tgt_t, T.MapType):
         if not isinstance(src_t, T.MapType):
             raise TypeError(f"cannot enforce {src_t.simpleString()} -> map")
-        m = F.transform_keys(col, lambda k, _: _coerce(k, src_t.keyType, tgt_t.keyType))
+        # KEYS use a strict cast: maps cannot hold null keys, so an
+        # unparseable key must raise (ANSI cast error), not become the
+        # null option a try_cast would produce (runtime map crash)
+        m = F.transform_keys(
+            col, lambda k, _: k if src_t.keyType == tgt_t.keyType
+            else k.cast(tgt_t.keyType.simpleString())
+        )
         return F.transform_values(m, lambda _, v: _coerce(v, src_t.valueType, tgt_t.valueType))
     # atomic: try_cast so unconvertible values become null (option
     # type), matching awkward's missing-value packing under ANSI mode

@@ -423,11 +423,10 @@ def q_ann_ivf_assign(spark, sf_dir):
     break to the higher list id in both engines. The partition-pruned
     probe (similarity.ivf_probe_indexed) keeps its plan-asserted
     PartitionFilters + recall bounds in pytest."""
-    import os
+    from dask_awkward_sandbox_spark.plans.io_queries import _scratch
 
     e = _emb(spark, sf_dir)
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join("/root/repo/.scratch", tag, "ivf_index")
+    path = _scratch(sf_dir, "ivf_index")
     similarity.ivf_write_index(
         e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0, round_digits=6
     )

@@ -177,3 +177,26 @@ def test_with_name_parameters_roundtrip(spark, tmp_path):
 
     stripped = st.without_parameters(named, "pts")
     assert st.parameters(stripped, "pts") == {}
+
+
+def test_partitions_hive_layout_keeps_partition_values(spark, tmp_path):
+    """File-sliced getitem on a partitionBy layout must recover the
+    partition-column values (basePath), and npartitions must match the
+    file index space partitions() slices."""
+    from dask_awkward_sandbox_spark import core
+
+    path = str(tmp_path / "hive")
+    spark.range(0, 100).withColumn("k", (F.col("id") % 4).cast("int")).write.partitionBy(
+        "k"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    n = core.npartitions(back)
+    assert n == len(back.inputFiles())
+    seen = []
+    for i in range(n):
+        part = core.partitions(back, i).collect()
+        assert part, "each file slice holds rows"
+        ks = {r["k"] for r in part}
+        assert None not in ks, "partition column must not be nulled"
+        seen.extend(r["id"] for r in part)
+    assert sorted(seen) == list(range(100))

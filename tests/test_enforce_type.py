@@ -63,3 +63,20 @@ def test_enforce_type_map(spark):
     out = enforce_type(df, "id long, m map<string, bigint>")
     m = out.collect()[0]["m"]
     assert m == {"a": 10, "b": None}  # unparseable value -> null option
+
+
+def test_enforce_type_preserves_missing(spark):
+    """A NULL struct (or null array element) must stay null — not be
+    materialized into a present all-null-fields record."""
+    from dask_awkward_sandbox_spark.operators.structure import enforce_type
+
+    df = spark.createDataFrame(
+        [(1, {"x": 2}, [{"x": 1}, None]), (2, None, None)],
+        "id long, s struct<x: long>, a array<struct<x: long>>",
+    )
+    out = enforce_type(df, "id long, s struct<x: int, z: double>, a array<struct<x: int>>")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["s"] is None and rows[2]["a"] is None
+    assert rows[1]["s"].asDict() == {"x": 2, "z": None}
+    assert rows[1]["a"][0].asDict() == {"x": 1}
+    assert rows[1]["a"][1] is None
