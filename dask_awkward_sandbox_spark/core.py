@@ -23,6 +23,7 @@ batch, not per row; memory is bounded by
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from enum import IntEnum
 
 from pyspark.sql import DataFrame
 
@@ -91,6 +92,24 @@ def npartitions(df: DataFrame) -> int:
     return df.rdd.getNumPartitions()
 
 
+def _common_base(files: list[str]) -> str:
+    """Dataset root = deepest directory common to every input file,
+    computed URI-safely: the common prefix is taken on the PATH
+    component of each parsed URI and the scheme://authority is
+    reassembled afterwards. ``os.path.commonpath`` on raw URIs would
+    collapse the ``//`` after the scheme ("s3://bucket/…" ->
+    "s3:/bucket/…", authority lost) — harmless under local Hadoop
+    paths, wrong on every object store."""
+    import posixpath
+    from urllib.parse import urlsplit, urlunsplit
+
+    parts = [urlsplit(f) for f in files]
+    dirs = [posixpath.dirname(p.path) for p in parts]
+    common = posixpath.commonpath(dirs) if len(dirs) > 1 else dirs[0]
+    # one dataset has one scheme+authority; reassemble the first's
+    return urlunsplit((parts[0].scheme, parts[0].netloc, common, "", ""))
+
+
 def partitions(df: DataFrame, start: int, stop: int | None = None) -> DataFrame:
     """Partition-wise getitem: ``Array.partitions[start:stop]``
     (reference lib/core.py, the ``.partitions`` accessor).
@@ -112,32 +131,46 @@ def partitions(df: DataFrame, start: int, stop: int | None = None) -> DataFrame:
     Index space: ``range(npartitions(df))`` — input files on the fast
     path (hive partition-column values are recovered via ``basePath``,
     the files' common root), runtime partition ids on the fallback.
-    """
-    import os
 
+    Negative indices follow Python semantics against ``npartitions``
+    (the reference accessor supports ``partitions[-1]`` as the
+    peek-at-the-last-chunk idiom): single-index form raises on
+    out-of-range, slice form clamps like a Python slice.
+    """
     from pyspark.sql import functions as F
 
-    if stop is None:
-        stop = start + 1
-    if start < 0 or stop < start:
-        raise ValueError(f"bad partition range [{start}, {stop})")
-
     files = _scan_files(df)
+    single = stop is None
+    if single and start >= 0 and files is None:
+        # common positive-single-index fallback path: avoid forcing
+        # plan conversion just to learn n
+        lo, hi = start, start + 1
+    else:
+        n = len(files) if files is not None else df.rdd.getNumPartitions()
+        if single:
+            lo = start + n if start < 0 else start
+            if not 0 <= lo < n:
+                raise IndexError(f"partition {start} out of range for {n} partitions")
+            hi = lo + 1
+        else:
+            lo, hi, _ = slice(start, stop).indices(n)
+            if hi < lo:
+                hi = lo
+
     if files is not None:
-        sel = files[start:stop]
+        sel = files[lo:hi]
         if not sel:
             return df.sparkSession.createDataFrame([], df.schema)
         # basePath = the dataset root (common dir of ALL files, not
         # just the slice): without it a partitionBy-layout read would
         # silently null every partition-column value
-        base = os.path.commonpath([os.path.dirname(f) for f in files])
         return (
             df.sparkSession.read.schema(df.schema)
-            .option("basePath", base)
+            .option("basePath", _common_base(files))
             .parquet(*sel)
         )
     pid = F.spark_partition_id()
-    return df.filter((pid >= F.lit(start)) & (pid < F.lit(stop)))
+    return df.filter((pid >= F.lit(lo)) & (pid < F.lit(hi)))
 
 
 def persist(df: DataFrame) -> DataFrame:
@@ -185,3 +218,71 @@ def to_packed(df: DataFrame) -> DataFrame:
     """ak.to_packed: Spark/Tungsten rows carry no unreachable buffers
     to strip — identity. Parity: structure.py:to_packed."""
     return df
+
+
+class PartitionCompatibility(IntEnum):
+    """Partition-compatibility sum type (reference lib/core.py:2716
+    ``PartitionCompatibility``): can these collections be combined
+    partition-wise (zip-like ops) without a realignment?
+
+    NO    — provably incompatible: differing partition counts, or both
+            sides are known file scans over different file lists.
+    MAYBE — counts agree but at least one side is a derived frame whose
+            per-partition row boundaries are unknowable without compute
+            (the reference's unknown-divisions case).
+    YES   — both sides are pure file scans over the IDENTICAL file
+            list: same partition index space, same boundaries.
+    """
+
+    NO = 0
+    MAYBE = 1
+    YES = 2
+
+
+def partition_compatibility(*dfs: DataFrame) -> PartitionCompatibility:
+    """Check partition compatibility across collections (reference
+    lib/core.py:2784 ``partition_compatibility``).
+
+    The Spark mapping of the reference's divisions logic: a pure
+    parquet scan has KNOWN divisions (its sorted file list — the index
+    space :func:`partitions` slices); any derived frame has unknown
+    divisions but a knowable partition COUNT. Mirroring the
+    reference's ``_check``: unequal counts -> NO; all scans with equal
+    file lists -> YES; equal counts with any unknown-division frame ->
+    MAYBE; two known-but-different file lists of the same length -> NO.
+    """
+    if len(dfs) < 2:
+        return PartitionCompatibility.YES
+    scans = [_scan_files(d) for d in dfs]
+    counts = [
+        len(s) if s is not None else d.rdd.getNumPartitions()
+        for s, d in zip(scans, dfs)
+    ]
+    if len(set(counts)) > 1:
+        return PartitionCompatibility.NO
+    known = [s for s in scans if s is not None]
+    if not known:
+        return PartitionCompatibility.MAYBE
+    ref = known[0]
+    if any(s != ref for s in known[1:]):
+        return PartitionCompatibility.NO
+    if len(known) == len(dfs):
+        return PartitionCompatibility.YES
+    return PartitionCompatibility.MAYBE
+
+
+def compatible_partitions(
+    *dfs: DataFrame,
+    how_strict: int | PartitionCompatibility = PartitionCompatibility.MAYBE,
+) -> bool:
+    """Boolean form (reference lib/core.py:2845
+    ``compatible_partitions``): at the default strictness MAYBE passes
+    (counts agree, boundaries unverifiable without compute); pass
+    ``PartitionCompatibility.YES`` to require provably identical
+    divisions."""
+    got = partition_compatibility(*dfs)
+    if got == PartitionCompatibility.NO:
+        return False
+    if got == PartitionCompatibility.MAYBE:
+        return how_strict == PartitionCompatibility.MAYBE
+    return True

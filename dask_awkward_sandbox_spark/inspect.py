@@ -200,3 +200,92 @@ def fields(df_or_col: DataFrame | Column | None, df: DataFrame | None = None) ->
 def backend(*_args) -> str:
     """Reference describe.py:backend — ours is always Spark."""
     return "spark"
+
+
+# ---------------------------------------------------------------------------
+# awkward-style type rendering (reference lib/core.py:2396 ``_type``,
+# exported as ``dak.type``; Array._typestr at core.py:1081)
+# ---------------------------------------------------------------------------
+
+_ATOM_NAMES = {
+    "long": "int64",
+    "bigint": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "short": "int16",
+    "smallint": "int16",
+    "byte": "int8",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+    "binary": "bytes",
+    "date": "datetime64[D]",
+    "timestamp": "datetime64[us]",
+    "timestamp_ntz": "datetime64[us]",
+}
+
+
+def _render_type(dt, nullable: bool) -> str:
+    """Spark DataType -> awkward type-string fragment.
+
+    Mapping: array<T> -> ``var * T`` (Spark arrays are always
+    variable-length), struct -> ``{f: T, ...}``, nullable -> ``?T``
+    (or awkward's ``option[...]`` form when the inner type is a list /
+    record, which cannot take the ``?`` prefix), atomics by numpy
+    name. Maps (no awkward analogue) render via their Arrow layout:
+    ``var * {key: K, value: V}``. Decimals keep their SQL name —
+    honest extension, awkward has no decimal."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        inner = f"var * {_render_type(dt.elementType, dt.containsNull)}"
+    elif isinstance(dt, T.StructType):
+        fields = ", ".join(
+            f"{f.name}: {_render_type(f.dataType, f.nullable)}" for f in dt.fields
+        )
+        inner = "{" + fields + "}"
+    elif isinstance(dt, T.MapType):
+        kv = (
+            f"key: {_render_type(dt.keyType, False)}, "
+            f"value: {_render_type(dt.valueType, dt.valueContainsNull)}"
+        )
+        inner = "var * {" + kv + "}"
+    else:
+        simple = dt.simpleString()
+        inner = _ATOM_NAMES.get(simple, simple)
+
+    if not nullable:
+        return inner
+    if inner.startswith("var * ") or inner.startswith("{"):
+        return f"option[{inner}]"
+    return f"?{inner}"
+
+
+def typestr(df_or_schema, max: int = 0) -> str:  # noqa: A002 - mirrors _typestr
+    """awkward-style type string of a collection (reference
+    Array._typestr, core.py:1081): ``var * {x: int64, y: var *
+    ?float64}`` — the leading ``var`` is the partitioned row
+    dimension, exactly as the reference renders it. ``max`` truncates
+    like the reference (``"... }"`` suffix).
+
+    Accepts a DataFrame, a StructType, or any Spark DataType (a
+    single column's type renders without the row dimension wrapper —
+    pass ``df.schema["c"].dataType``)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df_or_schema, DataFrame):
+        schema: T.DataType = df_or_schema.schema
+    else:
+        schema = df_or_schema
+    tstr = _render_type(schema, False)
+    if max and len(tstr) > max:
+        tstr = f"{tstr[0:max]} ... }}"
+    return f"var * {tstr}"
+
+
+def shorttypestr(df_or_schema, max: int = 10) -> str:  # noqa: A002
+    """First ``max`` characters of the inner type (reference
+    Array._shorttypestr, core.py:1078)."""
+    return typestr(df_or_schema)[len("var * ") :][0:max]

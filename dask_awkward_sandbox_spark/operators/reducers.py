@@ -52,14 +52,40 @@ def count_nonzero(arr: Column) -> Column:
     return F.size(F.filter(arr, lambda x: x.isNotNull() & (x != F.lit(0)))).cast("long")
 
 
+def _typed_seed(arr: Column, value: int) -> Column:
+    """A ``value`` literal carrying the WIDER of (element type, bigint):
+    coalesce of an element-typed null (out-of-bounds get) with a bigint
+    literal lets Catalyst's type coercion pick the accumulator type —
+    int8/16/32/64 lists fold in int64 (awkward's reducer promotion),
+    float/double/decimal lists fold in their own type. No schema
+    knowledge needed at call time."""
+    from dask_awkward_sandbox_spark.operators.structure import _null_like
+
+    return F.coalesce(_null_like(arr), F.lit(value).cast("long"))
+
+
+def _nn(arr: Column) -> Column:
+    """Non-null elements in their NATIVE type (awkward's option-type
+    skipping); NaN stays in and propagates like numpy."""
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
 def sum(arr: Column) -> Column:  # noqa: A001 - mirrors ak.sum
-    """ak.sum (axis=1); empty list -> 0.0."""
-    return F.aggregate(_vals(arr), F.lit(0.0), lambda acc, x: acc + x)
+    """ak.sum (axis=1); empty list -> 0. Type-preserving: integer
+    lists reduce in int64 (exact past 2**53, awkward parity), float /
+    double / decimal lists in their own type — the fold's seed is
+    :func:`_typed_seed`'s coerced zero, not a double literal."""
+    return _let(
+        arr, body=lambda a: F.aggregate(_nn(a), _typed_seed(a, 0), lambda acc, x: acc + x)
+    )
 
 
 def prod(arr: Column) -> Column:
-    """ak.prod (axis=1); empty list -> 1.0."""
-    return F.aggregate(_vals(arr), F.lit(1.0), lambda acc, x: acc * x)
+    """ak.prod (axis=1); empty list -> 1. Type-preserving like
+    :func:`sum` (integers fold in int64)."""
+    return _let(
+        arr, body=lambda a: F.aggregate(_nn(a), _typed_seed(a, 1), lambda acc, x: acc * x)
+    )
 
 
 def min(arr: Column) -> Column:  # noqa: A001

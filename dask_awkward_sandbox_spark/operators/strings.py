@@ -319,15 +319,24 @@ def to_categorical(df, col: str, max_distinct: int = 1_000_000):
     from pyspark.sql import Window
 
     distinct = df.select(col).distinct().cache()
-    n = distinct.count()
-    if n > max_distinct:
-        raise ValueError(
-            f"to_categorical: {n} distinct values in {col!r} exceeds "
-            f"max_distinct={max_distinct}; this column is not categorical "
-            "(the dictionary must fit the broadcast threshold)"
-        )
-    w = Window.orderBy(col)
-    dictionary = distinct.withColumn("code", (F.row_number().over(w) - 1).cast("long"))
+    try:
+        n = distinct.count()
+        if n > max_distinct:
+            raise ValueError(
+                f"to_categorical: {n} distinct values in {col!r} exceeds "
+                f"max_distinct={max_distinct}; this column is not categorical "
+                "(the dictionary must fit the broadcast threshold)"
+            )
+        w = Window.orderBy(col)
+        # localCheckpoint MATERIALIZES the dictionary (guard-bounded,
+        # executor-stored) so the cached distinct frame can be released
+        # here instead of leaking one cached relation per call — the
+        # guard's shuffle is still the one that feeds it
+        dictionary = distinct.withColumn(
+            "code", (F.row_number().over(w) - 1).cast("long")
+        ).localCheckpoint(eager=True)
+    finally:
+        distinct.unpersist()
     encoded = df.join(F.broadcast(dictionary), col, "left").withColumnRenamed(
         "code", f"{col}_code"
     )

@@ -93,43 +93,34 @@ def local_index(arr: Column) -> Column:
 def run_lengths(arr: Column) -> Column:
     """Lengths of runs of consecutive equal values within each list.
 
-    Parity: structure.py:run_lengths. Implemented as a single
-    ``aggregate`` fold carrying (previous value, current run length,
-    emitted lengths) — O(n) per list, JVM-side.
+    Parity: structure.py:run_lengths. Elements are compared in their
+    NATIVE type with null-safe equality (``<=>`` semantics): a run of
+    consecutive nulls counts as one run, and Spark's NaN-self-equality
+    makes consecutive NaNs one run too — no stringification, so
+    ``1.0`` vs ``"1"`` cross-type accidents cannot happen and struct /
+    decimal elements compare exactly.
+
+    Two O(n) JVM passes per list: (1) collect run-START indices (i==0
+    or a[i] <=> a[i-1] fails), (2) pairwise-diff the starts against
+    their successors (last run ends at size(a)).
     """
-    et = "string"
-    init = F.struct(
-        F.lit(None).cast(et).alias("prev"),
-        F.lit(0).cast("long").alias("cur"),
-        F.array().cast("array<long>").alias("out"),
-    )
 
-    def step(acc: Column, x: Column) -> Column:
-        same = acc["cur"] > F.lit(0)
-        same = same & (x.cast(et) == acc["prev"])
-        return F.when(
-            same,
-            F.struct(
-                acc["prev"].alias("prev"),
-                (acc["cur"] + 1).alias("cur"),
-                acc["out"].alias("out"),
-            ),
-        ).otherwise(
-            F.struct(
-                x.cast(et).alias("prev"),
-                F.lit(1).cast("long").alias("cur"),
-                F.when(acc["cur"] > 0, F.concat(acc["out"], F.array(acc["cur"])))
-                .otherwise(acc["out"])
-                .alias("out"),
-            )
+    def build(a: Column) -> Column:
+        n = F.size(a)
+        starts = F.filter(
+            F.transform(a, lambda _, i: i),
+            lambda i: (i == F.lit(0)) | ~F.get(a, i).eqNullSafe(F.get(a, i - 1)),
         )
-
-    def fin(acc: Column) -> Column:
-        return F.when(acc["cur"] > 0, F.concat(acc["out"], F.array(acc["cur"]))).otherwise(
-            acc["out"]
+        nexts = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(n),
         )
+        lengths = F.zip_with(starts, nexts, lambda s, e: (e - s).cast("long"))
+        # empty input: zip_with([], [0]) would pad to one null-start row
+        return F.when(n == 0, F.array().cast("array<long>")).otherwise(lengths)
 
-    return F.aggregate(arr, init, step, fin)
+    # let-bound: `a` is referenced inside its own per-element lambdas
+    return let(arr, body=build)
 
 
 # ---------------------------------------------------------------------------
@@ -266,22 +257,43 @@ def argcombinations(a: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _nan_flag(x: Column) -> Column:
+    """Type-safe "is NaN" for comparator branches: exact on float /
+    double (``try_cast`` is the identity there), constant-false on
+    ints / decimals / non-numeric strings (cast fails -> null ->
+    coalesce false). Known edge, documented: a STRING element that
+    itself parses as NaN ("nan"/"NaN") takes the NaN sort rank.
+    ``F.isnan`` alone cannot be used — on a string column Catalyst
+    inserts an implicit ANSI cast that THROWS on the first
+    non-numeric value."""
+    return F.coalesce(F.isnan(x.try_cast("double")), F.lit(False))
+
+
 def sort(arr: Column, ascending: bool = True) -> Column:
-    """Sort each list. Parity: structure.py:sort (nulls last like awkward).
+    """Sort each list. Parity: structure.py:sort — None last in BOTH
+    directions, and NaN after all non-null values (before the Nones)
+    in BOTH directions, matching numpy/awkward nan-last.
 
     awkward places None last in BOTH directions, so descending cannot be
     ``reverse(array_sort(...))`` (that would move nulls first).  Ascending
-    stays on the built-in ``array_sort`` (already nulls-last); descending
-    uses the same nulls-always-last comparator :func:`argsort` uses.
+    stays on the built-in ``array_sort``, which is already nulls-last AND
+    NaN-before-nulls (Spark orders NaN greater than every other double).
+    Descending needs explicit NaN branches: Spark's NaN-greatest total
+    order would otherwise put NaN FIRST when the value comparison is
+    flipped.
     """
     if ascending:
         return F.array_sort(arr)
 
     def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+        ln, rn = _nan_flag(l), _nan_flag(r)
         return (
             F.when(l.isNull() & r.isNull(), F.lit(0))
             .when(l.isNull(), F.lit(1))
             .when(r.isNull(), F.lit(-1))
+            .when(ln & rn, F.lit(0))
+            .when(ln, F.lit(1))
+            .when(rn, F.lit(-1))
             .when(l > r, F.lit(-1))
             .when(l < r, F.lit(1))
             .otherwise(F.lit(0))
@@ -294,6 +306,11 @@ def argsort(arr: Column, ascending: bool = True) -> Column:
     """Indices that would sort each list. Parity: structure.py:argsort.
 
     Stable: ties keep original order (comparator falls back to index).
+    NaN ranks after all non-null values, before nulls, in BOTH
+    directions (numpy parity). Ascending needs no NaN branch — Spark's
+    comparison order already places NaN greatest, and NaN-vs-NaN falls
+    through to the stable index tiebreak; descending flips the value
+    comparison so NaN must be pinned explicitly (see :func:`sort`).
     """
     pairs = F.transform(arr, lambda x, i: F.struct(x.alias("v"), i.cast("long").alias("i")))
 
@@ -312,10 +329,14 @@ def argsort(arr: Column, ascending: bool = True) -> Column:
     else:
 
         def cmp(l: Column, r: Column) -> Column:  # noqa: E741
+            ln, rn = _nan_flag(l["v"]), _nan_flag(r["v"])
             return (
                 F.when(l["v"].isNull() & r["v"].isNull(), l["i"] - r["i"])
                 .when(l["v"].isNull(), F.lit(1))
                 .when(r["v"].isNull(), F.lit(-1))
+                .when(ln & rn, l["i"] - r["i"])
+                .when(ln, F.lit(1))
+                .when(rn, F.lit(-1))
                 .when(l["v"] > r["v"], F.lit(-1))
                 .when(l["v"] < r["v"], F.lit(1))
                 .otherwise(l["i"] - r["i"])

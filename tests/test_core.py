@@ -200,3 +200,92 @@ def test_partitions_hive_layout_keeps_partition_values(spark, tmp_path):
         assert None not in ks, "partition column must not be nulled"
         seen.extend(r["id"] for r in part)
     assert sorted(seen) == list(range(100))
+
+
+def test_partitions_negative_indices(spark, tmp_path):
+    """Reference Array.partitions supports negative indices
+    (partitions[-1] = peek at the last chunk) — r4 ADVICE item."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark import core
+
+    path = str(tmp_path / "neg")
+    spark.range(0, 100).withColumn("b", (F.col("id") / 25).cast("int")).repartition(
+        4, "b"
+    ).write.partitionBy("b").parquet(path)
+    df = spark.read.parquet(path)
+    n = core.npartitions(df)
+    assert n >= 2
+    last = core.partitions(df, -1)
+    # identical to the explicit positive form
+    assert sorted(r["id"] for r in last.collect()) == sorted(
+        r["id"] for r in core.partitions(df, n - 1).collect()
+    )
+    # slice form clamps like a Python slice
+    tail2 = core.partitions(df, -2, 10**6)
+    assert tail2.count() == core.partitions(df, n - 2, n).count()
+    assert core.partitions(df, -10**6, 10**6).count() == df.count()
+    with pytest.raises(IndexError):
+        core.partitions(df, -(n + 1))
+
+
+def test_common_base_preserves_uri_authority():
+    """os.path.commonpath would collapse 's3://b/…' to 's3:/b/…'
+    (authority lost) — the basePath must survive object-store URIs."""
+    from dask_awkward_sandbox_spark.core import _common_base
+
+    assert (
+        _common_base(
+            [
+                "s3://bucket/data/ds/p=1/part-0.parquet",
+                "s3://bucket/data/ds/p=2/part-0.parquet",
+            ]
+        )
+        == "s3://bucket/data/ds"
+    )
+    assert (
+        _common_base(["file:///x/ds/p=1/a.parquet", "file:///x/ds/p=2/b.parquet"])
+        == "file:///x/ds"
+    )
+    assert _common_base(["/plain/ds/a.parquet", "/plain/ds/b.parquet"]) == "/plain/ds"
+    assert _common_base(["hdfs://nn:8020/w/a/x.parquet"]) == "hdfs://nn:8020/w/a"
+
+
+def test_partition_compatibility(spark, tmp_path):
+    """Spark face of reference lib/core.py:2784: YES for identical
+    file scans, MAYBE when a derived frame hides its boundaries, NO on
+    count mismatch or differing file lists."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.core import (
+        PartitionCompatibility,
+        compatible_partitions,
+        npartitions,
+        partition_compatibility,
+    )
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(0, 40).repartition(4).write.parquet(p1)
+    spark.range(0, 40).repartition(2).write.parquet(p2)
+    a1, a2 = spark.read.parquet(p1), spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+
+    assert partition_compatibility(a1, a2) == PartitionCompatibility.YES
+    assert partition_compatibility(a1, b) == PartitionCompatibility.NO
+    derived = a1.withColumn("x", F.col("id") * 2).repartition(npartitions(a1))
+    assert partition_compatibility(a1, derived) == PartitionCompatibility.MAYBE
+    # same count, different files -> NO (known divisions disagree)
+    p3 = str(tmp_path / "c")
+    spark.range(100, 140).repartition(4).write.parquet(p3)
+    assert (
+        partition_compatibility(a1, spark.read.parquet(p3))
+        == PartitionCompatibility.NO
+    )
+
+    assert compatible_partitions(a1, a2)
+    assert compatible_partitions(a1, derived)  # MAYBE passes by default
+    assert not compatible_partitions(
+        a1, derived, how_strict=PartitionCompatibility.YES
+    )
+    assert not compatible_partitions(a1, b)

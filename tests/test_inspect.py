@@ -109,3 +109,68 @@ def test_report_necessary_buffers_shape_vs_data(spark):
     ).values()
     assert rep.data_and_shape == frozenset({"l_orderkey", "items.l_quantity"})
     assert rep.shape_only == frozenset()
+
+
+def test_typestr_nested_schema(spark):
+    """awkward-style type rendering (reference Array._typestr,
+    core.py:1081; dak.type at core.py:2396) from Spark schemas."""
+    from pyspark.sql import types as T
+
+    from dask_awkward_sandbox_spark.inspect import shorttypestr, typestr
+
+    schema = T.StructType.fromDDL(
+        "k bigint, name string, items array<struct<x: int, w: double>>, "
+        "tags array<string>"
+    )
+    df = spark.createDataFrame([], schema)
+    assert typestr(df) == (
+        "var * {k: ?int64, name: ?string, "
+        "items: option[var * option[{x: ?int32, w: ?float64}]], "
+        "tags: option[var * ?string]}"
+    )
+    assert shorttypestr(df, max=9) == "{k: ?int6"
+
+    # non-null fields drop the option marks
+    s2 = T.StructType(
+        [
+            T.StructField("a", T.LongType(), nullable=False),
+            T.StructField(
+                "xs",
+                T.ArrayType(T.DoubleType(), containsNull=False),
+                nullable=False,
+            ),
+        ]
+    )
+    assert typestr(s2) == "var * {a: int64, xs: var * float64}"
+
+    # single column type + truncation like the reference (max cut)
+    assert typestr(s2["xs"].dataType) == "var * var * float64"
+    long_t = typestr(df, max=20)
+    assert long_t.startswith("var * {k: ?int64") and long_t.endswith(" ... }")
+
+
+def test_typestr_atoms_and_map(spark):
+    from pyspark.sql import types as T
+
+    from dask_awkward_sandbox_spark.inspect import typestr
+
+    schema = T.StructType.fromDDL(
+        "b boolean, bin binary, d date, ts timestamp, dec decimal(12,2), "
+        "m map<string, bigint>"
+    )
+    got = typestr(schema)
+    assert "b: ?bool" in got
+    assert "bin: ?bytes" in got
+    assert "d: ?datetime64[D]" in got
+    assert "ts: ?datetime64[us]" in got
+    assert "dec: ?decimal(12,2)" in got
+    assert "m: option[var * {key: string, value: ?int64}]" in got
+
+
+def test_typestr_matches_testdata(spark, sf):
+    from dask_awkward_sandbox_spark.inspect import typestr
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    t = typestr(emb)
+    assert t.startswith("var * {")
+    assert "embedding: option[var * ?float" in t
