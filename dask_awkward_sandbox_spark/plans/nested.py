@@ -327,11 +327,13 @@ def q_run_lengths(spark, sf_dir):
                  cast(0 as bigint) as zeros_sum,
                  cast(count(*) as bigint) as n_close,
                  cast(0 as bigint) as n_far,
-                 cast(sum({QC}) - 5 as bigint) as nanfix_sum
+                 cast(sum({QC}) - 5 as bigint) as nanfix_sum,
+                 cast(sum(2*{QC} + {QC}*{QC}) as bigint) as ew_sum
           from lineitem group by l_orderkey)
     select g.l_orderkey, i.idx, v.qty_c as qty_c,
            coalesce(v.qty_c, -1) as qty_f,
-           b.ones_n, b.full7_sum, b.zeros_sum, b.n_close, b.n_far, b.nanfix_sum
+           b.ones_n, b.full7_sum, b.zeros_sum, b.n_close, b.n_far, b.nanfix_sum,
+           b.ew_sum
     from g cross join i
     left join v on v.l_orderkey = g.l_orderkey and v.idx = i.idx
     join b on b.l_orderkey = g.l_orderkey
@@ -343,8 +345,12 @@ def q_pad_fill_none(spark, sf_dir):
     plus the elementwise like/close family as per-order legs:
     ak.ones_like / full_like / zeros_like (shape-preserving fills,
     reduced back to counts), ak.isclose under both a passing and a
-    failing atol, and ak.nan_to_num over a list with a planted NaN
-    (sqrt(-1)) replaced by -5 before summing."""
+    failing atol, ak.nan_to_num over a list with a planted NaN
+    (sqrt(-1)) replaced by -5 before summing, and the r5 elementwise
+    ufunc surface (NestedArray operator sugar: 2*q + q**2, reference
+    tests/test_ufunc.py semantics) reduced to a per-order sum."""
+    from dask_awkward_sandbox_spark.operators.elementwise import NestedArray
+
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     q = _qty_c(F.col("items"))
     qd = F.transform(q, lambda x: x.cast("double"))
@@ -354,15 +360,28 @@ def q_pad_fill_none(spark, sf_dir):
     shifted = F.transform(qd, lambda x: x + 0.5)
     n_true = lambda bools: F.size(F.filter(bools, lambda b: b))  # noqa: E731
     with_nan = F.concat(qd, F.array(F.sqrt(F.lit(-1.0))))
-    ex = it.select(
+    nq = NestedArray(q)
+    ew = (2 * nq + nq**2).col  # int64 cents: exact, order-free
+    # two-step select: the per-order legs are computed BEFORE the
+    # generator so every leg evaluates once per order (not once per
+    # exploded row), and the let-bound zip_with legs never meet the
+    # ExtractGenerator rewrite in the same Project
+    pre = it.select(
         "l_orderkey",
-        F.posexplode_outer(z).alias("idx", "p"),
+        z.alias("_z"),
         red.sum(st.ones_like(q)).cast("long").alias("ones_n"),
         red.sum(st.full_like(q, 7.0)).cast("long").alias("full7_sum"),
         red.sum(st.zeros_like(q)).cast("long").alias("zeros_sum"),
         n_true(st.isclose(qd, shifted, rtol=0.0, atol=0.6)).cast("long").alias("n_close"),
         n_true(st.isclose(qd, shifted, rtol=0.0, atol=0.4)).cast("long").alias("n_far"),
         red.sum(st.nan_to_num(with_nan, nan=-5.0)).cast("long").alias("nanfix_sum"),
+        red.sum(ew).cast("long").alias("ew_sum"),
+    )
+    ex = pre.select(
+        "l_orderkey",
+        F.posexplode_outer("_z").alias("idx", "p"),
+        "ones_n", "full7_sum", "zeros_sum", "n_close", "n_far", "nanfix_sum",
+        "ew_sum",
     )
     return ex.select(
         "l_orderkey",
@@ -370,6 +389,7 @@ def q_pad_fill_none(spark, sf_dir):
         F.col("p")["qty_c"].alias("qty_c"),
         F.col("p")["qty_f"].alias("qty_f"),
         "ones_n", "full7_sum", "zeros_sum", "n_close", "n_far", "nanfix_sum",
+        "ew_sum",
     )
 
 
