@@ -239,8 +239,89 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 @query(
-    "q_events_funnel",
+    "q_stream_dedup",
     """
+    select event_type,
+           cast(count(*) as bigint) as n,
+           cast(count(distinct user_id) as bigint) as n_users,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) as sum_value_c
+    from events group by event_type
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup under the driver's value oracle (r4
+    verdict item 7): the events table is replayed as a json file
+    stream with a PLANTED duplicate file — every event from the last
+    30 minutes of the timeline is re-emitted in a second,
+    later-mtime file — through ``stream_dedup_exact``
+    (dropDuplicatesWithinWatermark on event_id, 1-hour watermark)
+    into a memory sink; the surviving rows are aggregated per
+    event_type.
+
+    Deterministic emission contract: event_id is unique in the
+    source, so the correct output is exactly the original event set —
+    which is what the oracle aggregates relationally. The duplicates
+    are all WITHIN the watermark horizon of their originals (30min
+    re-emit window vs 1h delay, and the stream head arrives in file
+    1), so the originals' state rows are guaranteed retained when the
+    duplicates arrive and every duplicate is dropped regardless of
+    micro-batch boundaries. A broken dedup inflates n / sum_value_c
+    and fails the value hash; an over-eager dedup (dropping distinct
+    ids) deflates n.
+    """
+    import os
+    import time
+
+    from dask_awkward_sandbox_spark.streaming.events import (
+        JSON_TS_FORMAT,
+        stream_dedup_exact,
+        stream_events_from_dir,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join("/root/repo/.scratch", tag, "stream_dedup_json")
+    e = read(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts"))
+    max_us = e.agg(F.max(tus)).collect()[0][0]
+    dup_window = tus >= max_us - 1_800_000_000  # last 30 min re-emitted
+    e.repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+    time.sleep(1.2)  # file source orders by mtime: dup file strictly second
+    e.filter(dup_window).repartition(1).write.mode("append").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+
+    deduped = stream_dedup_exact(
+        stream_events_from_dir(spark, path, max_files_per_trigger=1),
+        keys=["event_id"],
+        watermark="1 hour",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("q_stream_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("q_stream_dedup_sink")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+    )
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_events_funnel_retention",
+    f"""
     with m as (
       select user_id,
              min(case when event_type = 'view' then epoch_us(ts) end) as v
@@ -254,31 +335,56 @@ def q_stream_sessionize(spark, sf_dir):
       select e.user_id, min(epoch_us(e.ts)) as p
       from events e join c on c.user_id = e.user_id
       where e.event_type = 'purchase' and epoch_us(e.ts) > c.c
-      group by e.user_id)
-    select m.user_id,
+      group by e.user_id),
+    s as (select user_id, min(epoch_us(ts)) as su
+          from events where event_type = 'signup' group by user_id),
+    a as (select distinct e.user_id,
+                 s.su // {WEEK_US} as cohort_week,
+                 (epoch_us(e.ts) - s.su) // {WEEK_US} as week_offset
+          from events e join s on s.user_id = e.user_id
+          where epoch_us(e.ts) >= s.su)
+    select 'funnel' as section,
+           m.user_id as k1,
            cast(case when p.p is not null then 3
                      when c.c is not null then 2
                      when m.v is not null then 1
-                     else 0 end as bigint) as funnel_stage,
-           cast(m.v as bigint) as first_view_us
+                     else 0 end as bigint) as k2,
+           cast(m.v as bigint) as val
     from m
     left join c on c.user_id = m.user_id
     left join p on p.user_id = m.user_id
+    union all
+    select 'retention' as section,
+           cast(cohort_week as bigint) as k1,
+           cast(week_offset as bigint) as k2,
+           cast(count(*) as bigint) as val
+    from a group by cohort_week, week_offset
     """,
 )
-def q_events_funnel(spark, sf_dir):
-    """Ordered funnel (view -> click -> purchase) per user, computed
-    awkward-style: one nested event list per user, then pure array
-    folds — min view time, min click after it, min purchase after
-    that. No window functions, no self-joins; at scale this is ONE
-    shuffle (the per-user nested build) instead of the oracle's three
-    join-aggregate passes."""
+def q_events_funnel_retention(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) AND weekly cohort
+    retention per user, both computed awkward-style off ONE shared
+    nested build (per-user event list) — merged into a single gate
+    slot in r5 (freeing the slot the streaming-dedup oracle query now
+    occupies).
+
+    Funnel legs are pure array folds: min view time, min click after
+    it, min purchase after that. Retention legs: signup time and
+    distinct active-week offsets as array folds, one explode. No
+    window functions, no self-joins; at scale this is ONE shuffle
+    (the nested build — both sections read the same exchange via
+    ReusedExchange) where the oracle does four join-aggregate passes
+    over the event table.
+    Output is the tagged union (section, k1, k2, val)."""
     e = read(spark, sf_dir, "events")
     evs = e.groupBy("user_id").agg(
         F.collect_list(
             F.struct(F.unix_micros("ts").alias("tus"), F.col("event_type").alias("et"))
         ).alias("evs")
     )
+    # both sections consume this one aggregate: the map side + shuffle
+    # write happen once (ReusedExchange), only the small reduce-side
+    # re-fold runs per section
 
     def min_after(kind, after):
         ts = F.transform(
@@ -296,49 +402,18 @@ def q_events_funnel(spark, sf_dir):
     stage = stage.select(
         "user_id", "v", "c", min_after("purchase", F.col("c")).alias("p")
     )
-    return stage.select(
-        "user_id",
+    funnel = stage.select(
+        F.lit("funnel").alias("section"),
+        F.col("user_id").alias("k1"),
         F.when(F.col("p").isNotNull(), 3)
         .when(F.col("c").isNotNull(), 2)
         .when(F.col("v").isNotNull(), 1)
         .otherwise(0)
         .cast("long")
-        .alias("funnel_stage"),
-        F.col("v").cast("long").alias("first_view_us"),
+        .alias("k2"),
+        F.col("v").cast("long").alias("val"),
     )
 
-
-WEEK_US = 7 * 24 * 3600 * 1_000_000
-
-
-@query(
-    "q_events_retention",
-    f"""
-    with s as (select user_id, min(epoch_us(ts)) as su
-               from events where event_type = 'signup' group by user_id),
-    a as (select distinct e.user_id,
-                 s.su // {WEEK_US} as cohort_week,
-                 (epoch_us(e.ts) - s.su) // {WEEK_US} as week_offset
-          from events e join s on s.user_id = e.user_id
-          where epoch_us(e.ts) >= s.su)
-    select cast(cohort_week as bigint) as cohort_week,
-           cast(week_offset as bigint) as week_offset,
-           cast(count(*) as bigint) as n_users
-    from a group by cohort_week, week_offset
-    """,
-)
-def q_events_retention(spark, sf_dir):
-    """Weekly cohort retention, awkward-style: per-user event list,
-    signup time and active-week offsets computed as array folds, one
-    explode of the per-user distinct offsets. One shuffle (nested
-    build) + the final small agg — the SQL formulation joins the
-    event table against a per-user aggregate and re-scans it."""
-    e = read(spark, sf_dir, "events")
-    evs = e.groupBy("user_id").agg(
-        F.collect_list(
-            F.struct(F.unix_micros("ts").alias("tus"), F.col("event_type").alias("et"))
-        ).alias("evs")
-    )
     su = F.array_min(
         F.transform(F.filter(F.col("evs"), lambda s: s["et"] == "signup"), lambda s: s["tus"])
     )
@@ -356,6 +431,12 @@ def q_events_retention(spark, sf_dir):
             F.explode(offsets).alias("week_offset"),
         )
     )
-    return per_user.groupBy("cohort_week", "week_offset").agg(
+    retention = per_user.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.lit("retention").alias("section"),
+        F.col("cohort_week").alias("k1"),
+        F.col("week_offset").alias("k2"),
+        F.col("n_users").alias("val"),
     )
+    return funnel.unionByName(retention)
