@@ -6,6 +6,13 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full compute, no
 driver collect). First a warmup pass on sf0.001 primes the JVM.
+
+A second SCALE-PROBE block (r5, "scale_probe" key) reruns every
+headliner + the skew demo at sf1 — a 10x dataset derived from the
+driver's sf0.1 by scripts/make_scaled_sf.py (auto-generated under
+.scaledata/ on first run) — recording per-query growth factors and a
+physical-plan-stability check across the 10x step. Disable with
+SPARK_GRAFT_SKIP_SCALE=1; point elsewhere with SPARK_GRAFT_SCALE_DIR.
 """
 
 from __future__ import annotations
@@ -49,7 +56,7 @@ HEADLINERS = [
 ]
 
 
-def skew_demo(spark, sf_dir: str, reps: int) -> dict:
+def skew_demo(spark, sf_dir: str, reps: int, min_reps: int = 3) -> dict:
     """Planted-hot-key join: 90% of (x16-amplified) lineitem lands on
     ONE part key, then joins the part dim and does per-row work (a
     digest — the proxy for real downstream feature computation).
@@ -102,7 +109,7 @@ def skew_demo(spark, sf_dir: str, reps: int) -> dict:
             "salted": agg(salted_join(big, small, "k", salts=32)),
         }
         best: dict[str, float] = {}
-        for _ in range(max(reps, 3)):
+        for _ in range(max(reps, min_reps)):
             for label, p in plans.items():
                 t0 = time.perf_counter()
                 p.write.format("noop").mode("overwrite").save()
@@ -115,6 +122,90 @@ def skew_demo(spark, sf_dir: str, reps: int) -> dict:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+    return out
+
+
+def _plan_signature(df) -> dict[str, int]:
+    """Multiset of physical-operator names in the (initial) plan —
+    the cross-SF stability check: a query whose plan flips operators
+    between sf0.1 and sf1 is being re-strategized by data size, which
+    the scale probe must surface. AQE runtime re-planning is
+    intentionally NOT captured (the initial plan is the comparable
+    artifact); file-specific scan details are stripped."""
+    import re
+    from collections import Counter
+
+    from dask_awkward_sandbox_spark.core import visualize
+
+    ops = []
+    for line in visualize(df).splitlines():
+        m = re.match(r"\s*\((\d+)\)\s+([A-Za-z][A-Za-z0-9 ]*?)(?:\s*$|\s{2,})", line)
+        if m:
+            name = m.group(2).strip()
+            # "Scan parquet default.xyz" -> "Scan parquet"
+            if name.startswith("Scan "):
+                name = " ".join(name.split()[:2])
+            ops.append(name)
+    return dict(Counter(ops))
+
+
+def scale_probe(spark, base_timings: dict[str, float], reps: int) -> dict | None:
+    """10x scale block (VERDICT r4 item 1): run every headliner + the
+    skew demo at sf1 (generated from the driver's sf0.1 by
+    scripts/make_scaled_sf.py — key-offset replication with
+    cross-copy decorrelation of documents/embeddings), record
+    per-query growth vs the sf0.1 block and whether the physical plan
+    kept the same operator multiset across the 10x step."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") == "1":
+        return None
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scaledata/sf1")
+    if not os.path.isdir(os.path.join(scale_dir, "lineitem.parquet")):
+        rc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "scripts", "make_scaled_sf.py")],
+            capture_output=True,
+            timeout=1200,
+        ).returncode
+        if rc != 0 or not os.path.isdir(os.path.join(scale_dir, "lineitem.parquet")):
+            return {"error": "sf1 generation failed"}
+
+    from dask_awkward_sandbox_spark.plans import QUERIES
+
+    timings: dict[str, float] = {}
+    growth: dict[str, float] = {}
+    plan_stable: dict[str, bool] = {}
+    plan_delta: dict[str, dict] = {}
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in HEADLINERS:
+        sig0 = _plan_signature(QUERIES[name](spark, base_dir))
+        sig1 = _plan_signature(QUERIES[name](spark, scale_dir))
+        plan_stable[name] = sig0 == sig1
+        if sig0 != sig1:
+            plan_delta[name] = {
+                "only_sf0.1": {k: v for k, v in sig0.items() if sig1.get(k) != v},
+                "only_sf1": {k: v for k, v in sig1.items() if sig0.get(k) != v},
+            }
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, scale_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        if base_timings.get(name):
+            growth[name] = round(timings[name] / base_timings[name], 2)
+    out = {
+        "sf": 1.0,
+        "dir": scale_dir,
+        "value": round(sum(timings.values()), 3),
+        "queries": timings,
+        "growth_vs_sf0.1": growth,
+        "plans_stable": all(plan_stable.values()),
+        "plan_stable": plan_stable,
+        "skew_demo": skew_demo(spark, scale_dir, 1, min_reps=1),
+    }
+    if plan_delta:
+        out["plan_delta"] = plan_delta
     return out
 
 
@@ -165,6 +256,10 @@ def main() -> None:
         "skew_demo": skew_demo(spark, sf_dir, reps),
         "sf": sf_val,
     }
+    scale_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+    probe = scale_probe(spark, timings, scale_reps)
+    if probe is not None:
+        out["scale_probe"] = probe
     print(json.dumps(out))
     sys.stdout.flush()
 

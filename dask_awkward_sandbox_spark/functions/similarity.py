@@ -119,6 +119,36 @@ def neardup_pairs(
     return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
+def adaptive_planes(
+    n: int, target_occupancy: int = 250, min_planes: int = 3
+) -> int:
+    """Plane count that holds expected bucket occupancy ~constant as
+    the corpus grows: smallest p >= min_planes with n / 2**p <=
+    target_occupancy, i.e. ``ceil(log2(n / target))``.
+
+    THIS is what keeps LSH blocking linear at scale: with a FIXED
+    plane count, candidate pairs grow O(n^2 / 2^p) — the r5 sf1 probe
+    measured exactly that (33x wall at 10x data). Holding occupancy
+    constant makes candidates O(n * target / 2) per table: linear.
+    The trade is per-table recall (p_match^planes shrinks), the same
+    banding trade MinHash b/r tuning makes — raise ``tables``
+    (OR-construction) or ``target_occupancy`` when recall matters
+    more than cost.
+
+    The formula must stay bit-identical to the DuckDB oracle's
+    ``greatest(min, ceil(log2(n / target)))``: both sides compute it
+    over IEEE doubles from the same integer n; a ceil flip would need
+    log2 to land within one ulp of an integer, which for rational
+    n/target only happens at exact powers of two where log2 is exact
+    in both engines.
+    """
+    import math
+
+    if n <= target_occupancy:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n / float(target_occupancy))))
+
+
 def hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: hash-mixed components in
     [-1, 1] from (plane, dim-index) — reproducible anywhere (including

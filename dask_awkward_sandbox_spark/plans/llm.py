@@ -346,7 +346,21 @@ def q_ann_bruteforce(spark, sf_dir):
 @query(
     "q_embedding_neardup",
     f"""
-    with {_BUCKETS_CTE},
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    params as (select greatest({LSH_PLANES},
+                               cast(ceil(log2(count(*) / 250.0)) as int)) as np
+               from embeddings),
+    pl as (select unnest(range((select np from params) * {LSH_TABLES})) as plane),
+    proj as (
+      select e.vec_id,
+             pl.plane // (select np from params) as t,
+             pl.plane % (select np from params) as bit,
+             list_sum(list_transform(range({EMB_DIM}),
+                                     d -> e.v[d+1] * {PLANE_COMP})) as pr
+      from e cross join pl),
+    b as (select vec_id, t,
+                 sum(case when pr >= 0 then 1 << bit else 0 end) as bucket
+          from proj group by vec_id, t),
     cand as (select distinct a.vec_id as id_a, c.vec_id as id_b
              from b a join b c on a.t = c.t and a.bucket = c.bucket
                               and a.vec_id < c.vec_id)
@@ -363,10 +377,23 @@ def q_embedding_neardup(spark, sf_dir):
     through hyperplane-LSH buckets (equi-join on (table, bucket),
     never an all-pairs product) and exact-verified within buckets.
     Full value oracle: DuckDB rebuilds the same deterministic planes,
-    bucket table, blocking join, and cosine filter."""
+    bucket table, blocking join, and cosine filter.
+
+    r5: the plane count is ADAPTIVE (`similarity.adaptive_planes` —
+    ceil(log2(n/250)), floor {LSH_PLANES}), derived from the corpus
+    count on BOTH sides with the same formula, so bucket occupancy
+    (and with it the candidate-pair cost) stays ~constant per vector
+    as the corpus grows — the r5 sf1 probe measured the fixed-plane
+    version at 33x wall for 10x data; the adaptive version is the
+    linear scale path. Unchanged at sf<=0.1 (formula floors to
+    {LSH_PLANES} there), so gate and baseline numbers are
+    comparable. The count() that feeds the formula is
+    parquet-metadata cheap."""
+    e = _emb(spark, sf_dir)
+    planes = similarity.adaptive_planes(e.count(), target_occupancy=250, min_planes=LSH_PLANES)
     return similarity.neardup_pairs_blocked(
-        _emb(spark, sf_dir), dim=EMB_DIM, threshold=0.4,
-        planes=LSH_PLANES, tables=LSH_TABLES,
+        e, dim=EMB_DIM, threshold=0.4,
+        planes=planes, tables=LSH_TABLES,
     )
 
 

@@ -1,0 +1,100 @@
+"""sf1 (10x) correctness smoke: a subset of the oracle-parity gate
+run against the scale-probe dataset (VERDICT r4 item 8).
+
+Skipped unless SPARK_GRAFT_SF1_TESTS=1 (each case is a 10x-data Spark
+job plus a DuckDB pass). The dataset is the derived 10x replication
+under .scaledata/sf1 (scripts/make_scaled_sf.py), generated on demand.
+
+The subset covers every engine area: relational (q1/q3/q16), nested
+HOF (reduce/sort/cartesian), strings, events/windows, and the three
+heavy LLM paths (minhash clusters, embedding near-dup, text metrics)
+— correctness at 10x, not just wall-clock, per the r4 verdict.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SF1_TESTS") != "1",
+    reason="sf1 smoke is opt-in: set SPARK_GRAFT_SF1_TESTS=1",
+)
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/repo/.scaledata/sf1")
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q16_supplier_breadth",
+    "q_reduce_order_count",
+    "q_sort_argsort",
+    "q_cartesian_combinations",
+    "q_str_surface",
+    "q_text_metrics",
+    "q_dedup_exact",
+    "q_dedup_minhash_clusters",
+    "q_embedding_neardup",
+    "q_events_windowed",
+    "q_window_funcs",
+    "q_events_funnel_retention",
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def sf1_dataset():
+    if not os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")):
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "..", "scripts", "make_scaled_sf.py"),
+            ],
+            check=True,
+            timeout=1200,
+        )
+    return SF1_DIR
+
+
+def _duck(sf_dir: str):
+    """DuckDB views over the sf1 tables. Unlike the driver's
+    single-file testdata, the scaled tables are DIRECTORIES of part
+    files, so the views glob."""
+    import duckdb
+
+    try:
+        from tests.test_oracle_parity import TABLES
+    except ImportError:
+        from test_oracle_parity import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as "
+            f"select * from read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_sf1_query_matches_oracle(spark, name):
+    from dask_awkward_sandbox_spark.plans import ORACLES, QUERIES
+
+    try:
+        from tests.test_oracle_parity import _canon
+    except ImportError:
+        from test_oracle_parity import _canon
+
+    sdf = QUERIES[name](spark, SF1_DIR).toPandas()
+    if name not in ORACLES:
+        assert sdf.shape[0] >= 0
+        return
+    con = _duck(SF1_DIR)
+    odf = con.execute(ORACLES[name]).df()
+    scols, srows = _canon(sdf)
+    ocols, orows = _canon(odf)
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert srows == orows

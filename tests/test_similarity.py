@@ -94,3 +94,26 @@ def test_ivf_indexed_probe_matches_and_prunes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # corpus side must go scan -> join without an Exchange
     assert "SortMergeJoin" not in plan
+
+
+def test_adaptive_planes_formula():
+    """Occupancy-constant plane count (r5): floors at min_planes,
+    grows ceil(log2(n/target)), matches the SQL-side greatest/ceil
+    formula at the boundaries the gate uses (sf0.01/0.1 -> 3,
+    sf1 -> 7)."""
+    import math
+
+    from dask_awkward_sandbox_spark.functions.similarity import adaptive_planes
+
+    assert adaptive_planes(0) == 3
+    assert adaptive_planes(200) == 3       # sf0.01
+    assert adaptive_planes(2000) == 3      # sf0.1: ceil(log2(8)) = 3
+    assert adaptive_planes(2001) == 4
+    assert adaptive_planes(20000) == 7     # sf1: ceil(log2(80)) = 7
+    assert adaptive_planes(250 * 1024) == 10  # exact power: log2 exact both engines
+    for n in (1, 10, 500, 3000, 123457, 10**7):
+        got = adaptive_planes(n)
+        assert got >= 3
+        if n > 250:
+            assert 250 * 2**got >= n > 250 * 2 ** (got - 1) or got == 3
+            assert got == max(3, math.ceil(math.log2(n / 250.0)))
