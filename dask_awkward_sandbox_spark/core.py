@@ -48,14 +48,67 @@ def map_partitions(
     return df.mapInPandas(fn, schema)
 
 
-def repartition(df: DataFrame, num_partitions: int, shuffle: bool | None = None) -> DataFrame:
-    """Change partition count. ``shuffle=False`` coalesces (narrow, no
-    shuffle — only valid when shrinking), ``shuffle=True`` forces a
-    round-robin exchange; the default inspects the DataFrame's ACTUAL
-    partition count and coalesces only when provably shrinking —
-    coalesce cannot grow, so guessing from session conf could silently
-    return the original count. The inspection plans (not runs) the
-    query via ``df.rdd``; pass ``shuffle`` explicitly to skip it."""
+def repartition(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    shuffle: bool | None = None,
+    rows_per_partition: int | None = None,
+    one_to_n: int | None = None,
+    n_to_one: int | None = None,
+) -> DataFrame:
+    """Restructure partitioning (reference Array.repartition,
+    lib/core.py:979 — npartitions / rows_per_partition / one_to_n /
+    n_to_one schemes; exactly one may be given).
+
+    - ``num_partitions`` (the reference's ``npartitions``): rows split
+      as evenly as possible. ``shuffle=False`` coalesces (narrow, no
+      shuffle — only valid when shrinking), ``shuffle=True`` forces a
+      round-robin exchange; the default inspects the DataFrame's
+      ACTUAL partition count and coalesces only when provably
+      shrinking — coalesce cannot grow, so guessing from session conf
+      could silently return the original count. The inspection plans
+      (not runs) the query via ``df.rdd``; pass ``shuffle`` explicitly
+      to skip it.
+    - ``rows_per_partition``: target rows per output partition. Like
+      the reference, this requires the row count — ONE eager count job
+      (cheap on parquet: footer metadata) — then an even round-robin
+      split into ``ceil(total / rows_per_partition)`` partitions.
+    - ``one_to_n``: n output partitions per input partition
+      (round-robin exchange to ``current * n``).
+    - ``n_to_one``: every n adjacent input partitions merge into one —
+      a NARROW coalesce, no shuffle, exactly the reference's adjacent-
+      merge semantics.
+
+    The ``divisions`` scheme (exact row-offset boundaries) has no
+    faithful Spark mapping: DataFrames are unordered multisets, so row
+    offsets are only meaningful under an explicit order — use
+    ``df.repartitionByRange(n, order_col)`` for the order-aware
+    equivalent, or ``operators.structure.unflatten`` machinery when
+    exact counts per partition matter.
+    """
+    import math
+
+    given = [
+        num_partitions is not None,
+        rows_per_partition is not None,
+        one_to_n is not None,
+        n_to_one is not None,
+    ]
+    if sum(given) != 1:
+        raise ValueError(
+            "give exactly one of num_partitions, rows_per_partition, "
+            "one_to_n, n_to_one"
+        )
+    if rows_per_partition is not None:
+        if rows_per_partition < 1:
+            raise ValueError(f"rows_per_partition must be >= 1, got {rows_per_partition}")
+        total = df.count()
+        return df.repartition(max(1, math.ceil(total / rows_per_partition)))
+    if one_to_n is not None:
+        return df.repartition(df.rdd.getNumPartitions() * one_to_n)
+    if n_to_one is not None:
+        current = df.rdd.getNumPartitions()
+        return df.coalesce(max(1, math.ceil(current / n_to_one)))
     if shuffle is None:
         current = df.rdd.getNumPartitions()
         shuffle = num_partitions > current

@@ -320,6 +320,151 @@ def neardup_pairs_blocked(
     return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame, ids: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list: min-label
+    propagation with pointer jumping (the same loop shape as
+    dedup.minhash_dedup_clusters, generalized to explicit edges).
+
+    ``edges``: (a, b) id pairs; ``ids``: one column ``id`` listing
+    EVERY node (isolated nodes become their own singleton component).
+    Returns (id, cluster) where cluster = min id of the component.
+
+    100 TB shape: each iteration is two groupBy-min shuffles of |E|
+    rows plus a |V| self-join for the pointer jump; partial min
+    aggregation makes hot components irrelevant; lineage is
+    localCheckpoint-truncated every 3 rounds; converges in
+    O(log diameter) rounds.
+    """
+    und = edges.selectExpr("a", "b").union(edges.selectExpr("b as a", "a as b"))
+    und = und.filter(F.col("a") != F.col("b")).distinct().cache()
+    labels = ids.select(F.col("id"), F.col("id").alias("label")).cache()
+    cached = labels
+    try:
+        for it in range(max_iter):
+            nbr_min = (
+                und.join(labels, und["b"] == labels["id"])
+                .groupBy("a")
+                .agg(F.min("label").alias("cand"))
+                .withColumnRenamed("a", "id")
+            )
+            prop = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
+            )
+            jump = prop.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+            merged = prop.join(jump, prop["label"] == jump["jid"], "left").select(
+                "id",
+                "old",
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+            )
+            if (it + 1) % 3 == 0:
+                merged = merged.localCheckpoint(eager=False)
+            else:
+                merged = merged.cache()
+            changed = merged.filter(F.col("label") != F.col("old")).count()
+            cached.unpersist()
+            cached = merged
+            labels = merged.select("id", "label")
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def embedding_neardup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    planes: int | None = None,
+    tables: int = 6,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS — the collapse form that
+    stays linear where :func:`neardup_pairs_blocked` is
+    output-quadratic.
+
+    The r5 sf1 probe showed why this exists: on clustered embeddings
+    the TRUE ≥threshold pair count itself grows ~quadratically in
+    cluster size (sf1 measured 104x pairs at 10x data), so ANY
+    pair-listing operator is doomed at scale regardless of blocking.
+    Dedup pipelines don't need the pairs — they need the groups. Here
+    each (table, bucket) contributes a verified STAR (min-id
+    representative -> member, |bucket| edges, cosine-checked), and
+    min-label connected components merge stars that share members
+    across tables — |corpus| x tables edges total, linear.
+
+    Edge generation is a HYBRID that keeps both linearity and recall
+    (plain min-id stars fail verification whenever an unrelated
+    smaller id shares the bucket — measured ~7% member-orphan rate on
+    planted duplicates):
+
+    - buckets at or under ``pair_cap`` members: ALL within-bucket
+      pairs, exactly verified. Fine buckets (adaptive planes at
+      occupancy target 8) bound this at ~cap/2 edges per vector per
+      table — linear with a small constant, and a true-dup pair that
+      ever co-buckets is never lost to an unrelated representative.
+    - buckets over ``pair_cap``: star edges to the bucket min,
+      verified. A bucket that stays over-full at high granularity is
+      (by the hash geometry) a tight near-identical cluster, where
+      the representative is a true duplicate of its members.
+
+    Only verified edges merge — no false unions; components are the
+    transitive closure of verified edges. Returns (id, cluster);
+    keep-set = rows with id == cluster.
+    """
+    n = df.count()
+    if planes is None:
+        planes = adaptive_planes(n, target_occupancy=8)
+    b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables).select(
+        F.col(id_col).alias("m"), "t", "bucket"
+    )
+    pair_cap = 64
+    sizes = b.groupBy("t", "bucket").agg(
+        F.count(F.lit(1)).alias("occ"), F.min("m").alias("rep")
+    )
+    bs = b.join(sizes, ["t", "bucket"])
+    small = bs.filter(F.col("occ") <= pair_cap).select("t", "bucket", "m")
+    # within-bucket all-pairs, bounded by pair_cap^2/2 per bucket
+    pair_edges = (
+        small.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.m") < F.col("y.m")),
+        )
+        .select(F.col("x.m").alias("a"), F.col("y.m").alias("b"))
+    )
+    star_edges = (
+        bs.filter((F.col("occ") > pair_cap) & (F.col("m") != F.col("rep")))
+        .select(F.col("rep").alias("a"), F.col("m").alias("b"))
+    )
+    edges = pair_edges.union(star_edges).distinct()
+    vt = df.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    va, vb = vt.alias("va"), vt.alias("vb")
+    verified = (
+        edges.join(va, F.col("a") == F.col("va._vid"))
+        .join(vb, F.col("b") == F.col("vb._vid"))
+        .filter(
+            cosine_from_norms(
+                F.col("va._v"), F.col("vb._v"), F.col("va._n"), F.col("vb._n")
+            )
+            >= threshold
+        )
+        .select("a", "b")
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return connected_components(verified, ids, max_iter=max_iter)
+
+
 def _centroid_sims(
     vec: Column, centroids: list[list[float]], round_digits: int | None = None
 ) -> Column:

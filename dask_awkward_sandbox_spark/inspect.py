@@ -289,3 +289,8 @@ def shorttypestr(df_or_schema, max: int = 10) -> str:  # noqa: A002
     """First ``max`` characters of the inner type (reference
     Array._shorttypestr, core.py:1078)."""
     return typestr(df_or_schema)[len("var * ") :][0:max]
+
+
+# reference backwards-compat export alias (dask_awkward/__init__.py:
+# ``necessary_columns = report_necessary_columns``)
+necessary_columns = report_necessary_columns

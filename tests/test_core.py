@@ -289,3 +289,29 @@ def test_partition_compatibility(spark, tmp_path):
         a1, derived, how_strict=PartitionCompatibility.YES
     )
     assert not compatible_partitions(a1, b)
+
+
+def test_repartition_schemes(spark):
+    """Reference Array.repartition's scheme set (lib/core.py:979):
+    rows_per_partition, one_to_n, n_to_one (narrow adjacent merge)."""
+    import pytest
+
+    from dask_awkward_sandbox_spark import core
+
+    df = spark.range(0, 1000, 1, 8)  # 8 native partitions, no exchange
+    out = core.repartition(df, rows_per_partition=100)
+    assert out.rdd.getNumPartitions() == 10
+    assert out.count() == 1000
+
+    assert core.repartition(df, one_to_n=3).rdd.getNumPartitions() == 24
+    n21 = core.repartition(df, n_to_one=4)
+    assert n21.rdd.getNumPartitions() == 2
+    # n_to_one must stay narrow: no Exchange in the plan
+    assert "Exchange" not in core.visualize(n21)
+
+    with pytest.raises(ValueError):
+        core.repartition(df)
+    with pytest.raises(ValueError):
+        core.repartition(df, 4, rows_per_partition=10)
+    with pytest.raises(ValueError):
+        core.repartition(df, rows_per_partition=0)

@@ -174,3 +174,12 @@ def test_typestr_matches_testdata(spark, sf):
     t = typestr(emb)
     assert t.startswith("var * {")
     assert "embedding: option[var * ?float" in t
+
+
+def test_necessary_columns_alias():
+    from dask_awkward_sandbox_spark.inspect import (
+        necessary_columns,
+        report_necessary_columns,
+    )
+
+    assert necessary_columns is report_necessary_columns

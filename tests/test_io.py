@@ -67,3 +67,38 @@ def test_from_map_unions_lazily(spark):
     out = from_map(builder, [3, 4], spark)
     assert out.count() == 7
     assert out.columns == ["x"]
+
+
+def test_schema_to_jsonschema(spark):
+    """Reference io/json.py:818 layout_to_jsonschema parity: JSON
+    Schema dict from a Spark schema (object/properties/items trees,
+    nullable as [T, 'null'])."""
+    from dask_awkward_sandbox_spark.io.json import (
+        layout_to_jsonschema,
+        schema_to_jsonschema,
+    )
+
+    s = schema_to_jsonschema(
+        "a bigint, items array<struct<x: int, w: double>>, "
+        "m map<string,int>, b binary, ts timestamp",
+        title="t",
+    )
+    assert s["title"] == "t" and s["type"] == "object"
+    p = s["properties"]
+    assert p["a"]["type"] == ["integer", "null"]
+    assert p["items"]["type"] == ["array", "null"]
+    assert p["items"]["items"]["type"] == ["object", "null"]
+    assert p["items"]["items"]["properties"]["x"]["type"] == ["integer", "null"]
+    assert p["items"]["items"]["properties"]["w"]["type"] == ["number", "null"]
+    assert p["m"]["additionalProperties"]["type"] == ["integer", "null"]
+    assert p["b"]["contentEncoding"] == "base64"
+    assert p["ts"]["format"] == "date-time"
+    assert layout_to_jsonschema is schema_to_jsonschema
+
+    # non-null fields: bare type names; DataFrame input accepted
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("k", T.LongType(), nullable=False)])
+    out = schema_to_jsonschema(spark.createDataFrame([], st), required=True)
+    assert out["properties"]["k"]["type"] == "integer"
+    assert out["required"] == ["k"]

