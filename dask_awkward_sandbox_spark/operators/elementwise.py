@@ -140,13 +140,29 @@ class NestedArray:
     exits back to the plain Column world for ``df.select``.
     """
 
-    def __init__(self, col: Column):
+    def __init__(self, col: Column, ndim: int | None = None):
         if not isinstance(col, Column):
             raise TypeError("NestedArray wraps a pyspark Column (array-typed)")
         self.col = col
+        self.ndim = ndim  # list depth; only needed for ellipsis getitem
 
     def alias(self, name: str) -> Column:
         return self.col.alias(name)
+
+    def __getitem__(self, index) -> "NestedArray":
+        """Awkward-style ``a[...]`` — full dispatch in
+        :mod:`.getitem` (strings, ints, slices, jagged boolean masks,
+        tuples, Ellipsis)."""
+        from .getitem import getitem
+
+        return NestedArray(getitem(self.col, index, ndim=self.ndim))
+
+    def __getattr__(self, name: str):
+        # a.points.x sugar (reference Array.__getattr__): only for
+        # names that can't be attributes; real attrs never reach here
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return NestedArray(self.col.getField(name))
 
     # -- binary ops (list ⊕ list | list ⊕ scalar, both orders) --------
 
