@@ -1,0 +1,322 @@
+"""Corpus-curation filters for LLM training-data pipelines.
+
+The Gopher-style repetition signals (Rae et al. 2021, "Scaling
+Language Models", table A1: duplicate-line fraction, duplicate-line
+character fraction, top/duplicated n-gram character fractions), PII
+detection/redaction, benchmark n-gram contamination, and
+deterministic token-budget stratified sampling.
+
+Scale design: every per-document signal is a pure Catalyst expression
+tree (sorted-array run detection + fold aggregates — no Python, no
+shuffle, whole-stage codegen over the scan). Contamination is a
+broadcast semi-join against a tiny benchmark gram set; sampling needs
+one tiny per-stratum aggregate broadcast back. At 100 TB the whole
+suite is one pass over the corpus plus two kilobyte-scale side
+frames.
+
+Determinism: the sampling hash is the md5-derived 56-bit word hash
+(functions/text_analysis.py) so an independent engine reproduces
+every keep/drop decision bit-for-bit — the DuckDB oracle in
+plans/llm.py does exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.structure import let
+from . import text_analysis as ta
+
+__all__ = [
+    "split_lines",
+    "ngrams",
+    "dup_stats",
+    "dup_line_fraction",
+    "dup_line_char_fraction",
+    "top_ngram_char_fraction",
+    "dup_ngram_char_fraction",
+    "pii_counts",
+    "redact_pii",
+    "ngram_contamination",
+    "stratified_token_sample",
+]
+
+
+def split_lines(text: Column) -> Column:
+    """Split into lines (keeps empties — a blank line is a line)."""
+    return F.split(text, "\n", -1)
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty when len(toks) < n."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return toks
+
+    def build(t: Column) -> Column:
+        cnt = F.size(t) - (n - 1)
+        idxs = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idxs, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+        )
+
+    return let(toks, body=build)
+
+
+def dup_stats(arr: Column) -> Column:
+    """Multiplicity stats over a string array, one O(n log n) pass:
+    ``struct(n, n_dup, chars, dup_chars)`` where *dup* counts every
+    occurrence of a value that appears more than once.
+
+    Sorted-neighbor test: after ``array_sort``, an element is part of
+    a duplicate group iff it equals its left or right neighbor —
+    run detection without a groupBy, entirely inside the row.
+    """
+
+    def build(s: Column) -> Column:
+        flagged = F.transform(
+            s,
+            lambda x, i: F.struct(
+                F.length(x).alias("ln"),
+                (x.eqNullSafe(F.get(s, i - 1)) | x.eqNullSafe(F.get(s, i + 1))).alias(
+                    "d"
+                ),
+            ),
+        )
+        zero = F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("n_dup"),
+            F.lit(0).cast("long").alias("chars"),
+            F.lit(0).cast("long").alias("dup_chars"),
+        )
+        return F.aggregate(
+            flagged,
+            zero,
+            lambda a, p: F.struct(
+                (a["n"] + 1).alias("n"),
+                (a["n_dup"] + p["d"].cast("long")).alias("n_dup"),
+                (a["chars"] + p["ln"]).alias("chars"),
+                (a["dup_chars"] + F.when(p["d"], p["ln"]).otherwise(0)).alias(
+                    "dup_chars"
+                ),
+            ),
+        )
+
+    return let(F.array_sort(arr), body=build)
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are repeats of another line (Gopher
+    duplicate-line fraction). 0 for empty/single-line docs."""
+    s = dup_stats(split_lines(text))
+    return F.when(s["n"] > 0, s["n_dup"].cast("double") / s["n"]).otherwise(0.0)
+
+
+def dup_line_char_fraction(text: Column) -> Column:
+    """Fraction of line-characters inside duplicated lines."""
+    s = dup_stats(split_lines(text))
+    return F.when(s["chars"] > 0, s["dup_chars"].cast("double") / s["chars"]).otherwise(
+        0.0
+    )
+
+
+def top_ngram_char_fraction(text: Column, n: int) -> Column:
+    """Characters covered by the single most frequent word n-gram,
+    as a fraction of the document length (Gopher top n-gram char
+    fraction): ``count(top) * len(top) / len(text)``.
+
+    Mode of the gram array without a groupBy: sort, then one fold
+    tracking (prev, run, best, best_gram). Ascending sort + strict
+    ``>`` makes ties break to the lexicographically smallest gram —
+    deterministic, and trivially mirrored in SQL.
+    """
+    grams = ngrams(ta.tokens(text), n)
+
+    def build(s: Column) -> Column:
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("bestg"),
+        )
+        stepped = F.aggregate(
+            s,
+            zero,
+            lambda a, x: let(
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1).cast("long")),
+                body=lambda r: F.struct(
+                    x.alias("prev"),
+                    r.alias("run"),
+                    F.when(r > a["best"], r).otherwise(a["best"]).alias("best"),
+                    F.when(r > a["best"], x).otherwise(a["bestg"]).alias("bestg"),
+                ),
+            ),
+        )
+        return stepped
+
+    st = let(F.array_sort(grams), body=build)
+    return (
+        F.when(
+            (st["best"] > 0) & (F.length(text) > 0),
+            st["best"].cast("double") * F.length(st["bestg"]) / F.length(text),
+        )
+        .otherwise(0.0)
+    )
+
+
+def dup_ngram_char_fraction(text: Column, n: int) -> Column:
+    """Characters inside word n-grams that occur more than once, as a
+    fraction of the document length (Gopher duplicated n-gram char
+    fraction; overlapping occurrences counted independently — may
+    exceed 1 on pathological repetition, which is exactly the signal)."""
+    s = dup_stats(ngrams(ta.tokens(text), n))
+    ln = F.length(text)
+    return F.when(ln > 0, s["dup_chars"].cast("double") / ln).otherwise(0.0)
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (works identically in Spark's Java regex and DuckDB's
+# RE2 for these constructs — no lookarounds, no backreferences)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_counts(text: Column) -> Column:
+    """``struct(emails, ips, phones)`` occurrence counts."""
+    return F.struct(
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("ips"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("phones"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/phones/IPs with typed placeholder tags.
+
+    Email first (an address contains dots that could partially match
+    the IP pattern), then phone, then IP."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document count of distinct word n-grams shared with a
+    benchmark corpus — the standard train/test contamination check
+    (GPT-3 appendix C / PaLM-style n-gram overlap).
+
+    ``benchmark`` needs the same ``text_col``. Returns
+    ``(id_col, contam_ngrams)`` with 0 for clean docs.
+
+    100 TB shape: the benchmark gram set is tiny (benchmarks are MBs,
+    corpora are TBs) — ``F.broadcast`` forces a map-side hash join,
+    so the corpus is scanned once with no shuffle; the only exchange
+    is the per-doc count aggregate. ``explode_outer`` keeps
+    shorter-than-n docs in the output (count 0) without a second
+    doc-grain join.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(ngrams(ta.tokens(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(ngrams(ta.tokens(F.col(text_col)), n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("contam_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_PPM = 1_000_000
+
+
+def stratified_token_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling to a token budget.
+
+    Each stratum gets an equal share of ``budget_tokens``; its keep
+    rate is ``min(1, share / stratum_tokens)`` quantized to parts per
+    million, and a doc is kept when
+    ``word_hash56(id) % 1e6 < rate_ppm`` — a pure function of the id,
+    so the decision is reproducible in any engine (no RNG state, no
+    partition dependence; the DuckDB oracle replays it exactly).
+
+    Returns ``(id_col, stratum, n_tokens, rate_ppm, keep)``.
+
+    100 TB shape: one map-side-combined aggregate over the corpus for
+    per-stratum token totals (strata cardinality ~languages, so the
+    result is KBs), broadcast back onto the scan — the sample itself
+    is a stateless filter, trivially parallel, and resumable because
+    it depends on nothing but the row.
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        ta.token_count_ws(F.col(text_col)).alias("n_tokens"),
+    )
+    totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("stratum_tokens"))
+
+    # equal share per stratum, computed against the (tiny) totals frame;
+    # explicit floor() — Spark's double->long cast truncates but
+    # DuckDB's rounds, so the quantization must be spelled out
+    strata = totals.crossJoin(
+        totals.agg(F.count(F.lit(1)).alias("k")).select("k")
+    ).select(
+        "stratum",
+        "stratum_tokens",
+        F.least(
+            F.lit(SAMPLE_PPM).cast("long"),
+            F.floor(
+                F.lit(float(budget_tokens))
+                / F.col("k")
+                / F.col("stratum_tokens")
+                * SAMPLE_PPM
+            ).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    return base.join(F.broadcast(strata.select("stratum", "rate_ppm")), "stratum").select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        "rate_ppm",
+        (
+            F.pmod(ta.word_hash56(F.col(id_col).cast("string")), F.lit(SAMPLE_PPM))
+            < F.col("rate_ppm")
+        ).alias("keep"),
+    )

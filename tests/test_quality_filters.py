@@ -1,0 +1,113 @@
+"""Corpus-curation filter tests — hand-computed Gopher-style
+repetition signals, PII redaction, contamination, and the
+deterministic stratified sampler."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.functions import quality_filters as qf
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 4 lines, "dup" appears twice (2/4 lines, 6/16 chars)
+        (0, "dup\nunique one\ndup\nother"),
+        # no repetition
+        (1, "all lines differ\nhere"),
+        # heavy n-gram repetition: "a b" 2-gram dominates
+        (2, "a b a b a b c"),
+        (3, ""),
+        (4, "contact me at jo.doe+x@mail.co or 10.0.0.1 call 555-123-4567 now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _one(df, expr, doc_id):
+    return df.filter(F.col("doc_id") == doc_id).select(expr.alias("o")).first()["o"]
+
+
+def test_dup_line_fractions(docs):
+    assert _one(docs, qf.dup_line_fraction(F.col("text")), 0) == pytest.approx(2 / 4)
+    # dup chars: "dup" twice = 6 of 3+10+3+5=21 line chars
+    assert _one(docs, qf.dup_line_char_fraction(F.col("text")), 0) == pytest.approx(6 / 21)
+    assert _one(docs, qf.dup_line_fraction(F.col("text")), 1) == 0.0
+    assert _one(docs, qf.dup_line_fraction(F.col("text")), 3) == 0.0
+
+
+def test_ngrams_and_top_fraction(docs):
+    grams = _one(docs, qf.ngrams(F.split(F.lit("w x y z"), " "), 2), 0)
+    assert grams == ["w x", "x y", "y z"]
+    assert _one(docs, qf.ngrams(F.split(F.lit("w"), " "), 3), 0) == []
+    # doc 2: tokens a b a b a b c; 2-grams: "a b" x3, "b a" x2, "b c" x1
+    # top = "a b" count 3, len 3; text len 13
+    got = _one(docs, qf.top_ngram_char_fraction(F.col("text"), 2), 2)
+    assert got == pytest.approx(3 * 3 / 13)
+    assert _one(docs, qf.top_ngram_char_fraction(F.col("text"), 2), 3) == 0.0
+
+
+def test_dup_ngram_fraction(docs):
+    # doc 2 2-grams: dup occurrences = "a b"(3) + "b a"(2) = 5 grams x 3 chars
+    got = _one(docs, qf.dup_ngram_char_fraction(F.col("text"), 2), 2)
+    assert got == pytest.approx(15 / 13)
+    assert _one(docs, qf.dup_ngram_char_fraction(F.col("text"), 2), 1) == 0.0
+
+
+def test_pii(docs):
+    c = _one(docs, qf.pii_counts(F.col("text")), 4)
+    assert (c["emails"], c["ips"], c["phones"]) == (1, 1, 1)
+    red = _one(docs, qf.redact_pii(F.col("text")), 4)
+    assert red == "contact me at <EMAIL> or <IP> call <PHONE> now"
+    assert _one(docs, qf.pii_counts(F.col("text")), 1)["emails"] == 0
+
+
+def test_contamination(spark, docs):
+    corpus = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven eight nine"),
+            (11, "totally different words in this document here friend"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "zzz one two three four five six seven eight yyy")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contam_ngrams"]
+        for r in qf.ngram_contamination(corpus, bench, n=8).collect()
+    }
+    # doc 10 shares the 8-gram "one two three four five six seven eight"
+    assert out == {10: 1, 11: 0}
+    plan = qf.ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_stratified_token_sample(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr", "tok " * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = qf.stratified_token_sample(df, "lang", budget_tokens=500)
+    got = out.collect()
+    assert len(got) == 200
+    # per-stratum tokens = 100 docs x 10 = 1000; share = 250 -> rate 25%
+    rates = {r["stratum"]: r["rate_ppm"] for r in got}
+    assert rates == {"en": 250_000, "fr": 250_000}
+    # keep decision is the md5 hash replayed here exactly
+    for r in got:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:14], 16) % qf.SAMPLE_PPM
+        assert r["keep"] == (h < r["rate_ppm"])
+    kept = sum(1 for r in got if r["keep"])
+    assert 20 < kept < 80  # ~25% of 200, loose band
+
+
+def test_budget_overflow_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "d e")], "doc_id long, lang string, text string"
+    )
+    out = qf.stratified_token_sample(df, "lang", budget_tokens=10**9).collect()
+    assert all(r["keep"] for r in out)
+    assert all(r["rate_ppm"] == qf.SAMPLE_PPM for r in out)
