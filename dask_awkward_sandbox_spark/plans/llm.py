@@ -14,12 +14,21 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_awkward_sandbox_spark.functions import dedup, similarity, text_analysis as ta
+from dask_awkward_sandbox_spark.functions import (
+    dedup,
+    quality_filters as qf,
+    similarity,
+    text_analysis as ta,
+)
 from dask_awkward_sandbox_spark.plans.common import read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 # DuckDB fragments mirroring text_analysis definitions exactly.
-TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)"
+def _tokens_sql(col: str) -> str:
+    return rf"list_filter(string_split_regex(trim({col}), '\s+'), x -> length(x) > 0)"
+
+
+TOKENS = _tokens_sql("text")
 H9 = "(('0x'||substr(md5(w),1,14))::bigint % 1000000007)"
 NUM_PERMS = 8
 
@@ -80,6 +89,67 @@ def _emb(spark, sf_dir):
       from (select doc_id, unnest({TOKENS}) as w,
                    generate_subscripts({TOKENS}, 1) as i
             from documents)
+      group by doc_id),
+    lined as (
+      select doc_id,
+             case when doc_id % 5 = 0
+                  then substr(text, 1, 40) || chr(10)
+                       || replace(text, ' a ', chr(10)) || chr(10)
+                       || substr(text, 1, 40)
+                  else replace(text, ' a ', chr(10)) end as lt
+      from documents),
+    lstat as (
+      select doc_id,
+             sum(c) as n_l,
+             sum(case when c > 1 then c else 0 end) as dup_l,
+             sum(c * ln) as ch_l,
+             sum(case when c > 1 then c * ln else 0 end) as dup_ch_l
+      from (select doc_id, line, count(*) as c, length(line) as ln
+            from (select doc_id, unnest(string_split(lt, chr(10))) as line
+                  from lined)
+            group by doc_id, line)
+      group by doc_id),
+    tok as (select doc_id, {TOKENS} as toks, length(text) as tln from documents),
+    g2c as (
+      select doc_id, tln, g, count(*) as c
+      from (select doc_id, tln, array_to_string(toks[i:i+1], ' ') as g
+            from tok cross join unnest(range(1, greatest(len(toks), 1))) as t(i))
+      group by doc_id, tln, g),
+    top2 as (
+      select doc_id, (c * length(g))::double / tln as top2_frac
+      from (select *, row_number() over (partition by doc_id
+                                         order by c desc, g asc) as rn
+            from g2c)
+      where rn = 1),
+    dup3 as (
+      select doc_id,
+             sum(case when c > 1 then c * length(g) else 0 end)::double
+               / max(tln) as dup3_frac
+      from (select doc_id, tln, g, count(*) as c
+            from (select doc_id, tln, array_to_string(toks[i:i+2], ' ') as g
+                  from tok cross join unnest(range(1, greatest(len(toks) - 1, 1))) as t(i))
+            group by doc_id, tln, g)
+      group by doc_id),
+    pin as (
+      select doc_id,
+             text || case when doc_id % 7 = 0
+                          then ' contact user' || doc_id
+                               || '@example.com or 10.0.' || (doc_id % 200)
+                               || '.1 call 555-123-4567'
+                          else '' end as ptext
+      from documents),
+    red as (
+      select doc_id, ptext,
+             regexp_replace(regexp_replace(regexp_replace(ptext,
+               '{qf.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{qf.PHONE_RE}', '<PHONE>', 'g'),
+               '{qf.IPV4_RE}', '<IP>', 'g') as rtext
+      from pin),
+    rfp as (
+      select doc_id, cast(sum({H9} * i) % 1000000007 as bigint) as red_fp
+      from (select doc_id, unnest({_tokens_sql("rtext")}) as w,
+                   generate_subscripts({_tokens_sql("rtext")}, 1) as i
+            from red)
       group by doc_id)
     select d0.doc_id,
            cast(len({TOKENS}) as bigint) as n_ws,
@@ -95,19 +165,59 @@ def _emb(spark, sf_dir):
                 then 0.3 * least(q.n / 200.0, 1.0) + 0.3 * (q.d / q.n)
                      + 0.4 * (1.0 - q.np / q.ln)
                 else 0.0 end as quality,
-           fp.fp
+           fp.fp,
+           case when lstat.n_l > 0 then lstat.dup_l::double / lstat.n_l
+                else 0.0 end as dup_line_frac,
+           case when lstat.ch_l > 0 then lstat.dup_ch_l::double / lstat.ch_l
+                else 0.0 end as dup_line_char_frac,
+           coalesce(top2.top2_frac, 0.0) as top2_frac,
+           coalesce(dup3.dup3_frac, 0.0) as dup3_frac,
+           cast(len(regexp_extract_all(pin.ptext, '{qf.EMAIL_RE}')) as bigint) as pii_emails,
+           cast(len(regexp_extract_all(pin.ptext, '{qf.IPV4_RE}')) as bigint) as pii_ips,
+           cast(len(regexp_extract_all(pin.ptext, '{qf.PHONE_RE}')) as bigint) as pii_phones,
+           coalesce(rfp.red_fp, 0) as red_fp
     from documents d0
     join q using (doc_id)
     left join fp on fp.doc_id = d0.doc_id
+    left join lstat on lstat.doc_id = d0.doc_id
+    left join top2 on top2.doc_id = d0.doc_id
+    left join dup3 on dup3.doc_id = d0.doc_id
+    join pin on pin.doc_id = d0.doc_id
+    left join rfp on rfp.doc_id = d0.doc_id
     """,
 )
 def q_text_metrics(spark, sf_dir):
     """The text-analysis suite in one per-document pass: whitespace +
     BPE-ish token counting, stopword-count language-ID, heuristic
-    quality score (identical expression tree both engines), and the
-    position-weighted rolling fingerprint on the shared word hash.
+    quality score (identical expression tree both engines), the
+    position-weighted rolling fingerprint on the shared word hash,
+    the Gopher-style repetition signals (duplicate-line fraction /
+    char fraction over a deterministic line structure with planted
+    duplicates on every 5th doc; top-2-gram and duplicated-3-gram
+    char fractions — n=3 because this vocab has no natural 5-gram
+    repeats), and PII count/redact over planted emails/IPs/phones on
+    every 7th doc, value-proved by fingerprinting the redacted text.
     All pure JVM expression trees — one scan, no shuffle."""
     d = _docs(spark, sf_dir)
+    rep = F.replace(F.col("text"), F.lit(" a "), F.lit("\n"))
+    pre = F.substring(F.col("text"), 1, 40)
+    lined = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(pre, F.lit("\n"), rep, F.lit("\n"), pre)
+    ).otherwise(rep)
+    pii_in = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".1 call 555-123-4567"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pc = qf.pii_counts(pii_in)
     return d.select(
         "doc_id",
         ta.token_count_ws(F.col("text")).alias("n_ws"),
@@ -116,6 +226,14 @@ def q_text_metrics(spark, sf_dir):
         ta.lang_id(F.col("text")).alias("pred_lang"),
         ta.quality_score(F.col("text")).alias("quality"),
         ta.fingerprint(F.col("text")).alias("fp"),
+        qf.dup_line_fraction(lined).alias("dup_line_frac"),
+        qf.dup_line_char_fraction(lined).alias("dup_line_char_frac"),
+        qf.top_ngram_char_fraction(F.col("text"), 2).alias("top2_frac"),
+        qf.dup_ngram_char_fraction(F.col("text"), 3).alias("dup3_frac"),
+        pc["emails"].alias("pii_emails"),
+        pc["ips"].alias("pii_ips"),
+        pc["phones"].alias("pii_phones"),
+        ta.fingerprint(qf.redact_pii(pii_in)).alias("red_fp"),
     )
 
 
