@@ -455,16 +455,32 @@ def q_concatenate(spark, sf_dir):
     mn as (select l_orderkey, idx as argmin_qty from v
            qualify row_number() over (partition by l_orderkey order by qc asc, idx asc) = 1),
     mx as (select l_orderkey, idx as argmax_qty from v
-           qualify row_number() over (partition by l_orderkey order by qc desc, idx asc) = 1)
-    select b.*, mn.argmin_qty, mx.argmax_qty
+           qualify row_number() over (partition by l_orderkey order by qc desc, idx asc) = 1),
+    st as (select l_orderkey,
+                  cast(count(*) as double) as nn,
+                  cast(sum({QC}) as double) as s1,
+                  cast(sum({QC}*{QC}) as double) as s2,
+                  cast(sum({QC}*{QC}*{QC}) as double) as s3
+           from lineitem group by l_orderkey)
+    select b.*, mn.argmin_qty, mx.argmax_qty,
+           s1/nn/100 as mean_qty,
+           (s2 - s1*s1/nn)/nn/10000 as var_qty,
+           sqrt((s2 - s1*s1/nn)/nn)/100 as std_qty,
+           s2/nn/10000 as m2,
+           s3/nn/1000000 as m3
     from b join mn using (l_orderkey) join mx using (l_orderkey)
+           join st using (l_orderkey)
     """,
 )
 def q_reduce_order_count(spark, sf_dir):
-    """Arithmetic + order statistics + counting + boolean reducers in
-    one per-order pass: ak.sum/prod (prod oracle via exp-sum-log of
-    exact ints), ak.min/max/ptp, ak.argmin/argmax (first index of the
-    extremum), ak.count/count_nonzero, ak.any/all (axis=1)."""
+    """Arithmetic + order statistics + counting + boolean + moment
+    reducers in one per-order pass: ak.sum/prod (prod oracle via
+    exp-sum-log of exact ints), ak.min/max/ptp, ak.argmin/argmax
+    (first index of the extremum), ak.count/count_nonzero, ak.any/all,
+    and ak.mean/var/std/moment n=2,3 (axis=1; r5 fusion — the moment
+    sums ride the SAME struct accumulator, so the former
+    q_reduce_stats slot collapsed into this single pass; both engines
+    apply identical one-pass formulas to exact integer power sums)."""
     # Scale shape (r4 rewrite, VERDICT r3 "What's wrong #2"): higher-
     # order functions are interpreted (outside whole-stage codegen) and
     # Catalyst cannot CSE across lambda bodies, so 13 independent
@@ -504,6 +520,8 @@ def q_reduce_order_count(spark, sf_dir):
         nl.alias("mxq"),
         nl.alias("mxp"),
         F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("sq2"),
+        F.lit(0).cast("long").alias("sq3"),
         F.lit(0).cast("long").alias("nd"),
         F.lit(False).alias("anyb"),
         F.lit(True).alias("alls"),
@@ -524,6 +542,8 @@ def q_reduce_order_count(spark, sf_dir):
             F.greatest(a["mxq"], e["q"]).alias("mxq"),
             F.greatest(a["mxp"], e["p"]).alias("mxp"),
             (a["n"] + 1).alias("n"),
+            (a["sq2"] + e["q"] * e["q"]).alias("sq2"),
+            (a["sq3"] + e["q"] * e["q"] * e["q"]).alias("sq3"),
             (a["nd"] + (e["d"] != 0).cast("long")).alias("nd"),
             (a["anyb"] | (e["d"] > 5)).alias("anyb"),
             (a["alls"] & (e["q"] < 4500)).alias("alls"),
@@ -550,41 +570,32 @@ def q_reduce_order_count(spark, sf_dir):
         a["alls"].cast("int").alias("all_small_qty"),
         a["amn_i"].alias("argmin_qty"),
         a["amx_i"].alias("argmax_qty"),
-    )
-
-
-@query(
-    "q_reduce_stats",
-    f"""
-    with s as (select l_orderkey,
-                      cast(count(*) as double) as n,
-                      cast(sum({QC}) as double) as s1,
-                      cast(sum({QC}*{QC}) as double) as s2,
-                      cast(sum({QC}*{QC}*{QC}) as double) as s3
-               from lineitem group by l_orderkey)
-    select l_orderkey,
-           s1/n/100 as mean_qty,
-           (s2 - s1*s1/n)/n/10000 as var_qty,
-           sqrt((s2 - s1*s1/n)/n)/100 as std_qty,
-           s2/n/10000 as m2,
-           s3/n/1000000 as m3
-    from s
-    """,
-)
-def q_reduce_stats(spark, sf_dir):
-    """ak.mean / ak.var / ak.std (population, ddof=0 like ak) and
-    ak.moment n=2,3 (axis=1). Oracle uses the SAME one-pass formulas
-    over exact integer sums, so both engines evaluate identical IEEE
-    expressions."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
-    q = _qty_c(F.col("items"))
-    return it.select(
-        "l_orderkey",
-        (red.mean(q) / 100).alias("mean_qty"),
-        (red.var(q) / 10000).alias("var_qty"),
-        (red.std(q) / 100).alias("std_qty"),
-        (red.moment(q, 2) / 10000).alias("m2"),
-        (red.moment(q, 3) / 1000000).alias("m3"),
+        # moment legs from the same accumulator: exact integer power
+        # sums (q <= 5000 cents, <= 7 items -> sum q^3 < 2^53) cast to
+        # double, then the oracle's exact formula text
+        (a["sq"].cast("double") / a["n"].cast("double") / 100).alias("mean_qty"),
+        (
+            (
+                a["sq2"].cast("double")
+                - a["sq"].cast("double") * a["sq"].cast("double") / a["n"].cast("double")
+            )
+            / a["n"].cast("double")
+            / 10000
+        ).alias("var_qty"),
+        (
+            F.sqrt(
+                (
+                    a["sq2"].cast("double")
+                    - a["sq"].cast("double")
+                    * a["sq"].cast("double")
+                    / a["n"].cast("double")
+                )
+                / a["n"].cast("double")
+            )
+            / 100
+        ).alias("std_qty"),
+        (a["sq2"].cast("double") / a["n"].cast("double") / 10000).alias("m2"),
+        (a["sq3"].cast("double") / a["n"].cast("double") / 1000000).alias("m3"),
     )
 
 

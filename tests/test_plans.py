@@ -286,6 +286,32 @@ def test_reducers_propagate_nan(spark):
     assert ok["am"] == 0 and ok["ax"] == 2 and ok["n"] == 2
 
 
+def test_reducer_moments_numpy_parity(spark):
+    """var/std/moment keep direct value coverage after the r5 gate
+    fusion (the fused slot re-derives the formulas rather than calling
+    these reducers)."""
+    import math
+
+    import pytest
+
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    df = spark.createDataFrame([(vals,)], "v array<double>")
+    r = df.select(
+        red.var(F.col("v")).alias("var"),
+        red.std(F.col("v")).alias("std"),
+        red.moment(F.col("v"), 2).alias("m2"),
+        red.moment(F.col("v"), 3).alias("m3"),
+    ).first()
+    n = len(vals)
+    mu = sum(vals) / n
+    assert r["var"] == pytest.approx(sum((x - mu) ** 2 for x in vals) / n)
+    assert r["std"] == pytest.approx(math.sqrt(sum((x - mu) ** 2 for x in vals) / n))
+    assert r["m2"] == pytest.approx(sum(x**2 for x in vals) / n)
+    assert r["m3"] == pytest.approx(sum(x**3 for x in vals) / n)
+
+
 def test_partitioned_write_prunes_partitions(spark):
     """Directory-partitioned parquet + an equality filter on the
     partition column must show PartitionFilters in the scan and read
