@@ -237,6 +237,99 @@ def q_text_metrics(spark, sf_dir):
     )
 
 
+@query(
+    "q_corpus_curation",
+    rf"""
+    with cdoc as (
+      select doc_id,
+             case when doc_id % 50 = 49 then 'PLANTED DUP' else text end as ctext
+      from documents),
+    ex as (select doc_id, md5(ctext) as h from cdoc),
+    grp as (select h, cast(count(*) as bigint) as n_copies,
+                   min(doc_id) as keep_id
+            from ex group by h),
+    tok8 as (select doc_id, {TOKENS} as toks from documents),
+    dg as (select distinct doc_id, array_to_string(toks[i:i+7], ' ') as g
+           from tok8 cross join unnest(range(1, greatest(len(toks) - 6, 1))) as t(i)),
+    bg as (select distinct g from dg where doc_id < 5),
+    contam as (select dg.doc_id, cast(count(*) as bigint) as cn
+               from dg join bg using (g) group by dg.doc_id),
+    lang as (
+      select doc_id,
+             case when len(regexp_extract_all(text, '\bthe\b'))
+                       + len(regexp_extract_all(text, '\band\b'))
+                       + len(regexp_extract_all(text, '\bof\b')) > 3
+                  then 'en' else 'other' end as stratum,
+             cast(len({TOKENS}) as bigint) as n_tokens
+      from documents),
+    tot as (select stratum, sum(n_tokens) as st from lang group by stratum),
+    kk as (select cast(count(*) as bigint) as k from tot),
+    rates as (select stratum,
+                     least(1000000,
+                           cast(floor(8000.0 / kk.k / tot.st * 1000000) as bigint))
+                       as rate_ppm
+              from tot cross join kk)
+    select d.doc_id,
+           grp.n_copies,
+           cast(d.doc_id = grp.keep_id as int) as canonical,
+           coalesce(contam.cn, 0) as contam_ngrams,
+           lang.stratum,
+           lang.n_tokens,
+           rates.rate_ppm,
+           cast((('0x' || substr(md5(d.doc_id::varchar), 1, 14))::bigint % 1000000)
+                < rates.rate_ppm as int) as keep
+    from documents d
+    join ex on ex.doc_id = d.doc_id
+    join grp on grp.h = ex.h
+    left join contam on contam.doc_id = d.doc_id
+    join lang on lang.doc_id = d.doc_id
+    join rates on rates.stratum = lang.stratum
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """The curation pipeline's per-document decision table: every doc
+    annotated with (a) its exact-dup group size and canonical flag
+    (planted identical text on every 50th doc — parity:
+    functions/dedup.py exact_dedup, here joined back to doc grain),
+    (b) its 8-gram benchmark-contamination count (benchmark = docs
+    0-4; broadcast gram join, explode_outer zero rows), and (c) the
+    deterministic token-budget sampling decision (8k-token budget
+    split across lang_id strata; md5-ppm threshold replayed exactly
+    by the oracle).
+
+    100 TB shape: one corpus scan feeds three doc-keyed branches —
+    the dedup annotate shuffles once on the content hash, the
+    contamination branch broadcasts the (tiny) benchmark gram set and
+    shuffles once on doc_id for the count, the sampler aggregates a
+    KB-scale strata table and broadcasts it back. All joins equi,
+    nothing quadratic, no Python."""
+    d = _docs(spark, sf_dir)
+    ctext = F.when(F.col("doc_id") % 50 == 49, F.lit("PLANTED DUP")).otherwise(
+        F.col("text")
+    )
+    ex = d.select("doc_id", F.md5(ctext).alias("h"))
+    grp = ex.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id")
+    )
+    dup_side = ex.join(grp, "h").select(
+        "doc_id",
+        "n_copies",
+        (F.col("doc_id") == F.col("keep_id")).cast("int").alias("canonical"),
+    )
+    bench = d.filter(F.col("doc_id") < 5)
+    contam = qf.ngram_contamination(d, bench, n=8)
+    sampled = qf.stratified_token_sample(
+        d.withColumn("lang", ta.lang_id(F.col("text"))), "lang", budget_tokens=8000
+    ).select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        "rate_ppm",
+        F.col("keep").cast("int").alias("keep"),
+    )
+    return dup_side.join(contam, "doc_id").join(sampled, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
