@@ -71,7 +71,28 @@ def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: length saturation + lexical
     diversity + (1 - punctuation density). Deterministic exact-integer
     inputs -> identical doubles in any engine."""
-    toks = tokens(text)
+    return quality_score_tokens(tokens(text), text)
+
+
+def fingerprint_tokens(toks: Column) -> Column:
+    """:func:`fingerprint` over an already-tokenized array — lets a
+    multi-leg plan tokenize once and feed every leg (see
+    q_text_metrics two-step select)."""
+    weighted = F.transform(toks, lambda w, i: word_hash(w) * (i.cast("long") + 1))
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.pmod(total, F.lit(MOD))
+
+
+def fingerprint(text: Column) -> Column:
+    """Position-weighted rolling document fingerprint:
+    sum_i (hash(w_i) * i) mod p over 1-based token positions.
+    Order-sensitive (unlike a bag-of-words hash) yet expressible as a
+    plain aggregate in any SQL engine."""
+    return fingerprint_tokens(tokens(text))
+
+
+def quality_score_tokens(toks: Column, text: Column) -> Column:
+    """:func:`quality_score` with the token array supplied."""
     n = F.size(toks).cast("double")
     d = F.size(F.array_distinct(toks)).cast("double")
     ln = F.length(text).cast("double")
@@ -82,13 +103,3 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.3) * (d / n)
         + F.lit(0.4) * (F.lit(1.0) - np / ln),
     ).otherwise(F.lit(0.0))
-
-
-def fingerprint(text: Column) -> Column:
-    """Position-weighted rolling document fingerprint:
-    sum_i (hash(w_i) * i) mod p over 1-based token positions.
-    Order-sensitive (unlike a bag-of-words hash) yet expressible as a
-    plain aggregate in any SQL engine."""
-    weighted = F.transform(tokens(text), lambda w, i: word_hash(w) * (i.cast("long") + 1))
-    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
-    return F.pmod(total, F.lit(MOD))
