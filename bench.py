@@ -44,6 +44,7 @@ HEADLINERS = [
     "q_cartesian_combinations",
     "q_str_surface",
     "q_text_metrics",
+    "q_corpus_curation",
     "q_minhash_sig",
     "q_dedup_minhash_clusters",
     "q_dedup_simhash",

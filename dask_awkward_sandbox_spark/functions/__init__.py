@@ -1,8 +1,9 @@
 from dask_awkward_sandbox_spark.functions import (
     dedup,
     multimodal,
+    quality_filters,
     similarity,
     text_analysis,
 )
 
-__all__ = ["dedup", "similarity", "text_analysis", "multimodal"]
+__all__ = ["dedup", "similarity", "text_analysis", "multimodal", "quality_filters"]
