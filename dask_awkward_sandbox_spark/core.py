@@ -241,6 +241,15 @@ def to_list(df: DataFrame) -> list[dict]:
     return [row.asDict(recursive=True) for row in df.collect()]
 
 
+def head(df: DataFrame, nrow: int = 10, compute: bool = True):
+    """First ``nrow`` rows of the FIRST partition (parity: reference
+    Array.head, lib/core.py:1771 — intentionally partition-local so a
+    peek never scans past partition 0; the result may hold fewer than
+    ``nrow`` rows when that partition is short)."""
+    out = partitions(df, 0, 1).limit(nrow)
+    return out.collect() if compute else out
+
+
 def visualize(df: DataFrame, extended: bool = False) -> str:
     """The query plan as text — the engine's task graph."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

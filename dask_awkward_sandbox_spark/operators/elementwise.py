@@ -157,6 +157,14 @@ class NestedArray:
 
         return NestedArray(getitem(self.col, index, ndim=self.ndim))
 
+    def __iter__(self):
+        # parity: reference Array.__iter__ raises; without this,
+        # Python's __getitem__-fallback iteration would loop forever
+        # building element-pick Columns
+        raise NotImplementedError(
+            "Iteration over a lazy nested array is not supported"
+        )
+
     def __getattr__(self, name: str):
         # a.points.x sugar (reference Array.__getattr__): only for
         # names that can't be attributes; real attrs never reach here

@@ -179,6 +179,30 @@ def test_rows_int_bool_slice(pts):
         G.rows(pts, -99).collect()
 
 
+def test_iter_raises(pts):
+    # reference test_core.py:test_iter — and guards against Python's
+    # __getitem__-fallback infinite iteration
+    na = NestedArray(F.col("points"))
+    with pytest.raises(NotImplementedError, match="Iteration"):
+        list(na)
+
+
+def test_head_partition_local(spark, sf):
+    from dask_awkward_sandbox_spark.core import head, npartitions
+
+    df = spark.read.parquet(f"{sf}/nation.parquet")
+    rows = head(df, 3)
+    assert len(rows) == 3
+    lazy = head(df, 3, compute=False)
+    assert lazy.count() == 3
+    # never more rows than the first partition holds
+    if npartitions(df) > 1:
+        import dask_awkward_sandbox_spark.core as core
+
+        first = core.partitions(df, 0, 1).count()
+        assert len(head(df, 10**6)) == first
+
+
 def test_nested_array_still_arithmetic(pts):
     # getitem composes with the ufunc surface: (a["x"] * 2)[0]
     na = NestedArray(F.col("points"))
