@@ -157,6 +157,38 @@ class NestedArray:
 
         return NestedArray(getitem(self.col, index, ndim=self.ndim))
 
+    def __setitem__(self, key: str, value):
+        """``a["z"] = b`` — the reference's ``Array.__setitem__`` sugar
+        (reference tests/test_structure.py:test_setitem) for a list of
+        structs: sets field ``key`` on every element struct and rebinds
+        this wrapper's expression (Columns stay immutable; the
+        row-level record form of the reference is plain
+        ``df.withColumn`` here). ``value`` may be a NestedArray
+        (element-aligned list, like ``a["z"] = np.sqrt(a.x ** 2)``), a
+        Column, or a number; anything else raises like the reference."""
+        from pyspark.sql import functions as _F
+
+        if not isinstance(key, str):
+            raise NotImplementedError("__setitem__ key must be a field name")
+        if isinstance(value, NestedArray):
+            self.col = _F.zip_with(
+                self.col, value.col, lambda s, v: s.withField(key, v)
+            )
+            return
+        if hasattr(value, "item"):  # numpy scalar
+            value = value.item()
+        if isinstance(value, Column):
+            v = value
+        elif isinstance(value, (int, float)) and not isinstance(value, bool):
+            v = _F.lit(value)
+        else:
+            raise NotImplementedError(
+                "Supplying anything other than an array, Column, or Number "
+                "to __setitem__ is not supported (parity: reference "
+                "DaskAwkwardNotImplemented)"
+            )
+        self.col = _F.transform(self.col, lambda s: s.withField(key, v))
+
     def __iter__(self):
         # parity: reference Array.__iter__ raises; without this,
         # Python's __getitem__-fallback iteration would loop forever

@@ -203,6 +203,29 @@ def test_head_partition_local(spark, sf):
         assert len(head(df, 10**6)) == first
 
 
+def test_setitem(pts):
+    # reference test_structure.py:test_setitem — a["points", "z"] =
+    # sqrt(x^2 + y^2), element-aligned
+    import numpy as np
+
+    na = NestedArray(F.col("points"))
+    z = np.sqrt(na["x"] ** 2.0 + na["y"] ** 2.0)
+    na["z"] = z
+    got = _vals(pts, na["z"].col)
+    import math
+
+    exp = [[math.sqrt(e["x"] ** 2 + e["y"] ** 2) for e in p] for p in POINTS]
+    for g, e in zip(got, exp):
+        assert g == pytest.approx(e)
+    # scalar assignment
+    na2 = NestedArray(F.col("points"))
+    na2["w"] = 7
+    assert _vals(pts, na2["w"].col) == [[7] * len(p) for p in POINTS]
+    # unsupported value type raises like the reference
+    with pytest.raises(NotImplementedError, match="Number"):
+        na2["q"] = "hi there"
+
+
 def test_nested_array_still_arithmetic(pts):
     # getitem composes with the ufunc surface: (a["x"] * 2)[0]
     na = NestedArray(F.col("points"))

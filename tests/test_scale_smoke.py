@@ -35,6 +35,7 @@ SUBSET = [
     "q_cartesian_combinations",
     "q_str_surface",
     "q_text_metrics",
+    "q_corpus_curation",
     "q_dedup_exact",
     "q_dedup_minhash_clusters",
     "q_embedding_neardup",
