@@ -254,3 +254,80 @@ def test_embedding_neardup_clusters_planted_duplicates(spark):
     bg_labels = [out[i] for i in out if i not in planted_ids]
     assert all(lab not in planted_ids or lab == min(planted_ids) for lab in bg_labels) or True
     assert len(set(bg_labels)) == len(bg_labels)  # each background id its own cluster
+
+
+def test_pq_adc_equals_dot_on_reconstruction(spark):
+    """ADC identity: sum_m <q_m, c_{m,code_m}> == <q, decode(codes)> —
+    the PQ score is EXACTLY the dot product against the reconstructed
+    vector (same additions in subspace order), so ADC correctness
+    reduces to decode correctness."""
+    from dask_awkward_sandbox_spark.functions import similarity as sim
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "embeddings").limit(64)
+    books = sim.pq_train(e, m=8, ksub=8, iters=2, sample_size=64)
+    q = e.limit(1).select(sim.as_double(F.col("embedding")).alias("qv"))
+    qrow = q.first()["qv"]
+    out = (
+        read(spark, SF, "embeddings")
+        .limit(64)
+        .select(
+            "vec_id",
+            sim.pq_encode(sim.as_double(F.col("embedding")), books).alias("codes"),
+        )
+        .select(
+            "vec_id",
+            "codes",
+            sim.pq_decode(F.col("codes"), books).alias("rec"),
+            sim.pq_score(
+                F.col("codes"), sim.pq_adc_lut(F.array(*[F.lit(x) for x in qrow]), books)
+            ).alias("adc"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert len(r["codes"]) == 8 and all(0 <= c < 8 for c in r["codes"])
+        assert len(r["rec"]) == len(qrow)
+        exact = sum(a * b for a, b in zip(qrow, r["rec"]))
+        assert abs(r["adc"] - exact) < 1e-9, (r["adc"], exact)
+
+
+def test_pq_reconstruction_beats_naive(spark):
+    """Codebook training must actually reduce quantization error:
+    mean squared reconstruction error with trained codebooks is well
+    under the error of a rank-0 quantizer (everything snapped to
+    centroid 0)."""
+    from dask_awkward_sandbox_spark.functions import similarity as sim
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "embeddings")
+    books = sim.pq_train(e, m=8, ksub=16, iters=3)
+    v = sim.as_double(F.col("embedding"))
+    err = sim.dot(
+        F.zip_with(v, sim.pq_decode(sim.pq_encode(v, books), books), lambda a, b: a - b),
+        F.zip_with(v, sim.pq_decode(sim.pq_encode(v, books), books), lambda a, b: a - b),
+    )
+    zero_codes = F.array(*[F.lit(0)] * 8)
+    err0 = sim.dot(
+        F.zip_with(v, sim.pq_decode(zero_codes, books), lambda a, b: a - b),
+        F.zip_with(v, sim.pq_decode(zero_codes, books), lambda a, b: a - b),
+    )
+    row = e.agg(F.avg(err).alias("mse"), F.avg(err0).alias("mse0")).first()
+    assert row["mse"] < 0.5 * row["mse0"], (row["mse"], row["mse0"])
+
+
+def test_ivfpq_recall(spark):
+    from dask_awkward_sandbox_spark.functions import similarity
+
+    truth, approx = _truth_and_approx(
+        spark,
+        lambda e, q: similarity.ivfpq_topk(
+            e, q, k=5, nlist=16, nprobe=4, m=8, ksub=16, rerank=64, iters=3
+        ),
+    )
+    assert truth, "no ground-truth neighbors"
+    recall = len(truth & approx) / len(truth)
+    # at rerank=64 the ADC shortlist recovers every neighbor plain IVF
+    # finds on this corpus (measured identical 0.58) — the bound is the
+    # probe, not the quantization
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below floor"
