@@ -311,19 +311,23 @@ def stratified_token_sample(
     )
     totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("stratum_tokens"))
 
-    # equal share per stratum, computed against the (tiny) totals frame;
-    # explicit floor() — Spark's double->long cast truncates but
-    # DuckDB's rounds, so the quantization must be spelled out
-    strata = totals.crossJoin(
-        totals.agg(F.count(F.lit(1)).alias("k")).select("k")
-    ).select(
+    # equal share per stratum, computed against the (tiny) totals
+    # frame — the strata count comes from an unpartitioned window over
+    # it (KB-scale, one exchange) rather than a cross join, keeping
+    # every downstream plan free of nested-loop joins; explicit
+    # floor() — Spark's double->long cast truncates but DuckDB's
+    # rounds, so the quantization must be spelled out
+    from pyspark.sql import Window
+
+    k = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    strata = totals.select(
         "stratum",
         "stratum_tokens",
         F.least(
             F.lit(SAMPLE_PPM).cast("long"),
             F.floor(
                 F.lit(float(budget_tokens))
-                / F.col("k")
+                / k
                 / F.col("stratum_tokens")
                 * SAMPLE_PPM
             ).cast("long"),

@@ -286,6 +286,19 @@ def test_reducers_propagate_nan(spark):
     assert ok["am"] == 0 and ok["ax"] == 2 and ok["n"] == 2
 
 
+def test_corpus_curation_plan_shape(spark):
+    """The curation slot must block-join, never cross: the benchmark
+    gram join is a broadcast hash join and nothing in the plan is a
+    cartesian/nested-loop product."""
+    from dask_awkward_sandbox_spark.core import visualize
+    from dask_awkward_sandbox_spark.plans import QUERIES
+
+    plan = visualize(QUERIES["q_corpus_curation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_reducer_moments_numpy_parity(spark):
     """var/std/moment keep direct value coverage after the r5 gate
     fusion (the fused slot re-derives the formulas rather than calling
