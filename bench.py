@@ -204,9 +204,32 @@ def scale_probe(spark, base_timings: dict[str, float], reps: int) -> dict | None
         "plans_stable": all(plan_stable.values()),
         "plan_stable": plan_stable,
         "skew_demo": skew_demo(spark, scale_dir, 1, min_reps=1),
+        # the pair-LISTING q_embedding_neardup grows with its output
+        # (true >=0.4 pairs grow ~100x at 10x on clustered embeddings);
+        # record the cluster-collapse form alongside so the record
+        # shows the linear scale path, not just the output-bound one
+        "neardup_clusters": _neardup_clusters_growth(spark, base_dir, scale_dir),
     }
     if plan_delta:
         out["plan_delta"] = plan_delta
+    return out
+
+
+def _neardup_clusters_growth(spark, base_dir: str, scale_dir: str) -> dict:
+    """Wall-clock of embedding_neardup_clusters at sf0.1 and sf1 (one
+    rep each — it is iteration-bound, so the min-of-reps wobble the
+    per-query slots need does not apply at this cost)."""
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        embedding_neardup_clusters,
+    )
+
+    out: dict[str, float] = {}
+    for key, d in (("sf0.1", base_dir), ("sf1", scale_dir)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        t0 = time.perf_counter()
+        embedding_neardup_clusters(emb).write.format("noop").mode("overwrite").save()
+        out[key] = round(time.perf_counter() - t0, 3)
+    out["growth"] = round(out["sf1"] / out["sf0.1"], 2)
     return out
 
 
