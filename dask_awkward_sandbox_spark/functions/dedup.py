@@ -140,88 +140,82 @@ def minhash_dedup_clusters(
     rounds. 100 TB: each iteration is two key-shuffles of |docs|*bands
     rows; skewed buckets are irrelevant (partial min aggregation).
     """
-    buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands).cache()
+    # eager localCheckpoint, not cache: the loop below rebinds labels
+    # each round, and a cache chain whose parent is unpersisted (the
+    # old shape here) silently recomputes the WHOLE upstream minhash
+    # pipeline every iteration — the same defect measured at 57s->16.8s
+    # in similarity.connected_components. Checkpointing materializes
+    # |docs|*bands rows once to executor-local storage and every round
+    # reads partitions, never lineage.
+    buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands).localCheckpoint(
+        eager=True
+    )
     # iteration 0 specialized: labels == doc, so bucket mins need no
     # label join and the initial distinct-docs frame never materializes
     first_bucket_min = buckets.groupBy("band", "key").agg(F.min("doc").alias("bmin"))
-    cached = (
+    labels = (
         buckets.join(first_bucket_min, ["band", "key"])
         .groupBy("doc")
         .agg(F.min("bmin").alias("label"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = cached
-    try:
-        for it in range(max_iter):
-            bucket_min = (
-                buckets.join(labels, "doc")
-                .groupBy("band", "key")
-                .agg(F.min("label").alias("bmin"))
-            )
-            doc_min = (
-                buckets.join(bucket_min, ["band", "key"])
-                .groupBy("doc")
-                .agg(F.min("bmin").alias("cand"))
-            )
-            # carry the old label so convergence is a filter over the
-            # cached frame — one action materializes AND checks
-            prop = labels.join(doc_min, "doc", "left").select(
-                F.col("doc"),
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            # pointer jumping (path doubling): label <- label(label).
-            # Bucket propagation alone drags a long convergence tail
-            # (measured at sf0.1: changed = 2439, 135, 9, 1, 0 — five
-            # rounds, the last three moving <=10 labels); shortcutting
-            # through the label's own label collapses chains a round
-            # early (3 rounds measured). The self-join is |docs| rows —
-            # cheap next to the |docs|*bands bucket joins — and every
-            # saved round saves two full shuffles at corpus scale.
-            # Labels stay component members (a min over component ids),
-            # so the fixpoint — and the oracle's transitive closure —
-            # is unchanged.
-            jump = prop.select(
-                F.col("doc").alias("pdoc"), F.col("label").alias("plabel")
-            )
-            merged = prop.join(jump, prop["label"] == jump["pdoc"], "left").select(
-                "doc",
-                "old",
-                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
-            )
-            # cut the lineage every few rounds: a pure cache chain grows
-            # the logical plan one join-layer per iteration (analyzer
-            # cost compounds, and an executor loss recomputes the whole
-            # chain). Lazy localCheckpoint truncates at the next action
-            # (the convergence count below) — no extra materialization
-            # job vs the cache path.
-            if (it + 1) % 3 == 0:
-                merged = merged.localCheckpoint(eager=False)
-            else:
-                merged = merged.cache()
-            changed = merged.filter(F.col("label") != F.col("old")).count()
-            cached.unpersist()
-            cached = merged
-            labels = merged.select("doc", "label")
-            if changed == 0:
-                break
-        clustered = labels.select("doc", F.col("label").alias("cluster"))
-        # token-less docs carry no LSH signal (excluded from buckets);
-        # they are their own singleton clusters, so every input doc
-        # appears in the output — same totality the SQL oracle computes
-        singletons = (
-            df.select(F.col(id_col).alias("doc"))
-            .join(clustered, "doc", "left_anti")
-            .withColumn("cluster", F.col("doc"))
+    for _it in range(max_iter):
+        bucket_min = (
+            buckets.join(labels, "doc")
+            .groupBy("band", "key")
+            .agg(F.min("label").alias("bmin"))
         )
-        # NOTE: the returned frame reads the final iteration's cached
-        # relation (|docs| rows); callers looping over many corpora
-        # should unpersist via spark.catalog.clearCache() when done
-        return clustered.unionByName(singletons)
-    finally:
-        buckets.unpersist()
+        doc_min = (
+            buckets.join(bucket_min, ["band", "key"])
+            .groupBy("doc")
+            .agg(F.min("bmin").alias("cand"))
+        )
+        # carry the old label so convergence is a filter over the
+        # checkpointed frame — one action materializes AND checks
+        prop = labels.join(doc_min, "doc", "left").select(
+            F.col("doc"),
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping (path doubling): label <- label(label).
+        # Bucket propagation alone drags a long convergence tail
+        # (measured at sf0.1: changed = 2439, 135, 9, 1, 0 — five
+        # rounds, the last three moving <=10 labels); shortcutting
+        # through the label's own label collapses chains a round
+        # early (3 rounds measured). The self-join is |docs| rows —
+        # cheap next to the |docs|*bands bucket joins — and every
+        # saved round saves two full shuffles at corpus scale.
+        # Labels stay component members (a min over component ids),
+        # so the fixpoint — and the oracle's transitive closure —
+        # is unchanged.
+        jump = prop.select(
+            F.col("doc").alias("pdoc"), F.col("label").alias("plabel")
+        )
+        merged = prop.join(jump, prop["label"] == jump["pdoc"], "left").select(
+            "doc",
+            "old",
+            F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+        )
+        # eager checkpoint per round: O(1) lineage, and the next
+        # round's joins read materialized partitions (see the note on
+        # `buckets` above for why cache chains are wrong here)
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("label") != F.col("old")).count()
+        labels = merged.select("doc", "label")
+        if changed == 0:
+            break
+    clustered = labels.select("doc", F.col("label").alias("cluster"))
+    # token-less docs carry no LSH signal (excluded from buckets);
+    # they are their own singleton clusters, so every input doc
+    # appears in the output — same totality the SQL oracle computes
+    singletons = (
+        df.select(F.col(id_col).alias("doc"))
+        .join(clustered, "doc", "left_anti")
+        .withColumn("cluster", F.col("doc"))
+    )
+    return clustered.unionByName(singletons)
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
