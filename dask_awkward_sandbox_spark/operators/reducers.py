@@ -328,3 +328,63 @@ def max0(arr: Column) -> Column:
 def mean0(arr: Column) -> Column:
     """ak.mean(axis=None): exact global sum / count."""
     return F.sum(sum(arr)) / F.sum(count(arr))
+
+
+# ---------------------------------------------------------------------------
+# axis=0 (positional, across rows): result[i] = reduce over rows of
+# each row's i-th element — ak.sum(x, axis=0) etc. (reference
+# tests/test_reducers.py axis=0 cases; positional argmin/argmax stay
+# unsupported at axis=0 exactly like the reference's xfail).
+#
+# Shape: posexplode -> groupBy(pos). Positions are FEW (max list
+# length), and position 0 holds |rows| elements — but Catalyst's
+# map-side partial aggregation reduces each partition to one partial
+# per position before the exchange, so the shuffle carries
+# |partitions| x |positions| rows, never |elements|. The result is a
+# one-row DataFrame holding the positional list.
+# ---------------------------------------------------------------------------
+
+
+def _axis0(df, arr: Column, agg: Column, out: str):
+    e = df.select(F.posexplode_outer(arr).alias("pos", "_v"))
+    g = e.filter(F.col("pos").isNotNull()).groupBy("pos").agg(agg.alias("_a"))
+    return g.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_a"))), lambda s: s["_a"]
+        ).alias(out)
+    )
+
+
+def sum_axis0(df, arr: Column):
+    """ak.sum(axis=0): positional sums — 1-row DataFrame, one list."""
+    return _axis0(df, arr, F.sum("_v"), "sum0")
+
+
+def count_axis0(df, arr: Column):
+    """ak.count(axis=0): non-null count per position."""
+    return _axis0(df, arr, F.count("_v").cast("long"), "count0")
+
+
+def min_axis0(df, arr: Column):
+    """ak.min(axis=0); null at positions where every element is null."""
+    return _axis0(df, arr, F.min("_v"), "min0")
+
+
+def max_axis0(df, arr: Column):
+    """ak.max(axis=0)."""
+    return _axis0(df, arr, F.max("_v"), "max0")
+
+
+def any_axis0(df, arr: Column):
+    """ak.any(axis=0): positional boolean OR (nulls skipped)."""
+    return _axis0(df, arr, F.max(F.col("_v").cast("boolean")), "any0")
+
+
+def all_axis0(df, arr: Column):
+    """ak.all(axis=0): positional boolean AND (nulls skipped)."""
+    return _axis0(df, arr, F.min(F.col("_v").cast("boolean")), "all0")
+
+
+def mean_axis0(df, arr: Column):
+    """ak.mean(axis=0): exact positional sum / count."""
+    return _axis0(df, arr, F.sum("_v") / F.count("_v"), "mean0")

@@ -342,3 +342,46 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1].splitlines()[0], plan
     n_click = back.count()
     assert n_click == read(spark, SF, "events").filter(F.col("event_type") == "click").count()
+
+
+def test_axis0_positional_reducers(spark):
+    """ak.sum/any/all/count/min/max/mean(axis=0) parity on a ragged
+    collection (reference tests/test_reducers.py axis=0 cases) — the
+    positional reduce across rows, nulls skipped."""
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [10.0]),
+        (3, []),
+        (4, [5.0, None]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a = F.col("v")
+    assert red.sum_axis0(df, a).first()["sum0"] == [16.0, 2.0, 3.0]
+    assert red.count_axis0(df, a).first()["count0"] == [3, 1, 1]
+    assert red.min_axis0(df, a).first()["min0"] == [1.0, 2.0, 3.0]
+    assert red.max_axis0(df, a).first()["max0"] == [10.0, 2.0, 3.0]
+    assert red.mean_axis0(df, a).first()["mean0"] == [16.0 / 3, 2.0, 3.0]
+
+    bdf = spark.createDataFrame(
+        [(1, [True, False]), (2, [True, None]), (3, [True])],
+        "id long, v array<boolean>",
+    )
+    assert red.any_axis0(bdf, F.col("v")).first()["any0"] == [True, False]
+    assert red.all_axis0(bdf, F.col("v")).first()["all0"] == [True, False]
+
+
+def test_axis0_partial_aggregation_plan(spark):
+    """The positional agg must partial-aggregate map-side: a
+    HashAggregate appears BELOW the exchange, so position 0 (which
+    holds one element per row) never funnels raw rows to a reducer."""
+    from dask_awkward_sandbox_spark.core import visualize
+    from dask_awkward_sandbox_spark.operators import reducers as red
+    from dask_awkward_sandbox_spark.plans.common import order_items
+
+    it = order_items(spark, SF, fields=["l_linenumber", "l_quantity"])
+    plan = visualize(red.sum_axis0(it, F.col("items").getField("l_quantity")))
+    first_ex = plan.find("Exchange")
+    assert first_ex > 0 and "HashAggregate" in plan[:first_ex]
