@@ -193,3 +193,89 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         df.filter(F.col("meta")["kind"] == "video")
         .select("media_id", F.explode(idxs).alias("frame_idx"))
     )
+
+
+def _encode_bmp_py(width: int, height: int, pixels) -> bytes:
+    """BMP bytes from an (H, W, 3) uint8 array — the Python mirror of
+    :func:`bmp_column`'s JVM construction (24bpp, BI_RGB, bottom-up
+    rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    stride = ((3 * width + 3) // 4) * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : 3 * width] = pixels.reshape(height, 3 * width)
+    payload = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<I", len(payload) + BMP_HEADER_LEN)
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<I", BMP_HEADER_LEN)
+        + struct.pack("<I", 40)
+        + struct.pack("<ii", width, height)
+        + b"\x01\x00"
+        + b"\x18\x00"
+        + struct.pack("<I", 0)
+        + struct.pack("<I", len(payload))
+        + struct.pack("<II", 2835, 2835)
+        + struct.pack("<II", 0, 0)
+    )
+    return header + payload
+
+
+def _decode_bmp_pixels(buf: bytes):
+    """(width, height, (H, W, 3) uint8) from 24bpp BMP bytes —
+    honors the 4-byte row padding the format requires."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", buf, 10)
+    width, height = struct.unpack_from("<ii", buf, 18)
+    stride = ((3 * width + 3) // 4) * 4
+    rows = np.frombuffer(buf, dtype=np.uint8, count=height * stride, offset=offset)
+    px = rows.reshape(height, stride)[:, : 3 * width].reshape(height, width, 3)
+    return width, height, px
+
+
+def resize_bmp(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image resize with no imaging library: nearest-neighbor
+    over decoded 24bpp BMP pixels (numpy index maps), re-encoded as
+    BMP — the canonical multimodal transform (decode -> resize ->
+    re-encode) with every byte real, upgrading what the module
+    docstring stubs for PIL-format codecs.
+
+    Arrow-batched mapInArrow: payload bytes never hit the driver, the
+    per-image work is vectorized numpy, and the output schema carries
+    the new dimensions alongside the rebuilt payload."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            outs = []
+            for buf in b.column(payload_col).to_pylist():
+                w, h, px = _decode_bmp_pixels(buf)
+                xs = (np.arange(out_w) * w) // out_w
+                ys = (np.arange(out_h) * h) // out_h
+                resized = px[ys][:, xs]
+                outs.append(_encode_bmp_py(out_w, out_h, resized))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([out_w] * len(ids), pa.int64()),
+                    pa.array([out_h] * len(ids), pa.int64()),
+                    pa.array(outs, pa.binary()),
+                ],
+                names=["media_id", "width", "height", "payload"],
+            )
+
+    return df.mapInArrow(
+        fn, "media_id long, width long, height long, payload binary"
+    )

@@ -118,3 +118,57 @@ def test_parse_bmp_rejects_garbage(spark):
 
     with _pytest.raises(ValueError):
         mm.parse_bmp_header(b"\x89PNG" + b"\x00" * 60)
+
+
+def test_resize_bmp_nearest_neighbor_exact(spark):
+    """resize_bmp must reproduce the exact nearest-neighbor pixel map:
+    build a 4x4 gradient BMP JVM-side, halve it, and compare every
+    byte against the numpy-computed expectation; the output parses as
+    a valid BMP with the new dims."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    w = h = 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = ((3 * w + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px.reshape(h, 3 * w)
+    payload = rows.tobytes()
+
+    df = spark.createDataFrame([(1, payload)], "media_id long, raw binary").select(
+        "media_id",
+        mm.bmp_column(F.lit(w), F.lit(h), F.col("raw")).alias("payload"),
+    )
+    out = mm.resize_bmp(df, 2, 2).collect()[0]
+    assert (out["width"], out["height"]) == (2, 2)
+    ow, oh, got = mm._decode_bmp_pixels(bytes(out["payload"]))
+    assert (ow, oh) == (2, 2)
+    xs = (np.arange(2) * w) // 2
+    ys = (np.arange(2) * h) // 2
+    exp = px[ys][:, xs]
+    assert (got == exp).all()
+    # header parses via the public parser too
+    pw, ph, nbytes = mm.parse_bmp_header(bytes(out["payload"]))
+    assert (pw, ph) == (2, 2) and nbytes == 2 * (((3 * 2 + 3) // 4) * 4)
+
+
+def test_resize_bmp_upscale(spark):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    w = h = 2
+    px = np.array(
+        [[[0, 0, 0], [255, 0, 0]], [[0, 255, 0], [0, 0, 255]]], dtype=np.uint8
+    )
+    df = spark.createDataFrame(
+        [(7, mm._encode_bmp_py(w, h, px))], "media_id long, payload binary"
+    )
+    out = mm.resize_bmp(df, 4, 4).collect()[0]
+    _, _, got = mm._decode_bmp_pixels(bytes(out["payload"]))
+    # each source pixel becomes a 2x2 block under nearest neighbor
+    assert (got[0:2, 0:2] == px[0, 0]).all()
+    assert (got[0:2, 2:4] == px[0, 1]).all()
+    assert (got[2:4, 0:2] == px[1, 0]).all()
+    assert (got[2:4, 2:4] == px[1, 1]).all()
