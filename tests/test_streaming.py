@@ -301,3 +301,49 @@ def test_sessionize_stateful_larger_state(spark):
     want = _batch_sessions(spark, read(spark, sf, "events"))
     assert len(want) > 1000  # the point: this is real state, not a toy
     assert got == want
+
+
+def test_streaming_curation_filters(spark):
+    """The curation suite composes with Structured Streaming
+    unchanged: quality/PII/token expressions are scan-side Catalyst
+    trees, so a readStream of documents -> curation projection ->
+    memory sink must equal the batch result row-for-row — the shape of
+    a continuous ingest pipeline scoring documents as they land."""
+    from dask_awkward_sandbox_spark.functions import quality_filters as qf
+    from dask_awkward_sandbox_spark.functions import text_analysis as ta
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    path = os.path.join(SCRATCH, "docs_json")
+    read(spark, SF, "documents").select("doc_id", "text").repartition(1).write.mode(
+        "overwrite"
+    ).json(path)
+
+    def curate(df):
+        return df.select(
+            "doc_id",
+            ta.token_count_ws(F.col("text")).alias("n_tokens"),
+            ta.quality_score(F.col("text")).alias("quality"),
+            qf.top_ngram_char_fraction(F.col("text"), 2).alias("top2_frac"),
+            qf.pii_counts(F.col("text"))["emails"].alias("pii_emails"),
+            qf.redact_pii(F.col("text")).alias("redacted"),
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").json(path)
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r for r in spark.sql("select * from curated_docs").collect()
+    }
+    exp = {
+        r["doc_id"]: r
+        for r in curate(spark.read.schema("doc_id long, text string").json(path)).collect()
+    }
+    assert len(got) == len(exp) > 0
+    for k in exp:
+        assert got[k] == exp[k]
