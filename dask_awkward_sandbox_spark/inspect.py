@@ -202,6 +202,27 @@ def backend(*_args) -> str:
     return "spark"
 
 
+def ndim(df: DataFrame, col: str | None = None) -> int:
+    """Number of axes (reference describe.py:ndim / test_core.py:
+    test_ndim): the row axis plus the column's list depth. With no
+    column, the max depth over all columns — matching the reference's
+    whole-record ndim."""
+    from pyspark.sql import types as T
+
+    def depth(dt) -> int:
+        d = 0
+        while isinstance(dt, T.ArrayType):
+            d += 1
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            d += max((depth(f.dataType) for f in dt.fields), default=0)
+        return d
+
+    if col is not None:
+        return 1 + depth(df.schema[col].dataType)
+    return 1 + max((depth(f.dataType) for f in df.schema.fields), default=0)
+
+
 # ---------------------------------------------------------------------------
 # awkward-style type rendering (reference lib/core.py:2396 ``_type``,
 # exported as ``dak.type``; Array._typestr at core.py:1081)

@@ -183,3 +183,23 @@ def test_necessary_columns_alias():
     )
 
     assert necessary_columns is report_necessary_columns
+
+
+def test_ndim(spark):
+    # reference test_core.py:test_ndim — row axis + list depth
+    from dask_awkward_sandbox_spark.inspect import ndim
+
+    df = spark.createDataFrame(
+        [(1, [1.0], [[1.0]], {"x": 1.0})],
+        "a long, b array<double>, c array<array<double>>, d struct<x: double>",
+    )
+    assert ndim(df, "a") == 1
+    assert ndim(df, "b") == 2
+    assert ndim(df, "c") == 3
+    assert ndim(df, "d") == 1
+    assert ndim(df) == 3
+    # nested: list of structs holding lists
+    df2 = spark.createDataFrame(
+        [([{"p": [1.0]}],)], "e array<struct<p: array<double>>>"
+    )
+    assert ndim(df2, "e") == 3
