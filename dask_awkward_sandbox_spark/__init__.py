@@ -26,6 +26,110 @@ from dask_awkward_sandbox_spark import core
 from dask_awkward_sandbox_spark import inspect
 from dask_awkward_sandbox_spark.operators import reducers, strings, structure
 
+# Flat namespace mirroring the reference's `import dask_awkward as dak`
+# export surface (reference src/dask_awkward/__init__.py) — the verbs a
+# reference user calls as dak.flatten(...) resolve here the same way.
+# Dask-interop constructors (from_awkward/from_dask_array/from_delayed/
+# to_dask_*) are the documented non-goals (SURVEY §3).
+from dask_awkward_sandbox_spark.core import (  # noqa: F401
+    compatible_partitions,
+    compute,
+    head,
+    map_partitions,
+    partition_compatibility,
+    persist,
+    repartition,
+    to_list,
+    to_packed,
+    visualize,
+)
+from dask_awkward_sandbox_spark.core import copy as copy  # noqa: PLC0414
+from dask_awkward_sandbox_spark.inspect import (  # noqa: F401
+    backend,
+    fields,
+    ndim,
+    report_necessary_buffers,
+    report_necessary_columns,
+    sample,
+    typestr,
+)
+from dask_awkward_sandbox_spark.inspect import typestr as type  # noqa: A001
+from dask_awkward_sandbox_spark.io import (  # noqa: F401
+    from_json,
+    from_lists,
+    from_parquet,
+    from_text,
+    to_dataframe,
+    to_json,
+    to_parquet,
+)
+from dask_awkward_sandbox_spark.operators.elementwise import (  # noqa: F401
+    NestedArray,
+    elementwise,
+)
+from dask_awkward_sandbox_spark.operators.getitem import getitem  # noqa: F401
+from dask_awkward_sandbox_spark.operators.reducers import (  # noqa: F401
+    argmax,
+    argmin,
+    corr,
+    count,
+    count_nonzero,
+    covar,
+    linear_fit,
+    mean,
+    moment,
+    prod,
+    ptp,
+    softmax,
+    std,
+    var,
+)
+from dask_awkward_sandbox_spark.operators.reducers import all as all  # noqa: A001
+from dask_awkward_sandbox_spark.operators.reducers import any as any  # noqa: A001
+from dask_awkward_sandbox_spark.operators.reducers import max as max  # noqa: A001
+from dask_awkward_sandbox_spark.operators.reducers import min as min  # noqa: A001
+from dask_awkward_sandbox_spark.operators.reducers import sum as sum  # noqa: A001
+from dask_awkward_sandbox_spark.operators.structure import (  # noqa: F401
+    argcartesian,
+    argcombinations,
+    argsort,
+    broadcast_arrays,
+    cartesian,
+    combinations,
+    concatenate,
+    drop_none,
+    fill_none,
+    firsts,
+    flatten,
+    from_regular,
+    full_like,
+    is_none,
+    isclose,
+    local_index,
+    mask,
+    nan_to_num,
+    num,
+    ones_like,
+    pad_none,
+    ravel,
+    run_lengths,
+    singletons,
+    sort,
+    strings_astype,
+    to_regular,
+    unflatten,
+    unzip,
+    values_astype,
+    where,
+    with_field,
+    with_name,
+    with_parameter,
+    without_field,
+    without_parameters,
+    zeros_like,
+)
+from dask_awkward_sandbox_spark.operators.structure import zip as zip  # noqa: A001
+
 __all__ = [
     "get_spark",
     "load_tables",

@@ -315,3 +315,31 @@ def test_repartition_schemes(spark):
         core.repartition(df, 4, rows_per_partition=10)
     with pytest.raises(ValueError):
         core.repartition(df, rows_per_partition=0)
+
+
+def test_flat_namespace_mirrors_reference_exports():
+    """Every verb the reference exports at top level (minus the
+    documented dask-interop non-goals) resolves on our package root —
+    reference src/dask_awkward/__init__.py, line-for-line."""
+    import dask_awkward_sandbox_spark as dak
+
+    for name in [
+        "compatible_partitions", "map_partitions", "partition_compatibility",
+        "backend", "fields", "ndim", "report_necessary_buffers",
+        "report_necessary_columns", "sample", "from_lists", "to_dataframe",
+        "from_json", "to_json", "from_parquet", "to_parquet", "from_text",
+        "concatenate", "all", "any", "argmax", "argmin", "corr", "count",
+        "count_nonzero", "covar", "linear_fit", "max", "mean", "min",
+        "moment", "prod", "ptp", "softmax", "std", "sum", "var",
+        "argcartesian", "argcombinations", "argsort", "broadcast_arrays",
+        "cartesian", "combinations", "copy", "drop_none", "fill_none",
+        "firsts", "flatten", "from_regular", "full_like", "is_none",
+        "isclose", "local_index", "mask", "nan_to_num", "num", "ones_like",
+        "pad_none", "ravel", "run_lengths", "singletons", "sort",
+        "strings_astype", "to_list", "to_packed", "to_regular", "unflatten",
+        "unzip", "values_astype", "where", "with_field", "with_name",
+        "with_parameter", "without_field", "without_parameters",
+        "zeros_like", "zip", "type", "head", "getitem", "NestedArray",
+        "elementwise",
+    ]:
+        assert hasattr(dak, name), name
