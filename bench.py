@@ -31,6 +31,10 @@ import time
 # q_str_split_classify (+shape_pad +match_replace) folded into the
 # single-scan q_str_surface; q_window_funcs + q16_supplier_breadth
 # newly tracked.
+# r5 merges: q_reduce_stats (mean/var/std/moments) folded into the
+# q_reduce_order_count fused accumulator; q_text_metrics gained the
+# repetition + PII legs (does strictly more work than its r4 shape);
+# q_corpus_curation newly tracked.
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
