@@ -674,11 +674,35 @@ def q_ann_lsh_buckets(spark, sf_dir):
     sims as (select e.vec_id, c.list_id,
                     round(list_sum(list_transform(range(64),
                                                   d -> e.v[d+1] * c.v[d+1])), 6) as s
-             from e cross join c)
-    select vec_id, cast(list_id as bigint) as list_id
-    from sims
-    qualify row_number() over (partition by vec_id
-                               order by s desc, list_id desc) = 1
+             from e cross join c),
+    assign as (
+      select vec_id, cast(list_id as bigint) as list_id
+      from sims
+      qualify row_number() over (partition by vec_id
+                                 order by s desc, list_id desc) = 1),
+    mm(m) as (select unnest(range(8))),
+    pqd as (
+      select e.vec_id, mm.m, c.list_id as j,
+             list_sum(list_transform(range(8),
+               d -> (e.v[mm.m*8+d+1] - c.v[mm.m*8+d+1])
+                    * (e.v[mm.m*8+d+1] - c.v[mm.m*8+d+1]))) as d2
+      from e cross join mm cross join c),
+    codes as (
+      select vec_id, m, j
+      from pqd
+      qualify row_number() over (partition by vec_id, m
+                                 order by d2 asc, j asc) = 1)
+    select a.vec_id, a.list_id,
+           cast(max(case when m = 0 then j end) as int) as code_m0,
+           cast(max(case when m = 1 then j end) as int) as code_m1,
+           cast(max(case when m = 2 then j end) as int) as code_m2,
+           cast(max(case when m = 3 then j end) as int) as code_m3,
+           cast(max(case when m = 4 then j end) as int) as code_m4,
+           cast(max(case when m = 5 then j end) as int) as code_m5,
+           cast(max(case when m = 6 then j end) as int) as code_m6,
+           cast(max(case when m = 7 then j end) as int) as code_m7
+    from assign a join codes using (vec_id)
+    group by a.vec_id, a.list_id
     """,
 )
 def q_ann_ivf_assign(spark, sf_dir):
@@ -694,7 +718,14 @@ def q_ann_ivf_assign(spark, sf_dir):
     sides so a last-ulp fold difference cannot flip the argmax; ties
     break to the higher list id in both engines. The partition-pruned
     probe (similarity.ivf_probe_indexed) keeps its plan-asserted
-    PartitionFilters + recall bounds in pytest."""
+    PartitionFilters + recall bounds in pytest.
+
+    r5: the slot also value-checks the PQ ENCODER (similarity.
+    pq_encode) on the read-back vectors — iters=0 makes the codebook
+    the first-16 vectors' subvectors, so the oracle re-derives it in
+    SQL and recomputes every L2 argmin with the identical fold order
+    (no rounding needed: exact same IEEE ops, ties to the lower
+    centroid id in both engines)."""
     from dask_awkward_sandbox_spark.plans.io_queries import _scratch
 
     e = _emb(spark, sf_dir)
@@ -702,9 +733,15 @@ def q_ann_ivf_assign(spark, sf_dir):
     similarity.ivf_write_index(
         e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0, round_digits=6
     )
+    books = similarity.pq_train(
+        e, vec_col="embedding", id_col="vec_id", m=8, ksub=16, iters=0
+    )
     back = spark.read.parquet(path)
+    codes = similarity.pq_encode(F.col("nb_vec"), books)
     return back.select(
-        F.col("nb_id").alias("vec_id"), F.col("list_id").cast("long").alias("list_id")
+        F.col("nb_id").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+        *[F.get(codes, i).alias(f"code_m{i}") for i in range(8)],
     )
 
 
