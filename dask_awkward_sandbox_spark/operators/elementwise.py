@@ -197,6 +197,15 @@ class NestedArray:
             "Iteration over a lazy nested array is not supported"
         )
 
+    @property
+    def str(self) -> "_StrAccessor":
+        """``a.str.upper()``, ``a.str.length()`` … — the reference's
+        ``dak.str`` namespace as an accessor: lifts each SCALAR
+        string function from :mod:`.strings` elementwise over this
+        list column (array-taking functions like split/join are
+        called directly from the strings module)."""
+        return _StrAccessor(self)
+
     def __getattr__(self, name: str):
         # a.points.x sugar (reference Array.__getattr__): only for
         # names that can't be attributes; real attrs never reach here
@@ -305,3 +314,24 @@ class NestedArray:
 
 def _ensure(x) -> NestedArray:
     return x if isinstance(x, NestedArray) else NestedArray(x)
+
+
+class _StrAccessor:
+    """Elementwise lift of the strings module over a list column."""
+
+    def __init__(self, na: NestedArray):
+        self._na = na
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        from . import strings as _strings
+
+        fn = getattr(_strings, name)
+
+        def call(*args, **kwargs) -> NestedArray:
+            return NestedArray(
+                F.transform(self._na.col, lambda x: fn(x, *args, **kwargs))
+            )
+
+        return call

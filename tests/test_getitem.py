@@ -226,6 +226,27 @@ def test_setitem(pts):
         na2["q"] = "hi there"
 
 
+def test_str_accessor(spark):
+    # the dak.str namespace as NestedArray sugar: scalar string fns
+    # lifted elementwise over the list
+    df = spark.createDataFrame(
+        [(1, ["Hello", "WORLD", "abc"])], "id long, w array<string>"
+    )
+    na = NestedArray(F.col("w"))
+    row = df.select(
+        na.str.upper().alias("u"),
+        na.str.lower().alias("l"),
+        na.str.length().alias("n"),
+        na.str.starts_with("He").alias("h"),
+    ).first()
+    assert row["u"] == ["HELLO", "WORLD", "ABC"]
+    assert row["l"] == ["hello", "world", "abc"]
+    assert row["n"] == [5, 5, 3]
+    assert row["h"] == [True, False, False]
+    with pytest.raises(AttributeError):
+        na.str.not_a_function
+
+
 def test_nested_array_still_arithmetic(pts):
     # getitem composes with the ufunc surface: (a["x"] * 2)[0]
     na = NestedArray(F.col("points"))
