@@ -79,6 +79,63 @@ def _duck(sf_dir: str):
     return con
 
 
+# The registered clusters oracle is a recursive-CTE transitive
+# closure, which accumulates (node, reachable-label) pairs — fine at
+# sf0.01, but QUADRATIC per component, and sf1's 10x-replicated
+# planted dup clusters push it past 10 minutes. The ORACLE is the
+# bottleneck, not the operator: at sf1 this linear iterative
+# min-label propagation (temp tables, same fixpoint) replaces it —
+# the same independent-engine value check, in seconds.
+def _clusters_oracle_iterative(con):
+    from dask_awkward_sandbox_spark.plans.llm import H9, TOKENS, _perm_values_sql
+
+    con.execute(
+        f"""
+        create temp table _bkey as
+        with t as (select doc_id,
+                          {H9.replace('w', 'unnest(' + TOKENS + ')')} as h
+                   from documents),
+        p(pid, a, b) as {_perm_values_sql()},
+        sig as (select doc_id, pid, min((a * h + b) % 1000000007) as mh
+                from t cross join p group by doc_id, pid)
+        select doc_id, pid // 2 as band,
+               md5(string_agg(mh::varchar, '_' order by pid)) as key
+        from sig group by doc_id, pid // 2
+        """
+    )
+    con.execute(
+        "create temp table _lab as select doc_id as doc, doc_id as lab from documents"
+    )
+    for _ in range(30):
+        con.execute(
+            """
+            create or replace temp table _nxt as
+            with bucket_min as (
+              select k.band, k.key, min(l.lab) as bmin
+              from _bkey k join _lab l on l.doc = k.doc_id
+              group by k.band, k.key),
+            prop as (
+              select k.doc_id as doc, min(bm.bmin) as cand
+              from _bkey k join bucket_min bm using (band, key)
+              group by k.doc_id)
+            select l.doc, least(l.lab, coalesce(p.cand, l.lab)) as lab
+            from _lab l left join prop p on p.doc = l.doc
+            """
+        )
+        changed = con.execute(
+            "select count(*) from _nxt n join _lab l on l.doc = n.doc "
+            "where n.lab <> l.lab"
+        ).fetchone()[0]
+        con.execute("drop table _lab")
+        con.execute("alter table _nxt rename to _lab")
+        if changed == 0:
+            break
+    return con.execute(
+        "select cast(doc as bigint) as doc, cast(lab as bigint) as cluster "
+        "from _lab"
+    ).df()
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_sf1_query_matches_oracle(spark, name):
     from dask_awkward_sandbox_spark.plans import ORACLES, QUERIES
@@ -93,7 +150,10 @@ def test_sf1_query_matches_oracle(spark, name):
         assert sdf.shape[0] >= 0
         return
     con = _duck(SF1_DIR)
-    odf = con.execute(ORACLES[name]).df()
+    if name == "q_dedup_minhash_clusters":
+        odf = _clusters_oracle_iterative(con)
+    else:
+        odf = con.execute(ORACLES[name]).df()
     scols, srows = _canon(sdf)
     ocols, orows = _canon(odf)
     assert scols == ocols
