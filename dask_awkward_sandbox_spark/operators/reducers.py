@@ -42,14 +42,18 @@ def _nan_poisoned(arr: Column, result: Column) -> Column:
     return F.when(F.exists(arr, F.isnan), F.lit(float("nan"))).otherwise(result)
 
 
-def count(arr: Column) -> Column:
+def count(arr: Column, *, keepdims: bool = False, mask_identity: bool = False) -> Column:
     """ak.count (axis=1): number of non-null elements."""
-    return F.size(F.filter(arr, lambda x: x.isNotNull())).cast("long")
+    out = F.size(F.filter(arr, lambda x: x.isNotNull())).cast("long")
+    return _finish(arr, out, keepdims, mask_identity)
 
 
-def count_nonzero(arr: Column) -> Column:
+def count_nonzero(
+    arr: Column, *, keepdims: bool = False, mask_identity: bool = False
+) -> Column:
     """ak.count_nonzero (axis=1)."""
-    return F.size(F.filter(arr, lambda x: x.isNotNull() & (x != F.lit(0)))).cast("long")
+    out = F.size(F.filter(arr, lambda x: x.isNotNull() & (x != F.lit(0)))).cast("long")
+    return _finish(arr, out, keepdims, mask_identity)
 
 
 def _typed_seed(arr: Column, value: int) -> Column:
@@ -70,32 +74,65 @@ def _nn(arr: Column) -> Column:
     return F.filter(arr, lambda x: x.isNotNull())
 
 
-def sum(arr: Column) -> Column:  # noqa: A001 - mirrors ak.sum
+def _finish(
+    arr: Column, result: Column, keepdims: bool, mask_identity: bool
+) -> Column:
+    """The reference's two reducer modifiers (reference reducers.py
+    keepdims/mask_identity params, parametrized across
+    tests/test_reducers.py): ``mask_identity`` makes an EMPTY (after
+    option-dropping) list reduce to null instead of the identity;
+    ``keepdims`` wraps the result in a length-1 list (the kept axis)."""
+    out = result
+    if mask_identity:
+        out = F.when(F.size(_nn(arr)) > 0, out)
+    if keepdims:
+        out = F.array(out)
+    return out
+
+
+def sum(  # noqa: A001 - mirrors ak.sum
+    arr: Column, *, keepdims: bool = False, mask_identity: bool = False
+) -> Column:
     """ak.sum (axis=1); empty list -> 0. Type-preserving: integer
     lists reduce in int64 (exact past 2**53, awkward parity), float /
     double / decimal lists in their own type — the fold's seed is
     :func:`_typed_seed`'s coerced zero, not a double literal."""
-    return _let(
+    out = _let(
         arr, body=lambda a: F.aggregate(_nn(a), _typed_seed(a, 0), lambda acc, x: acc + x)
     )
+    return _finish(arr, out, keepdims, mask_identity)
 
 
-def prod(arr: Column) -> Column:
+def prod(arr: Column, *, keepdims: bool = False, mask_identity: bool = False) -> Column:
     """ak.prod (axis=1); empty list -> 1. Type-preserving like
     :func:`sum` (integers fold in int64)."""
-    return _let(
+    out = _let(
         arr, body=lambda a: F.aggregate(_nn(a), _typed_seed(a, 1), lambda acc, x: acc * x)
     )
+    return _finish(arr, out, keepdims, mask_identity)
 
 
-def min(arr: Column) -> Column:  # noqa: A001
-    """ak.min (axis=1); empty -> null; NaN element -> NaN."""
-    return _let(_vals(arr), body=lambda v: _nan_poisoned(v, F.array_min(v)))
+def min(  # noqa: A001
+    arr: Column, *, keepdims: bool = False, mask_identity: bool = True
+) -> Column:
+    """ak.min (axis=1); empty -> null (ak's mask_identity=True
+    default; False yields the +inf identity); NaN element -> NaN."""
+    out = _let(_vals(arr), body=lambda v: _nan_poisoned(v, F.array_min(v)))
+    if not mask_identity:
+        # empty -> identity, but a NULL list stays null (outer option)
+        out = F.when(arr.isNotNull(), F.coalesce(out, F.lit(float("inf"))))
+    return F.array(out) if keepdims else out
 
 
-def max(arr: Column) -> Column:  # noqa: A001
-    """ak.max (axis=1); empty -> null; NaN element -> NaN."""
-    return _let(_vals(arr), body=lambda v: _nan_poisoned(v, F.array_max(v)))
+def max(  # noqa: A001
+    arr: Column, *, keepdims: bool = False, mask_identity: bool = True
+) -> Column:
+    """ak.max (axis=1); empty -> null (ak default; mask_identity=False
+    yields the -inf identity); NaN element -> NaN."""
+    out = _let(_vals(arr), body=lambda v: _nan_poisoned(v, F.array_max(v)))
+    if not mask_identity:
+        out = F.when(arr.isNotNull(), F.coalesce(out, F.lit(float("-inf"))))
+    return F.array(out) if keepdims else out
 
 
 def ptp(arr: Column) -> Column:
@@ -106,14 +143,20 @@ def ptp(arr: Column) -> Column:
     )
 
 
-def any(arr: Column) -> Column:  # noqa: A001
+def any(  # noqa: A001
+    arr: Column, *, keepdims: bool = False, mask_identity: bool = False
+) -> Column:
     """ak.any (axis=1); empty -> False."""
-    return F.exists(arr, lambda x: x.isNotNull() & x.cast("boolean"))
+    out = F.exists(arr, lambda x: x.isNotNull() & x.cast("boolean"))
+    return _finish(arr, out, keepdims, mask_identity)
 
 
-def all(arr: Column) -> Column:  # noqa: A001
+def all(  # noqa: A001
+    arr: Column, *, keepdims: bool = False, mask_identity: bool = False
+) -> Column:
     """ak.all (axis=1); empty -> True. Nulls skipped (awkward drops options)."""
-    return F.forall(arr, lambda x: x.isNull() | x.cast("boolean"))
+    out = F.forall(arr, lambda x: x.isNull() | x.cast("boolean"))
+    return _finish(arr, out, keepdims, mask_identity)
 
 
 def mean(arr: Column) -> Column:

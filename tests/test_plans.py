@@ -385,3 +385,42 @@ def test_axis0_partial_aggregation_plan(spark):
     plan = visualize(red.sum_axis0(it, F.col("items").getField("l_quantity")))
     first_ex = plan.find("Exchange")
     assert first_ex > 0 and "HashAggregate" in plan[:first_ex]
+
+
+def test_reducer_keepdims_mask_identity(spark):
+    """The reference's keepdims / mask_identity reducer modifiers
+    (parametrized across reference tests/test_reducers.py): keepdims
+    wraps in a 1-list; mask_identity nulls the empty-list identity;
+    a NULL list stays null under every combination."""
+    from dask_awkward_sandbox_spark.operators import reducers as red
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, []), (3, None), (4, [None])],
+        "id long, v array<double>",
+    )
+    a = F.col("v")
+    r = {
+        row["id"]: row
+        for row in df.select(
+            "id",
+            red.sum(a).alias("s"),
+            red.sum(a, keepdims=True).alias("sk"),
+            red.sum(a, mask_identity=True).alias("sm"),
+            red.min(a).alias("mn"),
+            red.min(a, mask_identity=False).alias("mnf"),
+            red.max(a, mask_identity=False, keepdims=True).alias("mxfk"),
+            red.any(a, mask_identity=True).alias("anym"),
+            red.count(a, keepdims=True).alias("ck"),
+        ).collect()
+    }
+    assert r[1]["s"] == 3.0 and r[1]["sk"] == [3.0] and r[1]["sm"] == 3.0
+    assert r[2]["s"] == 0.0          # identity
+    assert r[2]["sm"] is None        # masked identity
+    assert r[2]["sk"] == [0.0]
+    assert r[1]["mn"] == 1.0 and r[2]["mn"] is None
+    assert r[2]["mnf"] == float("inf")   # unmasked identity
+    assert r[2]["mxfk"] == [float("-inf")]
+    assert r[3]["mnf"] is None           # NULL list stays null
+    assert r[3]["s"] is None
+    assert r[2]["anym"] is None and r[1]["anym"] is True
+    assert r[1]["ck"] == [2] and r[4]["ck"] == [0]
