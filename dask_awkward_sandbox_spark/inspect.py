@@ -189,12 +189,27 @@ def report_necessary_buffers(df: DataFrame) -> dict[str, NecessaryBuffers]:
     return out
 
 
-def fields(df_or_col: DataFrame | Column | None, df: DataFrame | None = None) -> list[str]:
+def fields(
+    df_or_col: DataFrame | Column | None, col: str | None = None
+) -> list[str]:
     """Record field names (reference describe.py:fields): top-level
-    column names of a DataFrame."""
-    if isinstance(df_or_col, DataFrame):
+    column names of a DataFrame, or — given a column name — the
+    element struct's field names through any list nesting
+    (``fields(df, "points")`` ≙ the reference's
+    ``dak.fields(daa.points)``). Non-record leaves give ``[]`` like
+    the reference's no-fields case."""
+    if not isinstance(df_or_col, DataFrame):
+        raise TypeError("fields() takes a DataFrame")
+    if col is None:
         return list(df_or_col.columns)
-    raise TypeError("fields() takes a DataFrame")
+    from pyspark.sql import types as T
+
+    dt = df_or_col.schema[col].dataType
+    while isinstance(dt, T.ArrayType):
+        dt = dt.elementType
+    if isinstance(dt, T.StructType):
+        return [f.name for f in dt.fields]
+    return []
 
 
 def backend(*_args) -> str:

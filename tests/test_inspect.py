@@ -203,3 +203,17 @@ def test_ndim(spark):
         [([{"p": [1.0]}],)], "e array<struct<p: array<double>>>"
     )
     assert ndim(df2, "e") == 3
+
+
+def test_fields_nested_column(spark):
+    # reference test_describe.py:test_fields — fields(daa.points)
+    # pierces the list to the element struct
+    from dask_awkward_sandbox_spark.inspect import fields
+
+    df = spark.createDataFrame(
+        [([{"x": 1.0, "y": 2.0}], 3)],
+        "points array<struct<x: double, y: double>>, n long",
+    )
+    assert fields(df) == ["points", "n"]
+    assert fields(df, "points") == ["x", "y"]
+    assert fields(df, "n") == []
