@@ -40,6 +40,7 @@ __all__ = [
     "redact_pii",
     "ngram_contamination",
     "stratified_token_sample",
+    "chunk_documents",
 ]
 
 
@@ -342,4 +343,57 @@ def stratified_token_sample(
             F.pmod(ta.word_hash56(F.col(id_col).cast("string")), F.lit(SAMPLE_PPM))
             < F.col("rate_ppm")
         ).alias("keep"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-window chunks with optional overlap
+    — the training-window preparation step (a doc longer than the
+    context budget becomes several overlapping windows; short docs
+    pass through as one chunk).
+
+    Returns ``(id_col, chunk_idx, n_chunk_tokens, chunk_text)``; chunk
+    ``i`` covers tokens ``[i*(max_tokens-overlap), ...+max_tokens)``.
+    Empty/whitespace docs yield one empty chunk so every input id
+    survives (same totality contract as the other per-doc ops).
+
+    100 TB shape: tokenize once, build the window-start sequence, and
+    ``posexplode`` — all scan-side; output size is input size times
+    ~1/(1-overlap/max_tokens), no shuffle, no Python.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # window starts: 0, step, 2*step, ... while start < n (at
+        # least one chunk even when n == 0)
+        last = F.greatest(
+            F.floor((n.cast("double") - 1) / step).cast("int"), F.lit(0)
+        )
+        starts = F.sequence(F.lit(0), last * step, F.lit(step))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.size(F.slice(toks, s + 1, max_tokens)).cast("long").alias("n"),
+                F.array_join(F.slice(toks, s + 1, max_tokens), " ").alias("t"),
+            ),
+        )
+
+    chunks = let(ta.tokens(F.col(text_col)), body=build)
+    ex = docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c"))
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c")["n"].alias("n_chunk_tokens"),
+        F.col("_c")["t"].alias("chunk_text"),
     )

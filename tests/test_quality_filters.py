@@ -111,3 +111,43 @@ def test_budget_overflow_keeps_all(spark):
     out = qf.stratified_token_sample(df, "lang", budget_tokens=10**9).collect()
     assert all(r["keep"] for r in out)
     assert all(r["rate_ppm"] == qf.SAMPLE_PPM for r in out)
+
+
+def test_chunk_documents(spark):
+    """Token-window chunking with overlap: windows cover [i*step,
+    i*step+max); short docs one chunk; empty docs survive as one
+    empty chunk; overlap repeats the tail tokens."""
+    from dask_awkward_sandbox_spark.functions.quality_filters import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),       # 7 tokens
+            (2, "x y"),                  # short
+            (3, ""),                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=3, overlap=1).collect()
+    }
+    # step=2: starts 0,2,4,6 for 7 tokens
+    assert got[(1, 0)] == (3, "a b c")
+    assert got[(1, 1)] == (3, "c d e")
+    assert got[(1, 2)] == (3, "e f g")
+    assert got[(1, 3)] == (1, "g")
+    assert got[(2, 0)] == (2, "x y")
+    assert got[(3, 0)] == (0, "")
+    assert len(got) == 6
+    # no overlap: disjoint cover
+    got2 = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(df, max_tokens=4).collect()
+    }
+    assert got2[(1, 0)] == "a b c d" and got2[(1, 1)] == "e f g"
+    # reassembling no-overlap chunks recovers the token stream
+    assert " ".join([got2[(1, 0)], got2[(1, 1)]]).split() == "a b c d e f g".split()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=3, overlap=3)
