@@ -61,8 +61,10 @@ def ngrams(toks: Column, n: int) -> Column:
         idxs = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
             F.array().cast("array<int>")
         )
-        return F.transform(
-            idxs, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+        # NULL token list -> null grams, not [] (option preserved)
+        return F.when(
+            t.isNotNull(),
+            F.transform(idxs, lambda i: F.array_join(F.slice(t, i + 1, n), " ")),
         )
 
     return let(toks, body=build)

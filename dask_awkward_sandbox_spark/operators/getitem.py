@@ -138,7 +138,9 @@ def list_slice(arr: Column, sl: slice) -> Column:
         idxs = F.when(nonempty, F.sequence(s, seq_end, F.lit(step))).otherwise(
             F.array().cast("array<int>")
         )
-        return F.transform(idxs, lambda i: F.get(a, i))
+        # a NULL list must slice to null, not [] (the otherwise-branch
+        # above would swallow the option)
+        return F.when(a.isNotNull(), F.transform(idxs, lambda i: F.get(a, i)))
 
     return let(arr, body=build)
 

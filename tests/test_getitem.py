@@ -109,6 +109,21 @@ def test_slice_semantics(spark):
         assert row[f"c{i}"] == data[sl], f"slice({sl.start},{sl.stop},{sl.step})"
 
 
+def test_slice_null_list_stays_null(spark):
+    # option preservation: a NULL list slices to null, not []
+    df = spark.createDataFrame([(1, None), (2, [1.0, 2.0, 3.0])], "id long, a array<double>")
+    got = {
+        r["id"]: (r["g"], r["f"])
+        for r in df.select(
+            "id",
+            G.list_slice(F.col("a"), slice(None, None, -1)).alias("g"),  # general path
+            G.list_slice(F.col("a"), slice(1, None)).alias("f"),  # fast path
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == ([3.0, 2.0, 1.0], [2.0, 3.0])
+
+
 def test_slice_on_jagged(pts):
     xs = G.getitem(F.col("points"), "x")
     got = _vals(pts, G.getitem(xs, slice(1, None, 2)))
