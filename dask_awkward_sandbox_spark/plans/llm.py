@@ -302,7 +302,19 @@ def q_text_metrics(spark, sf_dir):
                      least(1000000,
                            cast(floor(8000.0 / kk.k / tot.st * 1000000) as bigint))
                        as rate_ppm
-              from tot cross join kk)
+              from tot cross join kk),
+    ctok as (select doc_id, {TOKENS} as toks from documents),
+    chn as (select doc_id, toks,
+                   greatest((len(toks) - 1) // 12 + 1, 1) as nc
+            from ctok),
+    che as (select doc_id, i, toks[i*12+1 : i*12+16] as sl
+            from chn cross join unnest(range(0, nc)) as t(i)),
+    chunks as (select doc_id,
+                      cast(count(*) as bigint) as n_chunks,
+                      cast(sum(len(sl)) as bigint) as chunk_tokens,
+                      md5(string_agg(array_to_string(sl, ' '), '|' order by i))
+                        as chunks_md5
+               from che group by doc_id)
     select d.doc_id,
            grp.n_copies,
            cast(d.doc_id = grp.keep_id as int) as canonical,
@@ -311,13 +323,17 @@ def q_text_metrics(spark, sf_dir):
            lang.n_tokens,
            rates.rate_ppm,
            cast((('0x' || substr(md5(d.doc_id::varchar), 1, 14))::bigint % 1000000)
-                < rates.rate_ppm as int) as keep
+                < rates.rate_ppm as int) as keep,
+           chunks.n_chunks,
+           chunks.chunk_tokens,
+           chunks.chunks_md5
     from documents d
     join ex on ex.doc_id = d.doc_id
     join grp on grp.h = ex.h
     left join contam on contam.doc_id = d.doc_id
     join lang on lang.doc_id = d.doc_id
     join rates on rates.stratum = lang.stratum
+    join chunks on chunks.doc_id = d.doc_id
     """,
 )
 def q_corpus_curation(spark, sf_dir):
@@ -361,7 +377,31 @@ def q_corpus_curation(spark, sf_dir):
         "rate_ppm",
         F.col("keep").cast("int").alias("keep"),
     )
-    return dup_side.join(contam, "doc_id").join(sampled, "doc_id")
+    # chunking leg (r5): 16-token windows with 4-token overlap, value-
+    # proved text-exactly — the md5 over ordered chunk texts means a
+    # single wrong window boundary breaks the hash
+    chunks = (
+        qf.chunk_documents(d, max_tokens=16, overlap=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                    "|",
+                )
+            ).alias("chunks_md5"),
+        )
+    )
+    return (
+        dup_side.join(contam, "doc_id").join(sampled, "doc_id").join(chunks, "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
