@@ -508,6 +508,22 @@ def assign_nearest_centroid(
     return F.array_max(_centroid_sims(vec, centroids, round_digits))["i"]
 
 
+def _sample_matrix(df: DataFrame, vec_col: str, id_col: str, sample_size: int):
+    """The shared deterministic training sample (the ``sample_size``
+    lowest-id vectors) as a numpy matrix — one bounded collect that
+    both quantizer trainers (:func:`kmeans_train`, :func:`pq_train`)
+    can reuse instead of collecting twice."""
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
+        .orderBy("_id")
+        .limit(sample_size)
+        .collect()
+    )
+    return np.array([r["v"] for r in sample], dtype=np.float64)
+
+
 def kmeans_train(
     df: DataFrame,
     vec_col: str,
@@ -515,26 +531,22 @@ def kmeans_train(
     nlist: int = 16,
     iters: int = 5,
     sample_size: int = 4096,
+    X=None,
 ) -> list[list[float]]:
     """Lloyd's iterations for the IVF coarse quantizer, trained on a
     deterministic bounded sample (the ``sample_size`` lowest-id
     vectors). Init is the first ``nlist`` sample vectors, so training
-    is fully deterministic given the data.
+    is fully deterministic given the data. Pass ``X`` (from
+    :func:`_sample_matrix`) to reuse a sample another trainer already
+    collected.
     """
-    import numpy as np
-
     # One bounded collect (sample_size x dim doubles), then Lloyd's on
     # the driver in numpy: the quantizer needs distribution shape, not
     # every row, and per-iteration Spark jobs would pay seconds of
     # scheduling for microseconds of math. orderBy+limit compiles to
     # TakeOrdered (per-partition top-k, no full sort/shuffle).
-    sample = (
-        df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
-        .orderBy("_id")
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    if X is None:
+        X = _sample_matrix(df, vec_col, id_col, sample_size)
     C = X[:nlist].copy()
     for _ in range(iters):
         sims = X @ C.T
@@ -733,6 +745,7 @@ def pq_train(
     ksub: int = 16,
     iters: int = 5,
     sample_size: int = 4096,
+    X=None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search"): split the dimension into ``m``
@@ -744,15 +757,8 @@ def pq_train(
     the 100 TB lever: a billion-vector corpus's codes fit in a few GB
     of executor memory where raw vectors cannot.
     """
-    import numpy as np
-
-    sample = (
-        df.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
-        .orderBy("_id")
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    if X is None:
+        X = _sample_matrix(df, vec_col, id_col, sample_size)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -889,8 +895,9 @@ def ivfpq_topk(
     equi on list_id with the query batch broadcast; the ADC stage
     never touches raw corpus vectors (codes are ~dim*8/m x smaller, so
     the shortlist stage is the only one reading vector bytes)."""
-    centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters)
-    codebooks = pq_train(corpus, vec_col, id_col, m=m, ksub=ksub, iters=iters)
+    X = _sample_matrix(corpus, vec_col, id_col, 4096)
+    centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters, X=X)
+    codebooks = pq_train(corpus, vec_col, id_col, m=m, ksub=ksub, iters=iters, X=X)
     c = (
         corpus.select(
             F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")
