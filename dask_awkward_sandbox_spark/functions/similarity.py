@@ -618,6 +618,7 @@ def ivf_write_index(
     nlist: int = 16,
     iters: int = 5,
     round_digits: int | None = None,
+    X=None,
 ) -> list[list[float]]:
     """Materialize the IVF corpus assignment ONCE: train the coarse
     quantizer, assign every vector, and write (nb_id, nb_vec, nb_norm)
@@ -630,7 +631,7 @@ def ivf_write_index(
     into a partition-pruned scan — a batch probing nprobe of nlist
     lists reads ~nprobe/nlist of the corpus bytes and shuffles
     nothing."""
-    centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters)
+    centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters, X=X)
     idx = (
         corpus.select(
             F.col(id_col).alias("nb_id"), as_double(F.col(vec_col)).alias("nb_vec")

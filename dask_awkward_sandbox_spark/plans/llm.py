@@ -770,11 +770,13 @@ def q_ann_ivf_assign(spark, sf_dir):
 
     e = _emb(spark, sf_dir)
     path = _scratch(sf_dir, "ivf_index")
+    X = similarity._sample_matrix(e, "embedding", "vec_id", 4096)
     similarity.ivf_write_index(
-        e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0, round_digits=6
+        e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0,
+        round_digits=6, X=X,
     )
     books = similarity.pq_train(
-        e, vec_col="embedding", id_col="vec_id", m=8, ksub=16, iters=0
+        e, vec_col="embedding", id_col="vec_id", m=8, ksub=16, iters=0, X=X
     )
     back = spark.read.parquet(path)
     codes = similarity.pq_encode(F.col("nb_vec"), books)
