@@ -122,13 +122,37 @@ from dask_awkward_sandbox_spark.operators.structure import (  # noqa: F401
     values_astype,
     where,
     with_field,
-    with_name,
     with_parameter,
     without_field,
     without_parameters,
     zeros_like,
 )
 from dask_awkward_sandbox_spark.operators.structure import zip as zip  # noqa: A001
+from dask_awkward_sandbox_spark.operators.behaviors import (  # noqa: F401
+    behavior_from_parameters,
+    dask_method,
+    dask_property,
+    mixin_class,
+    mixin_class_method,
+)
+
+
+def with_name(df_or_array, *args, **kwargs):
+    """ak.with_name, both halves: on a DataFrame (``with_name(df,
+    column, name)``) sets the ``__record__`` schema-metadata parameter
+    (:func:`operators.structure.with_name` — parquet-transported); on
+    a NestedArray / Column (``with_name(arr, name, behavior=...)``)
+    attaches the record name + mixin registry for behavior dispatch
+    (:func:`operators.behaviors.with_name` — reference
+    tests/test_behavior.py)."""
+    from pyspark.sql import Column as _Column
+
+    from dask_awkward_sandbox_spark.operators import behaviors as _behaviors
+    from dask_awkward_sandbox_spark.operators import structure as _structure
+
+    if isinstance(df_or_array, (_Column, NestedArray)):
+        return _behaviors.with_name(df_or_array, *args, **kwargs)
+    return _structure.with_name(df_or_array, *args, **kwargs)
 
 __all__ = [
     "get_spark",

@@ -145,6 +145,10 @@ class NestedArray:
             raise TypeError("NestedArray wraps a pyspark Column (array-typed)")
         self.col = col
         self.ndim = ndim  # list depth; only needed for ellipsis getitem
+        # behavior dispatch state (set by behaviors.with_name; None on
+        # plain arrays — derived results are unnamed, like awkward)
+        self.record_name: str | None = None
+        self.behavior: dict | None = None
 
     def alias(self, name: str) -> Column:
         return self.col.alias(name)
@@ -208,9 +212,16 @@ class NestedArray:
 
     def __getattr__(self, name: str):
         # a.points.x sugar (reference Array.__getattr__): only for
-        # names that can't be attributes; real attrs never reach here
+        # names that can't be attributes; real attrs never reach here.
+        # Resolution order matches awkward: behavior mixin (methods /
+        # properties keyed on the record name) BEFORE field access.
         if name.startswith("_"):
             raise AttributeError(name)
+        from .behaviors import _MISSING, resolve_behavior_attr
+
+        hit = resolve_behavior_attr(self, name)
+        if hit is not _MISSING:
+            return hit
         return NestedArray(self.col.getField(name))
 
     # -- binary ops (list ⊕ list | list ⊕ scalar, both orders) --------
@@ -298,6 +309,16 @@ class NestedArray:
             raise RuntimeError("Array ufunc supports only method '__call__'")
         if kwargs.get("out") is not None:
             raise RuntimeError("Array ufunc does not support the 'out' argument")
+        # behavior override first (np.abs on a named "Point" array
+        # calls the registered mixin method), like awkward's
+        # behavior[(ufunc, name)] lookup
+        from .behaviors import resolve_behavior_ufunc
+
+        for a in inputs:
+            if isinstance(a, NestedArray):
+                impl = resolve_behavior_ufunc(a, ufunc)
+                if impl is not None:
+                    return impl(*inputs, **kwargs)
         name = ufunc.__name__
         if len(inputs) == 1 and name in _UNARY_UFUNCS:
             (a,) = inputs

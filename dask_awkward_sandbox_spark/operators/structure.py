@@ -518,9 +518,9 @@ def with_parameter(df: DataFrame, column: str, key: str, value) -> DataFrame:
     metadata into the file's schema JSON), and is readable back via
     :func:`parameters`. Parity: reference lib/structure.py
     ``with_parameter``. Behavior DISPATCH (awkward's class registry
-    keyed on ``__record__``) remains a documented non-goal — this
-    stores and transports the tags, it does not change operator
-    semantics based on them.
+    keyed on ``__record__``) lives in :mod:`.behaviors` — this stores
+    and transports the tags; ``behaviors.behavior_from_parameters``
+    rehydrates mixin dispatch from them after a parquet roundtrip.
     """
     md = dict(df.schema[column].metadata or {})
     md[key] = value

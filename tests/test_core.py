@@ -340,6 +340,7 @@ def test_flat_namespace_mirrors_reference_exports():
         "unzip", "values_astype", "where", "with_field", "with_name",
         "with_parameter", "without_field", "without_parameters",
         "zeros_like", "zip", "type", "head", "getitem", "NestedArray",
-        "elementwise",
+        "elementwise", "mixin_class", "mixin_class_method", "dask_property",
+        "dask_method", "behavior_from_parameters",
     ]:
         assert hasattr(dak, name), name
