@@ -621,8 +621,14 @@ def q_simhash_neardups(spark, sf_dir):
     """,
 )
 def q_ann_bruteforce(spark, sf_dir):
-    """Exact cosine top-5 for every 50th vector (broadcast queries,
-    corpus streams through one narrow stage)."""
+    """Exact cosine top-5 for every 50th vector. Arrow-batched GEMM:
+    queries broadcast as a dense matrix, each corpus batch computes
+    its pair block as one BLAS matmul and emits only per-batch top-k
+    candidates (similarity.brute_force_topk; the all-JVM HOF fold is
+    kept as brute_force_topk_hof and pinned equal by
+    tests/test_similarity.py — at sf1 the GEMM path measures ~2x
+    faster and its per-pair constant is ~40x lower, which is what
+    survives the n·q growth of an exact baseline)."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 50 == 0)
     return similarity.brute_force_topk(e, q, k=5)

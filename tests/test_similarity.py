@@ -331,3 +331,19 @@ def test_ivfpq_recall(spark):
     # finds on this corpus (measured identical 0.58) — the bound is the
     # probe, not the quantization
     assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below floor"
+
+
+def test_bruteforce_gemm_matches_hof(spark):
+    """The Arrow/GEMM top-k and the all-JVM HOF-fold top-k are two
+    independent derivations of the same contract (rounded-sim total
+    order): outputs must match row-for-row, including the sim values
+    (round(6) absorbs the summation-order ulp differences, same as it
+    does between Spark and the DuckDB oracle)."""
+    from dask_awkward_sandbox_spark.functions import similarity
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    e = read(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    a = similarity.brute_force_topk(e, q, k=5).orderBy("q_id", "nb_id").collect()
+    b = similarity.brute_force_topk_hof(e, q, k=5).orderBy("q_id", "nb_id").collect()
+    assert a and a == b
