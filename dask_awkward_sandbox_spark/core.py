@@ -231,9 +231,27 @@ def persist(df: DataFrame) -> DataFrame:
     return df.cache()
 
 
-def compute(df: DataFrame) -> list:
-    """Eager evaluation to driver rows (dask compute)."""
-    return df.collect()
+def compute(df: DataFrame, *more: DataFrame) -> list | tuple[list, ...]:
+    """Eager evaluation to driver rows (dask compute).
+
+    Multi-collection form ``compute(a, b, ...)`` (reference
+    tests/test_optimize.py multiple-computes) returns a tuple of row
+    lists. Dask optimizes the collections' graphs JOINTLY, executing
+    shared ancestry once; Spark's unit of optimization is the single
+    action, so the analogue here is (1) concurrent job submission —
+    the scheduler interleaves the jobs' stages across executors — and
+    (2) explicit sharing via :func:`persist` on a common ancestor,
+    which is also how dask users pin expensive shared subgraphs.
+    Within ONE query Catalyst already reuses identical subplans
+    (ReusedExchange), so a genuinely shared scan+shuffle costs once
+    when expressed as one DataFrame."""
+    if not more:
+        return df.collect()
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = (df, *more)
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return tuple(pool.map(lambda d: d.collect(), dfs))
 
 
 def to_list(df: DataFrame) -> list[dict]:

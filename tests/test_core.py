@@ -344,3 +344,19 @@ def test_flat_namespace_mirrors_reference_exports():
         "dask_method", "behavior_from_parameters",
     ]:
         assert hasattr(dak, name), name
+
+
+def test_compute_multiple(spark, sf):
+    """Multi-collection compute (reference test_optimize.py multiple
+    computes): one call, several collections, results aligned; a
+    persisted shared ancestor is computed once and reused by both."""
+    from dask_awkward_sandbox_spark import core
+
+    base = spark.read.parquet(f"{sf}/nation.parquet")
+    shared = core.persist(base.select("n_nationkey", "n_regionkey"))
+    a = shared.groupBy("n_regionkey").count()
+    b = shared.agg(F.max("n_nationkey").alias("mx"))
+    ra, rb = core.compute(a, b)
+    assert sum(r["count"] for r in ra) == base.count()
+    assert rb[0]["mx"] == 24
+    shared.unpersist()
