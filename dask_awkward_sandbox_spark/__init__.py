@@ -128,6 +128,12 @@ from dask_awkward_sandbox_spark.operators.structure import (  # noqa: F401
     zeros_like,
 )
 from dask_awkward_sandbox_spark.operators.structure import zip as zip  # noqa: A001
+from dask_awkward_sandbox_spark import utils  # noqa: F401
+from dask_awkward_sandbox_spark.utils import (  # noqa: F401
+    ConcretizationTypeError,
+    IncompatiblePartitions,
+    assert_compatible_partitions,
+)
 from dask_awkward_sandbox_spark.operators.behaviors import (  # noqa: F401
     behavior_from_parameters,
     dask_method,

@@ -201,6 +201,34 @@ class NestedArray:
             "Iteration over a lazy nested array is not supported"
         )
 
+    def __bool__(self):
+        # parity: reference ConcretizationTypeError — without this,
+        # `if arr:` would silently take the object-truthiness branch
+        from dask_awkward_sandbox_spark.utils import ConcretizationTypeError
+
+        raise ConcretizationTypeError(
+            "Use F.when/filters to build the condition into the "
+            "expression, or compute() first."
+        )
+
+    def __int__(self):
+        from dask_awkward_sandbox_spark.utils import ConcretizationTypeError
+
+        raise ConcretizationTypeError("int() needs a computed value.")
+
+    def __float__(self):
+        from dask_awkward_sandbox_spark.utils import ConcretizationTypeError
+
+        raise ConcretizationTypeError("float() needs a computed value.")
+
+    def __len__(self):
+        from dask_awkward_sandbox_spark.utils import ConcretizationTypeError
+
+        raise ConcretizationTypeError(
+            "len() needs a computed value; use structure.num for "
+            "per-row lengths or df.count() for the row count."
+        )
+
     @property
     def str(self) -> "_StrAccessor":
         """``a.str.upper()``, ``a.str.length()`` … — the reference's

@@ -360,3 +360,28 @@ def test_compute_multiple(spark, sf):
     assert sum(r["count"] for r in ra) == base.count()
     assert rb[0]["mx"] == 24
     shared.unpersist()
+
+
+def test_error_types_parity(spark, sf):
+    """Reference docs/api/utils.rst error surface: IncompatiblePartitions
+    for partition-wise ops over mismatched collections,
+    ConcretizationTypeError when a lazy array meets an eager context."""
+    import pytest
+
+    import dask_awkward_sandbox_spark as dak
+    from dask_awkward_sandbox_spark.utils import assert_compatible_partitions
+
+    a = spark.read.parquet(f"{sf}/nation.parquet")
+    b = spark.read.parquet(f"{sf}/region.parquet").repartition(7)
+    with pytest.raises(dak.IncompatiblePartitions, match="incompatibly partitioned"):
+        assert_compatible_partitions("zip", a, b)
+    # same collection: compatible, no raise
+    assert_compatible_partitions("zip", a, a)
+
+    arr = dak.NestedArray(F.col("x"))
+    with pytest.raises(dak.ConcretizationTypeError):
+        bool(arr)
+    with pytest.raises(dak.ConcretizationTypeError):
+        int(arr)
+    with pytest.raises(dak.ConcretizationTypeError):
+        len(arr)
