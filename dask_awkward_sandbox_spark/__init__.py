@@ -29,9 +29,13 @@ from dask_awkward_sandbox_spark.operators import reducers, strings, structure
 # Flat namespace mirroring the reference's `import dask_awkward as dak`
 # export surface (reference src/dask_awkward/__init__.py) — the verbs a
 # reference user calls as dak.flatten(...) resolve here the same way.
-# Dask-interop constructors (from_awkward/from_dask_array/from_delayed/
-# to_dask_*) are the documented non-goals (SURVEY §3).
+# Of the documented API (reference docs/api/*.rst) only the
+# dask/awkward in-memory interop constructors (from_awkward,
+# from_dask_array, to_dask_array, to_dask_bag) remain non-goals
+# (SURVEY §3: neither library ships with a Spark cluster);
+# from_delayed/to_delayed have per-partition lazy-frame analogues.
 from dask_awkward_sandbox_spark.core import (  # noqa: F401
+    PartitionCompatibility,
     compatible_partitions,
     compute,
     head,
@@ -55,11 +59,14 @@ from dask_awkward_sandbox_spark.inspect import (  # noqa: F401
 )
 from dask_awkward_sandbox_spark.inspect import typestr as type  # noqa: A001
 from dask_awkward_sandbox_spark.io import (  # noqa: F401
+    from_delayed,
     from_json,
     from_lists,
+    from_map,
     from_parquet,
     from_text,
     to_dataframe,
+    to_delayed,
     to_json,
     to_parquet,
 )
@@ -170,5 +177,15 @@ __all__ = [
     "reducers",
     "strings",
 ]
+
+# The reference's three collection types, mapped to this engine's
+# (SURVEY §2 "Array/Record/Scalar ≙ DataFrame w/ complex cols"):
+# a lazy ragged collection IS a DataFrame of nested columns; one lazy
+# record is a Row; a lazy scalar is an unevaluated Column expression
+# (NestedArray wraps the list-typed case). Exported so user code and
+# isinstance checks written against the reference's names port over.
+from pyspark.sql import Column as Scalar  # noqa: F401, E402
+from pyspark.sql import DataFrame as Array  # noqa: F401, E402
+from pyspark.sql import Row as Record  # noqa: F401, E402
 
 __version__ = "0.1.0"

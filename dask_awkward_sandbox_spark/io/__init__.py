@@ -6,7 +6,13 @@ from dask_awkward_sandbox_spark.io.parquet import (
     to_parquet,
 )
 from dask_awkward_sandbox_spark.io.text import from_text
-from dask_awkward_sandbox_spark.io.io import from_lists, to_dataframe
+from dask_awkward_sandbox_spark.io.io import (
+    from_delayed,
+    from_lists,
+    from_map,
+    to_dataframe,
+    to_delayed,
+)
 
 __all__ = [
     "from_json",
@@ -17,5 +23,8 @@ __all__ = [
     "from_table",
     "from_text",
     "from_lists",
+    "from_map",
+    "from_delayed",
+    "to_delayed",
     "to_dataframe",
 ]

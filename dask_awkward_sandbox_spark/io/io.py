@@ -64,3 +64,29 @@ def from_map(df_builder, items: Iterable, spark: SparkSession) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def to_delayed(df: DataFrame) -> list[DataFrame]:
+    """One LAZY collection per partition (reference io.py to_delayed:
+    a list of dask.delayed objects, one per partition). The Spark
+    analogue of a delayed partition is an unevaluated DataFrame
+    restricted to that partition (`core.partitions` — a sliced file
+    re-read on the scan fast path, a partition-id filter on derived
+    frames); nothing computes until an action runs on an element."""
+    from dask_awkward_sandbox_spark.core import npartitions, partitions
+
+    return [partitions(df, i) for i in range(npartitions(df))]
+
+
+def from_delayed(frames: Iterable[DataFrame]) -> DataFrame:
+    """Rebuild one collection from per-partition lazy frames
+    (reference io.py from_delayed). Metadata-only union; schemas must
+    be union-compatible (missing columns null-fill, like the
+    reference's divisions-unknown concatenation)."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("from_delayed needs at least one frame")
+    out = frames[0]
+    for d in frames[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

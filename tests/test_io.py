@@ -102,3 +102,23 @@ def test_schema_to_jsonschema(spark):
     out = schema_to_jsonschema(spark.createDataFrame([], st), required=True)
     assert out["properties"]["k"]["type"] == "integer"
     assert out["required"] == ["k"]
+
+
+def test_to_delayed_from_delayed_roundtrip(spark, tmp_path):
+    """Reference io.py to_delayed/from_delayed: one lazy collection
+    per partition, rebuildable into the whole; on a pure scan each
+    element re-reads only its own file."""
+    from dask_awkward_sandbox_spark.io.io import from_delayed, to_delayed
+
+    path = str(tmp_path / "d")
+    spark.range(0, 100).repartition(4).write.parquet(path)
+    back = spark.read.parquet(path)
+    parts = to_delayed(back)
+    assert len(parts) == 4
+    # each delayed element is partition-local (file-sliced)
+    assert all(len(p.inputFiles()) == 1 for p in parts)
+    rebuilt = from_delayed(parts)
+    assert sorted(r["id"] for r in rebuilt.collect()) == list(range(100))
+    import pytest
+    with pytest.raises(ValueError):
+        from_delayed([])
