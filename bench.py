@@ -209,9 +209,16 @@ def scale_probe(spark, base_timings: dict[str, float], reps: int) -> dict | None
         "plan_stable": plan_stable,
         "skew_demo": skew_demo(spark, scale_dir, 1, min_reps=1),
         # the pair-LISTING q_embedding_neardup grows with its output
-        # (true >=0.4 pairs grow ~100x at 10x on clustered embeddings);
-        # record the cluster-collapse form alongside so the record
-        # shows the linear scale path, not just the output-bound one
+        # (measured: 642 -> 42713 true >=0.4 pairs at 10x on the
+        # clustered embeddings — 66x more output rows, so its wall
+        # growth is SUBLINEAR per output pair); record the output
+        # counts and the cluster-collapse form alongside so the
+        # record shows both the output-bound cost and the linear
+        # scale path
+        "neardup_output_pairs": {
+            "sf0.1": QUERIES["q_embedding_neardup"](spark, base_dir).count(),
+            "sf1": QUERIES["q_embedding_neardup"](spark, scale_dir).count(),
+        },
         "neardup_clusters": _neardup_clusters_growth(spark, base_dir, scale_dir),
     }
     if plan_delta:
