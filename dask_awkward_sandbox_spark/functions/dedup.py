@@ -325,3 +325,73 @@ def ngram_jaccard_pairs(
     return j.select(
         "id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-granular exact dedup (C4/RefinedWeb line dedup): a
+    paragraph that occurs in several documents is kept ONLY at its
+    globally-first occurrence (min (doc, position)); every other copy
+    is removed and the documents are reassembled without them.
+
+    Returns (id, text, n_pars, n_pars_kept) — text is the document
+    rebuilt from its surviving paragraphs joined by ``sep`` (possibly
+    empty when everything was boilerplate someone else said first).
+    Paragraphs shorter than ``min_chars`` (after trim) are kept
+    verbatim, exempt from dedup — C4's guard against collapsing empty
+    lines and separators.
+
+    Scale design: one groupBy on the paragraph hash (partial-agg min,
+    so the boilerplate paragraphs that dominate real corpora — the
+    natural hot keys — combine map-side instead of flooding one
+    reducer), one equi-join back on the hash, one groupBy(id) to
+    reassemble. The paragraph TEXT itself never shuffles twice: the
+    winner table carries only (hash, winner-position), and reassembly
+    sorts each doc's surviving (position, paragraph) pairs with
+    array_sort — no window, no global ordering.
+    """
+    import re as _re
+
+    # F.split takes a REGEX pattern; the separator is a literal
+    pars = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_idx", "_par"
+        ),
+    )
+    eligible = (F.length(F.trim(F.col("_par"))) >= min_chars)
+    hashed = pars.withColumn("_h", F.md5(F.col("_par")))
+    winners = (
+        hashed.filter(eligible)
+        .groupBy("_h")
+        .agg(F.min(F.struct(F.col("_doc"), F.col("_idx"))).alias("_w"))
+    )
+    kept = hashed.join(winners, "_h", "left").filter(
+        (~eligible)
+        | ((F.col("_w._doc") == F.col("_doc")) & (F.col("_w._idx") == F.col("_idx")))
+    )
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_pars_kept"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_idx"), F.col("_par")))
+        ).alias("_sorted"),
+    )
+    totals = pars.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_pars"))
+    return (
+        totals.join(rebuilt, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            # a doc whose every paragraph lost its dedup race has no
+            # kept rows at all -> empty text, not null
+            F.when(F.col("_sorted").isNull(), F.lit("")).otherwise(
+                F.concat_ws(sep, F.transform("_sorted", lambda s: s["_par"]))
+            ).alias(text_col),
+            "n_pars",
+            F.coalesce("n_pars_kept", F.lit(0)).alias("n_pars_kept"),
+        )
+    )

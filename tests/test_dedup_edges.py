@@ -60,3 +60,62 @@ def test_salted_join_rejects_outer(spark):
     small = spark.createDataFrame([(1, "x")], "k long, v string")
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_paragraph_dedup(spark):
+    """C4-style paragraph dedup: keep-first-globally by (doc, idx),
+    short paragraphs exempt, docs reassembled in position order,
+    all-boilerplate docs become empty. Cross-checked against an
+    independent DuckDB derivation of the same contract."""
+    import duckdb
+
+    from dask_awkward_sandbox_spark.functions.dedup import paragraph_dedup
+
+    docs = [
+        (1, "alpha beta\n\ncommon boilerplate text\n\ngamma"),
+        (2, "common boilerplate text\n\ndelta epsilon"),
+        (3, "common boilerplate text"),          # entirely boilerplate
+        (4, "x\n\nalpha beta\n\nx"),             # short 'x' exempt (kept twice)
+        (5, ""),                                  # empty doc: kept verbatim
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_pars"], r["n_pars_kept"])
+        for r in paragraph_dedup(df, "text", "doc_id", min_chars=2).collect()
+    }
+    assert got[1] == ("alpha beta\n\ncommon boilerplate text\n\ngamma", 3, 3)
+    assert got[2] == ("delta epsilon", 2, 1)
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("x\n\nx", 3, 2)  # 'alpha beta' lost to doc 1
+    assert got[5] == ("", 1, 1)        # '' is short -> exempt, kept
+
+    # independent DuckDB derivation (generate_series ordinality)
+    con = duckdb.connect()
+    con.execute("create table docs(doc_id bigint, text varchar)")
+    con.executemany("insert into docs values (?, ?)", docs)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute("""
+            with pars as (
+              select doc_id, i - 1 as idx, l[i] as par
+              from (select doc_id, string_split(text, chr(10)||chr(10)) as l from docs) t,
+                   unnest(generate_series(1, len(t.l))) as s(i)),
+            win as (
+              select par, min(struct_pack(d := doc_id, i := idx)) as w
+              from pars where length(trim(par)) >= 2 group by par),
+            kept as (
+              select p.* from pars p left join win on p.par = win.par
+              where length(trim(p.par)) < 2
+                 or (win.w.d = p.doc_id and win.w.i = p.idx))
+            select t.doc_id,
+                   coalesce(k.text, '') as text,
+                   t.n_pars,
+                   coalesce(k.n_kept, 0) as n_kept
+            from (select doc_id, count(*) as n_pars from pars group by doc_id) t
+            left join (
+              select doc_id, count(*) as n_kept,
+                     string_agg(par, chr(10)||chr(10) order by idx) as text
+              from kept group by doc_id) k using (doc_id)
+        """).fetchall()
+    }
+    assert got == want
