@@ -41,6 +41,7 @@ __all__ = [
     "ngram_contamination",
     "stratified_token_sample",
     "chunk_documents",
+    "pack_chunks",
 ]
 
 
@@ -399,3 +400,70 @@ def chunk_documents(
         F.col("_c")["n"].alias("n_chunk_tokens"),
         F.col("_c")["t"].alias("chunk_text"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    max_tokens: int,
+    shards: int = 32,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    len_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: assemble chunks into training examples
+    of at most ``max_tokens`` tokens (the step after
+    :func:`chunk_documents` — short chunks share an example instead of
+    wasting pad tokens).
+
+    Packing is an inherently sequential fold (an example closes when
+    the NEXT chunk would overflow it — not expressible as a window
+    cumsum, which would split a chunk across the boundary), so this is
+    a legitimate applyInPandas op: chunks are hash-assigned to
+    ``shards`` deterministic shards, and each shard packs its own
+    chunks in (doc, chunk) order with a vectorized first-fit-sequential
+    pass. Bin quality is per-shard greedy — the standard trade
+    accepted by training pipelines, where cross-shard packing would
+    serialize the corpus.
+
+    Returns the input rows + (shard, seq_id, seq_offset): seq_id is
+    globally unique (shard-prefixed), seq_offset is the chunk's token
+    start within its example. A single chunk longer than ``max_tokens``
+    gets an example of its own (callers that forbid overflow should
+    chunk at <= max_tokens first).
+
+    100 TB shape: one shuffle on the shard key; state is one running
+    (seq, offset) pair per shard; output rows == input rows. Shard
+    count bounds per-task memory: size it so corpus_tokens/shards
+    fits an executor's task slice.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+    ) + ", shard int, seq_id long, seq_offset long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, idx_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        lens = pdf[len_col].to_numpy()
+        shard = int(pdf["shard"].iloc[0])
+        seq_ids, offsets = [], []
+        seq, fill = 0, 0
+        for n in lens:
+            if fill > 0 and fill + n > max_tokens:
+                seq, fill = seq + 1, 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += n
+        pdf["seq_id"] = [shard * (1 << 40) + s for s in seq_ids]
+        pdf["seq_offset"] = offsets
+        return pdf
+
+    with_shard = chunks.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int"),
+    )
+    return with_shard.groupBy("shard").applyInPandas(pack, out_schema)

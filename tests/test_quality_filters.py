@@ -151,3 +151,39 @@ def test_chunk_documents(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(df, max_tokens=3, overlap=3)
+
+
+def test_pack_chunks(spark):
+    """Greedy packing: budget respected (except single oversized
+    chunks), offsets are within-example prefix sums, deterministic,
+    and every chunk appears exactly once."""
+    from dask_awkward_sandbox_spark.functions.quality_filters import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, max_tokens=32)
+    packed = pack_chunks(chunks, max_tokens=64, shards=4).collect()
+    assert len(packed) == chunks.count()
+
+    by_seq: dict = {}
+    for r in packed:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq, rows in by_seq.items():
+        rows.sort(key=lambda r: r["seq_offset"])
+        total, off = 0, 0
+        for r in rows:
+            assert r["seq_offset"] == off
+            off += r["n_chunk_tokens"]
+            total += r["n_chunk_tokens"]
+        assert total <= 64 or len(rows) == 1
+    # packing actually packs: fewer examples than chunks
+    assert len(by_seq) < len(packed)
+
+    again = pack_chunks(chunks, max_tokens=64, shards=4).collect()
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(packed, key=key) == sorted(again, key=key)
