@@ -39,6 +39,7 @@ SUBSET = [
     "q_dedup_exact",
     "q_dedup_minhash_clusters",
     "q_embedding_neardup",
+    "q_ann_bruteforce",  # r5: the Arrow/GEMM path vs DuckDB at 20k vectors
     "q_events_windowed",
     "q_window_funcs",
     "q_events_funnel_retention",
