@@ -42,6 +42,7 @@ __all__ = [
     "stratified_token_sample",
     "chunk_documents",
     "pack_chunks",
+    "deterministic_shuffle",
 ]
 
 
@@ -467,3 +468,30 @@ def pack_chunks(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int"),
     )
     return with_shard.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def deterministic_shuffle(
+    df: DataFrame, seed: int = 0, shards: int | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets
+    the same position for the same (id, seed) on any cluster size or
+    partitioning of the input — the reproducible-training-run
+    contract a random() orderBy cannot give.
+
+    One range-partitioning shuffle on the hash (Spark samples the hash
+    space to build balanced ranges) + a partition-local sort: rows
+    stream out in globally-increasing ``_shuffle_key`` order across
+    shard files. Re-keying with a new seed is a full re-shuffle, as it
+    should be (epoch reshuffling). 100 TB: identical shape to any
+    sort-write; no driver involvement, no skew (xxhash64 keys are
+    uniform by construction).
+    """
+    keyed = df.withColumn(
+        "_shuffle_key", F.xxhash64(F.col(id_col), F.lit(seed))
+    )
+    parts = shards if shards is not None else int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return keyed.repartitionByRange(parts, "_shuffle_key").sortWithinPartitions(
+        "_shuffle_key"
+    )

@@ -187,3 +187,23 @@ def test_pack_chunks(spark):
     again = pack_chunks(chunks, max_tokens=64, shards=4).collect()
     key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
     assert sorted(packed, key=key) == sorted(again, key=key)
+
+
+def test_deterministic_shuffle(spark):
+    """Same (id, seed) -> same global order, independent of input
+    partitioning; different seed -> different order; no rows lost."""
+    from dask_awkward_sandbox_spark.functions.quality_filters import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = [r["doc_id"] for r in deterministic_shuffle(df, seed=7, shards=4).collect()]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(13), seed=7, shards=4).collect()
+    ]
+    c = [r["doc_id"] for r in deterministic_shuffle(df, seed=8, shards=4).collect()]
+    assert a == b                       # partitioning-independent
+    assert sorted(a) == list(range(500))  # total
+    assert a != c                       # epoch reshuffle
+    assert a != list(range(500))        # actually shuffled
