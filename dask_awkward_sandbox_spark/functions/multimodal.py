@@ -279,3 +279,179 @@ def resize_bmp(
     return df.mapInArrow(
         fn, "media_id long, width long, height long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: real WAV/PCM codec (no audio library needed — RIFF headers and
+# PCM16 samples are plain structs + numpy, same spirit as the BMP path)
+# ---------------------------------------------------------------------------
+
+WAV_HEADER_LEN = 44
+
+
+def _encode_wav_py(sample_rate: int, samples) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16 mono samples from an
+    int16 numpy array."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_wav_samples(buf: bytes):
+    """(sample_rate, int16 numpy samples) from PCM16 mono WAV bytes.
+    Walks the RIFF chunk list (fmt / data may be preceded by LIST or
+    fact chunks in real files) instead of assuming the 44-byte
+    layout."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", buf, body)
+            bits = struct.unpack_from("<H", buf, body + 14)[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(buf, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def synthetic_wav_media(spark, n: int = 48, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL-WAV media table: row i carries a PCM16 tone
+    at (100 + 50*i) Hz, 0.05s long — every byte a valid WAV file."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        t = np.arange(int(sample_rate * 0.05)) / sample_rate
+        tone = (np.sin(2 * np.pi * (100 + 50 * i) * t) * 20000).astype(np.int16)
+        rows.append(
+            (i, bytearray(_encode_wav_py(sample_rate, tone)),
+             ("audio", None, None, sample_rate, None))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_wav(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode with no audio library: RIFF chunk walk +
+    PCM16 samples, emitting per-clip stats (rate, n_samples, duration,
+    rms, peak). Arrow-batched; payload bytes never hit the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            rates, ns, durs, rms, peak = [], [], [], [], []
+            for buf in b.column(payload_col).to_pylist():
+                rate, s = _decode_wav_samples(bytes(buf))
+                x = s.astype(np.float64)
+                rates.append(rate)
+                ns.append(len(s))
+                durs.append(len(s) / rate)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(s) else 0.0)
+                peak.append(int(np.max(np.abs(s))) if len(s) else 0)
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(rates, pa.int64()),
+                    pa.array(ns, pa.int64()),
+                    pa.array(durs, pa.float64()),
+                    pa.array(rms, pa.float64()),
+                    pa.array(peak, pa.int64()),
+                ],
+                names=["media_id", "sample_rate", "n_samples", "duration_s",
+                       "rms", "peak"],
+            )
+
+    return df.mapInArrow(
+        fn,
+        "media_id long, sample_rate long, n_samples long, duration_s double, "
+        "rms double, peak long",
+    )
+
+
+def resample_wav(
+    df: DataFrame, target_rate: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio resample (nearest-sample index map, the audio twin
+    of resize_bmp's nearest-neighbor), re-encoded as PCM16 WAV."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            outs, ns = [], []
+            for buf in b.column(payload_col).to_pylist():
+                rate, s = _decode_wav_samples(bytes(buf))
+                n_out = max(1, int(round(len(s) * target_rate / rate)))
+                idx = np.minimum(
+                    (np.arange(n_out) * rate) // target_rate, max(len(s) - 1, 0)
+                )
+                res = s[idx] if len(s) else np.zeros(1, dtype=np.int16)
+                outs.append(_encode_wav_py(target_rate, res))
+                ns.append(len(res))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([target_rate] * len(ids), pa.int64()),
+                    pa.array(ns, pa.int64()),
+                    pa.array(outs, pa.binary()),
+                ],
+                names=["media_id", "sample_rate", "n_samples", "payload"],
+            )
+
+    return df.mapInArrow(
+        fn, "media_id long, sample_rate long, n_samples long, payload binary"
+    )
+
+
+def audio_band_features(
+    df: DataFrame, n_bands: int = 8, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL spectral features with numpy only: log power in ``n_bands``
+    equal slices of the rfft magnitude spectrum — a deterministic
+    mel-filterbank stand-in with the same Spark shape (binary in,
+    array<float> out) a learned audio embedder would have."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            feats = []
+            for buf in b.column(payload_col).to_pylist():
+                _, s = _decode_wav_samples(bytes(buf))
+                spec = np.abs(np.fft.rfft(s.astype(np.float64)))
+                bands = np.array_split(spec, n_bands)
+                feats.append(
+                    [float(np.log1p(np.mean(p * p))) for p in bands]
+                )
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()),
+                 pa.array(feats, pa.list_(pa.float32()))],
+                names=["media_id", "feature"],
+            )
+
+    return df.mapInArrow(fn, "media_id long, feature array<float>")

@@ -172,3 +172,49 @@ def test_resize_bmp_upscale(spark):
     assert (got[0:2, 2:4] == px[0, 1]).all()
     assert (got[2:4, 0:2] == px[1, 0]).all()
     assert (got[2:4, 2:4] == px[1, 1]).all()
+
+
+def test_wav_decode_roundtrip(spark):
+    """Real WAV path: synthetic PCM16 tones decode to the right rate /
+    length / energy; higher-frequency tones put energy in higher fft
+    bands."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    media = mm.synthetic_wav_media(spark, n=12, sample_rate=8000)
+    got = {r["media_id"]: r for r in mm.decode_wav(media).collect()}
+    assert len(got) == 12
+    for i, r in got.items():
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 400          # 0.05s at 8 kHz
+        assert abs(r["duration_s"] - 0.05) < 1e-9
+        # a full-scale sine has rms ~ amplitude/sqrt(2)
+        assert abs(r["rms"] - 20000 / np.sqrt(2)) / (20000 / np.sqrt(2)) < 0.05
+        assert 18000 <= r["peak"] <= 20000
+
+
+def test_wav_resample(spark):
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    media = mm.synthetic_wav_media(spark, n=6, sample_rate=8000)
+    down = mm.resample_wav(media, 4000)
+    rows = {r["media_id"]: r for r in down.collect()}
+    assert all(r["n_samples"] == 200 and r["sample_rate"] == 4000 for r in rows.values())
+    # the resampled payload is itself a decodable WAV (re-encode real)
+    redec = mm.decode_wav(down).collect()
+    assert all(r["n_samples"] == 200 and abs(r["duration_s"] - 0.05) < 1e-9 for r in redec)
+
+
+def test_wav_band_features(spark):
+    """Tone frequency ordering shows up as band-energy ordering: the
+    100 Hz clip peaks in band 0; a ~2 kHz clip peaks in a later band."""
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    media = mm.synthetic_wav_media(spark, n=40, sample_rate=8000)
+    feats = {r["media_id"]: r["feature"] for r in
+             mm.audio_band_features(media, n_bands=8).collect()}
+    assert all(len(v) == 8 for v in feats.values())
+    low = max(range(8), key=lambda k: feats[0][k])    # 100 Hz tone
+    high = max(range(8), key=lambda k: feats[38][k])  # 2000 Hz tone
+    assert low == 0 and high > low
