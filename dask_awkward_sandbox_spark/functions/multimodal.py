@@ -455,3 +455,94 @@ def audio_band_features(
             )
 
     return df.mapInArrow(fn, "media_id long, feature array<float>")
+
+
+# ---------------------------------------------------------------------------
+# video: real frame container (fixed-size BMP frames behind an index
+# header — an uncompressed MJPEG-style stack, so frame extraction is
+# true byte-offset slicing, not a stub)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"BMPV"
+
+
+def _encode_video_py(frames) -> bytes:
+    """Container bytes from a list of equal-size BMP frame payloads:
+    magic + u32 frame count + u32 frame size, then the frames."""
+    import struct
+
+    sizes = {len(f) for f in frames}
+    if len(sizes) != 1:
+        raise ValueError("all frames must be the same encoded size")
+    return (
+        VIDEO_MAGIC
+        + struct.pack("<II", len(frames), sizes.pop())
+        + b"".join(frames)
+    )
+
+
+def synthetic_video_media(
+    spark, n: int = 8, frames: int = 24, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Deterministic real-container video table: clip i's frame f is a
+    true BMP whose red channel encodes f (a counter the tests can read
+    back) — every byte decodable."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        fr = []
+        for f in range(frames):
+            px = np.zeros((height, width, 3), dtype=np.uint8)
+            px[:, :, 2] = (i * 10 + f) % 256  # BMP stores BGR: red plane
+            fr.append(_encode_bmp_py(width, height, px))
+        rows.append(
+            (i, bytearray(_encode_video_py(fr)),
+             ("video", width, height, None, frames))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_frames(
+    df: DataFrame, every_n: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame sampling: byte-offset slice of every n-th frame out
+    of the container (the executed form of :func:`frame_sample_plan`,
+    which only emits the index list), decoded to per-frame stats plus
+    the standalone BMP payload. Arrow-batched; a clip's bytes are
+    touched once and only the sampled frames are materialized — the
+    contract a 100 TB video corpus needs (seek, don't transcode)."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            out_id, out_idx, out_mean, out_frame = [], [], [], []
+            for mid, buf in zip(ids, b.column(payload_col).to_pylist()):
+                buf = bytes(buf)
+                if buf[:4] != VIDEO_MAGIC:
+                    raise ValueError("not a BMPV payload")
+                n_frames, fsize = struct.unpack_from("<II", buf, 4)
+                for f in range(0, n_frames, every_n):
+                    frame = buf[12 + f * fsize : 12 + (f + 1) * fsize]
+                    _, _, px = _decode_bmp_pixels(frame)
+                    out_id.append(mid)
+                    out_idx.append(f)
+                    out_mean.append(float(np.mean(px)))
+                    out_frame.append(frame)
+            yield pa.record_batch(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_idx, pa.int64()),
+                    pa.array(out_mean, pa.float64()),
+                    pa.array(out_frame, pa.binary()),
+                ],
+                names=["media_id", "frame_idx", "mean_pixel", "frame"],
+            )
+
+    return df.mapInArrow(
+        fn, "media_id long, frame_idx long, mean_pixel double, frame binary"
+    )

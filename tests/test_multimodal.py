@@ -218,3 +218,28 @@ def test_wav_band_features(spark):
     low = max(range(8), key=lambda k: feats[0][k])    # 100 Hz tone
     high = max(range(8), key=lambda k: feats[38][k])  # 2000 Hz tone
     assert low == 0 and high > low
+
+
+def test_video_frame_extraction(spark):
+    """Real container path: every 10th frame slices out as a valid BMP
+    whose encoded counter matches the frame index; sampled indices
+    agree with frame_sample_plan's scan-side plan."""
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    media = mm.synthetic_video_media(spark, n=4, frames=24)
+    got = mm.extract_frames(media, every_n=10).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in got} == {
+        (i, f) for i in range(4) for f in (0, 10, 20)
+    }
+    for r in got:
+        w, h, px = mm._decode_bmp_pixels(bytes(r["frame"]))
+        assert (w, h) == (16, 12)
+        assert int(px[0, 0, 2]) == (r["media_id"] * 10 + r["frame_idx"]) % 256
+        # mean over 3 channels: counter sits in one of them
+        assert abs(r["mean_pixel"] - px.mean()) < 1e-9
+
+    planned = {
+        (r["media_id"], r["frame_idx"])
+        for r in mm.frame_sample_plan(media, every_n=10).collect()
+    }
+    assert planned == {(r["media_id"], r["frame_idx"]) for r in got}
