@@ -291,7 +291,12 @@ def main() -> None:
         "skew_demo": skew_demo(spark, sf_dir, reps),
         "sf": sf_val,
     }
-    scale_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+    # min-of-2 at sf1: the sf0.1 warmup does not warm the sf1 dataset
+    # (fresh file listing, codegen, AQE stats), and a single rep
+    # records that first-call cost as fake growth — measured 6.4s
+    # first call vs 0.74s steady on q_window_funcs. One extra rep
+    # (~2 min) buys growth factors that reflect the plan, not the JIT.
+    scale_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     probe = scale_probe(spark, timings, scale_reps)
     if probe is not None:
         out["scale_probe"] = probe

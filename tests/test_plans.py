@@ -424,3 +424,69 @@ def test_reducer_keepdims_mask_identity(spark):
     assert r[3]["s"] is None
     assert r[2]["anym"] is None and r[1]["anym"] is True
     assert r[1]["ck"] == [2] and r[4]["ck"] == [0]
+
+
+def test_asof_join(spark):
+    """Backward as-of join, pandas merge_asof semantics: latest right
+    row with ts <= left ts per key, equal-ts right row visible,
+    unmatched lefts null, tolerance nulls stale matches. Plan check:
+    no nested-loop product."""
+    from dask_awkward_sandbox_spark.operators.joins import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 25, 101.0), ("B", 5, 50.0), ("B", 40, 51.0),
+         ("C", 7, 70.0)],
+        "sym string, ts long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 99.5), ("A", 10, 99.9), ("A", 30, 100.5),
+         ("B", 30, 49.5)],
+        "sym string, ts long, bid double",
+    )
+    out = {
+        (r["sym"], r["ts"]): (r["bid"], r["ts_r"])
+        for r in asof_join(trades, quotes, on="ts", by="sym").collect()
+    }
+    assert out[("A", 10)] == (99.9, 10)   # equal-ts quote wins
+    assert out[("A", 25)] == (99.9, 10)   # latest prior
+    assert out[("B", 5)] == (None, None)  # nothing prior
+    assert out[("B", 40)] == (49.5, 30)
+    assert out[("C", 7)] == (None, None)  # key with no quotes at all
+
+    tol = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in asof_join(trades, quotes, on="ts", by="sym", tolerance=5).collect()
+    }
+    assert tol[("A", 25)] is None         # 15 ticks stale > 5
+    assert tol[("A", 10)] == 99.9         # 0 ticks
+    assert tol[("B", 40)] is None         # 10 ticks stale
+
+    from dask_awkward_sandbox_spark.core import visualize
+
+    plan = visualize(asof_join(trades, quotes, on="ts", by="sym"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join(spark):
+    """Bin-bucketed interval join: exact containment semantics, each
+    match exactly once even when an interval spans many bins, and the
+    plan is an equi-join (no nested-loop product)."""
+    from dask_awkward_sandbox_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [("A", 5), ("A", 1500), ("A", 2500), ("B", 5)], "k string, p long"
+    )
+    ivs = spark.createDataFrame(
+        [("A", 0, 2000, "wide"), ("A", 1400, 1600, "narrow"), ("B", 10, 20, "miss")],
+        "k string, lo long, hi long, tag string",
+    )
+    got = {
+        (r["k"], r["p"], r["tag"])
+        for r in range_join(pts, ivs, "p", "lo", "hi", by="k", bin_width=500).collect()
+    }
+    assert got == {("A", 5, "wide"), ("A", 1500, "wide"), ("A", 1500, "narrow")}
+
+    from dask_awkward_sandbox_spark.core import visualize
+
+    plan = visualize(range_join(pts, ivs, "p", "lo", "hi", by="k", bin_width=500))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
