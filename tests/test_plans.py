@@ -490,3 +490,38 @@ def test_range_join(spark):
 
     plan = visualize(range_join(pts, ivs, "p", "lo", "hi", by="k", bin_width=500))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_range_join_shuffle_counts(spark):
+    """The scale claims, plan-asserted: asof_join is ONE shuffle of
+    the union (single Exchange); range_join shuffles each side once
+    (two Exchanges, both hash on the equi keys)."""
+    from dask_awkward_sandbox_spark.core import visualize
+    from dask_awkward_sandbox_spark.operators.joins import asof_join, range_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("ts"),
+        F.lit(1.0).alias("v"))
+    right = spark.range(20).select(
+        (F.col("id") % 5).cast("string").alias("k"), (F.col("id") * 3).alias("ts"),
+        F.lit(2.0).alias("w"))
+
+    import re
+
+    def exchanges(plan: str) -> int:
+        # formatted plans name each operator twice (tree + detail
+        # header); count detail headers only
+        return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+    asof_plan = visualize(asof_join(left, right, on="ts", by="k"))
+    assert exchanges(asof_plan) == 1
+
+    rj = range_join(
+        left.withColumnRenamed("ts", "p"), right.select(
+            "k", F.col("ts").alias("lo"), (F.col("ts") + 5).alias("hi")),
+        "p", "lo", "hi", by="k", bin_width=10)
+    rj_plan = visualize(rj)
+    # equi-join: at most one hash shuffle per side; tiny sides may
+    # broadcast (zero shuffle exchanges) — the claim is NO product
+    assert exchanges(rj_plan) <= 2
+    assert "Join" in rj_plan and "NestedLoop" not in rj_plan
