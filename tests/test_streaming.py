@@ -347,3 +347,41 @@ def test_streaming_curation_filters(spark):
     assert len(got) == len(exp) > 0
     for k in exp:
         assert got[k] == exp[k]
+
+
+def test_sessionize_stateful_rocksdb_state_store(spark):
+    """Same stream==batch contract under the RocksDB state store —
+    the provider a 100 TB streaming job runs (state spills to local
+    disk instead of living on the JVM heap, so per-executor state is
+    bounded by SSD, not memory). Built into Spark 4; flipping the
+    provider must not change a single session boundary."""
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming.events import (
+        JSON_TS_FORMAT,
+        stream_events_from_dir,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    path = os.path.join(SCRATCH, "events_json_rocksdb")
+    e = read(spark, sf, "events")
+    e.repartition(1).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(path)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events_from_dir(spark, path)
+        got = _run_sessionizer(spark, stream, "sessions_rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = _batch_sessions(spark, read(spark, sf, "events"))
+    assert len(want) > 1000
+    assert got == want
