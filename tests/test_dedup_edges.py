@@ -119,3 +119,28 @@ def test_paragraph_dedup(spark):
         """).fetchall()
     }
     assert got == want
+
+
+def test_paragraph_dedup_properties(spark):
+    """Idempotence (dedup of deduped output changes nothing) and
+    identity on corpora with no cross-document duplicates."""
+    from dask_awkward_sandbox_spark.functions.dedup import paragraph_dedup
+
+    # unique-paragraph corpus: output text == input text
+    uniq = spark.createDataFrame(
+        [(i, f"para{i}a\n\npara{i}b") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup(uniq, "text", "doc_id", min_chars=2)
+    assert {(r["doc_id"], r["text"]) for r in out.collect()} == {
+        (i, f"para{i}a\n\npara{i}b") for i in range(20)
+    }
+
+    # idempotence on a duplicate-bearing corpus
+    dup = spark.createDataFrame(
+        [(i, "shared line\n\n" + f"own{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    once = paragraph_dedup(dup, "text", "doc_id", min_chars=2).select("doc_id", "text")
+    twice = paragraph_dedup(once, "text", "doc_id", min_chars=2).select("doc_id", "text")
+    assert sorted(once.collect()) == sorted(twice.collect())

@@ -207,3 +207,33 @@ def test_deterministic_shuffle(spark):
     assert sorted(a) == list(range(500))  # total
     assert a != c                       # epoch reshuffle
     assert a != list(range(500))        # actually shuffled
+
+
+def test_pack_chunks_greedy_maximality(spark):
+    """Within a shard, consecutive examples cannot be merged: the
+    example boundary only falls where the next chunk would overflow —
+    the greedy contract that bounds padding waste."""
+    from dask_awkward_sandbox_spark.functions.quality_filters import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range((i * 13) % 50 + 1))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, max_tokens=30)
+    rows = pack_chunks(chunks, max_tokens=48, shards=3).collect()
+    per_shard: dict = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in per_shard.values():
+        shard_rows.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+        seqs: dict = {}
+        for r in shard_rows:
+            seqs.setdefault(r["seq_id"], []).append(r)
+        ordered = sorted(seqs)
+        for a, b in zip(ordered, ordered[1:]):
+            total_a = sum(r["n_chunk_tokens"] for r in seqs[a])
+            first_b = seqs[b][0]["n_chunk_tokens"]
+            assert total_a + first_b > 48, "mergeable adjacent examples"
