@@ -35,6 +35,12 @@ import time
 # q_reduce_order_count fused accumulator; q_text_metrics gained the
 # repetition + PII legs (does strictly more work than its r4 shape);
 # q_corpus_curation newly tracked.
+# r5 late merges (gate-slot surgery to value-oracle the new
+# relational + curation operators per-round): q_minhash_sig folded
+# into q_dedup_minhash (sig + LSH-pair legs, tracked under the new
+# name); q_simhash_neardups folded into q_dedup_simhash (sig + pair
+# legs); q_ngram_jaccard folded into q_dedup_exact; newly tracked:
+# q_dedup_paragraph, q_asof_join, q_range_join.
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -49,9 +55,12 @@ HEADLINERS = [
     "q_str_surface",
     "q_text_metrics",
     "q_corpus_curation",
-    "q_minhash_sig",
+    "q_dedup_minhash",
     "q_dedup_minhash_clusters",
     "q_dedup_simhash",
+    "q_dedup_paragraph",
+    "q_asof_join",
+    "q_range_join",
     "q_embedding_neardup",
     "q_ann_bruteforce",
     "q_ann_ivf_assign",

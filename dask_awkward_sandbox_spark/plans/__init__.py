@@ -12,6 +12,7 @@ from dask_awkward_sandbox_spark.plans import (  # noqa: F401  (registration side
     tpch,
     strings_queries,
     events,
+    relational,
     io_queries,
     llm,
     nested,

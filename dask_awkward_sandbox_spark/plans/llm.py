@@ -411,16 +411,132 @@ def q_corpus_curation(spark, sf_dir):
 
 @query(
     "q_dedup_exact",
-    """
-    select md5(text) as text_hash,
-           cast(count(*) as bigint) as n_copies,
-           cast(min(doc_id) as bigint) as keep_id
-    from documents group by md5(text)
+    rf"""
+    with ex as (
+      select md5(text) as text_hash,
+             cast(count(*) as bigint) as n_copies,
+             cast(min(doc_id) as bigint) as keep_id
+      from documents group by md5(text)),
+    tok as (select doc_id, unnest(list_distinct({TOKENS})) as w from documents),
+    c as (select doc_id, count(*) as na from tok group by doc_id),
+    i as (select t1.doc_id, count(*) as ni from tok t1
+          join tok t2 on t2.doc_id = t1.doc_id + 1 and t2.w = t1.w
+          group by t1.doc_id),
+    jac as (
+      select c1.doc_id,
+             cast(coalesce(i.ni, 0) as double)
+                   / (c1.na + c2.na - coalesce(i.ni, 0)) as jaccard
+      from c c1
+      join c c2 on c2.doc_id = c1.doc_id + 1
+      left join i on i.doc_id = c1.doc_id)
+    select 'exact' as leg, text_hash as key, keep_id as id,
+           cast(n_copies as double) as val
+    from ex
+    union all
+    select 'jaccard' as leg, cast(null as varchar) as key, doc_id as id,
+           jaccard as val
+    from jac
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup by content hash."""
-    return dedup.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    """Exact-dedup surface in one slot, two legs: content-hash dedup
+    ('exact': hash, copy count, kept id) and the exact token-set
+    Jaccard between consecutive doc ids ('jaccard' — the verification
+    kernel the LSH pipeline applies to its candidate pairs). Merged
+    r5 from the former q_dedup_exact/q_ngram_jaccard split to free
+    gate slots; both legs keep their full value oracles."""
+    d = _docs(spark, sf_dir)
+    ex = dedup.exact_dedup(d, "text", "doc_id").select(
+        F.lit("exact").alias("leg"),
+        F.col("text_hash").alias("key"),
+        F.col("keep_id").alias("id"),
+        F.col("n_copies").cast("double").alias("val"),
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    j = dedup.ngram_jaccard_pairs(d, "text", "doc_id", pairs, n=1)
+    jac = j.select(
+        F.lit("jaccard").alias("leg"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("id_a").alias("id"),
+        F.col("jaccard").alias("val"),
+    )
+    return ex.unionAll(jac)
+
+
+# The test documents are single-line word streams, so the paragraph
+# slot first regroups each document into 6-word "paragraphs"
+# (deterministic, same arithmetic both engines) — the planted dup
+# clusters then share whole paragraphs across documents, which is
+# exactly the C4/RefinedWeb shape the operator exists for.
+_PAR_WORDS = 6
+
+
+@query(
+    "q_dedup_paragraph",
+    rf"""
+    with re as (
+      select doc_id,
+             list_transform(range(cast(ceil(len(string_split(text,' '))/{_PAR_WORDS}.0) as int)),
+                i -> array_to_string(list_slice(string_split(text,' '),
+                                                i*{_PAR_WORDS}+1, i*{_PAR_WORDS}+{_PAR_WORDS}), ' ')) as pars
+      from documents),
+    pars as (
+      select doc_id, generate_subscripts(pars,1) - 1 as idx, unnest(pars) as par from re),
+    winners as (
+      select md5(par) as h, min({{'doc_id': doc_id, 'idx': idx}}) as w
+      from pars where length(trim(par)) >= 2 group by md5(par)),
+    kept as (
+      select p.doc_id, p.idx, p.par from pars p
+      left join winners on winners.h = md5(p.par)
+      where length(trim(p.par)) < 2
+         or (w.doc_id = p.doc_id and w.idx = p.idx)),
+    rebuilt as (
+      select doc_id, count(*) as n_pars_kept,
+             array_to_string(list_transform(list_sort(list({{'idx': idx, 'par': par}})),
+                                            s -> s.par), chr(10)||chr(10)) as text
+      from kept group by doc_id),
+    totals as (select doc_id, count(*) as n_pars from pars group by doc_id)
+    select t.doc_id, md5(coalesce(r.text,'')) as text_md5,
+           cast(t.n_pars as bigint) as n_pars,
+           cast(coalesce(r.n_pars_kept,0) as bigint) as n_pars_kept
+    from totals t left join rebuilt r using (doc_id)
+    """,
+)
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph-granular exact dedup (C4/RefinedWeb line dedup,
+    functions/dedup.py:paragraph_dedup): keep each paragraph only at
+    its globally-first (doc, position) occurrence, reassemble the
+    documents from their survivors. Full value oracle: DuckDB rebuilds
+    the regrouping, the keep-first race and the reassembly; the
+    rebuilt text is compared by md5 so the driver hashes a bounded
+    row. Scale shape: one partial-agg groupBy on the paragraph hash
+    (boilerplate hot keys combine map-side), one equi-join back, one
+    groupBy(doc) with array_sort reassembly — no window, no global
+    order, paragraph text shuffles once."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ", -1)
+    n_par = F.ceil(F.size(words) / F.lit(float(_PAR_WORDS))).cast("int")
+    regrouped = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_par - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * _PAR_WORDS + 1, _PAR_WORDS), " "
+                ),
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+    out = dedup.paragraph_dedup(regrouped, "text", "doc_id", sep="\n\n", min_chars=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.col("n_pars").cast("long").alias("n_pars"),
+        F.col("n_pars_kept").cast("long").alias("n_pars_kept"),
+    )
 
 
 def _perm_values_sql(n: int = NUM_PERMS) -> str:
@@ -431,20 +547,97 @@ def _perm_values_sql(n: int = NUM_PERMS) -> str:
 
 
 @query(
-    "q_minhash_sig",
+    "q_dedup_simhash",
+    rf"""
+    with tok as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
+    bits as (select unnest(generate_series(0, 15)) as b),
+    w as (select doc_id, b, sum(((h >> b) & 1) * 2 - 1) as wb
+          from tok cross join bits group by doc_id, b),
+    sh as (select doc_id,
+                  cast(sum(case when wb > 0 then 1::bigint << b else 0 end) as bigint) as simhash
+           from w group by doc_id),
+    bands as (select unnest(generate_series(0, 3)) as band),
+    bk as (select doc_id, simhash, band, (simhash >> (band * 4)) & 15 as key
+           from sh cross join bands),
+    pairs as (
+      select distinct a.doc_id as id_a, b2.doc_id as id_b,
+             cast(bit_count(xor(a.simhash, b2.simhash)) as bigint) as hamming
+      from bk a join bk b2 on a.band = b2.band and a.key = b2.key and a.doc_id < b2.doc_id
+      where bit_count(xor(a.simhash, b2.simhash)) <= 3)
+    select 'sig' as leg, doc_id as id_a, cast(null as bigint) as id_b, simhash as val
+    from sh
+    union all
+    select 'pair' as leg, id_a, id_b, hamming as val from pairs
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash surface in one slot, two legs: per-doc signatures
+    ('sig') AND the near-dup pairs found by pigeonhole band blocking
+    ('pair': 4 bands of 4 bits — any pair within hamming 3 shares a
+    band, so the blocking is an equi-join, never all-pairs). Merged r5
+    from the former q_minhash_sig/q_simhash_neardups split to free
+    gate slots; both legs keep their full value oracles (DuckDB
+    rebuilds the simhash, bands, blocking join and hamming filter).
+    Token-less documents are filtered on the Spark side to mirror the
+    oracle (whose unnest produces no rows for them); trim(text) != ''
+    IS the token-less predicate (tokens split on whitespace), without
+    paying a second regex tokenization per row."""
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    sig = dedup.simhash(d, "text", bits=16).select(
+        F.lit("sig").alias("leg"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").alias("val"),
+    )
+    pairs = dedup.simhash_neardups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    pairs = pairs.select(
+        F.lit("pair").alias("leg"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return sig.unionAll(pairs)
+
+
+@query(
+    "q_dedup_minhash",
     rf"""
     with t as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
-    p(pid, a, b) as {{perms}}
-    select doc_id, cast(pid as bigint) as perm_id,
-           cast(min((a * h + b) % 1000000007) as bigint) as minhash
-    from t cross join p group by doc_id, pid
-    """.replace("{perms}", _perm_values_sql()),
+    p8(pid, a, b) as {{perms}},
+    p16(pid, a, b) as {{perms16}},
+    sig8 as (select doc_id, pid, min((a * h + b) % 1000000007) as mh
+             from t cross join p8 group by doc_id, pid),
+    sig16 as (select doc_id, pid, min((a * h + b) % 1000000007) as mh
+              from t cross join p16 group by doc_id, pid),
+    bkey as (select doc_id, pid // 4 as band,
+                    md5(string_agg(mh::varchar, '_' order by pid)) as key
+             from sig16 group by doc_id, pid // 4),
+    pairs as (
+      select a.doc_id as id_a, b.doc_id as id_b,
+             cast(count(*) as bigint) as n_shared_bands
+      from bkey a join bkey b on a.band = b.band and a.key = b.key
+                             and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id)
+    select 'sig' as leg, doc_id as id_a, cast(pid as bigint) as id_b,
+           cast(mh as bigint) as val
+    from sig8
+    union all
+    select 'pair' as leg, id_a, id_b, n_shared_bands as val from pairs
+    """.replace("{perms16}", _perm_values_sql(16)).replace("{perms}", _perm_values_sql()),
 )
-def q_minhash_sig(spark, sf_dir):
-    """MinHash signatures (8 permutations) — oracle-checked exactly:
-    both engines compute min over (a*h+b) mod p of the shared word
-    hash. The LSH banding join built on these is q_dedup_minhash."""
-    sig = dedup.minhash_signature(_docs(spark, sf_dir), "text", NUM_PERMS)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH surface in one slot, two legs: the raw 8-perm
+    signatures ('sig' — min over (a*h+b) mod p of the shared word
+    hash, id_b carries the permutation id) AND the LSH candidate
+    pairs ('pair' — 16 perms, 4 bands of 4, the
+    equi-join-on-band-keys candidate generator). Merged r5 from the
+    former q_minhash_sig/q_dedup_minhash split to free gate slots;
+    both legs keep their full value oracles (DuckDB rebuilds
+    signatures, band keys and the blocking join). For corpora with
+    giant dup clusters use q_dedup_minhash_clusters — the pair
+    leg's output is inherently O(sum bucket^2)."""
+    d = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature(d, "text", NUM_PERMS)
     cols = F.array(
         *[
             F.struct(
@@ -454,88 +647,24 @@ def q_minhash_sig(spark, sf_dir):
             for i in range(NUM_PERMS)
         ]
     )
-    ex = sig.select("doc_id", F.explode(cols).alias("s"))
-    return ex.select("doc_id", F.col("s.perm_id").alias("perm_id"), F.col("s.minhash").alias("minhash"))
-
-
-@query(
-    "q_dedup_simhash",
-    rf"""
-    with tok as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
-    bits as (select unnest(generate_series(0, 15)) as b),
-    w as (select doc_id, b, sum(((h >> b) & 1) * 2 - 1) as wb
-          from tok cross join bits group by doc_id, b)
-    select doc_id,
-           cast(sum(case when wb > 0 then 1::bigint << b else 0 end) as bigint) as simhash
-    from w group by doc_id
-    """,
-)
-def q_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash from the shared word hash — exact oracle.
-    Token-less documents are filtered on the Spark side to mirror the
-    oracle (whose unnest produces no rows for them) — same edge
-    treatment as the minhash band queries. trim(text) != '' IS the
-    token-less predicate (tokens split on whitespace), without paying
-    a second regex tokenization per row."""
-    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    return dedup.simhash(d, "text", bits=16).select("doc_id", "simhash")
-
-
-@query(
-    "q_ngram_jaccard",
-    rf"""
-    with tok as (select doc_id, unnest(list_distinct({TOKENS})) as w from documents),
-    c as (select doc_id, count(*) as na from tok group by doc_id),
-    i as (select t1.doc_id, count(*) as ni from tok t1
-          join tok t2 on t2.doc_id = t1.doc_id + 1 and t2.w = t1.w
-          group by t1.doc_id)
-    select c1.doc_id,
-           cast(coalesce(i.ni, 0) as double)
-                 / (c1.na + c2.na - coalesce(i.ni, 0)) as jaccard
-    from c c1
-    join c c2 on c2.doc_id = c1.doc_id + 1
-    left join i on i.doc_id = c1.doc_id
-    """,
-)
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact token-set Jaccard between consecutive doc ids (the
-    verification kernel the LSH pipeline applies to candidates)."""
-    d = _docs(spark, sf_dir)
-    pairs = d.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    sig_leg = (
+        sig.select("doc_id", F.explode(cols).alias("s"))
+        .select(
+            F.lit("sig").alias("leg"),
+            F.col("doc_id").alias("id_a"),
+            F.col("s.perm_id").alias("id_b"),
+            F.col("s.minhash").cast("long").alias("val"),
+        )
     )
-    j = dedup.ngram_jaccard_pairs(d, "text", "doc_id", pairs, n=1)
-    return j.select(F.col("id_a").alias("doc_id"), F.col("jaccard").alias("jaccard"))
-
-
-@query(
-    "q_dedup_minhash",
-    rf"""
-    with t as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
-    p(pid, a, b) as {{perms16}},
-    sig as (select doc_id, pid, min((a * h + b) % 1000000007) as mh
-            from t cross join p group by doc_id, pid),
-    bkey as (select doc_id, pid // 4 as band,
-                    md5(string_agg(mh::varchar, '_' order by pid)) as key
-             from sig group by doc_id, pid // 4)
-    select a.doc_id as id_a, b.doc_id as id_b,
-           cast(count(*) as bigint) as n_shared_bands
-    from bkey a join bkey b on a.band = b.band and a.key = b.key
-                           and a.doc_id < b.doc_id
-    group by a.doc_id, b.doc_id
-    """.replace("{perms16}", _perm_values_sql(16)),
-)
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidate pairs (16 perms, 4 bands of 4): the
-    equi-join-on-band-keys candidate generator. Full value oracle:
-    DuckDB rebuilds signatures, band keys and the blocking join.
-    (For corpora with giant dup clusters use
-    q_dedup_minhash_clusters — this one's output is inherently
-    O(sum bucket^2).)"""
-    d = _docs(spark, sf_dir)
-    return dedup.minhash_lsh_candidates(d, "text", "doc_id", num_perms=16, bands=4).orderBy(
-        "id_a", "id_b"
+    pair_leg = dedup.minhash_lsh_candidates(
+        d, "text", "doc_id", num_perms=16, bands=4
+    ).select(
+        F.lit("pair").alias("leg"),
+        "id_a",
+        "id_b",
+        F.col("n_shared_bands").cast("long").alias("val"),
     )
+    return sig_leg.unionAll(pair_leg)
 
 
 @query(
@@ -572,36 +701,6 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     return dedup.minhash_dedup_clusters(
         d, "text", "doc_id", num_perms=NUM_PERMS, bands=4
     ).orderBy("doc")
-
-
-@query(
-    "q_simhash_neardups",
-    rf"""
-    with tok as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
-    bits as (select unnest(generate_series(0, 15)) as b),
-    w as (select doc_id, b, sum(((h >> b) & 1) * 2 - 1) as wb
-          from tok cross join bits group by doc_id, b),
-    sh as (select doc_id,
-                  cast(sum(case when wb > 0 then 1::bigint << b else 0 end) as bigint) as simhash
-           from w group by doc_id),
-    bands as (select unnest(generate_series(0, 3)) as band),
-    bk as (select doc_id, simhash, band, (simhash >> (band * 4)) & 15 as key
-           from sh cross join bands)
-    select distinct a.doc_id as id_a, b2.doc_id as id_b,
-           cast(bit_count(xor(a.simhash, b2.simhash)) as bigint) as hamming
-    from bk a join bk b2 on a.band = b2.band and a.key = b2.key and a.doc_id < b2.doc_id
-    where bit_count(xor(a.simhash, b2.simhash)) <= 3
-    """,
-)
-def q_simhash_neardups(spark, sf_dir):
-    """SimHash near-dup pairs with pigeonhole band blocking (4 bands
-    of 4 bits: any pair within hamming 3 shares a band). Full value
-    oracle: DuckDB rebuilds the simhash, bands, blocking join and
-    hamming filter."""
-    out = dedup.simhash_neardups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
-    return out.select(
-        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

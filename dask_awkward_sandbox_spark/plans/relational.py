@@ -1,0 +1,93 @@
+"""Custom relational operators Spark lacks, exercised end-to-end
+under full value oracles: as-of join (operators/joins.py:asof_join,
+union-trick, ONE shuffle) against DuckDB's NATIVE ``ASOF JOIN``, and
+range join (operators/joins.py:range_join, bin-bucketed interval
+containment, product-free) against a plain non-equi join the oracle
+can afford at gate scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.operators.joins import asof_join, range_join
+from dask_awkward_sandbox_spark.plans.common import read
+from dask_awkward_sandbox_spark.plans.registry import query
+
+# staleness cutoff for the asof tolerance leg (seconds): old enough
+# that most purchases keep their view, young enough that some are
+# nulled — both branches of the tolerance logic execute on testdata
+_ASOF_TOL_S = 6 * 3600
+
+
+@query(
+    "q_asof_join",
+    f"""
+    with l as (select event_id, user_id, cast(floor(epoch(ts)) as bigint) as ts
+               from events where event_type = 'purchase'),
+         r as (select user_id, cast(floor(epoch(ts)) as bigint) as ts,
+                      cast(round(max(value) * 100) as bigint) as view_cents
+               from events where event_type = 'view'
+               group by user_id, floor(epoch(ts)))
+    select l.event_id, l.user_id, l.ts,
+           case when l.ts - r.ts > {_ASOF_TOL_S} then null else r.ts end as ts_r,
+           case when l.ts - r.ts > {_ASOF_TOL_S} then null else r.view_cents end
+               as view_cents
+    from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join, the quote-at-trade-time operator: every purchase
+    event picks up the user's LATEST at-or-before view event, matches
+    staler than 6h nulled (tolerance). Oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — the two independent implementations (union
+    trick + running last-non-null vs DuckDB's dedicated operator)
+    must agree row-for-row. The right side is pre-aggregated to one
+    row per (user, ts) so 'latest' is deterministic under ties.
+    Scale shape: ONE shuffle on the by-key (plan-asserted single
+    Exchange in tests/test_plans.py), no range or nested-loop join."""
+    ev = read(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("long")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_s.alias("ts")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", ts_s.alias("ts"), "value")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value") * 100).cast("long").alias("view_cents"))
+    )
+    return asof_join(left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S)
+
+
+@query(
+    "q_range_join",
+    """
+    with iv as (select p_brand,
+                       min(p_retailprice) as lo,
+                       (3 * min(p_retailprice) + max(p_retailprice)) / 4 as hi
+                from part group by p_brand),
+         pt as (select l_extendedprice / l_quantity as unit_price from lineitem)
+    select iv.p_brand, cast(count(*) as bigint) as n_in_band
+    from pt join iv on pt.unit_price >= iv.lo and pt.unit_price <= iv.hi
+    group by iv.p_brand
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Interval-containment join: every lineitem's unit price against
+    each brand's lower-quartile retail-price band [min, (3*min+max)/4]
+    — how many line items priced inside each brand's budget band.
+    Spark side is the bin-bucketed range_join (equi-join on the bin +
+    exact residual filter — product-free, plan-asserted in
+    tests/test_plans.py); the oracle affords the naive non-equi join
+    at gate scale. Both engines derive the bands with identical
+    double arithmetic, so boundary comparisons agree bit-for-bit."""
+    part = read(spark, sf_dir, "part")
+    li = read(spark, sf_dir, "lineitem")
+    iv = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("lo"),
+        ((3 * F.min("p_retailprice") + F.max("p_retailprice")) / 4).alias("hi"),
+    )
+    pt = li.select((F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    joined = range_join(pt, iv, point="unit_price", lo="lo", hi="hi", bin_width=5)
+    return joined.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_in_band"))
