@@ -1,0 +1,112 @@
+"""Mergeable sketches for 100 TB rollups: HyperLogLog distinct
+counts, approximate quantiles, count-min frequency, heavy hitters.
+
+These are the operators that make petabyte analytics cheap: a sketch
+is a small, MERGEABLE summary, so a 1000-executor cluster computes
+per-partition sketches map-side, shuffles kilobytes instead of keys,
+and pre-aggregated sketch tables (e.g. daily) roll up to any coarser
+grain (monthly, all-time) WITHOUT rescanning the raw data — the
+pattern :func:`hll_rollup` + :func:`hll_merge` implements end-to-end.
+
+All JVM-native (Spark's datasketches HLL, Tungsten percentile_approx,
+count_min_sketch) — no Python in the row path; error bounds are the
+library's published guarantees (HLL rsd ~= 1.04/sqrt(2^lgK), KLL-style
+quantile accuracy via the ``accuracy`` knob, CMS eps/confidence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct(
+    df: DataFrame, col: str, group_by: list[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) (HyperLogLog++), optionally per
+    group. One map-side-combining shuffle of fixed-size registers —
+    the exact count's two-level distinct shuffles every key."""
+    agg = F.approx_count_distinct(col, rsd=rsd).alias("approx_distinct")
+    if group_by:
+        return df.groupBy(*group_by).agg(agg)
+    return df.agg(agg)
+
+
+def hll_rollup(
+    df: DataFrame, col: str, group_by: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketches as a BINARY column (``hll``) — the
+    materializable form: write this table once, then answer distinct
+    counts at ANY coarser grouping with :func:`hll_merge`, never
+    touching the raw data again."""
+    return df.groupBy(*group_by).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_merge(sketches: DataFrame, group_by: list[str] | None = None) -> DataFrame:
+    """Merge a sketch table (from :func:`hll_rollup`) to a coarser
+    grain; returns the merged estimate as ``approx_distinct``."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias(
+        "approx_distinct"
+    )
+    if group_by:
+        return sketches.groupBy(*group_by).agg(agg)
+    return sketches.agg(agg)
+
+
+def hll_estimate(sketch: Column) -> Column:
+    """Point estimate from one sketch value."""
+    return F.hll_sketch_estimate(sketch)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float],
+    group_by: list[str] | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna style): rank error
+    <= 1/accuracy. Returns one array column ``quantiles`` aligned
+    with ``probabilities``."""
+    agg = F.percentile_approx(
+        F.col(col), F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+    ).alias("quantiles")
+    if group_by:
+        return df.groupBy(*group_by).agg(agg)
+    return df.agg(agg)
+
+
+def count_min(
+    df: DataFrame, col: str, eps: float = 0.001, confidence: float = 0.99, seed: int = 42
+) -> DataFrame:
+    """Count-min sketch of a column as one binary value: frequency
+    estimates within eps*N with the given confidence, in
+    O(1/eps * log(1/(1-confidence))) space. Mergeable across
+    partitions by construction (Spark aggregates it map-side)."""
+    return df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("cms")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_fraction: float = 0.01
+) -> DataFrame:
+    """Values occurring in more than ``min_fraction`` of rows, with
+    exact counts: map-side partial counts shuffle only the survivors'
+    keys (the partial agg bounds per-partition state; a value must be
+    locally frequent somewhere to be globally frequent above the
+    threshold with one pass + the global filter applied after the
+    exact merge). Output: (value, n, fraction), descending."""
+    total = df.count()
+    floor_n = int(total * min_fraction)
+    out = (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > floor_n)
+        .withColumn("fraction", F.col("n") / F.lit(float(total)))
+    )
+    return out.orderBy(F.col("n").desc(), "value")

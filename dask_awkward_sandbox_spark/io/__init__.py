@@ -1,3 +1,11 @@
+from dask_awkward_sandbox_spark.io.csv import (
+    from_avro,
+    from_csv,
+    from_orc,
+    to_avro,
+    to_csv,
+    to_orc,
+)
 from dask_awkward_sandbox_spark.io.json import from_json, to_json
 from dask_awkward_sandbox_spark.io.parquet import (
     from_parquet,
@@ -15,6 +23,12 @@ from dask_awkward_sandbox_spark.io.io import (
 )
 
 __all__ = [
+    "from_csv",
+    "to_csv",
+    "from_orc",
+    "to_orc",
+    "from_avro",
+    "to_avro",
     "from_json",
     "to_json",
     "from_parquet",

@@ -1,0 +1,141 @@
+"""100x scale probe (sf10): run a representative query subset at
+.scaledata/sf10 (100 key-offset, decorrelated copies of the driver's
+sf0.1 — scripts/make_scaled_sf.py) and record wall time, growth vs
+the same queries at sf1 (10x), and physical-plan stability across
+the 10x -> 100x step.
+
+Probe slots, one per cost family:
+- q1_pricing_summary, q18_large_orders           scan + shuffle-agg
+- q_reduce_order_count                           nested build + HOF fold
+- q_text_metrics                                 regex/fold-heavy scan
+- q_dedup_paragraph                              explode + groupBy + join
+- q_asof_join, q_range_join                      custom relational
+- q_dedup_minhash_clusters                       iterative label prop
+- neardup_clusters (embedding collapse form)     iterative + LSH blocking
+- brute-force ANN at a FIXED 1000-query panel    GEMM, linear-in-corpus
+  (the registered %50 slot scales queries WITH the corpus, so its cost
+  is n*q ~ 100x^2 at 100x — the fixed panel isolates the linear term,
+  which is the real serving shape: query load does not grow because
+  the corpus did)
+
+Writes one JSON line to stdout and SCALE_SF10.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REGISTERED = [
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "q_reduce_order_count",
+    "q_text_metrics",
+    "q_dedup_paragraph",
+    "q_asof_join",
+    "q_range_join",
+    "q_dedup_minhash_clusters",
+]
+
+SF1_DIR = "/root/repo/.scaledata/sf1"
+SF10_DIR = "/root/repo/.scaledata/sf10"
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn, reps=1):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def _extra_queries(spark, d):
+    """The two non-registered probe legs, as (name -> thunk)."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        brute_force_topk,
+        embedding_neardup_clusters,
+    )
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    # fixed 1000-query panel from the base copy (vec_id < OFF), spread
+    # across the id space
+    queries = emb.filter((F.col("vec_id") < 10_000_000) & (F.col("vec_id") % 50 == 0))
+    return {
+        "neardup_clusters": lambda: _noop(embedding_neardup_clusters(emb)),
+        "ann_bruteforce_1k": lambda: _noop(brute_force_topk(emb, queries, k=5)),
+    }
+
+
+def main() -> None:
+    from dask_awkward_sandbox_spark.plans import QUERIES
+    from dask_awkward_sandbox_spark.session import get_spark
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _plan_signature
+
+    spark = get_spark("sf10-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for d, copies in ((SF1_DIR, 10), (SF10_DIR, 100)):
+        if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
+            from scripts.make_scaled_sf import scale
+
+            scale("/root/testdata/sf0.1", d, copies, spark=spark)
+
+    out = {"metric": "sf10_probe", "unit": "sec", "sf10_dir": SF10_DIR}
+    t_sf1, t_sf10, growth, stable, delta = {}, {}, {}, {}, {}
+    for name in REGISTERED:
+        sig1 = _plan_signature(QUERIES[name](spark, SF1_DIR))
+        sig10 = _plan_signature(QUERIES[name](spark, SF10_DIR))
+        stable[name] = sig1 == sig10
+        if sig1 != sig10:
+            delta[name] = {
+                "only_sf1": {k: v for k, v in sig1.items() if sig10.get(k) != v},
+                "only_sf10": {k: v for k, v in sig10.items() if sig1.get(k) != v},
+            }
+        t_sf1[name] = _timed(lambda: _noop(QUERIES[name](spark, SF1_DIR)), reps=2)
+        t_sf10[name] = _timed(lambda: _noop(QUERIES[name](spark, SF10_DIR)), reps=1)
+        growth[name] = round(t_sf10[name] / t_sf1[name], 2)
+        print(f"# {name}: sf1 {t_sf1[name]}s sf10 {t_sf10[name]}s "
+              f"growth {growth[name]}x stable={stable[name]}", file=sys.stderr)
+
+    for name in ("neardup_clusters", "ann_bruteforce_1k"):
+        e1 = _extra_queries(spark, SF1_DIR)
+        e10 = _extra_queries(spark, SF10_DIR)
+        t_sf1[name] = _timed(e1[name], reps=2)
+        t_sf10[name] = _timed(e10[name], reps=1)
+        growth[name] = round(t_sf10[name] / t_sf1[name], 2)
+        print(f"# {name}: sf1 {t_sf1[name]}s sf10 {t_sf10[name]}s "
+              f"growth {growth[name]}x", file=sys.stderr)
+
+    out.update(
+        {
+            "sf1": t_sf1,
+            "sf10": t_sf10,
+            "growth_sf10_vs_sf1": growth,
+            "plans_stable": all(stable.values()),
+            "plan_stable": stable,
+        }
+    )
+    if delta:
+        out["plan_delta"] = delta
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_SF10.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
