@@ -59,15 +59,21 @@ from dask_awkward_sandbox_spark.inspect import (  # noqa: F401
 )
 from dask_awkward_sandbox_spark.inspect import typestr as type  # noqa: A001
 from dask_awkward_sandbox_spark.io import (  # noqa: F401
+    from_avro,
+    from_csv,
     from_delayed,
     from_json,
     from_lists,
     from_map,
+    from_orc,
     from_parquet,
     from_text,
+    to_avro,
+    to_csv,
     to_dataframe,
     to_delayed,
     to_json,
+    to_orc,
     to_parquet,
 )
 from dask_awkward_sandbox_spark.operators.elementwise import (  # noqa: F401

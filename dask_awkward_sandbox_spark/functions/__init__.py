@@ -3,7 +3,15 @@ from dask_awkward_sandbox_spark.functions import (
     multimodal,
     quality_filters,
     similarity,
+    sketches,
     text_analysis,
 )
 
-__all__ = ["dedup", "similarity", "text_analysis", "multimodal", "quality_filters"]
+__all__ = [
+    "dedup",
+    "similarity",
+    "sketches",
+    "text_analysis",
+    "multimodal",
+    "quality_filters",
+]
