@@ -1,0 +1,31 @@
+"""The bench harness's contract with the registry: every headliner
+must be a registered query (a rename that misses bench.py would crash
+the driver's per-round bench run), and the probe scripts' slots must
+resolve too."""
+
+from __future__ import annotations
+
+
+def test_headliners_are_registered():
+    import bench
+    from dask_awkward_sandbox_spark.plans import QUERIES
+
+    missing = [n for n in bench.HEADLINERS if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_registry_is_exactly_gate_sized():
+    from dask_awkward_sandbox_spark.plans import ORACLES, QUERIES
+
+    assert len(QUERIES) == 50, len(QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
+    # every slot keeps its full value oracle (no rows-only residue)
+    assert len(ORACLES) == 50, sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_sf10_probe_slots_resolve():
+    from dask_awkward_sandbox_spark.plans import QUERIES
+    from scripts.scale_probe_sf10 import REGISTERED
+
+    missing = [n for n in REGISTERED if n not in QUERIES]
+    assert not missing, missing
