@@ -56,8 +56,18 @@ def scale(src: str, dst: str, copies: int, spark=None) -> None:
     def read(t):
         return spark.read.parquet(f"{src}/{t}.parquet")
 
+    # File counts scale with the copy factor: Spark writes one row
+    # group per task here, and a parquet scan cannot split WITHIN a
+    # row group — fixed file counts would cap every downstream scan at
+    # sf1's parallelism no matter the data size (measured: documents
+    # as 4 single-row-group files starved q_text_metrics to 4 of 32
+    # cores at sf10, reading as fake 15.7x growth).
+    file_factor = max(1, copies // 10)
+
     def write(df, t, nfiles):
-        df.repartition(nfiles).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        df.repartition(nfiles * file_factor).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
 
     def fan(df):
         """One row per (row, copy): a single scan feeding all copies."""
