@@ -2,6 +2,7 @@ from dask_awkward_sandbox_spark.functions import (
     dedup,
     multimodal,
     quality_filters,
+    rollup,
     similarity,
     sketches,
     text_analysis,
@@ -10,6 +11,7 @@ from dask_awkward_sandbox_spark.functions import (
 __all__ = [
     "dedup",
     "similarity",
+    "rollup",
     "sketches",
     "text_analysis",
     "multimodal",
