@@ -43,6 +43,10 @@ SUBSET = [
     "q_events_windowed",
     "q_window_funcs",
     "q_events_funnel_retention",
+    # r5 slot-surgery additions: the new relational + curation slots
+    "q_asof_join",
+    "q_range_join",
+    "q_dedup_paragraph",
 ]
 
 
