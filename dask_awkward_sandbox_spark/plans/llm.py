@@ -61,12 +61,29 @@ _BUCKETS_CTE = f"""
 """
 
 
+def _spread(spark, df):
+    """Round-robin the rows across the session's cores before the
+    compute-dense scan-side expressions. The test datasets arrive as
+    1-4 single-row-group parquet files, and a scan cannot split WITHIN
+    a row group — without this every HOF leg (minhash folds, simhash
+    bit sums, repetition-signal sorts, LSH projections) runs on ONE of
+    32 cores (measured: the minhash pair leg 8.7s -> 1.7s, simhash
+    pairs 6.9s -> 1.3s at sf0.1). The exchange moves only the raw
+    text/vector bytes once — two orders cheaper than the compute it
+    parallelizes — and is UNCONDITIONAL so the physical plan keeps the
+    same operator multiset at every SF (the scale probe's stability
+    check). At 100 TB the same spread is a no-op-cost rebalance next
+    to the downstream work, though real deployments with thousands of
+    input files can drop it."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark, sf_dir):
-    return read(spark, sf_dir, "documents")
+    return _spread(spark, read(spark, sf_dir, "documents"))
 
 
 def _emb(spark, sf_dir):
-    return read(spark, sf_dir, "embeddings")
+    return _spread(spark, read(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +214,8 @@ def q_text_metrics(spark, sf_dir):
     char fractions — n=3 because this vocab has no natural 5-gram
     repeats), and PII count/redact over planted emails/IPs/phones on
     every 7th doc, value-proved by fingerprinting the redacted text.
-    All pure JVM expression trees — one scan, no shuffle."""
+    All pure JVM expression trees — one scan plus the _spread
+    rebalance exchange, no keyed shuffle."""
     d = _docs(spark, sf_dir)
     rep = F.replace(F.col("text"), F.lit(" a "), F.lit("\n"))
     pre = F.substring(F.col("text"), 1, 40)

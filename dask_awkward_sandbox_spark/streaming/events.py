@@ -280,3 +280,49 @@ def stream_stream_attribution_join(
         F.unix_micros("v_ts").alias("v_us"),
         F.unix_micros("p_ts").alias("p_us"),
     )
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    grain: str,
+    measures: dict,
+    group_by: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    lg_k: int = 12,
+):
+    """Continuous-aggregate maintenance: the streaming face of
+    functions.rollup.rollup_once. Incoming events fold into
+    time-bucketed rollup rows as they arrive; the watermark bounds
+    both late-data admission and per-bucket state lifetime (a bucket
+    finalizes once the watermark passes its end, exactly the window
+    state contract). Distinct counts are carried as HLL sketches, so
+    the emitted rollup table cascades upward with
+    functions.rollup-style re-aggregation — write the finest grain
+    from the stream, derive day/month/year in batch without touching
+    raw events again.
+
+    Measures use rollup.py's prefix contract (sum_/min_/max_/n_) so
+    the emitted table is cascade-ready; validated before the stream
+    starts, not at runtime.
+    """
+    from dask_awkward_sandbox_spark.functions.rollup import (
+        _reagg_column,
+        time_bucket,
+    )
+
+    for name in measures:
+        _reagg_column(name)  # fail before the query launches
+    aggs = [expr.alias(name) for name, expr in measures.items()]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    for c in distinct_cols or []:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(lg_k)).alias(f"hll_{c}"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            time_bucket(F.col(ts_col), grain).alias("bucket"),
+            *(group_by or []),
+        )
+        .agg(*aggs)
+    )

@@ -385,3 +385,80 @@ def test_sessionize_stateful_rocksdb_state_store(spark):
     want = _batch_sessions(spark, read(spark, sf, "events"))
     assert len(want) > 1000
     assert got == want
+
+
+def test_streaming_rollup_equals_batch_and_cascades(spark):
+    """Continuous-aggregate maintenance: the streamed hourly rollup
+    must equal functions.rollup.rollup_once over the same events
+    (measures exactly; HLL sketch estimates identically — same
+    registers), and the emitted table must cascade to day grain with
+    the batch re-aggregation rules."""
+    from dask_awkward_sandbox_spark.functions import rollup as ru
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming import stream_events_from_dir
+    from dask_awkward_sandbox_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_rollup,
+    )
+
+    measures = {
+        "sum_value_c": F.sum(F.round(F.col("value") * 100).cast("long")),
+        "max_value_c": F.max(F.round(F.col("value") * 100).cast("long")),
+    }
+    path = _write_stream_input(spark)
+    stream = stream_events_from_dir(spark, path)
+    name = run_stream_to_memory(
+        streaming_rollup(
+            stream, "ts", "hour", dict(measures),
+            group_by=["event_type"], distinct_cols=["user_id"], lg_k=14,
+        ),
+        "stream_rollup",
+    )
+    streamed = spark.table(name)
+
+    ev = read(spark, SF, "events")
+    batch = ru.rollup_once(
+        ev, "ts", "hour", dict(measures),
+        group_by=["event_type"], distinct_cols=["user_id"], lg_k=14,
+    )
+    key = ["bucket", "event_type"]
+    got = {
+        tuple(r[k] for k in key): (r["sum_value_c"], r["max_value_c"], r["n_rows"])
+        for r in streamed.collect()
+    }
+    want = {
+        tuple(r[k] for k in key): (r["sum_value_c"], r["max_value_c"], r["n_rows"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # sketch estimates agree bucket-for-bucket (deterministic merge)
+    gest = {
+        tuple(r[k] for k in key): r["approx_distinct_user_id"]
+        for r in ru.sketch_estimate(streamed, "user_id").collect()
+    }
+    west = {
+        tuple(r[k] for k in key): r["approx_distinct_user_id"]
+        for r in ru.sketch_estimate(batch, "user_id").collect()
+    }
+    assert gest == west
+
+    # the streamed table cascades: re-aggregate hour -> day in batch
+    # and compare against the direct day rollup from raw events
+    day_keys = [ru.time_bucket(F.col("bucket"), "day").alias("bucket"), "event_type"]
+    value_cols = [c for c in streamed.columns if c not in ("bucket", "event_type")]
+    cascaded = streamed.groupBy(*day_keys).agg(
+        *[ru._reagg_column(c) for c in value_cols]
+    )
+    direct_day = ru.rollup_once(
+        ev, "ts", "day", dict(measures),
+        group_by=["event_type"], distinct_cols=["user_id"], lg_k=14,
+    )
+    cg = {
+        tuple(r[k] for k in key): (r["sum_value_c"], r["n_rows"])
+        for r in cascaded.collect()
+    }
+    cw = {
+        tuple(r[k] for k in key): (r["sum_value_c"], r["n_rows"])
+        for r in direct_day.collect()
+    }
+    assert cg == cw
