@@ -96,17 +96,18 @@ def heavy_hitters(
     df: DataFrame, col: str, min_fraction: float = 0.01
 ) -> DataFrame:
     """Values occurring in more than ``min_fraction`` of rows, with
-    exact counts: map-side partial counts shuffle only the survivors'
-    keys (the partial agg bounds per-partition state; a value must be
-    locally frequent somewhere to be globally frequent above the
-    threshold with one pass + the global filter applied after the
-    exact merge). Output: (value, n, fraction), descending."""
-    total = df.count()
-    floor_n = int(total * min_fraction)
+    exact counts: map-side partial counts shuffle only one row per
+    distinct value, and the total rides the plan as a broadcast 1-row
+    aggregate (no driver-side count action — the whole thing stays one
+    lazy DataFrame). Output: (value, n, fraction), descending."""
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
     out = (
-        df.groupBy(F.col(col).alias("value"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > floor_n)
-        .withColumn("fraction", F.col("n") / F.lit(float(total)))
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("_total") * min_fraction)
+        .withColumn("fraction", F.col("n") / F.col("_total"))
+        .drop("_total")
     )
     return out.orderBy(F.col("n").desc(), "value")

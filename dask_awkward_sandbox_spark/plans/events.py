@@ -2,8 +2,10 @@
 
 These are the batch equivalents of the streaming/ module's structured
 streaming pipelines — identical transformations, so the oracle checks
-the streaming logic's semantics too (q_events_windowed is byte-for-
-byte the same aggregation the readStream pipeline runs).
+the streaming logic's semantics too (tests/test_streaming.py pins each
+stream to its batch twin; q_events_windowed grew into the hypertable
+rollup + heavy-hitters slot in late r5, its hour leg being the batch
+face of streaming_rollup).
 """
 
 from __future__ import annotations
@@ -20,32 +22,94 @@ SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds — exact integer compa
 @query(
     "q_events_windowed",
     """
-    select event_type,
-           cast(floor(epoch(ts)/900)*900 as bigint) as bucket_start,
-           cast(count(*) as bigint) as n,
-           cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c
-    from events
-    group by event_type, bucket_start
+    with rolled as (
+      select event_type,
+             cast(epoch(date_trunc('hour', ts)) as bigint) as bucket,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_c,
+             min(cast(round(value*100) as bigint)) as mn,
+             max(cast(round(value*100) as bigint)) as mx
+      from events group by 1, 2),
+    daily as (
+      select event_type,
+             cast(epoch(date_trunc('day', ts)) as bigint) as bucket,
+             cast(count(*) as bigint) as n,
+             cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_c,
+             min(cast(round(value*100) as bigint)) as mn,
+             max(cast(round(value*100) as bigint)) as mx
+      from events group by 1, 2),
+    counts as (select event_type, count(*) as n from events group by 1),
+    hh as (
+      select event_type, cast(n as bigint) as n,
+             n / (select sum(n) from counts) as frac
+      from counts
+      where n > (select sum(n) from counts) * 0.15)
+    select 'hour' as leg, bucket, event_type as key, n, sum_c, mn, mx,
+           cast(null as double) as frac
+    from rolled
+    union all
+    select 'day' as leg, bucket, event_type as key, n, sum_c, mn, mx,
+           cast(null as double) as frac
+    from daily
+    union all
+    select 'hh' as leg, cast(null as bigint) as bucket, event_type as key,
+           n, cast(null as bigint) as sum_c, cast(null as bigint) as mn,
+           cast(null as bigint) as mx, frac
+    from hh
     """,
 )
 def q_events_windowed(spark, sf_dir):
-    """15-minute tumbling window per event type — the structured-
-    streaming windowed agg run in batch. Uses the real F.window()."""
+    """Hypertable rollup + heavy hitters under the driver's value
+    oracle, three legs (r5 late — the slot formerly held only the
+    15-min windowed agg; this is its strict superset):
+
+    - 'hour': functions.rollup.rollup_once — the time-bucketed
+      continuous aggregate from raw events;
+    - 'day': the CASCADE — derived by re-aggregating the HOUR ROLLUP
+      (rollup_cascade), never re-reading raw events, while the oracle
+      computes day directly from the raw table: the driver's hash
+      proves the lossless re-aggregation contract every round;
+    - 'hh': functions.sketches.heavy_hitters over event_type (exact
+      counts, broadcast 1-row total, no driver action).
+
+    Scale: one raw scan (ReusedExchange feeds both grains), the day
+    grain re-aggregates |hour-buckets| rows, heavy hitters shuffles
+    one row per distinct value."""
+    from dask_awkward_sandbox_spark.functions import rollup as ru
+    from dask_awkward_sandbox_spark.functions import sketches as sk
+
     e = read(spark, sf_dir, "events")
-    w = F.window("ts", "15 minutes")
-    return (
-        e.groupBy("event_type", w.alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cents(F.col("value"))).alias("sum_value_c"),
+    measures = {
+        "sum_c": F.sum(cents(F.col("value"))),
+        "min_value_c": F.min(cents(F.col("value"))),
+        "max_value_c": F.max(cents(F.col("value"))),
+    }
+    cascade = ru.rollup_cascade(e, "ts", ["hour", "day"], measures,
+                                group_by=["event_type"])
+
+    def leg(df, name):
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.unix_timestamp("bucket").alias("bucket"),
+            F.col("event_type").alias("key"),
+            F.col("n_rows").alias("n"),
+            "sum_c",
+            F.col("min_value_c").alias("mn"),
+            F.col("max_value_c").alias("mx"),
+            F.lit(None).cast("double").alias("frac"),
         )
-        .select(
-            "event_type",
-            F.unix_timestamp(F.col("w")["start"]).alias("bucket_start"),
-            "n",
-            "sum_value_c",
-        )
+
+    hh = sk.heavy_hitters(e, "event_type", min_fraction=0.15).select(
+        F.lit("hh").alias("leg"),
+        F.lit(None).cast("long").alias("bucket"),
+        F.col("value").alias("key"),
+        "n",
+        F.lit(None).cast("long").alias("sum_c"),
+        F.lit(None).cast("long").alias("mn"),
+        F.lit(None).cast("long").alias("mx"),
+        F.col("fraction").alias("frac"),
     )
+    return leg(cascade["hour"], "hour").unionAll(leg(cascade["day"], "day")).unionAll(hh)
 
 
 @query(

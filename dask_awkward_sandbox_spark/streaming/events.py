@@ -51,7 +51,8 @@ def stream_events_from_dir(
 
 def windowed_counts(stream: DataFrame, window: str = "15 minutes", watermark: str = "1 hour"):
     """Event-time tumbling window per event_type with late-data
-    watermark — identical aggregation to plans.events.q_events_windowed."""
+    watermark (tests pin it to its batch twin; the registered
+    q_events_windowed slot grew into the rollup cascade in late r5)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("event_type", F.window("ts", window).alias("w"))

@@ -29,7 +29,7 @@ def _write_stream_input(spark):
 
 
 def test_windowed_counts_stream_equals_batch(spark):
-    from dask_awkward_sandbox_spark.plans.events import q_events_windowed
+    from dask_awkward_sandbox_spark.plans.common import read
     from dask_awkward_sandbox_spark.streaming import (
         stream_events_from_dir,
         windowed_counts,
@@ -44,9 +44,26 @@ def test_windowed_counts_stream_equals_batch(spark):
         (r["event_type"], r["bucket_start"]): (r["n"], r["sum_value_c"])
         for r in spark.table(name).collect()
     }
+    # batch twin of the same 15-min tumbling aggregation (the former
+    # q_events_windowed shape; the registered slot is now the rollup
+    # cascade, whose hour leg test_streaming_rollup covers)
+    batch = (
+        read(spark, SF, "events")
+        .groupBy("event_type", F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w")["start"]).alias("bucket_start"),
+            "n",
+            "sum_value_c",
+        )
+    )
     want = {
         (r["event_type"], r["bucket_start"]): (r["n"], r["sum_value_c"])
-        for r in q_events_windowed(spark, SF).collect()
+        for r in batch.collect()
     }
     assert got == want
 
