@@ -558,3 +558,43 @@ def test_asof_join_duckdb_cross_check(spark):
         """).fetchall()
     }
     assert len(got) == len(trades) and got == want
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Runtime bloom-filter join pruning (on by default in the
+    session): a selective dim filter must inject a might_contain
+    bloom probe on the FACT side so the shuffle carries only
+    plausibly-matching rows — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~p_type
+    fraction of it. The application-side size threshold (10 GB
+    default — sized for clusters) is dropped for the assertion; the
+    injection logic itself is what ships."""
+    from pyspark.sql import functions as F
+
+    sf = SF
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf}/part.parquet").filter(
+            F.col("p_type") == "PROMO"
+        )
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower() or "bloom" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
