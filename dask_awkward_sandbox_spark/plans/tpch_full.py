@@ -117,11 +117,13 @@ def _disc_u(prefix: str = "") -> F.Column:
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2, the correlated-min shape: for each qualifying part,
     the EUROPE supplier(s) matching the regional minimum supply cost.
-    Spark-first: the correlated scalar subquery becomes a groupBy-min
-    on the regional offers joined back on (partkey, min-cost) — two
-    broadcast-sized dims (supplier/nation/region), one shuffle on
-    partkey. 100 TB: offers are the big side; the min-table is a
-    per-part aggregate that AQE will broadcast."""
+    Spark-first: the correlated scalar subquery becomes a per-partkey
+    window MIN over the regional offers — ONE shuffle on partkey, one
+    pass, no offers self-join (a groupBy-min joined back would build
+    and shuffle the offers subtree twice); the dims
+    (supplier/nation/region) broadcast."""
+    from pyspark.sql import Window
+
     ps = _partsupp(spark, sf_dir)
     part = read(spark, sf_dir, "part")
     sup = read(spark, sf_dir, "supplier")
@@ -133,14 +135,10 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
         .filter(F.col("r_name") == "EUROPE")
     )
-    min_cost = euro_offers.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost_c").alias("_min_cost")
+    min_w = F.min("ps_supplycost_c").over(Window.partitionBy("ps_partkey"))
+    best = euro_offers.withColumn("_min_cost", min_w).filter(
+        F.col("ps_supplycost_c") == F.col("_min_cost")
     )
-    best = euro_offers.join(
-        min_cost,
-        (euro_offers.ps_partkey == min_cost.ps_partkey)
-        & (euro_offers.ps_supplycost_c == min_cost._min_cost),
-    ).drop(min_cost.ps_partkey)
     out = (
         best.join(
             part.filter((F.col("p_size") == 5) & (F.col("p_type") == "PROMO")),
@@ -305,7 +303,9 @@ def q11_important_stock(spark, sf_dir):
         )
     )
     per_part = scoped.groupBy("ps_partkey").agg(F.sum("value_u").alias("value_u"))
-    total = scoped.agg((F.sum("value_u") * 0.001).alias("_threshold"))
+    # the threshold derives from the ROLLUP, not a second pass over
+    # the offers: sum of per-part sums == nation total
+    total = per_part.agg((F.sum("value_u") * 0.001).alias("_threshold"))
     out = per_part.crossJoin(F.broadcast(total)).filter(
         F.col("value_u") > F.col("_threshold")
     )
