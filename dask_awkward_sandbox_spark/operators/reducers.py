@@ -159,8 +159,48 @@ def all(  # noqa: A001
     return _finish(arr, out, keepdims, mask_identity)
 
 
-def mean(arr: Column) -> Column:
-    """ak.mean (axis=1); empty -> null."""
+def _wmoments(arr: Column, weight: Column) -> Column:
+    """One-pass weighted (n, sw, swx, swxx) over parallel lists,
+    skipping pairs where value or weight is null (awkward drops
+    options)."""
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            weight,
+            lambda x, w: F.struct(
+                x.cast("double").alias("x"), w.cast("double").alias("w")
+            ),
+        ),
+        lambda p: p["x"].isNotNull() & p["w"].isNotNull(),
+    )
+    init = F.struct(
+        F.lit(0.0).alias("n"),
+        F.lit(0.0).alias("sw"),
+        F.lit(0.0).alias("swx"),
+        F.lit(0.0).alias("swxx"),
+    )
+    return F.aggregate(
+        pairs,
+        init,
+        lambda a, p: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["sw"] + p["w"]).alias("sw"),
+            (a["swx"] + p["w"] * p["x"]).alias("swx"),
+            (a["swxx"] + p["w"] * p["x"] * p["x"]).alias("swxx"),
+        ),
+    )
+
+
+def mean(arr: Column, weight: Column | None = None) -> Column:
+    """ak.mean (axis=1); empty -> null. With ``weight`` (a parallel
+    list column): sum(w*x)/sum(w) — the weighted form the REFERENCE
+    raises DaskAwkwardNotImplemented for (lib/reducers.py:338), per
+    awkward's own ak.mean semantics."""
+    if weight is not None:
+        return _let(
+            _wmoments(arr, weight),
+            body=lambda m: F.when(m["n"] > 0, m["swx"] / m["sw"]),
+        )
     return _let(
         _vals(arr),
         body=lambda v: F.when(
@@ -183,8 +223,22 @@ def _moments(arr: Column) -> Column:
     )
 
 
-def var(arr: Column, ddof: int = 0) -> Column:
-    """ak.var (axis=1), population by default like awkward (ddof=0)."""
+def var(arr: Column, ddof: int = 0, weight: Column | None = None) -> Column:
+    """ak.var (axis=1), population by default like awkward (ddof=0).
+    With ``weight``: sum(w*(x-mean)^2) / (sum(w) - ddof) — reduces to
+    the unweighted form at w=1 (beyond the reference, which raises
+    for weight=; awkward semantics)."""
+    if weight is not None:
+
+        def wfin(m: Column) -> Column:
+            sw, swx, swxx = m["sw"], m["swx"], m["swxx"]
+            mu = swx / sw
+            return F.when(
+                (m["n"] > 0) & (sw > ddof),
+                (swxx - sw * mu * mu) / (sw - F.lit(float(ddof))),
+            )
+
+        return _let(_wmoments(arr, weight), body=wfin)
 
     def fin(m: Column) -> Column:
         n, s, ss = m["n"], m["s"], m["ss"]
@@ -193,9 +247,9 @@ def var(arr: Column, ddof: int = 0) -> Column:
     return _let(_moments(arr), body=fin)
 
 
-def std(arr: Column, ddof: int = 0) -> Column:
-    """ak.std (axis=1)."""
-    return F.sqrt(var(arr, ddof))
+def std(arr: Column, ddof: int = 0, weight: Column | None = None) -> Column:
+    """ak.std (axis=1); weighted form as :func:`var`."""
+    return F.sqrt(var(arr, ddof, weight))
 
 
 def moment(arr: Column, n: int) -> Column:
@@ -269,17 +323,42 @@ def softmax(arr: Column) -> Column:
     )
 
 
-def _pair_moments(x: Column, y: Column) -> Column:
+def _pair_moments(x: Column, y: Column, weight: Column | None = None) -> Column:
     """One-pass (n, sx, sy, sxx, syy, sxy) over parallel lists, skipping
-    pairs where either side is null."""
-    pairs = F.filter(
-        F.zip_with(
-            x,
-            y,
-            lambda a, b: F.struct(a.cast("double").alias("x"), b.cast("double").alias("y")),
-        ),
-        lambda p: p["x"].isNotNull() & p["y"].isNotNull(),
-    )
+    pairs where either side (or the weight) is null. With ``weight``,
+    ``n`` carries sum(w) and every sum is w-scaled, so the downstream
+    formulas are identical in both modes (w=1 recovers the counts)."""
+    if weight is None:
+        pairs = F.filter(
+            F.zip_with(
+                x,
+                y,
+                lambda a, b: F.struct(
+                    a.cast("double").alias("x"),
+                    b.cast("double").alias("y"),
+                    F.lit(1.0).alias("w"),
+                ),
+            ),
+            lambda p: p["x"].isNotNull() & p["y"].isNotNull(),
+        )
+    else:
+        zipped = F.zip_with(
+            F.zip_with(
+                x,
+                y,
+                lambda a, b: F.struct(
+                    a.cast("double").alias("x"), b.cast("double").alias("y")
+                ),
+            ),
+            weight,
+            lambda p, w: F.struct(
+                p["x"].alias("x"), p["y"].alias("y"), w.cast("double").alias("w")
+            ),
+        )
+        pairs = F.filter(
+            zipped,
+            lambda p: p["x"].isNotNull() & p["y"].isNotNull() & p["w"].isNotNull(),
+        )
     init = F.struct(
         F.lit(0.0).alias("n"),
         F.lit(0.0).alias("sx"),
@@ -292,28 +371,30 @@ def _pair_moments(x: Column, y: Column) -> Column:
         pairs,
         init,
         lambda a, p: F.struct(
-            (a["n"] + 1).alias("n"),
-            (a["sx"] + p["x"]).alias("sx"),
-            (a["sy"] + p["y"]).alias("sy"),
-            (a["sxx"] + p["x"] * p["x"]).alias("sxx"),
-            (a["syy"] + p["y"] * p["y"]).alias("syy"),
-            (a["sxy"] + p["x"] * p["y"]).alias("sxy"),
+            (a["n"] + p["w"]).alias("n"),
+            (a["sx"] + p["w"] * p["x"]).alias("sx"),
+            (a["sy"] + p["w"] * p["y"]).alias("sy"),
+            (a["sxx"] + p["w"] * p["x"] * p["x"]).alias("sxx"),
+            (a["syy"] + p["w"] * p["y"] * p["y"]).alias("syy"),
+            (a["sxy"] + p["w"] * p["x"] * p["y"]).alias("sxy"),
         ),
     )
 
 
-def covar(x: Column, y: Column) -> Column:
-    """ak.covar (axis=1), population."""
+def covar(x: Column, y: Column, weight: Column | None = None) -> Column:
+    """ak.covar (axis=1), population; optional parallel weight list
+    (the reference raises DaskAwkwardNotImplemented even unweighted —
+    lib/reducers.py:255)."""
 
     def fin(m: Column) -> Column:
         n = m["n"]
         return F.when(n > 0, m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n))
 
-    return _let(_pair_moments(x, y), body=fin)
+    return _let(_pair_moments(x, y, weight), body=fin)
 
 
-def corr(x: Column, y: Column) -> Column:
-    """ak.corr (axis=1): Pearson correlation."""
+def corr(x: Column, y: Column, weight: Column | None = None) -> Column:
+    """ak.corr (axis=1): Pearson correlation; optional weight."""
 
     def fin(m: Column) -> Column:
         n = m["n"]
@@ -323,11 +404,12 @@ def corr(x: Column, y: Column) -> Column:
         denom = F.sqrt(vx * vy)
         return F.when((n > 0) & (denom > 0), cov / denom)
 
-    return _let(_pair_moments(x, y), body=fin)
+    return _let(_pair_moments(x, y, weight), body=fin)
 
 
-def linear_fit(x: Column, y: Column) -> Column:
-    """ak.linear_fit (axis=1): least-squares; returns struct(slope, intercept)."""
+def linear_fit(x: Column, y: Column, weight: Column | None = None) -> Column:
+    """ak.linear_fit (axis=1): least-squares (weighted when ``weight``
+    given); returns struct(slope, intercept)."""
 
     def fin(m: Column) -> Column:
         n = m["n"]
@@ -336,7 +418,7 @@ def linear_fit(x: Column, y: Column) -> Column:
         intercept = F.when(det != 0, (m["sy"] - slope * m["sx"]) / n)
         return F.struct(slope.alias("slope"), intercept.alias("intercept"))
 
-    return _let(_pair_moments(x, y), body=fin)
+    return _let(_pair_moments(x, y, weight), body=fin)
 
 
 # ---------------------------------------------------------------------------
