@@ -81,6 +81,12 @@ from dask_awkward_sandbox_spark.operators.elementwise import (  # noqa: F401
     elementwise,
 )
 from dask_awkward_sandbox_spark.operators.getitem import getitem  # noqa: F401
+from dask_awkward_sandbox_spark.operators.histogram import (  # noqa: F401
+    histogram,
+    histogram2d,
+    histogram_axis1,
+    histogram_global,
+)
 from dask_awkward_sandbox_spark.operators.reducers import (  # noqa: F401
     argmax,
     argmin,
