@@ -606,7 +606,13 @@ _PAIR_SUMS = f"""
            cast(sum({PC}) as double) as sy,
            cast(sum({QC}*{QC}) as double) as sxx,
            cast(sum({PC}*{PC}) as double) as syy,
-           cast(sum({QC}*{PC}) as double) as sxy
+           cast(sum({QC}*{PC}) as double) as sxy,
+           cast(sum(l_linenumber) as double) as sw,
+           cast(sum(l_linenumber*{QC}) as double) as wsx,
+           cast(sum(l_linenumber*{PC}) as double) as wsy,
+           cast(sum(l_linenumber*{QC}*{QC}) as double) as wsxx,
+           cast(sum(l_linenumber*{PC}*{PC}) as double) as wsyy,
+           cast(sum(l_linenumber*{QC}*{PC}) as double) as wsxy
     from lineitem group by l_orderkey
 """
 
@@ -620,28 +626,52 @@ _PAIR_SUMS = f"""
            (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n as intercept,
            sxy/n - (sx/n)*(sy/n) as covar_qp,
            (sxy/n - (sx/n)*(sy/n))
-                 / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) as corr_qp
+                 / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) as corr_qp,
+           (sw*wsxy - wsx*wsy) / (sw*wsxx - wsx*wsx) as wslope,
+           wsxy/sw - (wsx/sw)*(wsy/sw) as wcovar_qp,
+           (wsxy/sw - (wsx/sw)*(wsy/sw))
+                 / sqrt((wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)))
+               as wcorr_qp
     from s
     where n*sxx - sx*sx <> 0
       and (sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)) > 0
+      and sw*wsxx - wsx*wsx <> 0
+      and (wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)) > 0
     """,
 )
 def q_fit_corr(spark, sf_dir):
     """ak.linear_fit + ak.covar / ak.corr (axis=1): pairwise-list
     reductions qty_c vs price_c per order, identical expression trees
     on both sides for bit-exact agreement; rows where either
-    denominator degenerates are filtered on both sides."""
+    denominator degenerates are filtered on both sides. Late-r5 legs:
+    the WEIGHTED forms (weight = l_linenumber) of slope/covar/corr —
+    the reducers the reference raises DaskAwkwardNotImplemented for,
+    value-oracled every round (every w-scaled sum is an exact int in
+    double, so both engines agree bit-for-bit)."""
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_extendedprice"])
     x, y = _qty_c(F.col("items")), _price_c(F.col("items"))
+    w = F.transform(F.col("items"), lambda s: s["l_linenumber"].cast("double"))
     fit = red.linear_fit(x, y)
+    wfit = red.linear_fit(x, y, weight=w)
     out = it.select(
         "l_orderkey",
         fit["slope"].alias("slope"),
         fit["intercept"].alias("intercept"),
         red.covar(x, y).alias("covar_qp"),
         red.corr(x, y).alias("corr_qp"),
+        wfit["slope"].alias("wslope"),
+        red.covar(x, y, weight=w).alias("wcovar_qp"),
+        red.corr(x, y, weight=w).alias("wcorr_qp"),
     )
-    return out.filter(F.col("slope").isNotNull() & F.col("corr_qp").isNotNull())
+    return out.filter(
+        F.col("slope").isNotNull()
+        & F.col("corr_qp").isNotNull()
+        & F.col("wslope").isNotNull()
+        & F.col("wcorr_qp").isNotNull()
+    )
+
+
+_HIST_BINS, _HIST_LO, _HIST_HI = 8, 0.0, 5120.0  # qty cents 100..5000, width 640
 
 
 @query(
@@ -651,22 +681,39 @@ def q_fit_corr(spark, sf_dir):
            cast(count(l_quantity) as bigint) as n_vals,
            cast(min({QC}) as bigint) as min_qty_c,
            cast(max({QC}) as bigint) as max_qty_c,
-           cast(sum({QC}) as double) / count(l_quantity) as mean_qty_c
+           cast(sum({QC}) as double) / count(l_quantity) as mean_qty_c,
+           {", ".join(
+               f"cast(count(case when floor({QC} / 640.0) = {i} then 1 end) as bigint)"
+               f" as h{i}"
+               for i in range(_HIST_BINS)
+           )}
     from lineitem
     """,
 )
 def q_reduce_axis_none(spark, sf_dir):
     """ak.sum/count/min/max/mean(axis=None): whole-collection
     reduction over the nested build — per-list fold map-side, one
-    partial per order row into the global agg (never per element)."""
+    partial per order row into the global agg (never per element).
+    Late-r5 legs: the GLOBAL ragged histogram (operators/histogram.py)
+    over the same lists — per-row count vectors from an in-row fold,
+    reduced by position inside this same aggregate; the oracle rebins
+    every lineitem with the identical floor arithmetic."""
+    from dask_awkward_sandbox_spark.operators import histogram as hg
+
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     q = _qty_c(F.col("items"))
-    return it.agg(
-        red.sum0(q).cast("long").alias("total_qty_c"),
-        red.count0(q).cast("long").alias("n_vals"),
-        red.min0(q).cast("long").alias("min_qty_c"),
-        red.max0(q).cast("long").alias("max_qty_c"),
-        red.mean0(q).alias("mean_qty_c"),
+    hist = hg.histogram_axis1(q, _HIST_BINS, _HIST_LO, _HIST_HI)
+    pre = it.select(q.alias("_q"), hist.alias("_h"))
+    return pre.agg(
+        red.sum0(F.col("_q")).cast("long").alias("total_qty_c"),
+        red.count0(F.col("_q")).cast("long").alias("n_vals"),
+        red.min0(F.col("_q")).cast("long").alias("min_qty_c"),
+        red.max0(F.col("_q")).cast("long").alias("max_qty_c"),
+        red.mean0(F.col("_q")).alias("mean_qty_c"),
+        *[
+            F.sum(F.get(F.col("_h"), i)).cast("long").alias(f"h{i}")
+            for i in range(_HIST_BINS)
+        ],
     )
 
 
