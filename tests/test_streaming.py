@@ -479,3 +479,33 @@ def test_streaming_rollup_equals_batch_and_cascades(spark):
         for r in direct_day.collect()
     }
     assert cg == cw
+
+
+def test_sessionizer_agrees_with_native_session_window(spark):
+    """Cross-validation against Spark's OWN gap-sessionization
+    operator: per-user session counts and max session length from
+    F.session_window (native, 30-min gap) must equal the
+    q_events_sessionize window-function build — two independent
+    in-engine implementations of the same semantics."""
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.plans.events import q_events_sessionize
+
+    ev = read(spark, SF, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("c").alias("max_sess_len"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["n_sessions"], r["max_sess_len"])
+        for r in native.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["max_sess_len"])
+        for r in q_events_sessionize(spark, SF).collect()
+    }
+    assert got == want
