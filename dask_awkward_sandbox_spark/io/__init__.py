@@ -6,7 +6,12 @@ from dask_awkward_sandbox_spark.io.csv import (
     to_csv,
     to_orc,
 )
-from dask_awkward_sandbox_spark.io.json import from_json, to_json
+from dask_awkward_sandbox_spark.io.json import (
+    from_json,
+    layout_to_jsonschema,
+    schema_to_jsonschema,
+    to_json,
+)
 from dask_awkward_sandbox_spark.io.parquet import (
     from_parquet,
     from_table,
@@ -30,6 +35,8 @@ __all__ = [
     "from_avro",
     "to_avro",
     "from_json",
+    "layout_to_jsonschema",
+    "schema_to_jsonschema",
     "to_json",
     "from_parquet",
     "to_parquet",
