@@ -25,6 +25,10 @@ from dask_awkward_sandbox_spark.session import get_spark, load_tables, TABLES
 from dask_awkward_sandbox_spark import core
 from dask_awkward_sandbox_spark import inspect
 from dask_awkward_sandbox_spark.operators import reducers, strings, structure
+# the reference exposes the string namespace as `dak.str` (its
+# __init__.py:9 does `import dask_awkward.lib.str as str`); mirror the
+# attribute so ported `dak.str.split_whitespace(...)` calls resolve
+from dask_awkward_sandbox_spark.operators import strings as str  # noqa: A001
 
 # Flat namespace mirroring the reference's `import dask_awkward as dak`
 # export surface (reference src/dask_awkward/__init__.py) — the verbs a
