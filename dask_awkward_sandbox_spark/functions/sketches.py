@@ -111,3 +111,74 @@ def heavy_hitters(
         .drop("_total")
     )
     return out.orderBy(F.col("n").desc(), "value")
+
+
+class CountMinSketch:
+    """Decoded form of Spark's ``count_min_sketch`` binary (the SQL
+    function is write-only — no ``cms_query`` exists engine-side), so
+    a driver/service can answer point frequency queries from the tiny
+    sketch without touching the data again.
+
+    Wire format (big-endian, from Spark's CountMinSketchImpl /
+    stream-lib): int version=1, long totalCount, int depth, int width,
+    long hashA[depth], long table[depth][width]. Long items hash with
+    the stream-lib scheme (hashA[i]*item folded mod 2^31-1); string
+    items double-hash with Murmur3 (h1 + i*h2, Guava style).
+    """
+
+    PRIME_MODULUS = (1 << 31) - 1
+
+    def __init__(self, raw: bytes):
+        import struct
+
+        raw = bytes(raw)
+        (version,) = struct.unpack_from(">i", raw, 0)
+        if version != 1:
+            raise ValueError(f"unsupported CMS serialization version {version}")
+        (self.total_count,) = struct.unpack_from(">q", raw, 4)
+        self.depth, self.width = struct.unpack_from(">2i", raw, 12)
+        off = 20
+        self.hash_a = list(struct.unpack_from(f">{self.depth}q", raw, off))
+        off += 8 * self.depth
+        self.table = []
+        for _ in range(self.depth):
+            self.table.append(list(struct.unpack_from(f">{self.width}q", raw, off)))
+            off += 8 * self.width
+
+    def _bucket_long(self, item: int, i: int) -> int:
+        h = (self.hash_a[i] * item) & 0xFFFFFFFFFFFFFFFF
+        h = (h + (h >> 32)) & self.PRIME_MODULUS
+        return int(h % self.width)
+
+    def estimate_long(self, item: int) -> int:
+        return min(
+            self.table[i][self._bucket_long(item, i)] for i in range(self.depth)
+        )
+
+    def estimate_string(self, item: str) -> int:
+        from dask_awkward_sandbox_spark.utils import murmur3_x86_32
+
+        data = item.encode("utf-8")
+        h1 = murmur3_x86_32(data, 0)
+        h2 = murmur3_x86_32(data, h1)
+        best = None
+        for i in range(self.depth):
+            combined = (h1 + i * h2) & 0xFFFFFFFF
+            if combined >= 1 << 31:
+                combined -= 1 << 32
+            # Java %: truncated toward zero, sign of the dividend; then
+            # Math.abs — replicate exactly
+            rem = abs(combined) % self.width
+            v = self.table[i][rem]
+            best = v if best is None else min(best, v)
+        return best
+
+
+def cms_query(sketch_bytes: bytes, item) -> int:
+    """Point frequency estimate from a :func:`count_min` sketch value:
+    estimate >= true count always; <= true + eps*N with the sketch's
+    confidence."""
+    cms = CountMinSketch(sketch_bytes)
+    if isinstance(item, str):
+        return cms.estimate_string(item)
+    return cms.estimate_long(int(item))

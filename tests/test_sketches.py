@@ -104,3 +104,47 @@ def test_heavy_hitters_exact(spark):
         if r["count"] > n * 0.1
     }
     assert got == want
+
+
+def test_cms_point_query_long_and_string(spark):
+    """cms_query decodes Spark's count_min_sketch binary (long + string
+    hashing reverse-verified against planted exact counts): estimates
+    are never below the true count and absent keys stay near zero."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i % 10, f"k{i % 7}") for i in range(1000)], "x long, s string"
+    )
+    lb = bytes(sk.count_min(df, "x", eps=0.005, confidence=0.99).collect()[0][0])
+    for v in range(10):
+        assert sk.cms_query(lb, v) == 100
+    assert sk.cms_query(lb, 424242) <= 0.005 * 1000
+
+    sb = bytes(
+        df.agg(
+            F.count_min_sketch("s", F.lit(0.005), F.lit(0.99), F.lit(7)).alias("c")
+        ).collect()[0][0]
+    )
+    want = {f"k{i}": (1000 // 7 + (1 if i < 1000 % 7 else 0)) for i in range(7)}
+    for k, n in want.items():
+        assert sk.cms_query(sb, k) == n, (k, sk.cms_query(sb, k), n)
+    assert sk.cms_query(sb, "absent") <= 0.005 * 1000
+
+
+def test_cms_query_real_column(spark):
+    """On real data the estimate must be >= the exact count for every
+    key and within eps*N of it."""
+    import os
+
+    from dask_awkward_sandbox_spark.functions import sketches as sk
+
+    sf = os.environ.get("DWAX_TEST_SF", "/root/testdata/sf0.01")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n = li.count()
+    b = bytes(sk.count_min(li, "l_suppkey", eps=0.001, confidence=0.99).collect()[0][0])
+    exact = {r["l_suppkey"]: r["count"] for r in li.groupBy("l_suppkey").count().collect()}
+    for k, c in list(exact.items())[:50]:
+        est = sk.cms_query(b, k)
+        assert c <= est <= c + 0.001 * n, (k, c, est)
