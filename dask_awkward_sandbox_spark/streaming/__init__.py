@@ -1,3 +1,4 @@
+from dask_awkward_sandbox_spark.streaming.similarity import stream_ivf_append
 from dask_awkward_sandbox_spark.streaming.events import (
     enrich_with_dim,
     run_stream_to_parquet,
@@ -14,4 +15,5 @@ __all__ = [
     "stream_dedup_exact",
     "enrich_with_dim",
     "run_stream_to_parquet",
+    "stream_ivf_append",
 ]

@@ -509,3 +509,78 @@ def test_sessionizer_agrees_with_native_session_window(spark):
         for r in q_events_sessionize(spark, SF).collect()
     }
     assert got == want
+
+
+def test_stream_ivf_append_matches_batch_index(spark, tmp_path):
+    """Streaming IVF maintenance: an index built purely from streamed
+    micro-batch appends must answer probes IDENTICALLY to the
+    batch-materialized index over the same corpus and frozen
+    centroids (same top-k, same similarities), and the streamed read
+    must partition-prune on list_id."""
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        ivf_probe_indexed,
+        ivf_write_index,
+        kmeans_train,
+    )
+    from dask_awkward_sandbox_spark.streaming import stream_ivf_append
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=3)
+
+    batch_path = str(tmp_path / "ivf_batch")
+    ivf_write_index(emb, batch_path, nlist=8, X=None)  # retrains identically
+    # rebuild with the SAME frozen centroids for a fair compare
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        as_double,
+        assign_nearest_centroid,
+        norm,
+    )
+    (
+        emb.select(
+            F.col("vec_id").alias("nb_id"),
+            as_double(F.col("embedding")).alias("nb_vec"),
+        )
+        .withColumn("list_id", assign_nearest_centroid(F.col("nb_vec"), centroids))
+        .withColumn("nb_norm", norm(F.col("nb_vec")))
+        .write.partitionBy("list_id").mode("overwrite").parquet(batch_path)
+    )
+
+    # stream the same corpus in as parquet micro-batches
+    src = str(tmp_path / "vec_stream_src")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_path = str(tmp_path / "ivf_streamed")
+    stream_ivf_append(
+        stream, centroids, stream_path, str(tmp_path / "ckpt"),
+    )
+
+    streamed = spark.read.parquet(stream_path)
+    assert streamed.count() == emb.count()
+    assert streamed.select("batch_id").distinct().count() >= 2  # real micro-batches
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    want = {
+        (r["q_id"], r["nb_id"]): r["sim"]
+        for r in ivf_probe_indexed(
+            spark, batch_path, queries, centroids, k=5, nprobe=3
+        ).collect()
+    }
+    got = {
+        (r["q_id"], r["nb_id"]): r["sim"]
+        for r in ivf_probe_indexed(
+            spark, stream_path, queries, centroids, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want
+
+    # pruning: a list_id filter must reach PartitionFilters
+    plan = (
+        spark.read.parquet(stream_path)
+        .filter(F.col("list_id") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120]
