@@ -97,6 +97,18 @@ def rollup_cascade(
     order = [GRAINS.index(g) for g in grains]
     if order != sorted(order):
         raise ValueError(f"grains must be finest->coarsest, got {grains}")
+    # calendar weeks straddle month/quarter/year boundaries, so a
+    # coarser grain derived FROM a week rollup would assign whole
+    # cross-boundary weeks to the month of their Monday — silently
+    # breaking the lossless re-aggregation contract. 'week' may only
+    # terminate a cascade; branch it off the day rollup separately.
+    if "week" in grains[:-1]:
+        raise ValueError(
+            "'week' does not nest into coarser calendar grains (weeks "
+            "straddle month/quarter/year boundaries); it may only be "
+            "the FINAL grain of a cascade — build a separate cascade "
+            "(e.g. ['day', 'week']) for weekly buckets"
+        )
     for name in measures:
         _reagg_column(name)  # validate prefixes before scanning anything
     out: dict[str, DataFrame] = {}

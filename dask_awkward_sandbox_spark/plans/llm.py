@@ -751,12 +751,15 @@ def q_ann_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(e, q, k=5)
 
 
-@query(
-    "q_embedding_neardup",
-    f"""
-    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+# Everything up to the verified near-dup edge set, shared between the
+# registered recursive-CTE oracle below and the sf1 smoke's linear
+# iterative closure (tests/test_scale_smoke.py — the recursive walk is
+# quadratic per component, so at 10x it swaps in min-label temp-table
+# iteration over these SAME edges).
+NEARDUP_CLUSTER_EDGES_CTE = f"""
+    e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
     params as (select greatest({LSH_PLANES},
-                               cast(ceil(log2(count(*) / 250.0)) as int)) as np
+                               cast(ceil(log2(count(*) / 8.0)) as int)) as np
                from embeddings),
     pl as (select unnest(range((select np from params) * {LSH_TABLES})) as plane),
     proj as (
@@ -769,40 +772,66 @@ def q_ann_bruteforce(spark, sf_dir):
     b as (select vec_id, t,
                  sum(case when pr >= 0 then 1 << bit else 0 end) as bucket
           from proj group by vec_id, t),
-    cand as (select distinct a.vec_id as id_a, c.vec_id as id_b
-             from b a join b c on a.t = c.t and a.bucket = c.bucket
-                              and a.vec_id < c.vec_id)
-    select cand.id_a, cand.id_b,
-           round(list_cosine_similarity(ea.v, eb.v), 6) as sim
-    from cand
-    join e ea on ea.vec_id = cand.id_a
-    join e eb on eb.vec_id = cand.id_b
-    where round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    sizes as (select t, bucket, count(*) as occ, min(vec_id) as rep
+              from b group by t, bucket),
+    bs as (select b.vec_id as m, b.t, b.bucket, s.occ, s.rep
+           from b join sizes s using (t, bucket)),
+    cand as (
+      select x.m as a, y.m as b
+      from bs x join bs y on x.t = y.t and x.bucket = y.bucket
+                         and x.m < y.m
+      where x.occ <= 64
+      union
+      select rep as a, m as b from bs where occ > 64 and m <> rep),
+    verified as (
+      select c.a, c.b from cand c
+      join e ea on ea.vec_id = c.a
+      join e eb on eb.vec_id = c.b
+      where round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4)
+"""
+
+
+@query(
+    "q_embedding_neardup",
+    f"""
+    with recursive
+    {NEARDUP_CLUSTER_EDGES_CTE},
+    und as (select a as src, b as dst from verified
+            union
+            select b as src, a as dst from verified),
+    walk(node, lab) as (
+        select vec_id, vec_id from e
+        union
+        select u.src, w.lab from walk w join und u on u.dst = w.node
+    )
+    select cast(node as bigint) as id, cast(min(lab) as bigint) as cluster
+    from walk group by node
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above threshold, blocked
-    through hyperplane-LSH buckets (equi-join on (table, bucket),
-    never an all-pairs product) and exact-verified within buckets.
-    Full value oracle: DuckDB rebuilds the same deterministic planes,
-    bucket table, blocking join, and cosine filter.
+    """Embedding-cosine near-duplicate CLUSTERS (r6: the gate slot is
+    the scale-safe cluster-collapse form — the r5 verdict's item 2;
+    the pair LISTER it replaces is output-quadratic on clustered
+    embeddings, 15.7x wall at 10x data for 66x output pairs, and
+    stays available as `similarity.neardup_pairs_blocked` under its
+    pytest value checks in tests/test_similarity.py).
 
-    r5: the plane count is ADAPTIVE (`similarity.adaptive_planes` —
-    ceil(log2(n/250)), floor {LSH_PLANES}), derived from the corpus
-    count on BOTH sides with the same formula, so bucket occupancy
-    (and with it the candidate-pair cost) stays ~constant per vector
-    as the corpus grows — the r5 sf1 probe measured the fixed-plane
-    version at 33x wall for 10x data; the adaptive version is the
-    linear scale path. Unchanged at sf<=0.1 (formula floors to
-    {LSH_PLANES} there), so gate and baseline numbers are
-    comparable. The count() that feeds the formula is
-    parquet-metadata cheap."""
+    Shape: adaptive fine buckets (occupancy target 8 — planes =
+    ceil(log2(n/8))) from the same deterministic hash-mixed
+    hyperplanes the oracle rebuilds; hybrid verified edges — ALL
+    within-bucket pairs for buckets <= 64 members, star-to-min for
+    over-cap tight clusters — each cosine-verified at >= 0.4 (rounded
+    to 6 digits on both engines so a last-ulp fold difference cannot
+    flip an edge); min-label connected components with pointer
+    jumping collapse the verified edges into (id, cluster). Output is
+    LINEAR in the corpus no matter how big the dup clusters are.
+    Oracle: DuckDB rebuilds planes, buckets, the hybrid edge set, the
+    cosine verification, and closes the components with a recursive
+    CTE — min label per node, exactly the Spark fixpoint."""
     e = _emb(spark, sf_dir)
-    planes = similarity.adaptive_planes(e.count(), target_occupancy=250, min_planes=LSH_PLANES)
-    return similarity.neardup_pairs_blocked(
-        e, dim=EMB_DIM, threshold=0.4,
-        planes=planes, tables=LSH_TABLES,
-    )
+    return similarity.embedding_neardup_clusters(
+        e, dim=EMB_DIM, threshold=0.4, tables=LSH_TABLES,
+    ).select(F.col("id"), F.col("cluster"))
 
 
 @query(

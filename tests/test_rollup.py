@@ -94,3 +94,30 @@ def test_bad_measure_name_rejected_before_scan(spark):
             _events(spark), "ts", ["day", "month"],
             {"avg_value": F.avg("value")},
         )
+
+
+def test_week_rejected_as_intermediate_grain(spark):
+    """Calendar weeks straddle month/quarter/year boundaries, so a
+    cascade deriving a coarser grain FROM a week rollup would assign
+    whole cross-boundary weeks to their Monday's month — rejected
+    before any scan (r6, ADVICE). Week as the FINAL grain is fine."""
+    import pytest
+
+    from dask_awkward_sandbox_spark.functions import rollup as ru
+
+    with pytest.raises(ValueError, match="FINAL grain"):
+        ru.rollup_cascade(
+            _events(spark), "ts", ["day", "week", "month"], _measures()
+        )
+    out = ru.rollup_cascade(_events(spark), "ts", ["day", "week"], _measures())
+    assert set(out) == {"day", "week"}
+
+
+def test_week_final_grain_equals_direct(spark):
+    """['day','week'] cascade's week rollup == week computed directly
+    from raw — day buckets DO nest losslessly into ISO weeks."""
+    from dask_awkward_sandbox_spark.functions import rollup as ru
+
+    cascade = ru.rollup_cascade(_events(spark), "ts", ["day", "week"], _measures())
+    direct = ru.rollup_once(_events(spark), "ts", "week", _measures())
+    assert _canon(cascade["week"]) == _canon(direct)

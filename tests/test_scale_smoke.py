@@ -141,6 +141,52 @@ def _clusters_oracle_iterative(con):
     ).df()
 
 
+# Same reasoning for the r6-registered embedding-neardup CLUSTERS
+# slot: edges come from the shared SQL fragment (bit-identical to the
+# registered oracle's), the closure swaps the recursive walk for
+# linear min-label iteration.
+def _emb_clusters_oracle_iterative(con):
+    from dask_awkward_sandbox_spark.plans.llm import NEARDUP_CLUSTER_EDGES_CTE
+
+    con.execute(
+        f"""
+        create temp table _eund as
+        with {NEARDUP_CLUSTER_EDGES_CTE}
+        select a as src, b as dst from verified
+        union
+        select b as src, a as dst from verified
+        """
+    )
+    con.execute(
+        "create temp table _elab as "
+        "select vec_id as node, vec_id as lab from embeddings"
+    )
+    for _ in range(30):
+        con.execute(
+            """
+            create or replace temp table _enxt as
+            with prop as (
+              select u.src as node, min(l.lab) as cand
+              from _eund u join _elab l on l.node = u.dst
+              group by u.src)
+            select l.node, least(l.lab, coalesce(p.cand, l.lab)) as lab
+            from _elab l left join prop p on p.node = l.node
+            """
+        )
+        changed = con.execute(
+            "select count(*) from _enxt n join _elab l on l.node = n.node "
+            "where n.lab <> l.lab"
+        ).fetchone()[0]
+        con.execute("drop table _elab")
+        con.execute("alter table _enxt rename to _elab")
+        if changed == 0:
+            break
+    return con.execute(
+        "select cast(node as bigint) as id, cast(lab as bigint) as cluster "
+        "from _elab"
+    ).df()
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_sf1_query_matches_oracle(spark, name):
     from dask_awkward_sandbox_spark.plans import ORACLES, QUERIES
@@ -157,6 +203,8 @@ def test_sf1_query_matches_oracle(spark, name):
     con = _duck(SF1_DIR)
     if name == "q_dedup_minhash_clusters":
         odf = _clusters_oracle_iterative(con)
+    elif name == "q_embedding_neardup":
+        odf = _emb_clusters_oracle_iterative(con)
     else:
         odf = con.execute(ORACLES[name]).df()
     scols, srows = _canon(sdf)

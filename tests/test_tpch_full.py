@@ -121,4 +121,6 @@ def test_q15_no_collect_max_broadcast(spark):
 
     plan = _plan(TPCH_FULL_QUERIES["q15_top_supplier"](spark, SF_DIR))
     assert "BroadcastExchange" in plan
-    assert "PushedFilters" in plan or "PartitionFilters" in plan or True
+    # both lineitem branches scan with the quarter bounds pushed down
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
