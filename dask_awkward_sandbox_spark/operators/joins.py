@@ -123,6 +123,120 @@ def asof_join(
     return out
 
 
+def asof_join_skew(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    tolerance=None,
+    suffix: str = "_r",
+    slice_width: int = 3600,
+) -> DataFrame:
+    """:func:`asof_join` for HOT by-keys — the two-phase segmented
+    scan.
+
+    The union-trick asof is ONE keyed window, so a single dominant
+    key (one instrument with 40% of the quotes) pins one reducer: a
+    window partition cannot be split by AQE. This variant slices TIME
+    into fixed-width buckets (``_slice = floor(on / slice_width)``)
+    so the hot key's rows spread across its time slices:
+
+    1. **local**: the carry-forward window runs per ``(by, _slice)``
+       — the hot key now occupies many partitions, one per slice;
+    2. **boundary**: per ``(by, _slice)`` the last right-side row is
+       a struct-max aggregate; a window over the tiny boundary table
+       (one row per key x slice, ordered by slice, rows up to -1)
+       computes the carry ENTERING each slice — the classic parallel
+       prefix-sum boundary pass, driver-free;
+    3. **stitch**: join the entering carry back on ``(by, _slice)``
+       (the window's partitioning is reused — only the boundary
+       table shuffles) and ``coalesce(local, entering)``.
+
+    Same output contract as :func:`asof_join` (backward, right rows
+    visible at equal timestamps, ``tolerance`` staleness nulling);
+    equal-timestamp right rows resolve by struct-max on (on, payload)
+    at slice boundaries, which is a DETERMINISTIC refinement of the
+    base version's unspecified tie order. ``on`` must be numeric
+    (epoch seconds/micros); pick ``slice_width`` so one key's rows
+    per slice fit a task (e.g. an hour of ticks). Cost: the same
+    one big shuffle, plus a key x slice-sized boundary pass.
+    """
+    from pyspark.sql import Window
+
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c not in {*by_cols, on}]
+    overlap = set(payload) & set(left.columns)
+
+    def rname(c: str) -> str:
+        return c + suffix if c in overlap or c == on else c
+
+    carried = [rname(c) for c in payload]
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        *by_cols, F.col(on), *[F.col(c).alias(rname(c)) for c in payload]
+    ).withColumn("_side", F.lit(0))
+    allc = l_tag.unionByName(r_tag, allowMissingColumns=True).withColumn(
+        "_slice", F.floor(F.col(on) / F.lit(slice_width))
+    )
+
+    # 1. local carry, per (by, slice) — the hot key is split by time
+    w_local = (
+        Window.partitionBy(*by_cols, "_slice")
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_on = F.when(F.col("_side") == 0, F.col(on))
+    filled = allc.select(
+        "*",
+        F.last(right_on, ignorenulls=True).over(w_local).alias("_l_" + on),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w_local)
+            .alias("_l_" + c)
+            for c in carried
+        ],
+    ).filter(F.col("_side") == 1)
+
+    # 2. boundary pass: last right row per (by, slice) -> carry
+    # entering each slice. Slices with left-but-no-right rows must
+    # appear (null boundary) so the entering carry still reaches them.
+    slices = allc.select(*by_cols, "_slice").distinct()
+    bnd = (
+        allc.filter(F.col("_side") == 0)
+        .groupBy(*by_cols, "_slice")
+        .agg(F.max(F.struct(F.col(on), *[F.col(c) for c in carried])).alias("_b"))
+    )
+    w_b = (
+        Window.partitionBy(*by_cols)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    entering = slices.join(bnd, [*by_cols, "_slice"], "left").select(
+        *by_cols,
+        "_slice",
+        F.last("_b", ignorenulls=True).over(w_b).alias("_cin"),
+    )
+
+    # 3. stitch: local carry wins; else the carry entering the slice
+    out = filled.join(entering, [*by_cols, "_slice"]).select(
+        *[
+            c
+            for c in filled.columns
+            if not c.startswith("_l_") and c not in ("_side", "_slice", *carried)
+        ],
+        F.coalesce(F.col("_l_" + on), F.col("_cin." + on)).alias(on + suffix),
+        *[
+            F.coalesce(F.col("_l_" + c), F.col("_cin." + c)).alias(c)
+            for c in carried
+        ],
+    ).drop("_cin")
+    if tolerance is not None:
+        stale = F.col(on) - F.col(on + suffix) > F.lit(tolerance)
+        for c in [on + suffix, *carried]:
+            out = out.withColumn(c, F.when(~F.coalesce(stale, F.lit(True)), F.col(c)))
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -513,3 +513,30 @@ def all_axis0(df, arr: Column):
 def mean_axis0(df, arr: Column):
     """ak.mean(axis=0): exact positional sum / count."""
     return _axis0(df, arr, F.sum("_v") / F.count("_v"), "mean0")
+
+
+# ---------------------------------------------------------------------------
+# awkward keyword-surface compatibility (r6; see operators/akcompat.py)
+# ---------------------------------------------------------------------------
+from dask_awkward_sandbox_spark.operators.akcompat import apply_surface as _aks  # noqa: E402
+
+_aks(globals(), {
+    # reducers: ak signature sum(array, axis=None, keepdims=False,
+    # mask_identity=False, highlevel=True, behavior=None, attrs=None).
+    # The Column-level forms reduce the deepest list axis (1 / -1);
+    # axis=None / axis=0 raise pointing at sum0/sum_axis0 families.
+    "sum": {}, "prod": {}, "ptp": {},
+    "min": {"fixed": {"initial": None}},
+    "max": {"fixed": {"initial": None}},
+    "any": {}, "all": {}, "count": {}, "count_nonzero": {},
+    # empty lists already reduce to NULL (Spark's 0/0), which IS
+    # mask_identity=True — the only supported value
+    "mean": {"fixed": {"keepdims": False, "mask_identity": True}},
+    "var": {"fixed": {"keepdims": False, "mask_identity": True}},
+    "std": {"fixed": {"keepdims": False, "mask_identity": True}},
+    "moment": {"fixed": {"keepdims": False, "mask_identity": True}},
+    "argmin": {"fixed": {"keepdims": False, "mask_identity": True}},
+    "argmax": {"fixed": {"keepdims": False, "mask_identity": True}},
+    "softmax": {"axis": (-1, 1), "axis_default": -1},
+    "corr": {}, "covar": {}, "linear_fit": {},
+})

@@ -718,3 +718,48 @@ def from_regular(arr: Column) -> Column:
     """No-op counterpart of ``to_regular``. Parity:
     structure.py:from_regular."""
     return arr
+
+
+# ---------------------------------------------------------------------------
+# awkward keyword-surface compatibility (r6; see operators/akcompat.py)
+# ---------------------------------------------------------------------------
+from dask_awkward_sandbox_spark.operators.akcompat import apply_surface as _aks  # noqa: E402
+
+_aks(globals(), {
+    "flatten": {}, "num": {},
+    "local_index": {"axis": (-1, 1), "axis_default": -1},
+    "run_lengths": {"axis": None},
+    "zip": {"axis": None, "fixed": {"depth_limit": None, "with_name": None,
+                                    "right_broadcast": False}},
+    "with_field": {"axis": None},
+    # ak.cartesian/argcartesian take a LIST of arrays; ours unpacks it
+    "cartesian": {"fixed": {"nested": (None, False)}, "unpack_first_sequence": True},
+    "argcartesian": {"fixed": {"nested": (None, False)}, "unpack_first_sequence": True},
+    # ak.combinations(array, n, ...) — n rides positionally in ported
+    # code; only pairs are implemented
+    "combinations": {"fixed": {"replacement": False},
+                     "fixed_pos": [(1, "n", 2)]},
+    "argcombinations": {"fixed": {"replacement": False},
+                        "fixed_pos": [(1, "n", 2)]},
+    "sort": {"axis": (-1, 1), "axis_default": -1, "fixed": {"stable": True}},
+    "argsort": {"axis": (-1, 1), "axis_default": -1, "fixed": {"stable": True}},
+    "firsts": {},
+    "singletons": {"axis": (0,), "axis_default": 0},
+    "pad_none": {},
+    "fill_none": {"axis": (-1, 1, None), "axis_default": -1},
+    "drop_none": {"axis": (-1, 1, None), "axis_default": None},
+    "mask": {"axis": None},
+    "where": {"axis": None, "fixed": {"mergebool": True}},
+    "values_astype": {"axis": None},
+    "full_like": {"axis": None, "fixed": {"dtype": None}},
+    "ones_like": {"axis": None, "fixed": {"dtype": None}},
+    "zeros_like": {"axis": None, "fixed": {"dtype": None}},
+    "nan_to_num": {"axis": None, "fixed": {"posinf": None, "neginf": None}},
+    "isclose": {"axis": None, "fixed": {"equal_nan": False}},
+    # ak.concatenate(arrays, axis=0): ours is the DataFrame-level
+    # axis=0 union; axis=1 has the dedicated concatenate_axis1
+    "concatenate": {"axis": (0,), "axis_default": 0},
+    "broadcast_arrays": {"axis": None},
+    "to_regular": {"axis": (-1, 1, None), "axis_default": -1},
+    "from_regular": {"axis": (-1, 1, None), "axis_default": -1},
+})

@@ -43,7 +43,12 @@ SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds — exact integer compa
       select event_type, cast(n as bigint) as n,
              n / (select sum(n) from counts) as frac
       from counts
-      where n > (select sum(n) from counts) * 0.15)
+      where n > (select sum(n) from counts) * 0.15),
+    hll as (
+      select event_type,
+             cast(epoch(date_trunc('day', ts)) as bigint) as bucket,
+             cast(count(distinct user_id) as bigint) as n
+      from events group by 1, 2)
     select 'hour' as leg, bucket, event_type as key, n, sum_c, mn, mx,
            cast(null as double) as frac
     from rolled
@@ -56,6 +61,11 @@ SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds — exact integer compa
            n, cast(null as bigint) as sum_c, cast(null as bigint) as mn,
            cast(null as bigint) as mx, frac
     from hh
+    union all
+    select 'hll' as leg, bucket, event_type as key, n,
+           cast(null as bigint) as sum_c, cast(1 as bigint) as mn,
+           cast(null as bigint) as mx, cast(null as double) as frac
+    from hll
     """,
 )
 def q_events_windowed(spark, sf_dir):
@@ -70,11 +80,24 @@ def q_events_windowed(spark, sf_dir):
       computes day directly from the raw table: the driver's hash
       proves the lossless re-aggregation contract every round;
     - 'hh': functions.sketches.heavy_hitters over event_type (exact
-      counts, broadcast 1-row total, no driver action).
+      counts, broadcast 1-row total, no driver action);
+    - 'hll' (r6, verdict item 7 — the mergeable-sketch contract under
+      the DRIVER's oracle every round): per (day, event_type) distinct
+      user_id three ways — the day sketch MERGED from the hour
+      rollup's HLL sketches (the cascade column), the day sketch built
+      direct from raw, and the exact count. Emits the exact count in
+      `n` (hash-compared with the oracle's COUNT(DISTINCT)) and an
+      `mn` flag = 1 iff merged-estimate == direct-estimate (HLL merge
+      is deterministic) AND the estimate sits within the published
+      error of exact (5% at lgConfigK=12, floor 2). The oracle emits
+      mn=1 unconditionally: a merge bug or out-of-bound estimate
+      flips the flag and the driver's value hash catches it.
 
     Scale: one raw scan (ReusedExchange feeds both grains), the day
     grain re-aggregates |hour-buckets| rows, heavy hitters shuffles
-    one row per distinct value."""
+    one row per distinct value; the hll leg's merge reads |hour-bucket|
+    sketch rows, never raw data — the petabyte daily→monthly
+    distinct-count shape."""
     from dask_awkward_sandbox_spark.functions import rollup as ru
     from dask_awkward_sandbox_spark.functions import sketches as sk
 
@@ -85,7 +108,8 @@ def q_events_windowed(spark, sf_dir):
         "max_value_c": F.max(cents(F.col("value"))),
     }
     cascade = ru.rollup_cascade(e, "ts", ["hour", "day"], measures,
-                                group_by=["event_type"])
+                                group_by=["event_type"],
+                                distinct_cols=["user_id"])
 
     def leg(df, name):
         return df.select(
@@ -109,7 +133,45 @@ def q_events_windowed(spark, sf_dir):
         F.lit(None).cast("long").alias("mx"),
         F.col("fraction").alias("frac"),
     )
-    return leg(cascade["hour"], "hour").unionAll(leg(cascade["day"], "day")).unionAll(hh)
+
+    # 'hll' leg: merged-vs-direct-vs-exact per (day, event_type)
+    day_direct = ru.rollup_once(
+        e, "ts", "day", {}, group_by=["event_type"], distinct_cols=["user_id"]
+    ).select(
+        "bucket", "event_type",
+        F.hll_sketch_estimate("hll_user_id").alias("_est_direct"),
+    )
+    exact = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("_exact"))
+    merged = cascade["day"].select(
+        "bucket", "event_type",
+        F.hll_sketch_estimate("hll_user_id").alias("_est_merged"),
+    )
+    ok = (F.col("_est_merged") == F.col("_est_direct")) & (
+        F.abs(F.col("_est_merged") - F.col("_exact"))
+        <= F.greatest(F.col("_exact") * 0.05, F.lit(2.0))
+    )
+    hll_leg = (
+        merged.join(day_direct, ["bucket", "event_type"])
+        .join(exact, ["bucket", "event_type"])
+        .select(
+            F.lit("hll").alias("leg"),
+            F.unix_timestamp("bucket").alias("bucket"),
+            F.col("event_type").alias("key"),
+            F.col("_exact").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("sum_c"),
+            ok.cast("long").alias("mn"),
+            F.lit(None).cast("long").alias("mx"),
+            F.lit(None).cast("double").alias("frac"),
+        )
+    )
+    return (
+        leg(cascade["hour"], "hour")
+        .unionAll(leg(cascade["day"], "day"))
+        .unionAll(hh)
+        .unionAll(hll_leg)
+    )
 
 
 @query(

@@ -1,0 +1,116 @@
+"""MERGE-upsert contract on plain parquet (io/lakehouse.py — the r5
+verdict's item 5; Delta/Iceberg jars are absent from the container,
+recorded by probe_lakehouse, so the operational contract is proven on
+the hash-bucket dynamic-partition-overwrite implementation)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.io import lakehouse as lh
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(100)], "id long, s string, n long"
+    )
+
+
+def _table(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_probe_records_missing_jars():
+    probe = lh.probe_lakehouse()
+    # in THIS container both formats must be reported absent with the
+    # exact failure; an empty dict means a real sink became possible
+    # and this module should be retired for it
+    assert "delta" in probe and "ModuleNotFoundError" in probe["delta"]
+    assert "iceberg" in probe
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lh.create_merge_table(_base(spark), path, ["id"], n_buckets=8)
+    updates = spark.createDataFrame(
+        [(5, "NEW", 555), (200, "ins", 2000)], "id long, s string, n long"
+    )
+    lh.merge_upsert(spark, path, updates, ["id"], n_buckets=8)
+    got = lh.read_merge_table(spark, path)
+    assert got.count() == 101
+    assert got.filter("id = 5").collect()[0]["s"] == "NEW"
+    assert got.filter("id = 200").collect()[0]["n"] == 2000
+    assert got.filter("id = 6").collect()[0]["s"] == "v6"  # untouched
+
+
+def test_merge_upsert_idempotent_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lh.create_merge_table(_base(spark), path, ["id"], n_buckets=8)
+    updates = spark.createDataFrame(
+        [(7, "x", 1), (7, "a", 1), (300, "y", 2)], "id long, s string, n long"
+    )
+    lh.merge_upsert(spark, path, updates, ["id"], n_buckets=8)
+    once = _table(lh.read_merge_table(spark, path))
+    lh.merge_upsert(spark, path, updates, ["id"], n_buckets=8)
+    twice = _table(lh.read_merge_table(spark, path))
+    assert once == twice
+    # within-batch duplicate key collapsed deterministically to the
+    # struct-min WHOLE row
+    row = [r for r in once if r[0] == 7]
+    assert row == [(7, "a", 1)]
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lh.create_merge_table(_base(spark), path, ["id"], n_buckets=8)
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(lh.BUCKET_COL)
+    }
+    assert len(before) == 8
+    updates = spark.createDataFrame([(5, "NEW", 555)], "id long, s string, n long")
+    touched = updates.withColumn(
+        "b", F.pmod(F.xxhash64("id"), F.lit(8))
+    ).collect()[0]["b"]
+    lh.merge_upsert(spark, path, updates, ["id"], n_buckets=8)
+    after = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith(lh.BUCKET_COL)
+    }
+    changed = {d for d in before if after[d] != before[d]}
+    assert changed == {f"{lh.BUCKET_COL}={touched}"}
+
+
+def test_streaming_merge_dedup_sink(spark, tmp_path):
+    """The production shape of streaming exact dedup: a key replayed
+    across micro-batches (beyond any watermark) still yields ONE row —
+    the table is the dedup state."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).write.json(os.path.join(src, "batch0"))
+
+    stream = spark.readStream.schema("id long, s string").json(src + "/*")
+    q = lh.merge_dedup_sink(stream, table, ["id"], ckpt).start()
+    q.awaitTermination(120)
+
+    # second delivery: one duplicate key (different payload — LATER
+    # redelivery must not clobber nondeterministically; the struct-min
+    # collapse applies within a batch, cross-batch the upsert wins),
+    # one new key
+    spark.createDataFrame(
+        [(2, "b"), (3, "c")], "id long, s string"
+    ).write.json(os.path.join(src, "batch1"))
+    q = lh.merge_dedup_sink(
+        spark.readStream.schema("id long, s string").json(src + "/*"), table, ["id"], ckpt
+    ).start()
+    q.awaitTermination(120)
+
+    got = _table(lh.read_merge_table(spark, table))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]

@@ -56,3 +56,130 @@ def test_non_goals_are_actually_absent():
 
     present = sorted(n for n in DOCUMENTED_NON_GOALS if n in dir(dwax))
     assert not present, f"update DOCUMENTED_NON_GOALS: {present}"
+
+
+# ---------------------------------------------------------------------------
+# r6: SIGNATURE-level parity (verdict item 6) — name resolution is not
+# enough; a ported script calls dak.sum(x, axis=1, highlevel=True) and
+# must not TypeError. For the most-used reference functions, every
+# keyword the reference signature declares must be ACCEPTED by our
+# callable (present in its signature or absorbed by the akcompat
+# surface) or sit in the documented-divergence allowlist below.
+# ---------------------------------------------------------------------------
+
+import ast
+import inspect as _inspect
+
+import pytest
+
+_REF_LIB = "/root/reference/src/dask_awkward/lib"
+
+# the 20+ most-used reference verbs (reducers + structure + str entry)
+SIGNATURE_CHECKED = [
+    ("reducers.py", "sum"), ("reducers.py", "prod"), ("reducers.py", "min"),
+    ("reducers.py", "max"), ("reducers.py", "mean"), ("reducers.py", "var"),
+    ("reducers.py", "std"), ("reducers.py", "count"),
+    ("reducers.py", "count_nonzero"), ("reducers.py", "any"),
+    ("reducers.py", "all"), ("reducers.py", "argmin"), ("reducers.py", "argmax"),
+    ("structure.py", "flatten"), ("structure.py", "num"),
+    ("structure.py", "sort"), ("structure.py", "argsort"),
+    ("structure.py", "cartesian"), ("structure.py", "combinations"),
+    ("structure.py", "pad_none"), ("structure.py", "fill_none"),
+    ("structure.py", "drop_none"), ("structure.py", "firsts"),
+    ("structure.py", "singletons"), ("structure.py", "local_index"),
+    ("structure.py", "run_lengths"), ("structure.py", "with_field"),
+    ("structure.py", "zip"), ("structure.py", "mask"),
+    ("structure.py", "where"), ("structure.py", "values_astype"),
+]
+
+# keywords whose ABSENCE here is a documented divergence (SURVEY §3 /
+# the function docstrings), per function; '*' applies everywhere
+DOCUMENTED_KW_DIVERGENCE = {
+    "*": {
+        # dask-awkward's split_every rides its tree-reduction machinery;
+        # Catalyst owns partial-aggregation shape here
+        "split_every",
+        # named-axis plumbing (ak.named_axis) — not implemented
+        "named_axis",
+    },
+    # parameter-NAME divergences (same positional slot, different
+    # keyword): ours is (arr, name, value_fn) vs (base, what, where);
+    # (arr, cond) vs (array, mask); (arr, dtype) vs (array, to) —
+    # positional ports work, keyword ports need the rename
+    "with_field": {"where", "what"},
+    "mask": {"mask"},
+    "values_astype": {"to"},
+    "fill_none": {"value"},    # positional in both; name differs (value)
+    "cartesian": {"parameters", "with_name"},
+    "combinations": {"fields", "parameters", "with_name"},
+    "zip": {"parameters", "optiontype_outside_record"},
+    "mean": {"weight"},  # ours HAS weight (beyond-reference) — never missing
+}
+
+
+def _ref_keywords(fname: str, func: str) -> set[str]:
+    """Keyword names (non-first params) of the reference def, via AST."""
+    tree = ast.parse(open(f"{_REF_LIB}/{fname}").read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == func:
+            a = node.args
+            names = [p.arg for p in a.args[1:]] + [p.arg for p in a.kwonlyargs]
+            return set(names)
+    raise AssertionError(f"{func} not found in reference {fname}")
+
+
+@pytest.mark.parametrize("fname,func", SIGNATURE_CHECKED)
+def test_reference_keywords_accepted(fname, func):
+    import dask_awkward_sandbox_spark as dwax
+
+    ours = getattr(dwax, func)
+    sig = _inspect.signature(ours)
+    accepted = set(sig.parameters)
+    has_var_kw = any(
+        p.kind is _inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()
+    )
+    allow = DOCUMENTED_KW_DIVERGENCE.get("*", set()) | DOCUMENTED_KW_DIVERGENCE.get(
+        func, set()
+    )
+    missing = {
+        k for k in _ref_keywords(fname, func)
+        if k not in accepted and not has_var_kw and k not in allow
+    }
+    assert not missing, (
+        f"{func}: reference keywords a ported script would pass that we "
+        f"TypeError on: {sorted(missing)} (accept them via akcompat or "
+        f"add to DOCUMENTED_KW_DIVERGENCE with a docstring note)"
+    )
+
+
+def test_akcompat_axis_and_fixed_values_behave(spark):
+    """The grafted keywords must BEHAVE, not just parse: supported
+    values pass through, unsupported values raise the directed
+    errors (never silently diverge)."""
+    import dask_awkward_sandbox_spark as dwax
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([([3.0, 1.0, 2.0],)], "a array<double>")
+    base = [r[0] for r in df.select(dwax.sort(F.col("a")).alias("s")).collect()]
+    kw = [
+        r[0]
+        for r in df.select(
+            dwax.sort(F.col("a"), axis=-1, highlevel=True, behavior=None,
+                      stable=True).alias("s")
+        ).collect()
+    ]
+    assert base == kw == [[1.0, 2.0, 3.0]]
+
+    with pytest.raises(ValueError, match="axis=0"):
+        dwax.sum(F.col("a"), axis=0)
+    with pytest.raises(ValueError, match="axis=None"):
+        dwax.sum(F.col("a"), axis=None)
+    with pytest.raises(NotImplementedError, match="behavior"):
+        dwax.sum(F.col("a"), behavior={})
+    with pytest.raises(NotImplementedError, match="n=3"):
+        dwax.combinations(F.col("a"), 3)
+    # ported list-form cartesian unpacks
+    got = df.select(
+        dwax.cartesian([F.col("a"), F.col("a")], axis=1, nested=None).alias("c")
+    ).collect()
+    assert len(got[0][0]) == 9
