@@ -126,6 +126,7 @@ def minhash_dedup_clusters(
     num_perms: int = 16,
     bands: int = 4,
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup clusters: connected components over the "shares an LSH
     band bucket" graph. Returns (doc, cluster) where cluster is the
@@ -159,6 +160,9 @@ def minhash_dedup_clusters(
         .agg(F.min("bmin").alias("label"))
         .localCheckpoint(eager=True)
     )
+    if stats is not None:
+        stats["iterations"], stats["changed"] = 0, []
+        stats["converged"] = True
     for _it in range(max_iter):
         bucket_min = (
             buckets.join(labels, "doc")
@@ -190,22 +194,44 @@ def minhash_dedup_clusters(
         # Labels stay component members (a min over component ids),
         # so the fixpoint — and the oracle's transitive closure —
         # is unchanged.
-        jump = prop.select(
-            F.col("doc").alias("pdoc"), F.col("label").alias("plabel")
-        )
-        merged = prop.join(jump, prop["label"] == jump["pdoc"], "left").select(
-            "doc",
-            "old",
-            F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
-        )
+        # two hops per round (r6, same rationale as
+        # similarity.connected_components): an extra hop is a cheap
+        # |docs|-row self-join; an extra ROUND is two full
+        # |docs|*bands shuffles plus a checkpoint+count barrier.
+        merged = prop
+        for _hop in range(2):
+            jump = merged.select(
+                F.col("doc").alias("pdoc"), F.col("label").alias("plabel")
+            )
+            merged = merged.join(
+                jump, merged["label"] == jump["pdoc"], "left"
+            ).select(
+                "doc",
+                "old",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+            )
         # eager checkpoint per round: O(1) lineage, and the next
         # round's joins read materialized partitions (see the note on
         # `buckets` above for why cache chains are wrong here)
         merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("label") != F.col("old")).count()
         labels = merged.select("doc", "label")
+        if stats is not None:
+            stats["iterations"] = _it + 1
+            stats["changed"].append(changed)
         if changed == 0:
             break
+    else:
+        if stats is not None:
+            stats["converged"] = False
+        import warnings
+
+        warnings.warn(
+            f"minhash_dedup_clusters: max_iter={max_iter} reached before "
+            "convergence; labels are a refinement of the true components. "
+            "Raise max_iter.",
+            stacklevel=2,
+        )
     clustered = labels.select("doc", F.col("label").alias("cluster"))
     # token-less docs carry no LSH signal (excluded from buckets);
     # they are their own singleton clusters, so every input doc

@@ -429,7 +429,8 @@ def neardup_pairs_blocked(
 
 
 def connected_components(
-    edges: DataFrame, ids: DataFrame, max_iter: int = 20
+    edges: DataFrame, ids: DataFrame, max_iter: int = 20,
+    stats: dict | None = None, jumps: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected edge list: min-label
     propagation with pointer jumping (the same loop shape as
@@ -439,10 +440,16 @@ def connected_components(
     EVERY node (isolated nodes become their own singleton component).
     Returns (id, cluster) where cluster = min id of the component.
 
-    100 TB shape: each iteration is two groupBy-min shuffles of |E|
-    rows plus a |V| self-join for the pointer jump; partial min
-    aggregation makes hot components irrelevant; converges in
-    O(log diameter) rounds.
+    100 TB shape: each iteration is two groupBy-min shuffles of the
+    CURRENT edge set plus |V|-row self-joins for the pointer jumps,
+    then an edge CONTRACTION that rewrites edges through the round's
+    labels — |E| shrinks geometrically, so later rounds are nearly
+    free, and convergence is O(log diameter) in the strong sense
+    (plain propagation moves a min one graph hop per round; the sf100
+    probe caught a 1000x corpus hitting max_iter without converging
+    before contraction existed). Partial min aggregation makes hot
+    components irrelevant. Exits with a warning (and
+    stats["converged"]=False) if max_iter is still insufficient.
 
     Every round EAGERLY localCheckpoints its result (the GraphX
     pattern): lineage stays O(1), and each iteration's joins read the
@@ -458,6 +465,10 @@ def connected_components(
     labels = ids.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(
         eager=True
     )
+    if stats is not None:
+        stats["iterations"], stats["changed"] = 0, []
+        stats["converged"] = True
+        stats["edges_per_round"] = []
     for it in range(max_iter):
         nbr_min = (
             und.join(labels, und["b"] == labels["id"])
@@ -470,17 +481,67 @@ def connected_components(
             F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
         )
-        jump = prop.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
-        merged = prop.join(jump, prop["label"] == jump["jid"], "left").select(
-            "id",
-            "old",
-            F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
-        )
+        # pointer jumping, ``jumps`` hops per round (r6): the sf10
+        # probe's changed-label trace showed a long chain-collapse
+        # tail ([19490, 3307, 891, 212, 68, 15, 2, 0] — 8 rounds,
+        # the last five moving <1k labels each) where every extra
+        # ROUND costs the full |E| neighbor propagation plus a
+        # checkpoint+count barrier, but a second HOP is just another
+        # |V|-row self-join. Two hops collapse pointer chains 4x per
+        # round instead of 2x; measured sf10: 8 rounds -> 5.
+        merged = prop
+        for _hop in range(max(1, jumps)):
+            jump = merged.select(
+                F.col("id").alias("jid"), F.col("label").alias("jlabel")
+            )
+            merged = merged.join(
+                jump, merged["label"] == jump["jid"], "left"
+            ).select(
+                "id",
+                "old",
+                F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
+            )
         merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("label") != F.col("old")).count()
         labels = merged.select("id", "label")
+        if stats is not None:
+            stats["iterations"] = it + 1
+            stats["changed"].append(changed)
         if changed == 0:
             break
+        # EDGE CONTRACTION (r6): rewrite the edge set through the
+        # round's labels — (a,b) becomes (label(a), label(b)), self
+        # loops drop, duplicates collapse. Without this, min-label
+        # propagation moves a component's min ONE graph hop per
+        # round, so rounds grow with component DIAMETER: the sf100
+        # probe caught a 1000x corpus hitting max_iter=20 without
+        # converging (finer adaptive-LSH buckets sparsify big
+        # near-dup clusters into long chains). Contraction shortcuts
+        # every settled region to its representative, |E| shrinks
+        # geometrically (recorded in stats["edges_per_round"]), and
+        # convergence is O(log diameter) in the strong sense.
+        la = labels.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+        lb = labels.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+        und = (
+            und.join(la, "a").join(lb, "b")
+            .select(F.col("_la").alias("a"), F.col("_lb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            stats["edges_per_round"].append(und.count())
+    else:
+        if stats is not None:
+            stats["converged"] = False
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} reached before "
+            "convergence; labels are a refinement of the true components "
+            "(some components may still be split). Raise max_iter.",
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster"))
 
 
@@ -494,6 +555,7 @@ def embedding_neardup_clusters(
     tables: int = 6,
     max_iter: int = 20,
     round_digits: int = 6,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate CLUSTERS — the collapse form that
     stays linear where :func:`neardup_pairs_blocked` is
@@ -581,7 +643,7 @@ def embedding_neardup_clusters(
         .select("a", "b")
     )
     ids = df.select(F.col(id_col).alias("id"))
-    return connected_components(verified, ids, max_iter=max_iter)
+    return connected_components(verified, ids, max_iter=max_iter, stats=stats)
 
 
 def _centroid_sims(

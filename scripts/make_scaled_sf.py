@@ -43,7 +43,20 @@ OFF = 10_000_000  # > every key in sf0.1 (max observed: 149_999)
 EMB_DIM = 64
 
 
-def scale(src: str, dst: str, copies: int, spark=None) -> None:
+def scale(
+    src: str,
+    dst: str,
+    copies: int,
+    spark=None,
+    off: int = OFF,
+    file_factor: int | None = None,
+) -> None:
+    """``off`` must exceed every key in ``src`` — deriving sf100 FROM
+    sf10 (keys up to ~1e9 after the first-level shift) needs
+    off=1_000_000_000. ``file_factor`` scales output file counts
+    relative to the sf0.1 base (defaults to copies//10, correct when
+    src IS sf0.1; deriving sfN from an already-derived source must
+    pass the CUMULATIVE factor, e.g. 100 for sf10->sf100)."""
     from pyspark.sql import functions as F
 
     own_session = spark is None
@@ -62,7 +75,7 @@ def scale(src: str, dst: str, copies: int, spark=None) -> None:
     # sf1's parallelism no matter the data size (measured: documents
     # as 4 single-row-group files starved q_text_metrics to 4 of 32
     # cores at sf10, reading as fake 15.7x growth).
-    file_factor = max(1, copies // 10)
+    file_factor = max(1, copies // 10) if file_factor is None else file_factor
 
     def write(df, t, nfiles):
         df.repartition(nfiles * file_factor).write.mode("overwrite").parquet(
@@ -74,7 +87,7 @@ def scale(src: str, dst: str, copies: int, spark=None) -> None:
         return df.withColumn("_c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
 
     def shift(col, copy_col="_c"):
-        return (F.col(col) + F.col(copy_col).cast("long") * OFF).alias(col)
+        return (F.col(col) + F.col(copy_col).cast("long") * off).alias(col)
 
     # fixed dims: identical at every SF (TPC-H semantics)
     for t in ("region", "nation"):
@@ -151,7 +164,7 @@ def scale(src: str, dst: str, copies: int, spark=None) -> None:
                 ]
             )
             out = emb.select(
-                (F.col("vec_id") + i * OFF).alias("vec_id"),
+                (F.col("vec_id") + i * off).alias("vec_id"),
                 new.alias("embedding"),
                 "label",
             )
@@ -166,7 +179,7 @@ def scale(src: str, dst: str, copies: int, spark=None) -> None:
             {
                 "src": src,
                 "copies": copies,
-                "key_offset": OFF,
+                "key_offset": off,
                 "decorrelation": {
                     "documents": "token suffix ~<copy> (vocab bijection)",
                     "embeddings": "seeded dim permutation + sign flips (orthogonal)",

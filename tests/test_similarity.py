@@ -347,3 +347,61 @@ def test_bruteforce_gemm_matches_hof(spark):
     a = similarity.brute_force_topk(e, q, k=5).orderBy("q_id", "nb_id").collect()
     b = similarity.brute_force_topk_hof(e, q, k=5).orderBy("q_id", "nb_id").collect()
     assert a and a == b
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """The sf100 probe caught min-label propagation hitting
+    max_iter=20 unconverged on a 1000x corpus: finer adaptive-LSH
+    buckets sparsify big clusters into long CHAINS, and plain
+    propagation moves a component's min one graph hop per round.
+    Edge contraction (r6) makes convergence O(log diameter) in the
+    strong sense. A 3000-node path has diameter 2999 — propagation
+    alone would need ~1500 rounds; the contracted loop must finish
+    within max_iter=20, converged, with one component labeled by the
+    global min."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        connected_components,
+    )
+
+    n = 3000
+    ids = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    stats: dict = {}
+    out = connected_components(edges, ids, max_iter=20, stats=stats)
+    assert stats["converged"], stats
+    assert stats["iterations"] <= 15, stats
+    got = out.select(F.countDistinct("cluster"), F.min("cluster"),
+                     F.count("*")).first()
+    assert tuple(got) == (1, 0, n)
+    # the contraction must actually shrink the edge set, not just
+    # relabel it
+    e = stats["edges_per_round"]
+    assert e and e[-1] < e[0] / 4, e
+
+
+def test_connected_components_unconverged_warns(spark):
+    """max_iter too small must WARN and set converged=False, never
+    silently return a non-fixpoint as if it were one."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        connected_components,
+    )
+
+    n = 2000
+    ids = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(edges, ids, max_iter=2, stats=stats).count()
+    assert not stats["converged"]
+    assert any("max_iter" in str(x.message) for x in w)
