@@ -148,6 +148,12 @@ def minhash_dedup_clusters(
     # in similarity.connected_components. Checkpointing materializes
     # |docs|*bands rows once to executor-local storage and every round
     # reads partitions, never lineage.
+    # buckets stays EAGER: every round re-reads it, and the first
+    # reader would otherwise pay the whole minhash pipeline inside
+    # its own job. The per-round frames below are LAZY checkpoints —
+    # the convergence count materializes each in the same job
+    # (lineage truncation is identical; eager=True is one extra job
+    # per round, and at small scale the loop's wall is job count).
     buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands).localCheckpoint(
         eager=True
     )
@@ -158,7 +164,7 @@ def minhash_dedup_clusters(
         buckets.join(first_bucket_min, ["band", "key"])
         .groupBy("doc")
         .agg(F.min("bmin").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if stats is not None:
         stats["iterations"], stats["changed"] = 0, []
@@ -213,7 +219,7 @@ def minhash_dedup_clusters(
         # eager checkpoint per round: O(1) lineage, and the next
         # round's joins read materialized partitions (see the note on
         # `buckets` above for why cache chains are wrong here)
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=False)
         changed = merged.filter(F.col("label") != F.col("old")).count()
         labels = merged.select("doc", "label")
         if stats is not None:

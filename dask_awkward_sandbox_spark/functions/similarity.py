@@ -460,10 +460,18 @@ def connected_components(
     pipeline (measured 57s -> 16.8s on the sf0.1 embedding graph,
     iterations 10-27s -> ~1s flat).
     """
+    # LAZY localCheckpoints throughout (r6 perf): lineage is truncated
+    # either way, but eager=True is a dedicated job per checkpoint —
+    # at small/medium scale the loop's wall is JOB COUNT, not data.
+    # Lazy checkpoints materialize inside the next action that reads
+    # them (the convergence count / the next round's propagation), so
+    # each round runs ~2 jobs instead of ~4. The anti-pattern warned
+    # about below is cache()-chains, not laziness: a lazy checkpoint
+    # still materializes exactly once and never recomputes upstream.
     und = edges.selectExpr("a", "b").union(edges.selectExpr("b as a", "a as b"))
-    und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
     labels = ids.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(
-        eager=True
+        eager=False
     )
     if stats is not None:
         stats["iterations"], stats["changed"] = 0, []
@@ -501,7 +509,8 @@ def connected_components(
                 "old",
                 F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
             )
-        merged = merged.localCheckpoint(eager=True)
+        # lazy: the changed-count below materializes it in ONE job
+        merged = merged.localCheckpoint(eager=False)
         changed = merged.filter(F.col("label") != F.col("old")).count()
         labels = merged.select("id", "label")
         if stats is not None:
@@ -527,7 +536,7 @@ def connected_components(
             .select(F.col("_la").alias("a"), F.col("_lb").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if stats is not None:
             stats["edges_per_round"].append(und.count())
@@ -599,8 +608,16 @@ def embedding_neardup_clusters(
     n = df.count()
     if planes is None:
         planes = adaptive_planes(n, target_occupancy=8)
-    b = with_lsh_buckets(df, id_col, vec_col, dim, planes, tables).select(
-        F.col(id_col).alias("m"), "t", "bucket"
+    # checkpoint the bucket table ONCE (r6 perf): the edge build
+    # self-joins it and the candidate DAG otherwise re-evaluates the
+    # interpreted-HOF hyperplane projections (tables x planes x dim
+    # multiply-adds per row) once per branch — measured 3.9s -> ~1s
+    # for the sf0.1 edge phase. Lazy: materialized by the first job
+    # that reads it.
+    b = (
+        with_lsh_buckets(df, id_col, vec_col, dim, planes, tables)
+        .select(F.col(id_col).alias("m"), "t", "bucket")
+        .localCheckpoint(eager=False)
     )
     pair_cap = 64
     sizes = b.groupBy("t", "bucket").agg(
