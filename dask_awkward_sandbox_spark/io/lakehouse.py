@@ -160,3 +160,243 @@ def merge_dedup_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tables (r6): a manifest log on top of the bucket layout —
+# the two contracts dynamic-partition-overwrite alone cannot give:
+# TIME TRAVEL (pin any past version for reads) and EXACTLY-ONCE batch
+# application by id (a replayed micro-batch is a metadata no-op, not
+# a byte-identical rewrite). This is the single-writer core of what
+# a Delta/Iceberg transaction log provides; snapshot isolation for
+# CONCURRENT writers still needs the real formats (documented in
+# SURVEY §3).
+#
+# Layout:
+#   path/v{N}/_mbucket=*/...parquet   -- the buckets REWRITTEN by merge N
+#   path/_manifests/v{N}.json         -- bucket -> version dir holding
+#                                        its current data, + applied
+#                                        batch ids
+# A merge writes ONLY its touched buckets into a NEW version dir and
+# publishes a manifest pointing the untouched buckets at their old
+# dirs — old versions stay readable until vacuum() drops dirs no kept
+# manifest references. Publishing is a single atomic rename, so a
+# reader always sees a complete version or the previous one.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+MANIFEST_DIR = "_manifests"
+
+
+def _manifest_file(path: str, version: int) -> str:
+    return _os.path.join(path, MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def list_snapshot_versions(path: str) -> list[int]:
+    d = _os.path.join(path, MANIFEST_DIR)
+    if not _os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in _os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int | None = None) -> dict:
+    versions = list_snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot manifests under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} (vacuumed or never written)")
+    with open(_manifest_file(path, v)) as f:
+        return _json.load(f)
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Atomic publish: write to a temp name, rename into place. The
+    rename is the commit point; a version file that already exists
+    means a concurrent writer won the race — single-writer tables
+    treat that as an error, not a retry."""
+    d = _os.path.join(path, MANIFEST_DIR)
+    _os.makedirs(d, exist_ok=True)
+    target = _manifest_file(path, manifest["version"])
+    if _os.path.exists(target):
+        raise RuntimeError(
+            f"manifest v{manifest['version']} already exists — concurrent "
+            "writer detected; snapshot tables are single-writer"
+        )
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    _os.rename(tmp, target)
+
+
+def create_snapshot_table(
+    df: DataFrame, path: str, keys: list[str], n_buckets: int = 64
+) -> None:
+    """Materialize version 0: all buckets under ``path/v0``, manifest
+    pointing every present bucket at it."""
+    vdir = _os.path.join(path, "v0")
+    _with_bucket(df, keys, n_buckets).write.partitionBy(BUCKET_COL).mode(
+        "error"
+    ).parquet(vdir)
+    present = [
+        d.split("=", 1)[1]
+        for d in _os.listdir(vdir)
+        if d.startswith(BUCKET_COL + "=")
+    ]
+    _publish_manifest(
+        path,
+        {
+            "version": 0,
+            "keys": keys,
+            "n_buckets": n_buckets,
+            "buckets": {b: "v0" for b in present},
+            "applied_batches": [],
+        },
+    )
+
+
+def read_snapshot_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AT a version (default: latest) — time travel.
+    Each version dir is read once, filtered to the buckets the
+    manifest still assigns to it (a dir also holds buckets that later
+    merges superseded)."""
+    m = _read_manifest(path, version)
+    by_dir: dict[str, list[int]] = {}
+    for b, vdir in m["buckets"].items():
+        by_dir.setdefault(vdir, []).append(int(b))
+    parts = []
+    for vdir, buckets in sorted(by_dir.items()):
+        parts.append(
+            spark.read.parquet(_os.path.join(path, vdir)).filter(
+                F.col(BUCKET_COL).isin(buckets)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop(BUCKET_COL)
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    batch_id: str | int | None = None,
+) -> bool:
+    """MERGE into the snapshot table; returns True if applied, False
+    if ``batch_id`` was already applied (exactly-once by METADATA —
+    the replay does no IO at all, the contract a Delta
+    ``txnAppId/txnVersion`` write gives a foreachBatch sink).
+
+    Only touched buckets are read (from whatever version dirs
+    currently own them) and rewritten into the new version dir —
+    O(batch + touched-bucket bytes), never O(table)."""
+    m = _read_manifest(path)
+    if batch_id is not None and batch_id in m["applied_batches"]:
+        return False
+    keys, n_buckets = m["keys"], m["n_buckets"]
+    upd = _with_bucket(updates, keys, n_buckets)
+    others = [c for c in upd.columns if c not in keys and c != BUCKET_COL]
+    upd = (
+        upd.groupBy(*keys, BUCKET_COL)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_r"))
+        .select(*keys, BUCKET_COL, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
+    touched = [r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return False
+    # current owners of the touched buckets, grouped by version dir
+    by_dir: dict[str, list[int]] = {}
+    for b in touched:
+        vdir = m["buckets"].get(str(b))
+        if vdir is not None:
+            by_dir.setdefault(vdir, []).append(b)
+    existing = None
+    for vdir, buckets in sorted(by_dir.items()):
+        part = spark.read.parquet(_os.path.join(path, vdir)).filter(
+            F.col(BUCKET_COL).isin(buckets)
+        )
+        existing = part if existing is None else existing.unionByName(part)
+    new_version = m["version"] + 1
+    vdir = _os.path.join(path, f"v{new_version}")
+    if existing is not None:
+        out = existing.join(upd.select(*keys), keys, "left_anti").unionByName(
+            upd.select(*existing.columns)
+        )
+    else:
+        out = upd
+    out.write.partitionBy(BUCKET_COL).mode("error").parquet(vdir)
+    new_buckets = dict(m["buckets"])
+    for b in touched:
+        new_buckets[str(b)] = f"v{new_version}"
+    _publish_manifest(
+        path,
+        {
+            "version": new_version,
+            "keys": keys,
+            "n_buckets": n_buckets,
+            "buckets": new_buckets,
+            "applied_batches": m["applied_batches"]
+            + ([batch_id] if batch_id is not None else []),
+        },
+    )
+    return True
+
+
+def vacuum_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Drop version DIRS no kept manifest references (and the dropped
+    manifests themselves). A dir stays as long as ANY kept manifest
+    points a bucket at it — current data is never deleted no matter
+    how old its dir is. Returns the removed dir names."""
+    import shutil
+
+    versions = list_snapshot_versions(path)
+    kept = versions[-keep_last:]
+    referenced = set()
+    for v in kept:
+        referenced.update(_read_manifest(path, v)["buckets"].values())
+    removed = []
+    for v in versions:
+        if v in kept:
+            continue
+        _os.remove(_manifest_file(path, v))
+    for d in _os.listdir(path):
+        if d.startswith("v") and d != MANIFEST_DIR and d not in referenced:
+            full = _os.path.join(path, d)
+            if _os.path.isdir(full):
+                shutil.rmtree(full)
+                removed.append(d)
+    return sorted(removed)
+
+
+def snapshot_dedup_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    n_buckets: int = 64,
+):
+    """Streaming dedup on a snapshot table: each micro-batch is
+    applied with its Structured-Streaming batch_id, so a restarted
+    query re-delivering a batch is a metadata no-op — exactly-once
+    table contents AND a time-travelable history of every batch."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if not list_snapshot_versions(path):
+            create_snapshot_table(batch_df, path, keys, n_buckets)
+        else:
+            snapshot_upsert(sp, path, batch_df, batch_id=f"stream-{batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -114,3 +114,117 @@ def test_streaming_merge_dedup_sink(spark, tmp_path):
 
     got = _table(lh.read_merge_table(spark, table))
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# ---------------------------------------------------------------------------
+# snapshot (manifest-log) tables — time travel + exactly-once by id
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_upsert_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+    updates = spark.createDataFrame(
+        [(5, "NEW", 555), (200, "ins", 2000)], "id long, s string, n long"
+    )
+    assert lh.snapshot_upsert(spark, path, updates, batch_id="b1")
+    # latest: update applied
+    now = lh.read_snapshot_table(spark, path)
+    assert now.count() == 101
+    assert now.filter("id = 5").collect()[0]["s"] == "NEW"
+    # time travel: version 0 still shows the original row and no insert
+    v0 = lh.read_snapshot_table(spark, path, version=0)
+    assert v0.count() == 100
+    assert v0.filter("id = 5").collect()[0]["s"] == "v5"
+    assert lh.list_snapshot_versions(path) == [0, 1]
+
+
+def test_snapshot_replay_is_metadata_noop(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+    updates = spark.createDataFrame([(7, "x", 1)], "id long, s string, n long")
+    assert lh.snapshot_upsert(spark, path, updates, batch_id="batch-42") is True
+    versions_after_first = lh.list_snapshot_versions(path)
+    # replay: same batch id -> no new version, no IO, False
+    assert lh.snapshot_upsert(spark, path, updates, batch_id="batch-42") is False
+    assert lh.list_snapshot_versions(path) == versions_after_first
+    got = _table(lh.read_snapshot_table(spark, path))
+    assert [r for r in got if r[0] == 7] == [(7, "x", 1)]
+
+
+def test_snapshot_merge_touches_only_owned_dirs(spark, tmp_path):
+    """A merge writes ONLY its touched buckets into the new version
+    dir; untouched buckets keep pointing at their old dirs."""
+    import json
+    import os
+
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+    updates = spark.createDataFrame([(5, "NEW", 555)], "id long, s string, n long")
+    lh.snapshot_upsert(spark, path, updates)
+    with open(os.path.join(path, "_manifests", "v00000001.json")) as f:
+        m = json.load(f)
+    owners = set(m["buckets"].values())
+    assert owners == {"v0", "v1"}
+    assert sum(1 for v in m["buckets"].values() if v == "v1") == 1
+    # the v1 dir holds exactly one bucket directory
+    v1_buckets = [d for d in os.listdir(os.path.join(path, "v1"))
+                  if d.startswith(lh.BUCKET_COL)]
+    assert len(v1_buckets) == 1
+
+
+def test_snapshot_vacuum_keeps_current_data(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=4)
+    # same key every time: v1 and v2's dirs end up superseded by v3
+    # and must be vacuumable; untouched buckets keep v0 alive
+    for i in range(3):
+        lh.snapshot_upsert(
+            spark, path,
+            spark.createDataFrame([(0, f"u{i}", i)], "id long, s string, n long"),
+        )
+    before = _table(lh.read_snapshot_table(spark, path))
+    removed = lh.vacuum_snapshots(path, keep_last=1)
+    # older manifests gone, latest intact, data identical
+    assert lh.list_snapshot_versions(path) == [3]
+    assert _table(lh.read_snapshot_table(spark, path)) == before
+    # every dir still on disk is referenced by the kept manifest
+    import json
+    with open(os.path.join(path, "_manifests", "v00000003.json")) as f:
+        referenced = set(json.load(f)["buckets"].values())
+    on_disk = {d for d in os.listdir(path)
+               if d.startswith("v") and d != "_manifests"}
+    assert on_disk == referenced
+    # something must actually have been vacuumed in 4 versions
+    assert removed
+
+
+def test_snapshot_streaming_sink_exactly_once(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "snaptable")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.json(
+        os.path.join(src, "batch0")
+    )
+    q = lh.snapshot_dedup_sink(
+        spark.readStream.schema("id long, s string").json(src + "/*"),
+        table, ["id"], ckpt,
+    ).start()
+    q.awaitTermination(120)
+    spark.createDataFrame([(2, "b2"), (3, "c")], "id long, s string").write.json(
+        os.path.join(src, "batch1")
+    )
+    q = lh.snapshot_dedup_sink(
+        spark.readStream.schema("id long, s string").json(src + "/*"),
+        table, ["id"], ckpt,
+    ).start()
+    q.awaitTermination(120)
+    got = _table(lh.read_snapshot_table(spark, table))
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    # history is time-travelable: version 0 has only the first batch
+    v0 = _table(lh.read_snapshot_table(spark, table, version=0))
+    assert v0 == [(1, "a"), (2, "b")]
