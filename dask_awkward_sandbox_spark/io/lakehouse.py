@@ -69,6 +69,34 @@ def _with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     )
 
 
+def _require_local(path: str) -> None:
+    """This module's existence checks and manifest IO go through the
+    local filesystem while the data writes go through Spark's Hadoop
+    FS. On a URI path (hdfs://, s3a://) the two disagree — e.g. the
+    sink's os.path.isdir() would always be False, re-CREATING the
+    table every batch — so refuse loudly instead of clobbering."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"lakehouse tables require a local filesystem path, got {path!r}: "
+            "manifest/existence IO is local-FS (os/json) while data IO is "
+            "Hadoop-FS; on object stores use a real table format instead"
+        )
+
+
+def _collapse_batch(upd: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic within-batch collapse: ONE whole row per
+    (key, bucket) — the struct-min picks the lexicographically
+    smallest full row, so columns never mix across duplicate rows and
+    replay order cannot change the outcome. Shared by both table
+    flavors and both sinks' first-batch paths."""
+    others = [c for c in upd.columns if c not in keys and c != BUCKET_COL]
+    return (
+        upd.groupBy(*keys, BUCKET_COL)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_r"))
+        .select(*keys, BUCKET_COL, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
+
+
 def create_merge_table(
     df: DataFrame, path: str, keys: list[str], n_buckets: int = 64
 ) -> None:
@@ -76,10 +104,13 @@ def create_merge_table(
     key so later upserts prune to touched buckets. ``n_buckets`` is a
     physical-layout choice: size it so one bucket's bytes are a
     comfortable task unit at the target scale (64 here for testdata;
-    thousands at 100 TB)."""
-    _with_bucket(df, keys, n_buckets).write.partitionBy(BUCKET_COL).mode(
-        "overwrite"
-    ).parquet(path)
+    thousands at 100 TB). Duplicate keys in ``df`` collapse exactly
+    like a merge batch would, so a sink's FIRST batch honors the
+    same one-row-per-key contract as every later one."""
+    _require_local(path)
+    _collapse_batch(_with_bucket(df, keys, n_buckets), keys).write.partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(path)
 
 
 def read_merge_table(spark: SparkSession, path: str) -> DataFrame:
@@ -101,18 +132,18 @@ def merge_upsert(
 
     Only the partitions whose bucket appears in the batch are read
     and rewritten: ``spark.sql.sources.partitionOverwriteMode=dynamic``
-    scoped to this write. The untouched table is never scanned."""
-    upd = _with_bucket(updates, keys, n_buckets)
-    # deterministic within-batch collapse: ONE whole row per key (the
-    # struct-min picks the lexicographically smallest full row, so
-    # columns never mix across duplicate rows and replay order cannot
-    # change the outcome)
-    others = [c for c in upd.columns if c not in keys and c != BUCKET_COL]
-    upd = (
-        upd.groupBy(*keys, BUCKET_COL)
-        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_r"))
-        .select(*keys, BUCKET_COL, *[F.col(f"_r.{c}").alias(c) for c in others])
-    )
+    scoped to this write. The untouched table is never scanned.
+
+    CRASH WINDOW (honest limitation): this reads and dynamic-
+    overwrites the SAME path with no log, so a crash inside the write
+    commit can leave a touched bucket partial, and a later replay
+    would read that partial state as "existing". Replay idempotence
+    holds for fully-committed writes only. The snapshot-table API
+    below removes the window entirely (new version dirs + atomic
+    manifest publish) — prefer it when history or crash safety
+    matters."""
+    _require_local(path)
+    upd = _collapse_batch(_with_bucket(updates, keys, n_buckets), keys)
     touched = [r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return
@@ -239,10 +270,11 @@ def create_snapshot_table(
 ) -> None:
     """Materialize version 0: all buckets under ``path/v0``, manifest
     pointing every present bucket at it."""
+    _require_local(path)
     vdir = _os.path.join(path, "v0")
-    _with_bucket(df, keys, n_buckets).write.partitionBy(BUCKET_COL).mode(
-        "error"
-    ).parquet(vdir)
+    bucketed = _collapse_batch(_with_bucket(df, keys, n_buckets), keys)
+    schema_json = bucketed.schema.json()
+    bucketed.write.partitionBy(BUCKET_COL).mode("error").parquet(vdir)
     present = [
         d.split("=", 1)[1]
         for d in _os.listdir(vdir)
@@ -256,6 +288,7 @@ def create_snapshot_table(
             "n_buckets": n_buckets,
             "buckets": {b: "v0" for b in present},
             "applied_batches": [],
+            "schema": schema_json,
         },
     )
 
@@ -271,6 +304,13 @@ def read_snapshot_table(
     by_dir: dict[str, list[int]] = {}
     for b, vdir in m["buckets"].items():
         by_dir.setdefault(vdir, []).append(int(b))
+    if not by_dir:
+        # empty table (created from an empty frame / empty first
+        # batch): the manifest carries the schema so reads still work
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(m["schema"]))
+        return spark.createDataFrame([], schema).drop(BUCKET_COL)
     parts = []
     for vdir, buckets in sorted(by_dir.items()):
         parts.append(
@@ -298,17 +338,12 @@ def snapshot_upsert(
     Only touched buckets are read (from whatever version dirs
     currently own them) and rewritten into the new version dir —
     O(batch + touched-bucket bytes), never O(table)."""
+    _require_local(path)
     m = _read_manifest(path)
     if batch_id is not None and batch_id in m["applied_batches"]:
         return False
     keys, n_buckets = m["keys"], m["n_buckets"]
-    upd = _with_bucket(updates, keys, n_buckets)
-    others = [c for c in upd.columns if c not in keys and c != BUCKET_COL]
-    upd = (
-        upd.groupBy(*keys, BUCKET_COL)
-        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_r"))
-        .select(*keys, BUCKET_COL, *[F.col(f"_r.{c}").alias(c) for c in others])
-    )
+    upd = _collapse_batch(_with_bucket(updates, keys, n_buckets), keys)
     touched = [r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return False
@@ -343,8 +378,15 @@ def snapshot_upsert(
             "keys": keys,
             "n_buckets": n_buckets,
             "buckets": new_buckets,
-            "applied_batches": m["applied_batches"]
-            + ([batch_id] if batch_id is not None else []),
+            # bounded window (last 512): a streaming replay always
+            # re-delivers from the immediately-preceding checkpoint,
+            # so dedup only ever needs recent ids — an unbounded list
+            # would grow every manifest O(total batches)
+            "applied_batches": (
+                m["applied_batches"]
+                + ([batch_id] if batch_id is not None else [])
+            )[-512:],
+            "schema": m.get("schema"),
         },
     )
     return True

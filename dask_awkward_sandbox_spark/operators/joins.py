@@ -175,14 +175,23 @@ def asof_join_skew(
     r_tag = right.select(
         *by_cols, F.col(on), *[F.col(c).alias(rname(c)) for c in payload]
     ).withColumn("_side", F.lit(0))
+    # null-timestamp rows: the base asof's window orders nulls FIRST
+    # (asc), so a null-ts left row sees only null-ts right rows and a
+    # null-ts right row is visible to everything after it. A null
+    # slice would instead fall out of the inner stitch join entirely,
+    # silently DROPPING those left rows — so nulls ride a sentinel
+    # key that sorts (and slices) before every real timestamp,
+    # reproducing the base ordering exactly.
+    _SENT = -(2**62)
+    k = F.coalesce(F.col(on).cast("long"), F.lit(_SENT))
     allc = l_tag.unionByName(r_tag, allowMissingColumns=True).withColumn(
-        "_slice", F.floor(F.col(on) / F.lit(slice_width))
-    )
+        "_k", k
+    ).withColumn("_slice", F.floor(F.col("_k") / F.lit(slice_width)))
 
     # 1. local carry, per (by, slice) — the hot key is split by time
     w_local = (
         Window.partitionBy(*by_cols, "_slice")
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col("_k").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     right_on = F.when(F.col("_side") == 0, F.col(on))
@@ -204,7 +213,11 @@ def asof_join_skew(
     bnd = (
         allc.filter(F.col("_side") == 0)
         .groupBy(*by_cols, "_slice")
-        .agg(F.max(F.struct(F.col(on), *[F.col(c) for c in carried])).alias("_b"))
+        .agg(
+            F.max(
+                F.struct(F.col("_k"), F.col(on), *[F.col(c) for c in carried])
+            ).alias("_b")
+        )
     )
     w_b = (
         Window.partitionBy(*by_cols)
@@ -222,7 +235,8 @@ def asof_join_skew(
         *[
             c
             for c in filled.columns
-            if not c.startswith("_l_") and c not in ("_side", "_slice", *carried)
+            if not c.startswith("_l_")
+            and c not in ("_side", "_slice", "_k", *carried)
         ],
         F.coalesce(F.col("_l_" + on), F.col("_cin." + on)).alias(on + suffix),
         *[

@@ -25,7 +25,12 @@ def _dedupe_right(rows):
     best = {}
     for k, ts, v in rows:
         best[(k, ts)] = max(v, best.get((k, ts), -1))
-    return [(k, ts, v) for (k, ts), v in sorted(best.items())]
+    return [
+        (k, ts, v)
+        for (k, ts), v in sorted(
+            best.items(), key=lambda kv: (kv[0][0], kv[0][1] is not None, kv[0][1] or 0)
+        )
+    ]
 
 
 @settings(max_examples=25, deadline=None,
@@ -118,19 +123,31 @@ def test_range_join_matches_brute_force(spark, pts, ivs, bin_width):
     assert got == exp
 
 
+_ts_nullable = st.one_of(st.none(), _ts)
+_left_rows_n = st.lists(st.tuples(_key, _ts_nullable), min_size=0, max_size=25)
+_right_rows_n = st.lists(st.tuples(_key, _ts_nullable, st.integers(0, 1000)),
+                         min_size=0, max_size=25)
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
-@given(left=_left_rows, right=_right_rows,
+@given(left=_left_rows_n, right=_right_rows_n,
        tol=st.one_of(st.none(), st.integers(0, 30)),
        slice_width=st.sampled_from([1, 7, 13, 1000]))
 def test_asof_join_skew_matches_base(spark, left, right, tol, slice_width):
     """The two-phase segmented-scan asof must equal the single-window
     asof row-for-row — including slice_width=1 (every row its own
     slice: the boundary pass does ALL the work) and 1000 (one slice:
-    the local pass does all the work), empty sides, and tolerance."""
+    the local pass does all the work), empty sides, tolerance, and
+    NULL timestamps on either side (the review caught the stitch
+    join silently dropping null-ts left rows; they now ride a
+    sentinel slice that reproduces the base nulls-first ordering)."""
     from dask_awkward_sandbox_spark.operators.joins import asof_join, asof_join_skew
 
-    right = _dedupe_right(right)
+    # one right row per (key, ts) incl. ts=None: payload ties at the
+    # same timestamp are resolved differently by the two forms (base:
+    # window order; skew: struct-max), deliberately out of contract
+    right = _dedupe_right([(k, ts, v) for k, ts, v in right])
     ldf = spark.createDataFrame(
         [(k, ts, i) for i, (k, ts) in enumerate(left)] or [("_x", -1, -1)],
         "k string, ts long, lid long",
