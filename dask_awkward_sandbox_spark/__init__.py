@@ -71,6 +71,7 @@ from dask_awkward_sandbox_spark.io import (  # noqa: F401
     from_map,
     from_orc,
     from_parquet,
+    from_root,
     layout_to_jsonschema,
     from_text,
     to_avro,

@@ -18,6 +18,11 @@ from dask_awkward_sandbox_spark.io.parquet import (
     to_bucketed_table,
     to_parquet,
 )
+from dask_awkward_sandbox_spark.io.root import (
+    SyntheticNanoBackend,
+    UprootBackend,
+    from_root,
+)
 from dask_awkward_sandbox_spark.io.text import from_text
 from dask_awkward_sandbox_spark.io.io import (
     from_delayed,
@@ -42,6 +47,9 @@ __all__ = [
     "to_parquet",
     "to_bucketed_table",
     "from_table",
+    "from_root",
+    "UprootBackend",
+    "SyntheticNanoBackend",
     "from_text",
     "from_lists",
     "from_map",

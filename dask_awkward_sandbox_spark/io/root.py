@@ -1,0 +1,242 @@
+"""ROOT (HEP TTree) ingestion — the reference's uproot capability.
+
+Parity: the reference itself ships no ROOT code — uproot supplies the
+byte-level decode and dask-awkward supplies the partitioned-source
+machinery around it (`tests/test_inspect.py:85-95` drives
+``uproot.dask({nano_dy.root: "Events"})`` then column-projects;
+`src/dask_awkward/layers/layers.py:143` AwkwardInputLayer is the
+"one task per (file, entry-range), projection pushed into the IO
+function" half). This module is that second half re-done for Spark,
+for real: driver-side entry-range planning, the task-list DataFrame,
+the executor-side Arrow hand-off, and branch pruning are all
+implemented and tested. Only the TTree byte decode is delegated to a
+pluggable backend:
+
+- ``UprootBackend`` — the production path; uproot is NOT in this
+  container, so it raises ``DecodeUnavailable`` with a clear message
+  (same gate as functions/multimodal.py's PIL/ffmpeg decode).
+- ``SyntheticNanoBackend`` — a deterministic nanoAOD-shaped fake
+  (content is a pure function of (path, entry index)) with the same
+  contract, so the planning/pruning/Arrow plumbing runs end-to-end
+  in tests and demos without uproot.
+
+Scale design (100 TB of TTrees): planning touches metadata only —
+one ``num_entries`` call per file, O(files) driver work, never
+O(bytes). One Spark task per (file, entry-range) slice; ``step_size``
+is the task-size knob (~100k events is a sane unit; at 1000
+executors you want files*steps >> cores, which HEP datasets give you
+for free). Branch pruning reaches the backend, so only the requested
+TBranch baskets are ever read — the ROOT analogue of parquet column
+pruning (uproot reads per-branch basket byte ranges, untouched
+branches cost zero IO). Decode streams Arrow record batches
+executor-side; raw bytes never visit the driver.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterable, Protocol, Sequence
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from dask_awkward_sandbox_spark.functions.multimodal import DecodeUnavailable
+
+
+class RootBackend(Protocol):
+    """Decode contract: everything from_root needs from a ROOT lib.
+
+    ``read`` must return exactly the requested branches (in request
+    order) as an Arrow table whose schema matches ``arrow_schema``
+    for the same branch list — jagged branches as ``list<...>``.
+    Instances are pickled into the executor closure, so backends
+    must be small and serializable (open files lazily per call).
+    """
+
+    def num_entries(self, path: str, tree: str) -> int: ...
+
+    def arrow_schema(self, path: str, tree: str, branches: Sequence[str] | None) -> pa.Schema: ...
+
+    def read(
+        self, path: str, tree: str, branches: Sequence[str] | None, start: int, stop: int
+    ) -> pa.Table: ...
+
+
+class UprootBackend:
+    """uproot-backed decode. The import is deferred to call time so
+    the class (and its clear error) exists in every container; on a
+    box with uproot installed this is the real production path."""
+
+    def _uproot(self):
+        try:
+            import uproot  # noqa: F401
+        except ImportError as e:
+            raise DecodeUnavailable(
+                "ROOT decode requires uproot (pip install uproot awkward); "
+                "not in this container — pass backend=SyntheticNanoBackend(...) "
+                "for the deterministic demo backend"
+            ) from e
+        return uproot
+
+    def num_entries(self, path: str, tree: str) -> int:
+        up = self._uproot()
+        with up.open(path) as f:
+            return int(f[tree].num_entries)
+
+    def _arrays(self, path, tree, branches, start, stop):
+        up = self._uproot()
+        import awkward as ak
+
+        with up.open(path) as f:
+            arr = f[tree].arrays(
+                expressions=list(branches) if branches is not None else None,
+                entry_start=start,
+                entry_stop=stop,
+                library="ak",
+            )
+        return ak.to_arrow_table(arr, extensionarray=False)
+
+    def arrow_schema(self, path, tree, branches):
+        return self._arrays(path, tree, branches, 0, 0).schema
+
+    def read(self, path, tree, branches, start, stop):
+        return self._arrays(path, tree, branches, start, stop)
+
+
+class SyntheticNanoBackend:
+    """Deterministic nanoAOD-shaped decode fake — the testable stand-in
+    the container allows (same policy as multimodal's BMP/WAV codecs:
+    plumbing real, external-lib decode replaced by a pure function).
+
+    Branches mirror a nanoAOD Events tree slice: scalar ``event`` /
+    ``nMuon``, jagged ``Muon_pt`` / ``Muon_eta`` with len == nMuon.
+    Every value is a pure function of (path, entry index), so tests
+    and demos can recompute expected results driver-side.
+    """
+
+    BRANCHES = ("event", "nMuon", "Muon_pt", "Muon_eta")
+
+    def __init__(self, entries_per_file: dict[str, int]):
+        self.entries = dict(entries_per_file)
+
+    def num_entries(self, path, tree):
+        if tree != "Events":
+            raise KeyError(f"no tree {tree!r} (synthetic files have only 'Events')")
+        return self.entries[path]
+
+    def _fields(self, branches):
+        types = {
+            "event": pa.int64(),
+            "nMuon": pa.int32(),
+            "Muon_pt": pa.list_(pa.float64()),
+            "Muon_eta": pa.list_(pa.float64()),
+        }
+        names = list(branches) if branches is not None else list(self.BRANCHES)
+        unknown = [b for b in names if b not in types]
+        if unknown:
+            raise KeyError(f"unknown branches {unknown}; have {list(types)}")
+        return [(n, types[n]) for n in names]
+
+    def arrow_schema(self, path, tree, branches):
+        return pa.schema(self._fields(branches))
+
+    @staticmethod
+    def row(path: str, i: int) -> dict:
+        """The per-entry content formula, exposed so tests recompute
+        expectations without duplicating it."""
+        seed = zlib.crc32(path.encode()) & 0xFFFF
+        n = (i + seed) % 4
+        return {
+            "event": seed * 1_000_000 + i,
+            "nMuon": n,
+            "Muon_pt": [((i * 7 + j * 3 + seed) % 500) / 10.0 + 0.5 for j in range(n)],
+            "Muon_eta": [(((i + j * 5 + seed) % 100) - 50) / 10.0 for j in range(n)],
+        }
+
+    def read(self, path, tree, branches, start, stop):
+        fields = self._fields(branches)
+        rows = [self.row(path, i) for i in range(start, stop)]
+        return pa.table(
+            {name: [r[name] for r in rows] for name, _ in fields},
+            schema=pa.schema(fields),
+        )
+
+
+def plan_tasks(
+    files: Sequence[str], tree: str, backend: RootBackend, step_size: int
+) -> list[tuple[str, int, int]]:
+    """Driver-side slicing: one metadata call per file, then pure
+    arithmetic. Empty files contribute no tasks."""
+    if step_size <= 0:
+        raise ValueError("step_size must be positive")
+    tasks: list[tuple[str, int, int]] = []
+    for path in files:
+        n = backend.num_entries(path, tree)
+        for start in range(0, n, step_size):
+            tasks.append((path, start, min(start + step_size, n)))
+    return tasks
+
+
+def from_root(
+    spark: SparkSession,
+    files: str | Iterable[str],
+    tree: str = "Events",
+    branches: Sequence[str] | str | None = None,
+    step_size: int = 100_000,
+    backend: RootBackend | None = None,
+) -> DataFrame:
+    """Read TTree(s) into a nested DataFrame, one Spark task per
+    (file, entry-range) slice.
+
+    ``branches``: None = all; a list = exactly those (pruned at the
+    source — the backend never touches other baskets); a string = a
+    regex over branch names (uproot's filter_name idiom), resolved
+    against the first file's schema driver-side.
+    """
+    backend = backend or UprootBackend()
+    files = [files] if isinstance(files, str) else list(files)
+    if not files:
+        raise ValueError("from_root needs at least one file")
+
+    if isinstance(branches, str):
+        pat = re.compile(branches)
+        all_names = backend.arrow_schema(files[0], tree, None).names
+        branches = [n for n in all_names if pat.fullmatch(n)]
+        if not branches:
+            raise ValueError(f"branch regex {pat.pattern!r} matched nothing in {all_names}")
+    elif branches is not None:
+        branches = list(branches)
+
+    tasks = plan_tasks(files, tree, backend, step_size)
+    if not tasks:
+        raise ValueError(f"no entries in any input file ({files})")
+
+    aschema = backend.arrow_schema(tasks[0][0], tree, branches)
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    sschema = from_arrow_schema(aschema)
+
+    # round-robin repartition → exactly one (file, start, stop) task
+    # per partition; the slice descriptors are the only rows that
+    # shuffle, never event data
+    tdf = spark.createDataFrame(
+        tasks, "path string, start long, stop long"
+    ).repartition(len(tasks))
+
+    br = branches  # bind locally: the closure ships (backend, tree, br) only
+
+    def reader(batches):
+        for b in batches:
+            for row in b.to_pylist():
+                tbl = backend.read(row["path"], tree, br, row["start"], row["stop"])
+                try:
+                    tbl = tbl.cast(aschema)
+                except (pa.ArrowInvalid, ValueError) as e:
+                    raise TypeError(
+                        f"backend returned schema {tbl.schema} for branches {br}, "
+                        f"expected {aschema}"
+                    ) from e
+                yield from tbl.to_batches()
+
+    return tdf.mapInArrow(reader, sschema)
