@@ -27,6 +27,7 @@ from dask_awkward_sandbox_spark.functions.text_analysis import (
     MOD,
     tokens,
     word_hash,
+    word_hash56,
 )
 
 
@@ -426,4 +427,126 @@ def paragraph_dedup(
             "n_pars",
             F.coalesce("n_pars_kept", F.lit(0)).alias("n_pars_kept"),
         )
+    )
+
+
+def ngram_occurrences(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """One row per n-gram occurrence: (id, pos, gram).
+
+    ``pos`` is the 0-based token index of the window start; ``gram``
+    is the 56-bit md5 prefix of the space-joined token window
+    (word_hash56 over array_join(slice(toks, i, n), ' ')), so DuckDB
+    derives the identical key and the downstream shuffles move 8-byte
+    longs instead of 32-char digests. 56-bit collisions make a
+    non-duplicated window look duplicated — harmless over-removal at
+    ~1-per-2^28-grams odds, same approximation class as MinHash.
+    Tokenize-once scan-side work: no shuffle happens here.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).withColumn(
+        "_ntok", F.size("_toks")
+    )
+    grams = F.when(
+        F.col("_ntok") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_ntok") - (n - 1)),
+            lambda i: word_hash56(F.array_join(F.slice("_toks", i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select("_id", F.posexplode(grams).alias("pos", "gram")).select(
+        F.col("_id").alias(id_col), "pos", "gram"
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level dedup (the Lee et al. 2022 "Deduplicating
+    Training Data" shape, re-done as a distributed n-gram inverted
+    index instead of a suffix array): find every token span covered
+    by an n-gram that occurs >= ``min_count`` times CORPUS-WIDE,
+    merge overlapping/adjacent windows into maximal spans, and
+    rebuild the text with those spans removed.
+
+    Returns one row per input doc: (id, n_tokens, spans
+    array<struct<start,end>> — 0-based token offsets, end exclusive,
+    empty when clean — n_dup_tokens, clean_text).
+
+    Scale design (100 TB): the exploded occurrence set is O(total
+    tokens) but only ever aggregated or equi-joined — duplicated-gram
+    detection is a partial-aggregated groupBy on the gram hash;
+    joining occurrences back to the duplicated-gram set is an equi
+    join whose output is no larger than its left input (hot grams are
+    skewed keys -> AQE skew split, no row amplification per match
+    since the right side is distinct grams); span assembly is one
+    groupBy per doc with a sorted-positions JVM fold (no window, no
+    per-doc Python). Nothing is quadratic in docs or grams.
+    """
+    occ = ngram_occurrences(df, text_col, id_col, n)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    span_t = "array<struct<start:int,end:int>>"
+    # sorted window starts -> maximal merged spans: fixed-length
+    # windows sorted by start merge exactly when the next start is
+    # <= the running end (adjacent counts as merged: the dup region
+    # is contiguous in tokens)
+    merged = F.aggregate(
+        F.sort_array(F.collect_list("pos")),
+        F.expr(f"cast(array() as {span_t})"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["end"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        (p + n).cast("int").alias("end"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("int").alias("start"), (p + n).cast("int").alias("end")
+                    )
+                ),
+            )
+        ),
+    )
+    spans = (
+        occ.join(dup, "gram")
+        .groupBy(id_col)
+        .agg(merged.alias("spans"))
+    )
+    toks = tokens(F.col(text_col))
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .join(spans, id_col, "left")
+        .withColumn("spans", F.coalesce("spans", F.expr(f"cast(array() as {span_t})")))
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+    )
+    return out.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        "spans",
+        F.aggregate(
+            "spans", F.lit(0), lambda a, s: a + s["end"] - s["start"]
+        ).cast("long").alias("n_dup_tokens"),
+        F.array_join(
+            F.filter("_toks", lambda t, i: ~in_span(i)), " "
+        ).alias("clean_text"),
     )

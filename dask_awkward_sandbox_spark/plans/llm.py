@@ -447,6 +447,25 @@ def q_corpus_curation(spark, sf_dir):
       from c c1
       join c c2 on c2.doc_id = c1.doc_id + 1
       left join i on i.doc_id = c1.doc_id)
+    ,occ8 as (select doc_id, i - 1 as pos,
+                    ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 14))::bigint as g
+             from (select doc_id, {TOKENS} as toks from documents)
+             cross join unnest(range(1, greatest(len(toks) - 6, 1))) as t(i)),
+    dupg as (select g from occ8 group by g having count(*) >= 2),
+    dpos as (select occ8.doc_id, occ8.pos from occ8 join dupg using (g)),
+    disl as (select doc_id, pos,
+                    case when pos - lag(pos) over
+                              (partition by doc_id order by pos) <= 8
+                         then 0 else 1 end as brk
+             from dpos),
+    dgid as (select doc_id, pos,
+                    sum(brk) over (partition by doc_id order by pos) as grp
+             from disl),
+    dsp as (select doc_id, min(pos) as s, max(pos) + 8 as e
+            from dgid group by doc_id, grp),
+    dagg as (select doc_id, cast(sum(e - s) as bigint) as dup_tokens,
+                    string_agg(s || '-' || e, ',' order by s) as spans
+             from dsp group by doc_id)
     select 'exact' as leg, text_hash as key, keep_id as id,
            cast(n_copies as double) as val
     from ex
@@ -454,15 +473,24 @@ def q_corpus_curation(spark, sf_dir):
     select 'jaccard' as leg, cast(null as varchar) as key, doc_id as id,
            jaccard as val
     from jac
+    union all
+    select 'dupspan' as leg, spans as key, doc_id as id,
+           cast(dup_tokens as double) as val
+    from dagg
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    """Exact-dedup surface in one slot, two legs: content-hash dedup
-    ('exact': hash, copy count, kept id) and the exact token-set
+    """Exact-dedup surface in one slot, three legs: content-hash dedup
+    ('exact': hash, copy count, kept id), the exact token-set
     Jaccard between consecutive doc ids ('jaccard' — the verification
-    kernel the LSH pipeline applies to its candidate pairs). Merged
-    r5 from the former q_dedup_exact/q_ngram_jaccard split to free
-    gate slots; both legs keep their full value oracles."""
+    kernel the LSH pipeline applies to its candidate pairs), and
+    substring-level duplicate spans ('dupspan', r6 — functions/dedup.py
+    duplicate_ngram_spans, the Lee-et-al shape as a distributed 8-gram
+    inverted index: corpus-wide duplicated windows merged into maximal
+    token spans; the key pins every span boundary exactly against an
+    independent DuckDB gaps-and-islands derivation). Merged r5 from
+    the former q_dedup_exact/q_ngram_jaccard split to free gate
+    slots; all legs keep their full value oracles."""
     d = _docs(spark, sf_dir)
     ex = dedup.exact_dedup(d, "text", "doc_id").select(
         F.lit("exact").alias("leg"),
@@ -480,7 +508,21 @@ def q_dedup_exact(spark, sf_dir):
         F.col("id_a").alias("id"),
         F.col("jaccard").alias("val"),
     )
-    return ex.unionAll(jac)
+    sp = dedup.duplicate_ngram_spans(d, "text", "doc_id", n=8).filter(
+        F.col("n_dup_tokens") > 0
+    )
+    spleg = sp.select(
+        F.lit("dupspan").alias("leg"),
+        F.array_join(
+            F.transform(
+                "spans", lambda s: F.concat_ws("-", s["start"], s["end"])
+            ),
+            ",",
+        ).alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_dup_tokens").cast("double").alias("val"),
+    )
+    return ex.unionAll(jac).unionAll(spleg)
 
 
 # The test documents are single-line word streams, so the paragraph
