@@ -1140,3 +1140,89 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    left_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_id: str = "vec_id",
+    right_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    nlist: int = 16,
+    nprobe: int = 2,
+    round_digits: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """k-NN similarity JOIN — both sides large (corpus x corpus), the
+    shape ivf_topk's broadcast-panel path cannot take.
+
+    IVF-cell blocking: every right vector lives in exactly its
+    nearest cell; every left vector probes its ``nprobe`` nearest
+    cells. Candidates are an equi-join on the cell id; the exact
+    cosine runs only on candidates, and each left row keeps its top-k
+    via one grouped sort — never a window over the full candidate
+    set, never an all-pairs product.
+
+    Returns (left_id, right_id, rank, cos_sim), rank 1-based by
+    (cos_sim desc, right_id desc) — ``round_digits`` rounds the
+    cosine BEFORE ranking so an oracle can replay ties exactly.
+
+    Scale design (10^9 x 10^9): two shuffles — the cell equi-join
+    (cell count should be ~sqrt(n); at nlist distinct keys the join
+    parallelism is nlist, so size nlist >> cores) and the per-left
+    top-k, expressed as a rank()<=k window filter so Spark's
+    WindowGroupLimit inserts a map-side per-partition top-k BEFORE
+    the shuffle (plan-asserted in tests) — at most k rows per left
+    key per mapper ever move. Candidate volume is nprobe * n / nlist
+    per left row — the recall/cost dial. Centroids ride as one flat
+    array literal (no join, no broadcast table).
+    """
+    from pyspark.sql import Window
+    if centroids is None:
+        centroids = kmeans_train(right, right_vec, right_id, nlist=nlist)
+    r = right.select(
+        F.col(right_id).alias("_rid"),
+        as_double(F.col(right_vec)).alias("_rv"),
+        assign_nearest_centroid(
+            as_double(F.col(right_vec)), centroids, round_digits
+        ).alias("_cell"),
+    ).withColumn("_rnorm", norm(F.col("_rv")))
+    sims = _centroid_sims(as_double(F.col(left_vec)), centroids, round_digits)
+    # top-nprobe cells: sort the (sim, id) structs descending, slice
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda s: s["i"]
+    )
+    l = (
+        left.select(
+            F.col(left_id).alias("_lid"),
+            as_double(F.col(left_vec)).alias("_lv"),
+            probe.alias("_cells"),
+        )
+        .withColumn("_lnorm", norm(F.col("_lv")))
+        .select("_lid", "_lv", "_lnorm", F.explode("_cells").alias("_cell"))
+    )
+    cos = cosine_from_norms(
+        F.col("_lv"), F.col("_rv"), F.col("_lnorm"), F.col("_rnorm")
+    )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    cand = l.join(r, "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col("_lid") != F.col("_rid"))
+    w = Window.partitionBy("_lid").orderBy(
+        F.col("_s").desc(), F.col("_rid").desc()
+    )
+    return (
+        cand.select("_lid", "_rid", cos.alias("_s"))
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias("nn_id"),
+            F.col("_rank").cast("int").alias("rank"),
+            F.col("_s").alias("cos_sim"),
+        )
+    )

@@ -925,8 +925,18 @@ def q_ann_lsh_buckets(spark, sf_dir):
       select vec_id, m, j
       from pqd
       qualify row_number() over (partition by vec_id, m
-                                 order by d2 asc, j asc) = 1)
+                                 order by d2 asc, j asc) = 1),
+    nn as (
+      select la.vec_id as lid, ra.vec_id as rid,
+             round(list_cosine_similarity(le.v, re.v), 6) as s
+      from assign la
+      join assign ra on ra.list_id = la.list_id and ra.vec_id <> la.vec_id
+      join e le on le.vec_id = la.vec_id
+      join e re on re.vec_id = ra.vec_id
+      qualify row_number() over (partition by la.vec_id
+                                 order by s desc, ra.vec_id desc) = 1)
     select a.vec_id, a.list_id,
+           cast(nn.rid as bigint) as nn_id, nn.s as nn_sim,
            cast(max(case when m = 0 then j end) as int) as code_m0,
            cast(max(case when m = 1 then j end) as int) as code_m1,
            cast(max(case when m = 2 then j end) as int) as code_m2,
@@ -935,8 +945,10 @@ def q_ann_lsh_buckets(spark, sf_dir):
            cast(max(case when m = 5 then j end) as int) as code_m5,
            cast(max(case when m = 6 then j end) as int) as code_m6,
            cast(max(case when m = 7 then j end) as int) as code_m7
-    from assign a join codes using (vec_id)
-    group by a.vec_id, a.list_id
+    from assign a
+    join codes using (vec_id)
+    left join nn on nn.lid = a.vec_id
+    group by a.vec_id, a.list_id, nn.rid, nn.s
     """,
 )
 def q_ann_ivf_assign(spark, sf_dir):
@@ -974,10 +986,30 @@ def q_ann_ivf_assign(spark, sf_dir):
     )
     back = spark.read.parquet(path)
     codes = similarity.pq_encode(F.col("nb_vec"), books)
+    # r6 'knn1' leg: the corpus x corpus knn_join with nprobe=1 —
+    # every vector's nearest IN-CELL neighbor by 6-digit-rounded
+    # cosine (ties to the higher id on both engines); the oracle
+    # self-joins its own assignment derivation, so a cell-blocking or
+    # ranking bug on either side breaks the match. Singleton cells
+    # surface as null (left join both sides).
+    seed = similarity.kmeans_train(
+        e, "embedding", "vec_id", nlist=16, iters=0, X=X
+    )
+    knn = similarity.knn_join(
+        e, e, k=1, centroids=seed, nprobe=1, round_digits=6,
+        exclude_self=True,
+    ).select(
+        "vec_id",
+        F.col("nn_id").cast("long").alias("nn_id"),
+        F.col("cos_sim").alias("nn_sim"),
+    )
     return back.select(
         F.col("nb_id").alias("vec_id"),
         F.col("list_id").cast("long").alias("list_id"),
         *[F.get(codes, i).alias(f"code_m{i}") for i in range(8)],
+    ).join(knn, "vec_id", "left").select(
+        "vec_id", "list_id", "nn_id", "nn_sim",
+        *[f"code_m{i}" for i in range(8)],
     )
 
 

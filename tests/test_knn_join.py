@@ -1,0 +1,114 @@
+"""knn_join (functions/similarity.py): corpus x corpus top-k
+similarity join via IVF-cell blocking.
+
+The exactness anchor: probing every cell (nprobe = nlist) makes the
+cell blocking lossless, so the result must equal a numpy brute-force
+top-k row-for-row (same rounding, same tie order). Partial probes
+are then graded on recall against that exact answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.functions import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, M
+
+
+def _exact_topk(ids, M, k, exclude_self=True):
+    """Brute-force (rounded-cosine desc, id desc) top-k per row."""
+    norms = np.linalg.norm(M, axis=1)
+    S = np.round((M @ M.T) / np.outer(norms, norms), 6)
+    out = {}
+    for a in range(len(ids)):
+        cand = [
+            (S[a, b], ids[b])
+            for b in range(len(ids))
+            if not (exclude_self and b == a)
+        ]
+        cand.sort(key=lambda t: (-t[0], -t[1]))
+        out[ids[a]] = [(i, s) for s, i in cand[:k]]
+    return out
+
+
+def test_full_probe_equals_brute_force(spark, emb, X):
+    ids, M = X
+    nlist = 8
+    cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=nlist, iters=0)
+    got = sim.knn_join(
+        emb, emb, k=5, centroids=cents, nprobe=nlist,
+        round_digits=6, exclude_self=True,
+    ).collect()
+    exp = _exact_topk(ids, M, 5)
+    by_id: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["vec_id"], r["rank"])):
+        by_id.setdefault(r["vec_id"], []).append((r["nn_id"], r["cos_sim"]))
+    assert set(by_id) == set(ids.tolist())
+    assert by_id == {i: exp[i] for i in by_id}
+
+
+def test_partial_probe_recall(spark, emb, X):
+    ids, M = X
+    cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=2)
+    exp = _exact_topk(ids, M, 5)
+    got = sim.knn_join(
+        emb, emb, k=5, centroids=cents, nprobe=2,
+        round_digits=6, exclude_self=True,
+    ).collect()
+    hit = sum(
+        1
+        for r in got
+        if r["nn_id"] in {i for i, _ in exp[r["vec_id"]]}
+    )
+    recall = hit / (len(ids) * 5)
+    assert recall >= 0.35  # 2/8 cells probed on near-random vectors
+
+
+def test_shapes_and_plan(spark, emb):
+    cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=0)
+    r = sim.knn_join(
+        emb, emb, k=3, centroids=cents, nprobe=1,
+        round_digits=6, exclude_self=True,
+    )
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    # map-side per-key top-k before the shuffle, and no product joins
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = r.collect()
+    n = emb.count()
+    assert len(rows) <= n * 3
+    assert all(1 <= x["rank"] <= 3 for x in rows)
+    assert all(x["vec_id"] != x["nn_id"] for x in rows)
+    # ranks are dense per left id
+    per = {}
+    for x in rows:
+        per.setdefault(x["vec_id"], []).append(x["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+
+
+def test_self_inclusion_rank1(spark, emb):
+    cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=0)
+    r = sim.knn_join(
+        emb, emb, k=1, centroids=cents, nprobe=1, round_digits=6,
+    )
+    rows = r.collect()
+    # without exclude_self, everything's nearest neighbor is itself
+    # (cos 1.0, and its own cell is always its top probe)
+    assert all(x["nn_id"] == x["vec_id"] and x["cos_sim"] == 1.0 for x in rows)
