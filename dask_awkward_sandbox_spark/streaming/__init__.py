@@ -1,3 +1,4 @@
+from dask_awkward_sandbox_spark.streaming.neardup import stream_neardup_dedup
 from dask_awkward_sandbox_spark.streaming.similarity import stream_ivf_append
 from dask_awkward_sandbox_spark.streaming.events import (
     enrich_with_dim,
@@ -16,4 +17,5 @@ __all__ = [
     "enrich_with_dim",
     "run_stream_to_parquet",
     "stream_ivf_append",
+    "stream_neardup_dedup",
 ]
