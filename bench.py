@@ -59,6 +59,10 @@ HEADLINERS = [
     "q_str_surface",
     "q_text_metrics",
     "q_corpus_curation",
+    # r6: newly tracked — the slot gained the substring-dup 'dupspan'
+    # leg (duplicate_ngram_spans), whose growth behavior at sf1 the
+    # probe should watch alongside the other dedup family members
+    "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_minhash_clusters",
     "q_dedup_simhash",

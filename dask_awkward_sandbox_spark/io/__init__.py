@@ -22,6 +22,8 @@ from dask_awkward_sandbox_spark.io.root import (
     SyntheticNanoBackend,
     UprootBackend,
     from_root,
+    from_root_projected,
+    necessary_branches,
 )
 from dask_awkward_sandbox_spark.io.text import from_text
 from dask_awkward_sandbox_spark.io.io import (
@@ -48,6 +50,8 @@ __all__ = [
     "to_bucketed_table",
     "from_table",
     "from_root",
+    "from_root_projected",
+    "necessary_branches",
     "UprootBackend",
     "SyntheticNanoBackend",
     "from_text",

@@ -240,3 +240,68 @@ def from_root(
                 yield from tbl.to_batches()
 
     return tdf.mapInArrow(reader, sschema)
+
+
+def necessary_branches(spark: SparkSession, schema, downstream) -> list[str]:
+    """Which top-level columns does ``downstream``'s plan actually
+    read? Catalyst as the typetracer (the reference mocks a typetracer
+    array, runs the task graph over it, and reports touched buffers —
+    `src/dask_awkward/layers/layers.py:219` prepare_for_projection):
+    here the mock is a ZERO-ROW parquet file with the source schema,
+    ``downstream`` builds its plan over it, and the optimized scan's
+    ReadSchema — real column pruning, nested fields included — is the
+    touched set. No optimizer-rule emulation, no plan walking of our
+    own; whatever Catalyst would prune on the real data is exactly
+    what it prunes on the probe."""
+    import os as _os
+    import tempfile
+
+    from dask_awkward_sandbox_spark.inspect import report_necessary_columns
+
+    d = tempfile.mkdtemp(prefix="dwax_root_probe_")
+    path = _os.path.join(d, "probe.parquet")
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    out = downstream(spark.read.parquet(path))
+    tops: set[str] = set()
+    for loc, leaves in report_necessary_columns(out).items():
+        if _os.path.normpath(path) in _os.path.normpath(loc.replace("file:", "")):
+            tops |= {leaf.split(".")[0] for leaf in leaves}
+    return [f.name for f in schema.fields if f.name in tops]
+
+
+def from_root_projected(
+    spark: SparkSession,
+    files: str | Iterable[str],
+    downstream,
+    tree: str = "Events",
+    step_size: int = 100_000,
+    backend: RootBackend | None = None,
+) -> DataFrame:
+    """from_root with the reference's necessary-columns optimization
+    (`tests/test_inspect.py:85-95`: uproot.dask + report_necessary_
+    columns narrowing the read to the touched TTree branches):
+    ``downstream`` (DataFrame -> DataFrame) is traced over a zero-row
+    probe first, only the branches its optimized plan reads are
+    requested from the backend, then the real downstream runs over
+    the projected source. Returns ``downstream(projected_scan)``.
+
+    A plan that reads no columns at all (pure count) still needs ONE
+    branch to know entry counts — the first branch stands in, the
+    analogue of the reference's shape-only buffer touch.
+    """
+    backend = backend or UprootBackend()
+    flist = [files] if isinstance(files, str) else list(files)
+    if not flist:
+        raise ValueError("from_root_projected needs at least one file")
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    full = from_arrow_schema(backend.arrow_schema(flist[0], tree, None))
+    branches = necessary_branches(spark, full, downstream)
+    if not branches:
+        branches = [full.fields[0].name]
+    return downstream(
+        from_root(
+            spark, flist, tree=tree, branches=branches,
+            step_size=step_size, backend=backend,
+        )
+    )

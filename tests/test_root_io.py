@@ -102,3 +102,64 @@ def test_unknown_tree_and_empty_inputs(spark, backend):
 def test_uproot_backend_gated():
     with pytest.raises(DecodeUnavailable, match="uproot"):
         UprootBackend().num_entries("/fake/x.root", "Events")
+
+
+def test_necessary_branches_traces_downstream(spark, backend):
+    """The Catalyst-as-typetracer projection (the reference's
+    report_necessary_columns + uproot column projection,
+    tests/test_inspect.py:85-95)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from dask_awkward_sandbox_spark.io.root import necessary_branches
+
+    schema = from_arrow_schema(backend.arrow_schema("/fake/dy_a.root", "Events", None))
+
+    def down(df):
+        return df.select(
+            "event", F.explode("Muon_pt").alias("pt")
+        ).filter(F.col("pt") > 10.0)
+
+    assert necessary_branches(spark, schema, down) == ["event", "Muon_pt"]
+    # a plan touching nothing reads nothing
+    assert necessary_branches(spark, schema, lambda df: df.select(F.lit(1).alias("x"))) == []
+
+
+def test_from_root_projected_matches_unprojected(spark, backend):
+    from dask_awkward_sandbox_spark.io.root import from_root_projected
+
+    def down(df):
+        return (
+            df.select(F.explode("Muon_pt").alias("pt"))
+            .agg(F.sum("pt").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    got = from_root_projected(
+        spark, sorted(FILES), down, backend=backend, step_size=10
+    ).collect()[0]
+    full = down(
+        from_root(spark, sorted(FILES), backend=backend, step_size=10)
+    ).collect()[0]
+    assert (got["s"], got["n"]) == (full["s"], full["n"])
+
+    # the projection really narrowed the source: a downstream that
+    # whines if it sees extra columns proves only Muon_pt arrived
+    seen = {}
+
+    def spy(df):
+        seen["cols"] = df.columns
+        return df.select(F.explode("Muon_pt").alias("pt")).agg(F.sum("pt").alias("s"))
+
+    from_root_projected(
+        spark, "/fake/dy_b.root", spy, backend=backend
+    ).collect()
+    assert seen["cols"] == ["Muon_pt"]
+
+
+def test_from_root_projected_count_only_keeps_one_branch(spark, backend):
+    from dask_awkward_sandbox_spark.io.root import from_root_projected
+
+    n = from_root_projected(
+        spark, "/fake/dy_a.root", lambda df: df.select(F.lit(1).alias("one")),
+        backend=backend,
+    ).count()
+    assert n == 23
