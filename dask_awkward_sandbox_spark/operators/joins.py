@@ -11,7 +11,7 @@ salt space, join on (key, salt) — the hot key's rows land on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,11 +56,23 @@ def asof_join(
     by: str | list[str] | None = None,
     tolerance=None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row picks up the LATEST right row with
-    ``right.on <= left.on`` (backward direction — the
+    ``right.on <= left.on`` (default backward direction — the
     quote-at-trade-time / dimension-state-at-event-time operator
     Spark has no built-in for).
+
+    ``direction`` follows pandas merge_asof: ``"backward"`` (latest
+    right at-or-before), ``"forward"`` (earliest right at-or-after),
+    ``"nearest"`` (closer of the two; exact-distance ties resolve
+    backward, pandas-identical — property-tested against merge_asof
+    for all three). Forward/nearest add a second window frame over
+    the SAME keyed sort with the tie order flipped (right rows sort
+    after left at equal ``on`` so an exactly-simultaneous right row
+    is still an at-or-after match) — one Exchange either way; with
+    ``nearest`` the plan is Exchange -> Sort -> Window -> Sort ->
+    Window, never a second shuffle.
 
     Spark-first via the union trick, NOT a range join (a theta-join
     on ``r.ts <= l.ts`` is a nested-loop product): tag and union both
@@ -73,10 +85,20 @@ def asof_join(
     window — salt upstream if one key dominates.
 
     ``tolerance`` (in ``on``'s units, e.g. seconds for numeric
-    timestamps) nulls matches staler than ``left.on - tolerance``.
+    timestamps) nulls matches outside the direction's window
+    (backward: older than ``left.on - tolerance``; forward: beyond
+    ``left.on + tolerance``; nearest: either bound on its side).
     Right's payload columns come back suffixed; its ``on`` value
     returns as ``on + suffix`` (also the staleness witness).
+
+    Null ``on`` rows: pandas refuses null keys; here they stay inert
+    — a null-ts right row never matches anything, a null-ts left row
+    stays in the output with null match columns (r6; the r5 base let
+    a null-ts right row's payload carry with a null witness ts, which
+    was match-without-evidence).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c not in {*by_cols, on}]
     overlap = set(payload) & set(left.columns)
@@ -94,33 +116,61 @@ def asof_join(
 
     from pyspark.sql import Window
 
-    w = (
+    w_b = (
         Window.partitionBy(*by_cols)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [rname(c) for c in payload]
-    filled = allc.select(
-        "*",
-        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias(on + suffix),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias("_f_" + c)
-            for c in carried
-        ],
+    # flipped tie order: right rows AFTER left at equal `on`, so an
+    # exactly-simultaneous right row sits in the following frame
+    w_f = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side", *carried)
-    for c in carried:
-        out = out.withColumnRenamed("_f_" + c, c)
-    if tolerance is not None:
-        stale = F.col(on) - F.col(on + suffix) > F.lit(tolerance)
-        keep_cols = [on + suffix, *carried]
-        for c in keep_cols:
-            out = out.withColumn(c, F.when(~F.coalesce(stale, F.lit(True)), F.col(c)))
-    return out
+    carried = [rname(c) for c in payload]
+    rcol = lambda c: F.when(F.col("_side") == 0, F.col(c))  # noqa: E731
+    cols = ["*"]
+    if direction in ("backward", "nearest"):
+        cols += [
+            F.last(rcol(c), ignorenulls=True).over(w_b).alias("_b_" + c)
+            for c in (on, *carried)
+        ]
+    if direction in ("forward", "nearest"):
+        cols += [
+            F.first(rcol(c), ignorenulls=True).over(w_f).alias("_n_" + c)
+            for c in (on, *carried)
+        ]
+    filled = allc.select(*cols).filter(F.col("_side") == 1)
+
+    def _valid(prefix: str, dist) -> Column:
+        v = F.col(prefix + on).isNotNull()
+        if tolerance is not None:
+            v &= F.coalesce(dist <= F.lit(tolerance), F.lit(False))
+        return v
+
+    valid_b = _valid("_b_", F.col(on) - F.col("_b_" + on))
+    valid_f = _valid("_n_", F.col("_n_" + on) - F.col(on))
+    if direction == "backward":
+        pick = lambda c: F.when(valid_b, F.col("_b_" + c))  # noqa: E731
+    elif direction == "forward":
+        pick = lambda c: F.when(valid_f, F.col("_n_" + c))  # noqa: E731
+    else:
+        use_b = valid_b & (
+            ~valid_f
+            | ((F.col(on) - F.col("_b_" + on)) <= (F.col("_n_" + on) - F.col(on)))
+        )
+        pick = lambda c: F.when(use_b, F.col("_b_" + c)).otherwise(  # noqa: E731
+            F.when(valid_f, F.col("_n_" + c))
+        )
+
+    keep = [c for c in filled.columns
+            if c != "_side" and not c.startswith(("_b_", "_n_")) and c not in carried]
+    return filled.select(
+        *keep,
+        pick(on).alias(on + suffix),
+        *[pick(c).alias(c) for c in carried],
+    )
 
 
 def asof_join_skew(
@@ -175,13 +225,15 @@ def asof_join_skew(
     r_tag = right.select(
         *by_cols, F.col(on), *[F.col(c).alias(rname(c)) for c in payload]
     ).withColumn("_side", F.lit(0))
-    # null-timestamp rows: the base asof's window orders nulls FIRST
-    # (asc), so a null-ts left row sees only null-ts right rows and a
-    # null-ts right row is visible to everything after it. A null
-    # slice would instead fall out of the inner stitch join entirely,
-    # silently DROPPING those left rows — so nulls ride a sentinel
-    # key that sorts (and slices) before every real timestamp,
-    # reproducing the base ordering exactly.
+    # null-timestamp rows (base contract, pandas-aligned: merge_asof
+    # refuses null keys outright, we keep the rows inert): a null-ts
+    # RIGHT row can never be a match — drop it here so its payload
+    # cannot leak through the boundary cascade; a null-ts LEFT row
+    # stays in the output with null match columns — it rides a
+    # sentinel slice that sorts before every real timestamp (an
+    # un-slicied null would fall out of the inner stitch join and
+    # silently DROP the row).
+    r_tag = r_tag.filter(F.col(on).isNotNull())
     _SENT = -(2**62)
     k = F.coalesce(F.col(on).cast("long"), F.lit(_SENT))
     allc = l_tag.unionByName(r_tag, allowMissingColumns=True).withColumn(

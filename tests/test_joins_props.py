@@ -139,9 +139,10 @@ def test_asof_join_skew_matches_base(spark, left, right, tol, slice_width):
     asof row-for-row — including slice_width=1 (every row its own
     slice: the boundary pass does ALL the work) and 1000 (one slice:
     the local pass does all the work), empty sides, tolerance, and
-    NULL timestamps on either side (the review caught the stitch
-    join silently dropping null-ts left rows; they now ride a
-    sentinel slice that reproduces the base nulls-first ordering)."""
+    NULL timestamps on either side (contract: null-ts right rows are
+    inert, null-ts left rows survive with null matches — the skew
+    form drops null rights pre-slice and parks null lefts on a
+    sentinel slice so the stitch join cannot drop them)."""
     from dask_awkward_sandbox_spark.operators.joins import asof_join, asof_join_skew
 
     # one right row per (key, ts) incl. ts=None: payload ties at the
@@ -206,3 +207,54 @@ def test_asof_join_skew_hot_key_scatters(spark):
     assert sorted(map(tuple, sample.select(*cols).collect())) == sorted(
         map(tuple, base_out.select(*cols).collect())
     )
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=_left_rows, right=_right_rows,
+       tol=st.one_of(st.none(), st.integers(0, 30)),
+       direction=st.sampled_from(["forward", "nearest", "backward"]))
+def test_asof_join_directions_match_pandas(spark, left, right, tol, direction):
+    """direction= forward/nearest/backward each pinned to pandas
+    merge_asof (incl. nearest's ties-resolve-backward rule and
+    per-direction tolerance windows)."""
+    from dask_awkward_sandbox_spark.operators.joins import asof_join
+
+    right = _dedupe_right(right)
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)] or [("_x", -1, -1)],
+        "k string, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        right or [("_x", -1, -1)], "k string, ts long, v long"
+    )
+    got = {
+        r["lid"]: (r["ts_r"], r["v"])
+        for r in asof_join(
+            ldf, rdf, on="ts", by="k", tolerance=tol, direction=direction
+        ).collect()
+        if r["lid"] >= 0
+    }
+    if not left:
+        assert got == {}
+        return
+    lp = pd.DataFrame([(k, ts, i) for i, (k, ts) in enumerate(left)],
+                      columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(right or [], columns=["k", "ts", "v"])
+        .astype({"k": str, "ts": "int64", "v": "int64"})
+        .rename(columns={"ts": "rts"})
+        .assign(ts=lambda d: d["rts"])
+        .sort_values("ts", kind="stable")
+    )
+    kwargs = {"tolerance": tol} if tol is not None else {}
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        suffixes=("", "_r"), **kwargs,
+    )
+    for _, row in exp.iterrows():
+        g = got[row["lid"]]
+        if pd.isna(row["v"]):
+            assert g == (None, None), (row["lid"], g)
+        else:
+            assert g == (int(row["rts"]), int(row["v"])), (row["lid"], g)
