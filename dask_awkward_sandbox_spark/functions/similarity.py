@@ -743,7 +743,12 @@ def kmeans_train(
     # scheduling for microseconds of math. orderBy+limit compiles to
     # TakeOrdered (per-partition top-k, no full sort/shuffle).
     if X is None:
-        X = _sample_matrix(df, vec_col, id_col, sample_size)
+        X = _sample_matrix(df, vec_col, id_col, max(sample_size, nlist))
+    # a caller-supplied X smaller than nlist would SILENTLY train
+    # fewer cells than asked (and desync any oracle that re-derives
+    # the count) — clamp openly instead; LIMIT-past-end semantics,
+    # the same rule a SQL re-derivation gets for free
+    nlist = min(nlist, len(X))
     C = X[:nlist].copy()
     for _ in range(iters):
         sims = X @ C.T
@@ -1142,6 +1147,58 @@ def ivfpq_topk(
     )
 
 
+def _knn_sides(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_vec: str,
+    right_id: str,
+    right_vec: str,
+    centroids: list[list[float]],
+    nprobe: int,
+    round_digits: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared cell-blocking prep for both knn_join forms: right rows
+    in their nearest cell, left rows exploded to their nprobe probe
+    cells, norms precomputed per row."""
+    r = right.select(
+        F.col(right_id).alias("_rid"),
+        as_double(F.col(right_vec)).alias("_rv"),
+        assign_nearest_centroid(
+            as_double(F.col(right_vec)), centroids, round_digits
+        ).alias("_cell"),
+    ).withColumn("_rnorm", norm(F.col("_rv")))
+    if left is right and nprobe == 1 and (left_id, left_vec) == (right_id, right_vec):
+        # self-join fast path: with one probe, the left cell IS the
+        # right cell — assignment (the O(n*nlist) term) runs once for
+        # both sides instead of twice
+        l = r.select(
+            F.col("_rid").alias("_lid"),
+            F.col("_rv").alias("_lv"),
+            F.col("_rnorm").alias("_lnorm"),
+            "_cell",
+        )
+    else:
+        sims = _centroid_sims(as_double(F.col(left_vec)), centroids, round_digits)
+        if nprobe == 1:
+            # argmax, not a full sort: same (sim, id) struct order
+            probe = F.array(F.array_max(sims)["i"])
+        else:
+            probe = F.transform(
+                F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda s: s["i"]
+            )
+        l = (
+            left.select(
+                F.col(left_id).alias("_lid"),
+                as_double(F.col(left_vec)).alias("_lv"),
+                probe.alias("_cells"),
+            )
+            .withColumn("_lnorm", norm(F.col("_lv")))
+            .select("_lid", "_lv", "_lnorm", F.explode("_cells").alias("_cell"))
+        )
+    return l, r
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -1161,48 +1218,193 @@ def knn_join(
 
     IVF-cell blocking: every right vector lives in exactly its
     nearest cell; every left vector probes its ``nprobe`` nearest
-    cells. Candidates are an equi-join on the cell id; the exact
-    cosine runs only on candidates, and each left row keeps its top-k
-    via one grouped sort — never a window over the full candidate
-    set, never an all-pairs product.
+    cells; per cell, ALL pair similarities are ONE float64 GEMM in a
+    cogrouped ``applyInPandas`` (the same vectorization move as
+    brute_force_topk — the per-pair interpreted-fold constant is
+    ~100x the BLAS constant, measured on the sf1 probe) and only each
+    left row's top-k leave the worker. The pure-expression derivation
+    is :func:`knn_join_hof`, pinned row-equal in tests.
 
-    Returns (left_id, right_id, rank, cos_sim), rank 1-based by
-    (cos_sim desc, right_id desc) — ``round_digits`` rounds the
-    cosine BEFORE ranking so an oracle can replay ties exactly.
+    Returns (left_id, nn_id, rank, cos_sim), rank 1-based by
+    (cos_sim desc, nn_id desc) — ``round_digits`` rounds the cosine
+    BEFORE ranking so an oracle can replay ties exactly. Zero-norm
+    vectors never match (cosine undefined).
 
-    Scale design (10^9 x 10^9): two shuffles — the cell equi-join
-    (cell count should be ~sqrt(n); at nlist distinct keys the join
-    parallelism is nlist, so size nlist >> cores) and the per-left
-    top-k, expressed as a rank()<=k window filter so Spark's
-    WindowGroupLimit inserts a map-side per-partition top-k BEFORE
-    the shuffle (plan-asserted in tests) — at most k rows per left
-    key per mapper ever move. Candidate volume is nprobe * n / nlist
-    per left row — the recall/cost dial. Centroids ride as one flat
-    array literal (no join, no broadcast table).
+    Scale design (10^9 x 10^9): one shuffle per side, on the cell id.
+    Per-cell work is occupancy x occupancy x dim flops — with
+    ``adaptive_nlist`` occupancy is CONSTANT in n, so total work and
+    group memory are linear and no group outgrows a worker. Cell
+    count should be >> cores (it is, at n/occupancy); centroids ride
+    as one flat array literal, no join, no broadcast table.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
+
     if centroids is None:
         centroids = kmeans_train(right, right_vec, right_id, nlist=nlist)
-    r = right.select(
-        F.col(right_id).alias("_rid"),
-        as_double(F.col(right_vec)).alias("_rv"),
-        assign_nearest_centroid(
-            as_double(F.col(right_vec)), centroids, round_digits
-        ).alias("_cell"),
-    ).withColumn("_rnorm", norm(F.col("_rv")))
-    sims = _centroid_sims(as_double(F.col(left_vec)), centroids, round_digits)
-    # top-nprobe cells: sort the (sim, id) structs descending, slice
-    probe = F.transform(
-        F.slice(F.reverse(F.array_sort(sims)), 1, nprobe), lambda s: s["i"]
-    )
-    l = (
-        left.select(
-            F.col(left_id).alias("_lid"),
-            as_double(F.col(left_vec)).alias("_lv"),
-            probe.alias("_cells"),
+
+    # GEMM cell assignment in the same Arrow pass that ships the
+    # vectors to the cogroup: the expression form's per-row centroid
+    # fold is O(n * nlist) interpreted steps — with occupancy-adaptive
+    # nlist (~n/128) that term turns quadratic-ish and dominated the
+    # sf1 slot; one batch x nlist matmul per Arrow batch is ~100x the
+    # throughput. Tie rule replicated exactly: argmax over the
+    # REVERSED sim row = highest cell id among rounded-sim ties, the
+    # same (s, i) struct-max order as assign_nearest_centroid.
+    C = np.array(centroids, dtype=np.float64)
+
+    def _assigned(df, id_col, vec_col, prefix, probes):
+        import pyarrow as pa
+
+        out_t = pa.schema([
+            (prefix + "id", pa.int64()),
+            (prefix + "v", pa.list_(pa.float64())),
+            (prefix + "norm", pa.float64()),
+            ("_cell", pa.int32()),
+        ])
+
+        def fn(it):
+            for b in it:
+                d = b.to_pydict()
+                ids = np.asarray(d[id_col], dtype=np.int64)
+                V = np.array(d[vec_col], dtype=np.float64)
+                if V.size == 0:
+                    continue
+                S = V @ C.T
+                if round_digits is not None:
+                    S = np.round(S, round_digits)
+                norms = np.sqrt((V * V).sum(axis=1))
+                nk = C.shape[0]
+                if probes == 1:
+                    cells = ((nk - 1) - np.argmax(S[:, ::-1], axis=1))[:, None]
+                else:
+                    # per row: top-nprobe cells by (sim desc, id desc)
+                    cells = np.empty((len(ids), probes), dtype=np.int64)
+                    idx = np.arange(nk)
+                    for i in range(len(ids)):
+                        order = np.lexsort((-idx, -S[i]))
+                        cells[i] = order[:probes]
+                rep = np.repeat(np.arange(len(ids)), cells.shape[1])
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        prefix + "id": ids[rep],
+                        prefix + "v": [V[i].tolist() for i in rep],
+                        prefix + "norm": norms[rep],
+                        "_cell": cells.reshape(-1).astype(np.int32),
+                    },
+                    schema=out_t,
+                )
+
+        src = df.select(F.col(id_col), as_double(F.col(vec_col)).alias(vec_col))
+        return src.mapInArrow(
+            fn,
+            f"{prefix}id long, {prefix}v array<double>, {prefix}norm double, _cell int",
         )
-        .withColumn("_lnorm", norm(F.col("_lv")))
-        .select("_lid", "_lv", "_lnorm", F.explode("_cells").alias("_cell"))
+
+    r = _assigned(right, right_id, right_vec, "_r", 1)
+    if left is right and nprobe == 1 and (left_id, left_vec) == (right_id, right_vec):
+        l = r.select(
+            F.col("_rid").alias("_lid"),
+            F.col("_rv").alias("_lv"),
+            F.col("_rnorm").alias("_lnorm"),
+            "_cell",
+        )
+    else:
+        l = _assigned(left, left_id, left_vec, "_l", nprobe)
+    out_schema = f"{left_id} long, nn_id long, rank int, cos_sim double"
+    empty = pd.DataFrame({left_id: [], "nn_id": [], "rank": [], "cos_sim": []})
+
+    def per_cell(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        L = np.array(lpdf["_lv"].tolist(), dtype=np.float64)
+        R = np.array(rpdf["_rv"].tolist(), dtype=np.float64)
+        ln = lpdf["_lnorm"].to_numpy(dtype=np.float64)
+        rn = rpdf["_rnorm"].to_numpy(dtype=np.float64)
+        lids = lpdf["_lid"].to_numpy(dtype=np.int64)
+        rids = rpdf["_rid"].to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (L @ R.T) / np.outer(ln, rn)
+        if round_digits is not None:
+            S = np.round(S, round_digits)
+        S[~np.isfinite(S)] = -np.inf
+        if exclude_self:
+            S[lids[:, None] == rids[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] if S.shape[1] > kk else (
+            np.broadcast_to(np.arange(S.shape[1]), (S.shape[0], S.shape[1])))
+        rows = []
+        for i in range(len(lids)):
+            idx = np.asarray(part[i])
+            s = S[i, idx]
+            keep = s > -np.inf
+            idx, s = idx[keep], s[keep]
+            order = np.lexsort((-rids[idx], -s))
+            idx, s = idx[order], s[order]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        left_id: lids[i],
+                        "nn_id": rids[idx],
+                        "rank": np.arange(1, len(idx) + 1, dtype=np.int32),
+                        "cos_sim": s,
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else empty
+
+    out = (
+        l.groupBy("_cell")
+        .cogroup(r.groupBy("_cell"))
+        .applyInPandas(lambda lp, rp: per_cell(lp, rp), out_schema)
+    )
+    if nprobe > 1:
+        # a left row spans nprobe cell groups, each contributing its
+        # LOCAL top-k — merge to the global top-k (<= nprobe*k rows
+        # per left enter this window; WindowGroupLimit bounds the
+        # shuffle map-side like the HOF form)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(left_id).orderBy(
+            F.col("cos_sim").desc(), F.col("nn_id").desc()
+        )
+        out = (
+            out.drop("rank")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(left_id, "nn_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+        )
+    return out
+
+
+def knn_join_hof(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    left_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_id: str = "vec_id",
+    right_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    nlist: int = 16,
+    nprobe: int = 2,
+    round_digits: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The all-JVM expression form of :func:`knn_join` (cell equi-join
+    + per-pair fold + rank()<=k window, whose WindowGroupLimit does
+    map-side per-key top-k before the shuffle — plan-asserted). Kept
+    as the no-Python-workers fallback and the independent derivation
+    the GEMM path is pinned against; same total order, same output
+    contract (zero-norm vectors: null cosine sorts last but still
+    occupies trailing ranks here — the GEMM form drops them)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = kmeans_train(right, right_vec, right_id, nlist=nlist)
+    l, r = _knn_sides(
+        left, right, left_id, left_vec, right_id, right_vec,
+        centroids, nprobe, round_digits,
     )
     cos = cosine_from_norms(
         F.col("_lv"), F.col("_rv"), F.col("_lnorm"), F.col("_rnorm")
@@ -1226,3 +1428,139 @@ def knn_join(
             F.col("_s").alias("cos_sim"),
         )
     )
+
+
+def sq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    X=None,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) ranges for int8 scalar quantization,
+    from the same deterministic bounded sample the other quantizer
+    trainers use (the ``sample_size`` lowest-id vectors). Values
+    outside the trained range clamp at encode time — the standard SQ
+    contract (FAISS ScalarQuantizer semantics)."""
+    import numpy as np
+
+    if X is None:
+        X = _sample_matrix(df, vec_col, id_col, sample_size)
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    # degenerate dims (constant in the sample) get a unit span so the
+    # scale never divides by zero; every value encodes to 0 there
+    hi = np.where(hi > lo, hi, lo + 1.0)
+    return [float(x) for x in lo], [float(x) for x in hi]
+
+
+def sq_encode(vec: Column, lo: list[float], hi: list[float]) -> Column:
+    """vec (array<float/double>) -> array<smallint> codes in 0..255.
+    4x smaller than float32 storage (the PQ sibling is dim*8/m x —
+    SQ trades less compression for zero codebook and per-dim error
+    bound span/510 after rounding). Pure JVM expression; the (lo,
+    scale) tables ride as flat literals like the IVF centroids."""
+    dim = len(lo)
+    lo_a = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in lo) + ")")
+    sc_a = F.expr(
+        "array("
+        + ",".join(repr(255.0 / (h - l)) + "D" for l, h in zip(lo, hi))
+        + ")"
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx,
+        lambda d: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (F.element_at(vec, d + 1) - F.element_at(lo_a, d + 1))
+                    * F.element_at(sc_a, d + 1)
+                ).cast("int"),
+            ),
+        ).cast("smallint"),
+    )
+
+
+def sq_decode(codes: Column, lo: list[float], hi: list[float]) -> Column:
+    """codes -> reconstructed array<double> (midpoint-free affine
+    inverse: lo + code * span/255)."""
+    lo_a = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in lo) + ")")
+    iv_a = F.expr(
+        "array("
+        + ",".join(repr((h - l) / 255.0) + "D" for l, h in zip(lo, hi))
+        + ")"
+    )
+    return F.zip_with(
+        codes,
+        F.sequence(F.lit(0), F.lit(len(lo) - 1)),
+        lambda c, d: F.element_at(lo_a, d + 1)
+        + c.cast("double") * F.element_at(iv_a, d + 1),
+    )
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    lo: list[float] | None = None,
+    hi: list[float] | None = None,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over the QUANTIZED corpus: scores come from
+    sq-decoded vectors (reading 1/4 the bytes at scale); optional
+    exact re-rank of the top ``rerank`` candidates against the true
+    vectors recovers brute-force ordering. Shares brute_force_topk's
+    panel-broadcast shape — corpus never shuffles."""
+    if lo is None or hi is None:
+        lo, hi = sq_train(corpus, vec_col, id_col)
+    enc = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        sq_encode(as_double(F.col(vec_col)), lo, hi).alias("_codes"),
+    )
+    approx_corpus = enc.select(
+        F.col(id_col), sq_decode(F.col("_codes"), lo, hi).alias(vec_col)
+    )
+    if not rerank:
+        return brute_force_topk(
+            approx_corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        )
+    shortlist = brute_force_topk(
+        approx_corpus, queries, k=max(rerank, k), id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "nb_id")
+    exact = shortlist.join(
+        corpus.select(F.col(id_col).alias("nb_id"), F.col(vec_col).alias("_cv")),
+        "nb_id",
+    ).join(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+        ),
+        "q_id",
+    )
+    scored = exact.select(
+        "q_id", "nb_id",
+        cosine(as_double(F.col("_qv")), as_double(F.col("_cv"))).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nb_id").desc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("q_id", "nb_id", F.col("_rk").alias("rank"), "sim")
+    )
+
+
+def adaptive_nlist(n: int, target_occupancy: int = 128) -> int:
+    """Cell count for knn_join that keeps per-cell occupancy (and so
+    per-left candidate count) CONSTANT as the corpus grows: with
+    nlist = max(16, n // occupancy), total candidate volume is
+    O(n * occupancy * nprobe) — linear in n — where a fixed nlist is
+    O(n^2 / nlist) (the sf1 probe measured the fixed-16 form at 5.3x
+    wall for 10x data; this is the same adaptive dial as
+    adaptive_planes for the LSH buckets). The sqrt(n) rule minimizes
+    assign+probe cost jointly; occupancy-driven is the right dial
+    when the probe side is the whole corpus."""
+    return max(16, n // target_occupancy)

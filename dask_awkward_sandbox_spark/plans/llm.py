@@ -926,11 +926,23 @@ def q_ann_lsh_buckets(spark, sf_dir):
       from pqd
       qualify row_number() over (partition by vec_id, m
                                  order by d2 asc, j asc) = 1),
+    kp as (select greatest(16, count(*) // 128) as nk from e),
+    ck as (select row_number() over (order by vec_id) - 1 as list_id, v
+           from e order by vec_id limit (select nk from kp)),
+    ksims as (select e.vec_id, ck.list_id,
+                     round(list_sum(list_transform(range(64),
+                                                   d -> e.v[d+1] * ck.v[d+1])), 6) as s
+              from e cross join ck),
+    asg2 as (
+      select vec_id, list_id
+      from ksims
+      qualify row_number() over (partition by vec_id
+                                 order by s desc, list_id desc) = 1),
     nn as (
       select la.vec_id as lid, ra.vec_id as rid,
              round(list_cosine_similarity(le.v, re.v), 6) as s
-      from assign la
-      join assign ra on ra.list_id = la.list_id and ra.vec_id <> la.vec_id
+      from asg2 la
+      join asg2 ra on ra.list_id = la.list_id and ra.vec_id <> la.vec_id
       join e le on le.vec_id = la.vec_id
       join e re on re.vec_id = ra.vec_id
       qualify row_number() over (partition by la.vec_id
@@ -976,7 +988,11 @@ def q_ann_ivf_assign(spark, sf_dir):
 
     e = _emb(spark, sf_dir)
     path = _scratch(sf_dir, "ivf_index")
-    X = similarity._sample_matrix(e, "embedding", "vec_id", 4096)
+    # size the sample to the adaptive cell count (sf100's 2M vectors
+    # want ~15k cells > the 4096 default) — the extra rows change
+    # nothing for the ivf/pq legs, which read only the sample's head
+    nk = similarity.adaptive_nlist(e.count(), target_occupancy=128)
+    X = similarity._sample_matrix(e, "embedding", "vec_id", max(4096, nk))
     similarity.ivf_write_index(
         e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0,
         round_digits=6, X=X,
@@ -991,9 +1007,14 @@ def q_ann_ivf_assign(spark, sf_dir):
     # cosine (ties to the higher id on both engines); the oracle
     # self-joins its own assignment derivation, so a cell-blocking or
     # ranking bug on either side breaks the match. Singleton cells
-    # surface as null (left join both sides).
+    # surface as null (left join both sides). The cell count is
+    # OCCUPANCY-ADAPTIVE (adaptive_nlist: n/128 cells, floor 16 ==
+    # the other legs' seed count at gate SFs) — the fixed-16 form
+    # measured 5.3x wall at 10x data because in-cell candidates grow
+    # O(n^2/nlist); this keeps candidates-per-vector constant, and
+    # the oracle replays the same rule via its dynamic-LIMIT seed CTE.
     seed = similarity.kmeans_train(
-        e, "embedding", "vec_id", nlist=16, iters=0, X=X
+        e, "embedding", "vec_id", nlist=nk, iters=0, X=X
     )
     knn = similarity.knn_join(
         e, e, k=1, centroids=seed, nprobe=1, round_digits=6,

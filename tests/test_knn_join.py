@@ -80,6 +80,21 @@ def test_partial_probe_recall(spark, emb, X):
     assert recall >= 0.35  # 2/8 cells probed on near-random vectors
 
 
+def test_gemm_equals_hof(spark, emb):
+    """The cogrouped-GEMM main path and the all-JVM expression form
+    are independent derivations — pin them row-equal (both nprobe
+    regimes: per-cell-is-global and merged-across-probes)."""
+    cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=1)
+    for nprobe in (1, 3):
+        a = sorted(map(tuple, sim.knn_join(
+            emb, emb, k=4, centroids=cents, nprobe=nprobe,
+            round_digits=6, exclude_self=True).collect()))
+        b = sorted(map(tuple, sim.knn_join_hof(
+            emb, emb, k=4, centroids=cents, nprobe=nprobe,
+            round_digits=6, exclude_self=True).collect()))
+        assert a == b
+
+
 def test_shapes_and_plan(spark, emb):
     cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=0)
     r = sim.knn_join(
@@ -87,10 +102,17 @@ def test_shapes_and_plan(spark, emb):
         round_digits=6, exclude_self=True,
     )
     plan = r._jdf.queryExecution().executedPlan().toString()
-    # map-side per-key top-k before the shuffle, and no product joins
-    assert "WindowGroupLimit" in plan
+    # per-cell GEMM workers, no product joins anywhere
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the expression form keeps its map-side top-k pushdown
+    hof_plan = sim.knn_join_hof(
+        emb, emb, k=3, centroids=cents, nprobe=1,
+        round_digits=6, exclude_self=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in hof_plan
+    assert "CartesianProduct" not in hof_plan
     rows = r.collect()
     n = emb.count()
     assert len(rows) <= n * 3
