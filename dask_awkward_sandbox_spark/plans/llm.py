@@ -772,11 +772,40 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     "q_ann_bruteforce",
     """
     with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
-    q as (select * from e where vec_id % 50 = 0)
-    select q.vec_id as q_id, e.vec_id as nb_id,
-           round(list_cosine_similarity(q.v, e.v), 6) as sim
-    from q join e on e.vec_id <> q.vec_id
-    qualify row_number() over (partition by q.vec_id order by sim desc, nb_id asc) <= 5
+    q as (select * from e where vec_id % 50 = 0),
+    top as (
+      select q.vec_id as q_id, e.vec_id as nb_id,
+             round(list_cosine_similarity(q.v, e.v), 6) as sim
+      from q join e on e.vec_id <> q.vec_id
+      qualify row_number() over (partition by q.vec_id
+                                 order by sim desc, nb_id asc) <= 5),
+    samp as (select v from e order by vec_id limit 4096),
+    dims as (select unnest(range(64)) as d),
+    st as (select dims.d, min(samp.v[dims.d+1]) as lo, max(samp.v[dims.d+1]) as hi
+           from samp cross join dims group by dims.d),
+    st2 as (select d, lo, case when hi > lo then hi else lo + 1.0 end as hi
+            from st),
+    lohi as (select list(lo order by d) as lo, list(hi order by d) as hi
+             from st2),
+    codes as (
+      select e.vec_id,
+             list_transform(range(64), d ->
+               least(255, greatest(0,
+                 cast(round((e.v[d+1] - lo[d+1])
+                            * (255.0 / (hi[d+1] - lo[d+1]))) as int)))) as c
+      from e, lohi),
+    dec as (
+      select codes.vec_id, c,
+             list_transform(range(64), d ->
+               lo[d+1] + c[d+1] * ((hi[d+1] - lo[d+1]) / 255.0)) as dv
+      from codes, lohi)
+    select t.q_id, t.nb_id, t.sim,
+           round(list_cosine_similarity(dq.dv, dn.dv), 6) as sq_sim,
+           cast(list_sum(dn.c) as bigint) as nb_code_sum,
+           cast(dn.c[1] as int) as nb_code0
+    from top t
+    join dec dn on dn.vec_id = t.nb_id
+    join dec dq on dq.vec_id = t.q_id
     """,
 )
 def q_ann_bruteforce(spark, sf_dir):
@@ -787,10 +816,49 @@ def q_ann_bruteforce(spark, sf_dir):
     kept as brute_force_topk_hof and pinned equal by
     tests/test_similarity.py — at sf1 the GEMM path measures ~2x
     faster and its per-pair constant is ~40x lower, which is what
-    survives the n·q growth of an exact baseline)."""
+    survives the n·q growth of an exact baseline).
+
+    r6 'sq' legs: the int8 SCALAR QUANTIZER under the driver's oracle
+    — each result pair also carries (a) the cosine recomputed over
+    the sq-decoded (encode -> decode roundtripped) vectors, and (b)
+    the neighbor's exact-int code checksum + first code. The oracle
+    re-derives the whole quantizer in SQL from the same lowest-id
+    sample (per-dim min/max, unit span for degenerate dims, the
+    identical divide-then-multiply scale fold, clamp, affine decode)
+    — a train/encode/decode bug on either side breaks exact-int
+    equality, no rounding slack on the code columns."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 50 == 0)
-    return similarity.brute_force_topk(e, q, k=5)
+    base = similarity.brute_force_topk(e, q, k=5)
+    lo, hi = similarity.sq_train(e, "embedding", "vec_id")
+    enc = e.select(
+        "vec_id",
+        similarity.sq_encode(
+            similarity.as_double(F.col("embedding")), lo, hi
+        ).alias("_c"),
+    ).select(
+        "vec_id", "_c", similarity.sq_decode(F.col("_c"), lo, hi).alias("_d")
+    )
+    nb = enc.select(
+        F.col("vec_id").alias("nb_id"),
+        F.aggregate(
+            "_c", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("nb_code_sum"),
+        F.element_at("_c", 1).cast("int").alias("nb_code0"),
+        F.col("_d").alias("_dn"),
+    )
+    qd = enc.select(F.col("vec_id").alias("q_id"), F.col("_d").alias("_dq"))
+    return (
+        base.join(nb, "nb_id")
+        .join(qd, "q_id")
+        .select(
+            "q_id", "nb_id", "sim",
+            F.round(similarity.cosine(F.col("_dq"), F.col("_dn")), 6).alias(
+                "sq_sim"
+            ),
+            "nb_code_sum", "nb_code0",
+        )
+    )
 
 
 # Everything up to the verified near-dup edge set, shared between the
