@@ -59,6 +59,10 @@ HEADLINERS = [
     "q_str_surface",
     "q_text_metrics",
     "q_corpus_curation",
+    # r6: bigram-LM perplexity scoring (functions/lm.py) — train +
+    # score is three corpus scans; the probe watches the count-join
+    # growth alongside the other text-family slots
+    "q_lm_perplexity",
     # r6: newly tracked — the slot gained the substring-dup 'dupspan'
     # leg (duplicate_ngram_spans), whose growth behavior at sf1 the
     # probe should watch alongside the other dedup family members

@@ -1,5 +1,6 @@
 from dask_awkward_sandbox_spark.functions import (
     dedup,
+    lm,
     multimodal,
     quality_filters,
     rollup,
@@ -10,6 +11,7 @@ from dask_awkward_sandbox_spark.functions import (
 
 __all__ = [
     "dedup",
+    "lm",
     "similarity",
     "rollup",
     "sketches",

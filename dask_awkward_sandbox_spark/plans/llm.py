@@ -1139,3 +1139,60 @@ def q_multimodal_features(spark, sf_dir):
     return out.select(
         F.col("media_id").alias("doc_id"), "width", "height", "n_bytes"
     )
+
+
+# ---------------------------------------------------------------------------
+# language-model perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lm_perplexity",
+    f"""
+    with t as (select doc_id, {TOKENS} as ts from documents),
+    uni_raw as (select w, count(*) as c
+                from (select unnest(ts) as w from t) group by w),
+    vocab as (select w from uni_raw order by c desc, w asc limit 4096),
+    nv as (select count(*) + 1 as vn from vocab),
+    uni as (select coalesce(v.w, '<unk>') as mw, sum(c) as c
+            from uni_raw u left join vocab v on v.w = u.w group by 1),
+    rp as (select doc_id, ts[x.i] as rpw, ts[x.i+1] as rcw
+           from t cross join unnest(range(1, greatest(len(ts), 1))) as x(i)),
+    pairs as (select doc_id,
+                     coalesce(vp.w, '<unk>') as pw,
+                     coalesce(vc.w, '<unk>') as cw
+              from rp
+              left join vocab vp on vp.w = rp.rpw
+              left join vocab vc on vc.w = rp.rcw),
+    bi as (select pw, cw, count(*) as c from pairs group by pw, cw),
+    sc as (select p.doc_id,
+                  count(*) as n_pairs,
+                  sum(b.c) as sum_bi,
+                  sum(ln(b.c + 1) - ln(u.c + (select vn from nv))) as slp
+           from pairs p
+           join bi b on b.pw = p.pw and b.cw = p.cw
+           join uni u on u.mw = p.pw
+           group by p.doc_id)
+    select t.doc_id,
+           cast(len(t.ts) as bigint) as n_tokens,
+           cast(sc.n_pairs as bigint) as n_pairs,
+           cast(sc.sum_bi as bigint) as sum_bi,
+           round(sc.slp / sc.n_pairs, 6) as avg_logp,
+           round(exp(-(sc.slp / sc.n_pairs)), 3) as ppl
+    from t left join sc using (doc_id)
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (functions/lm.py) — the CCNet
+    quality-filter stage — under a FULL value oracle: DuckDB retrains
+    the identical model (top-4096 vocabulary at the shared
+    (count desc, token asc) cutoff, <unk> mapping, add-one-smoothed
+    bigram counts) and re-scores every document. n_tokens / n_pairs /
+    sum-of-pair-counts are exact ints — a tokenization, vocabulary
+    cutoff, mapping, or counting bug on either side breaks them
+    cold; avg_logp and ppl are rounded (6 / 3 digits) so the
+    cross-library ln/exp last-ulp never flips the hash. Sub-2-token
+    docs carry nulls for pair-derived columns on both engines."""
+    from dask_awkward_sandbox_spark.functions import lm
+
+    return lm.lm_perplexity(_docs(spark, sf_dir))

@@ -1,0 +1,154 @@
+"""Bigram-LM perplexity (functions/lm.py): exact counts vs a
+hand-rolled reference model, held-out scoring with unseen pairs and
+OOV contexts, vocabulary-cutoff mapping, the filter contract, and the
+broadcast-mapping plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_awkward_sandbox_spark.functions import lm
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_model(texts, vocab_size):
+    """Reference implementation: identical tokenization, cutoff,
+    mapping, counts."""
+    docs = [t.split() for t in texts]
+    uni_raw = {}
+    for ts in docs:
+        for w in ts:
+            uni_raw[w] = uni_raw.get(w, 0) + 1
+    vocab = {
+        w for w, _ in sorted(uni_raw.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    }
+    m = lambda w: w if w in vocab else lm.UNK
+    uni, bi = {}, {}
+    for w, c in uni_raw.items():
+        uni[m(w)] = uni.get(m(w), 0) + c
+    for ts in docs:
+        for a, b in zip(ts, ts[1:]):
+            bi[(m(a), m(b))] = bi.get((m(a), m(b)), 0) + 1
+    return vocab, uni, bi, len(vocab) + 1
+
+
+def _py_score(ts, vocab, uni, bi, vn):
+    m = lambda w: w if w in vocab else lm.UNK
+    pairs = [(m(a), m(b)) for a, b in zip(ts, ts[1:])]
+    if not pairs:
+        return None
+    slp = sum(
+        math.log(bi.get(p, 0) + 1) - math.log(uni.get(p[0], 0) + vn)
+        for p in pairs
+    )
+    return (
+        len(pairs),
+        sum(bi.get(p, 0) for p in pairs),
+        round(slp / len(pairs), 6),
+        round(math.exp(-slp / len(pairs)), 3),
+    )
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "the dog ran",
+    "zzq",                      # single token: no pairs
+    "",                         # no tokens at all
+    "cat the on sat mat the",   # same words, scrambled order
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_exact_vs_reference(spark, docs):
+    vocab, uni, bi, vn = _py_model(TEXTS, 4096)
+    model = lm.lm_train(docs, vocab_size=4096)
+    assert model.vn == vn
+    got = {
+        r["doc_id"]: r for r in lm.lm_score(docs, model).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        ts = t.split()
+        exp = _py_score(ts, vocab, uni, bi, vn)
+        r = got[i]
+        assert r["n_tokens"] == len(ts)
+        if exp is None:
+            assert r["n_pairs"] is None and r["avg_logp"] is None
+        else:
+            assert (r["n_pairs"], r["sum_bi"]) == exp[:2]
+            assert r["avg_logp"] == pytest.approx(exp[2], abs=2e-6)
+            assert r["ppl"] == pytest.approx(exp[3], abs=2e-3)
+
+
+def test_vocab_cutoff_maps_unk(spark, docs):
+    # vocab_size 3 keeps only the 3 most frequent tokens; everything
+    # else scores through <unk>, and the reference model agrees
+    vocab, uni, bi, vn = _py_model(TEXTS, 3)
+    model = lm.lm_train(docs, vocab_size=3)
+    assert {r["w"] for r in model.vocab.collect()} == vocab
+    assert model.vn == 4
+    got = {r["doc_id"]: r for r in lm.lm_score(docs, model).collect()}
+    for i, t in enumerate(TEXTS):
+        exp = _py_score(t.split(), vocab, uni, bi, vn)
+        if exp is not None:
+            assert (got[i]["n_pairs"], got[i]["sum_bi"]) == exp[:2]
+            assert got[i]["avg_logp"] == pytest.approx(exp[2], abs=2e-6)
+
+
+def test_held_out_unseen_pairs(spark, docs):
+    vocab, uni, bi, vn = _py_model(TEXTS, 4096)
+    model = lm.lm_train(docs, vocab_size=4096)
+    held = spark.createDataFrame(
+        [
+            (100, "mat on dog the"),     # seen tokens, unseen pairs
+            (101, "wholly novel words"),  # OOV everywhere -> unk path
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm.lm_score(held, model).collect()}
+    for did, text in [(100, "mat on dog the"), (101, "wholly novel words")]:
+        exp = _py_score(text.split(), vocab, uni, bi, vn)
+        r = got[did]
+        assert (r["n_pairs"], r["sum_bi"]) == exp[:2]
+        assert r["avg_logp"] == pytest.approx(exp[2], abs=2e-6)
+    # the all-OOV doc is maximally surprising: every pair scores
+    # ln(c_bi+1)-ln(c_unk+vn) with c_bi=0 (unk-unk never trained)
+    assert got[101]["sum_bi"] == 0
+
+
+def test_filter_keeps_low_ppl_and_degenerate(spark, docs):
+    model = lm.lm_train(docs, vocab_size=4096)
+    scored = {r["doc_id"]: r["ppl"] for r in lm.lm_score(docs, model).collect()}
+    cut = sorted(p for p in scored.values() if p is not None)[1]
+    kept = {
+        r["doc_id"]
+        for r in lm.perplexity_filter(docs, model, max_ppl=cut).collect()
+    }
+    expect = {d for d, p in scored.items() if p is None or p <= cut}
+    assert kept == expect
+    assert 3 in kept and 4 in kept  # pair-less docs pass through
+
+
+def test_real_corpus_and_plan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = lm.lm_perplexity(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # vocab/unigram mapping sides
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    ppls = [r["ppl"] for r in rows if r["ppl"] is not None]
+    assert ppls and all(p > 0 for p in ppls)

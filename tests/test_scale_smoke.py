@@ -36,6 +36,7 @@ SUBSET = [
     "q_str_surface",
     "q_text_metrics",
     "q_corpus_curation",
+    "q_lm_perplexity",  # r6: LM train+score, 20k-doc vocab/bigram joins
     "q_dedup_exact",
     "q_dedup_minhash_clusters",
     "q_embedding_neardup",
