@@ -43,6 +43,8 @@ __all__ = [
     "chunk_documents",
     "pack_chunks",
     "deterministic_shuffle",
+    "plan_mixture",
+    "apply_mixture",
 ]
 
 
@@ -494,4 +496,113 @@ def deterministic_shuffle(
     )
     return keyed.repartitionByRange(parts, "_shuffle_key").sortWithinPartitions(
         "_shuffle_key"
+    )
+
+
+# ---------------------------------------------------------------------------
+# target-weight mixture planning (domain reweighting)
+# ---------------------------------------------------------------------------
+
+
+def plan_mixture(
+    docs: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain sampling plan for a TARGET token mixture — the
+    DoReMi/The-Pile-style "data recipe" stage; the equal-share cousin
+    is :func:`stratified_token_sample`.
+
+    ``weights`` give the desired mixture PROPORTIONS (any positive
+    scale — never normalized, so the arithmetic both engines replay
+    is exactly the caller's literals). With no upsampling, the
+    largest corpus achieving the target mixture has total
+    ``T = min_d(avail_d / w_d)`` weighted tokens; each domain keeps
+    ``rate_d = w_d * T / avail_d`` of its tokens (the arg-min domain
+    keeps everything), quantized to ppm by floor() — spelled out
+    because Spark's double->long cast truncates while DuckDB's
+    rounds. Domains absent from ``weights`` get rate 0 (dropped).
+
+    Returns ``(domain, avail_tokens, weight, rate_ppm)``.
+
+    100 TB shape: ONE map-side-combined aggregate for per-domain
+    token totals (domains ~ languages/sources, so KBs), the min-ratio
+    over an unpartitioned window on that tiny frame (one exchange of
+    KBs, no cross join), and the plan itself is the broadcast side of
+    :func:`apply_mixture`'s stateless filter.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in sorted(weights.items())],
+        f"{domain_col} string, weight double",
+    )
+    totals = (
+        docs.select(
+            F.col(domain_col),
+            ta.token_count_ws(F.col(text_col)).alias("_nt"),
+        )
+        .groupBy(domain_col)
+        .agg(F.sum("_nt").alias("avail_tokens"))
+    )
+    joined = totals.join(F.broadcast(wdf), domain_col, "left")
+    t_min = F.min(
+        F.when(
+            F.col("weight").isNotNull(),
+            F.col("avail_tokens").cast("double") / F.col("weight"),
+        )
+    ).over(Window.partitionBy(F.lit(1)))
+    return joined.select(
+        F.col(domain_col).alias("domain"),
+        "avail_tokens",
+        "weight",
+        # guard BEFORE least(): both Spark's and DuckDB's least()
+        # skip nulls, so least(1e6, null-rate) would resurrect an
+        # unweighted domain at full rate instead of dropping it
+        F.when(
+            F.col("weight").isNull(), F.lit(0).cast("long")
+        ).otherwise(
+            F.least(
+                F.lit(SAMPLE_PPM).cast("long"),
+                F.floor(
+                    F.col("weight")
+                    * t_min
+                    / F.col("avail_tokens").cast("double")
+                    * SAMPLE_PPM
+                ).cast("long"),
+            )
+        ).alias("rate_ppm"),
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a :func:`plan_mixture` decision per document:
+    keep iff ``md5-hash('mix:' || id) % 1e6 < rate_ppm`` — a pure
+    function of the row (reproducible in any engine, no RNG state,
+    no partition dependence), salted with ``mix:`` so the decision is
+    independent of :func:`stratified_token_sample`'s unsalted hash on
+    the same ids. Returns the input columns plus
+    ``(rate_ppm, keep)``; unknown domains (absent from the plan)
+    drop.
+
+    100 TB: broadcast the KB-scale plan onto the scan; the filter is
+    stateless and resumable."""
+    p = plan.select(F.col("domain").alias(domain_col), "rate_ppm")
+    return docs.join(F.broadcast(p), domain_col, "left").withColumn(
+        "keep",
+        F.pmod(
+            ta.word_hash56(
+                F.concat(F.lit("mix:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(SAMPLE_PPM),
+        )
+        < F.coalesce(F.col("rate_ppm"), F.lit(0).cast("long")),
     )

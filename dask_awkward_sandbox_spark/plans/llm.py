@@ -1196,3 +1196,62 @@ def q_lm_perplexity(spark, sf_dir):
     from dask_awkward_sandbox_spark.functions import lm
 
     return lm.lm_perplexity(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# data mixture planning (domain reweighting)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+
+@query(
+    "q_data_mixture",
+    f"""
+    with t as (select doc_id, lang, cast(len({TOKENS}) as bigint) as nt
+               from documents),
+    tot as (select lang, sum(nt) as avail from t group by lang),
+    w(lang, weight) as (values ('de', 0.15), ('en', 0.5), ('es', 0.15),
+                               ('fr', 0.1), ('zh', 0.1)),
+    j as (select tot.lang, avail, weight from tot left join w using (lang)),
+    tm as (select min(case when weight is not null
+                           then avail::double / weight end) as t from j),
+    plan as (select lang, avail, weight,
+                    case when weight is null then 0
+                         else least(1000000,
+                           cast(floor(weight * (select t from tm)
+                                      / avail::double * 1000000) as bigint))
+                    end as rate_ppm
+             from j)
+    select t.doc_id, t.lang as domain, t.nt as n_tokens,
+           cast(p.avail as bigint) as avail_tokens, p.rate_ppm,
+           cast((('0x'||substr(md5('mix:'||t.doc_id),1,14))::bigint % 1000000
+                 < p.rate_ppm) as int) as keep
+    from t join plan p using (lang)
+    """,
+)
+def q_data_mixture(spark, sf_dir):
+    """Target-weight mixture planning (functions/quality_filters.py
+    plan_mixture/apply_mixture — the DoReMi/Pile "data recipe" stage)
+    under a FULL value oracle: DuckDB recomputes the per-domain token
+    totals, the no-upsampling max-corpus solve T = min(avail/w), the
+    floor-quantized ppm keep rates, and every per-document salted-md5
+    keep decision. avail/rate/keep are exact ints; the one float
+    (w*T/avail) is floor-quantized identically on both engines, so
+    there is no rounding slack anywhere."""
+    d = _docs(spark, sf_dir)
+    plan = qf.plan_mixture(d, "lang", MIX_WEIGHTS)
+    out = qf.apply_mixture(
+        d.select("doc_id", "lang", "text"), plan, "lang"
+    ).join(
+        F.broadcast(plan.select(F.col("domain").alias("lang"), "avail_tokens")),
+        "lang",
+    )
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("domain"),
+        ta.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        F.col("avail_tokens"),
+        F.coalesce(F.col("rate_ppm"), F.lit(0).cast("long")).alias("rate_ppm"),
+        F.col("keep").cast("int").alias("keep"),
+    )

@@ -237,3 +237,74 @@ def test_pack_chunks_greedy_maximality(spark):
             total_a = sum(r["n_chunk_tokens"] for r in seqs[a])
             first_b = seqs[b][0]["n_chunk_tokens"]
             assert total_a + first_b > 48, "mergeable adjacent examples"
+
+
+# ---------------------------------------------------------------------------
+# target-weight mixture planning
+# ---------------------------------------------------------------------------
+
+
+def test_plan_mixture_math(spark):
+    # three domains, token counts 10/6/2 per doc — avail 100/60/20;
+    # weights 2:1:1 -> T = min(100/2, 60/1, 20/1) = 20
+    # rates: a: 2*20/100=0.4, b: 1*20/60=1/3, c: 20/20=1.0
+    rows = []
+    for i in range(10):
+        rows += [(i, "a", "w " * 10), (100 + i, "b", "w " * 6),
+                 (200 + i, "c", "w " * 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    plan = {r["domain"]: r for r in qf.plan_mixture(
+        docs, "dom", {"a": 2.0, "b": 1.0, "c": 1.0}).collect()}
+    assert plan["a"]["avail_tokens"] == 100
+    assert plan["a"]["rate_ppm"] == 400_000
+    assert plan["b"]["rate_ppm"] == 333_333  # floor(1/3 * 1e6)
+    assert plan["c"]["rate_ppm"] == 1_000_000  # binding domain keeps all
+
+
+def test_plan_mixture_unknown_domain_drops(spark):
+    docs = spark.createDataFrame(
+        [(0, "a", "x y z"), (1, "junk", "x y z")],
+        "doc_id long, dom string, text string",
+    )
+    plan = qf.plan_mixture(docs, "dom", {"a": 1.0})
+    rates = {r["domain"]: r["rate_ppm"] for r in plan.collect()}
+    assert rates == {"a": 1_000_000, "junk": 0}
+    out = qf.apply_mixture(docs, plan, "dom")
+    kept = {r["doc_id"] for r in out.filter("keep").collect()}
+    assert kept == {0}
+
+
+def test_apply_mixture_deterministic_and_salted(spark):
+    docs = spark.createDataFrame(
+        [(i, "a", "w " * 5) for i in range(400)],
+        "doc_id long, dom string, text string",
+    )
+    # force a partial rate by demanding domain 'a' contribute only
+    # half its weight vs a phantom... simpler: two domains, a huge
+    rows = [(i, "a", "w " * 5) for i in range(400)]
+    rows += [(1000 + i, "b", "w " * 5) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    plan = qf.plan_mixture(docs, "dom", {"a": 1.0, "b": 1.0})
+    # b binds (equal weights, b has fewer tokens): a's rate = 25%
+    out = qf.apply_mixture(docs, plan, "dom")
+    k1 = {r["doc_id"]: r["keep"] for r in out.collect()}
+    k2 = {r["doc_id"]: r["keep"] for r in
+          qf.apply_mixture(docs.repartition(7), plan, "dom").collect()}
+    assert k1 == k2  # partition-independent
+    frac = sum(k1[i] for i in range(400)) / 400
+    assert 0.17 < frac < 0.33  # ~25% of a kept
+    # salt decorrelates from the stratified sampler's unsalted hash
+    strat = {r["doc_id"]: r["keep"] for r in qf.stratified_token_sample(
+        docs, "dom", budget_tokens=1250).collect()}
+    assert any(k1[i] != strat[i] for i in k1)
+
+
+def test_apply_mixture_plan_shape(spark):
+    docs = spark.createDataFrame(
+        [(i, "a", "w") for i in range(50)],
+        "doc_id long, dom string, text string",
+    )
+    plan = qf.plan_mixture(docs, "dom", {"a": 1.0})
+    out = qf.apply_mixture(docs, plan, "dom")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
