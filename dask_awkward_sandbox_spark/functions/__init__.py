@@ -1,4 +1,5 @@
 from dask_awkward_sandbox_spark.functions import (
+    bpe,
     dedup,
     lm,
     multimodal,
@@ -10,6 +11,7 @@ from dask_awkward_sandbox_spark.functions import (
 )
 
 __all__ = [
+    "bpe",
     "dedup",
     "lm",
     "similarity",

@@ -28,23 +28,54 @@ _ASOF_TOL_S = 6 * 3600
          r as (select user_id, cast(floor(epoch(ts)) as bigint) as ts,
                       cast(round(max(value) * 100) as bigint) as view_cents
                from events where event_type = 'view'
-               group by user_id, floor(epoch(ts)))
-    select l.event_id, l.user_id, l.ts,
-           case when l.ts - r.ts > {_ASOF_TOL_S} then null else r.ts end as ts_r,
-           case when l.ts - r.ts > {_ASOF_TOL_S} then null else r.view_cents end
-               as view_cents
-    from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+               group by user_id, floor(epoch(ts))),
+         b as (select l.event_id, l.user_id, l.ts,
+                      r.ts as bts, r.view_cents as bvc
+               from l asof left join r
+               on l.user_id = r.user_id and l.ts >= r.ts),
+         f as (select l.event_id, r.ts as fts, r.view_cents as fvc
+               from l asof left join r
+               on l.user_id = r.user_id and l.ts <= r.ts),
+         j as (select b.*, f.fts, f.fvc from b join f using (event_id))
+    select event_id, user_id, ts,
+           case when ts - bts > {_ASOF_TOL_S} then null else bts end as ts_r,
+           case when ts - bts > {_ASOF_TOL_S} then null else bvc end
+               as view_cents,
+           case when fts - ts > {_ASOF_TOL_S} then null else fts end as fwd_ts_r,
+           case when fts - ts > {_ASOF_TOL_S} then null else fvc end
+               as fwd_view_cents,
+           case when bts is not null and ts - bts <= {_ASOF_TOL_S}
+                     and (fts is null or fts - ts > {_ASOF_TOL_S}
+                          or ts - bts <= fts - ts)
+                then bts
+                when fts is not null and fts - ts <= {_ASOF_TOL_S}
+                then fts end as near_ts_r,
+           case when bts is not null and ts - bts <= {_ASOF_TOL_S}
+                     and (fts is null or fts - ts > {_ASOF_TOL_S}
+                          or ts - bts <= fts - ts)
+                then bvc
+                when fts is not null and fts - ts <= {_ASOF_TOL_S}
+                then fvc end as near_view_cents
+    from j
     """,
 )
 def q_asof_join(spark, sf_dir):
-    """As-of join, the quote-at-trade-time operator: every purchase
-    event picks up the user's LATEST at-or-before view event, matches
-    staler than 6h nulled (tolerance). Oracle is DuckDB's NATIVE
-    ``ASOF LEFT JOIN`` — the two independent implementations (union
-    trick + running last-non-null vs DuckDB's dedicated operator)
-    must agree row-for-row. The right side is pre-aggregated to one
-    row per (user, ts) so 'latest' is deterministic under ties.
-    Scale shape: ONE shuffle on the by-key (plan-asserted single
+    """As-of join, the quote-at-trade-time operator, ALL THREE
+    merge_asof directions under the driver's oracle (r6 — the
+    backward-only slot grew fwd/near legs): every purchase event
+    picks up the user's LATEST at-or-before view (backward), EARLIEST
+    at-or-after view (forward), and the CLOSER of the two with
+    exact-distance ties resolving backward (nearest), matches staler
+    than 6h nulled on their side's bound. Oracle: DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` in both comparison directions, with nearest
+    re-derived from the two native results — tolerance-then-pick and
+    pick-then-tolerance coincide because the nearer candidate exceeds
+    the tolerance only if the farther one does too. Two independent
+    implementations (union trick + flipped second window frame vs
+    DuckDB's dedicated operator) agreeing row-for-row every round.
+    The right side is pre-aggregated to one row per (user, ts) so
+    'latest'/'earliest' are deterministic under ties. Scale shape:
+    ONE shuffle on the by-key either direction (plan-asserted single
     Exchange in tests/test_plans.py), no range or nested-loop join."""
     ev = read(spark, sf_dir, "events")
     ts_s = F.col("ts").cast("long")
@@ -57,7 +88,24 @@ def q_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.round(F.max("value") * 100).cast("long").alias("view_cents"))
     )
-    return asof_join(left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S)
+    bwd = asof_join(left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S)
+    fwd = asof_join(
+        left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S,
+        direction="forward",
+    ).select(
+        "event_id",
+        F.col("ts_r").alias("fwd_ts_r"),
+        F.col("view_cents").alias("fwd_view_cents"),
+    )
+    near = asof_join(
+        left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S,
+        direction="nearest",
+    ).select(
+        "event_id",
+        F.col("ts_r").alias("near_ts_r"),
+        F.col("view_cents").alias("near_view_cents"),
+    )
+    return bwd.join(fwd, "event_id").join(near, "event_id")
 
 
 @query(
