@@ -97,8 +97,10 @@ def asof_join(
     a null-ts right row's payload carry with a null witness ts, which
     was match-without-evidence).
     """
-    if direction not in ("backward", "forward", "nearest"):
-        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest", "all"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest/all, got {direction!r}"
+        )
     by_cols = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c not in {*by_cols, on}]
     overlap = set(payload) & set(left.columns)
@@ -131,12 +133,12 @@ def asof_join(
     carried = [rname(c) for c in payload]
     rcol = lambda c: F.when(F.col("_side") == 0, F.col(c))  # noqa: E731
     cols = ["*"]
-    if direction in ("backward", "nearest"):
+    if direction in ("backward", "nearest", "all"):
         cols += [
             F.last(rcol(c), ignorenulls=True).over(w_b).alias("_b_" + c)
             for c in (on, *carried)
         ]
-    if direction in ("forward", "nearest"):
+    if direction in ("forward", "nearest", "all"):
         cols += [
             F.first(rcol(c), ignorenulls=True).over(w_f).alias("_n_" + c)
             for c in (on, *carried)
@@ -151,21 +153,33 @@ def asof_join(
 
     valid_b = _valid("_b_", F.col(on) - F.col("_b_" + on))
     valid_f = _valid("_n_", F.col("_n_" + on) - F.col(on))
-    if direction == "backward":
-        pick = lambda c: F.when(valid_b, F.col("_b_" + c))  # noqa: E731
-    elif direction == "forward":
-        pick = lambda c: F.when(valid_f, F.col("_n_" + c))  # noqa: E731
-    else:
-        use_b = valid_b & (
-            ~valid_f
-            | ((F.col(on) - F.col("_b_" + on)) <= (F.col("_n_" + on) - F.col(on)))
-        )
-        pick = lambda c: F.when(use_b, F.col("_b_" + c)).otherwise(  # noqa: E731
-            F.when(valid_f, F.col("_n_" + c))
-        )
+    pick_b = lambda c: F.when(valid_b, F.col("_b_" + c))  # noqa: E731
+    pick_f = lambda c: F.when(valid_f, F.col("_n_" + c))  # noqa: E731
+    use_b = valid_b & (
+        ~valid_f
+        | ((F.col(on) - F.col("_b_" + on)) <= (F.col("_n_" + on) - F.col(on)))
+    )
+    pick_n = lambda c: F.when(use_b, F.col("_b_" + c)).otherwise(  # noqa: E731
+        F.when(valid_f, F.col("_n_" + c))
+    )
 
     keep = [c for c in filled.columns
             if c != "_side" and not c.startswith(("_b_", "_n_")) and c not in carried]
+    if direction == "all":
+        # all three directions off the ONE keyed window pass — the
+        # carries are already both computed, so three separate joins
+        # (three shuffles + two re-joins) collapse into zero extra
+        # exchanges; forward/nearest columns carry fwd_/near_ prefixes
+        return filled.select(
+            *keep,
+            pick_b(on).alias(on + suffix),
+            *[pick_b(c).alias(c) for c in carried],
+            pick_f(on).alias("fwd_" + on + suffix),
+            *[pick_f(c).alias("fwd_" + c) for c in carried],
+            pick_n(on).alias("near_" + on + suffix),
+            *[pick_n(c).alias("near_" + c) for c in carried],
+        )
+    pick = {"backward": pick_b, "forward": pick_f, "nearest": pick_n}[direction]
     return filled.select(
         *keep,
         pick(on).alias(on + suffix),

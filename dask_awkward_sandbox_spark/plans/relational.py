@@ -75,8 +75,10 @@ def q_asof_join(spark, sf_dir):
     DuckDB's dedicated operator) agreeing row-for-row every round.
     The right side is pre-aggregated to one row per (user, ts) so
     'latest'/'earliest' are deterministic under ties. Scale shape:
-    ONE shuffle on the by-key either direction (plan-asserted single
-    Exchange in tests/test_plans.py), no range or nested-loop join."""
+    direction='all' emits all three picks off ONE keyed window pass —
+    a single Exchange total (plan-asserted in tests/test_joins_props)
+    where three separate joins would shuffle five times; no range or
+    nested-loop join."""
     ev = read(spark, sf_dir, "events")
     ts_s = F.col("ts").cast("long")
     left = ev.filter(F.col("event_type") == "purchase").select(
@@ -88,24 +90,10 @@ def q_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.round(F.max("value") * 100).cast("long").alias("view_cents"))
     )
-    bwd = asof_join(left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S)
-    fwd = asof_join(
+    return asof_join(
         left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S,
-        direction="forward",
-    ).select(
-        "event_id",
-        F.col("ts_r").alias("fwd_ts_r"),
-        F.col("view_cents").alias("fwd_view_cents"),
+        direction="all",
     )
-    near = asof_join(
-        left, right, on="ts", by="user_id", tolerance=_ASOF_TOL_S,
-        direction="nearest",
-    ).select(
-        "event_id",
-        F.col("ts_r").alias("near_ts_r"),
-        F.col("view_cents").alias("near_view_cents"),
-    )
-    return bwd.join(fwd, "event_id").join(near, "event_id")
 
 
 @query(

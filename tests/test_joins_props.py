@@ -258,3 +258,63 @@ def test_asof_join_directions_match_pandas(spark, left, right, tol, direction):
             assert g == (None, None), (row["lid"], g)
         else:
             assert g == (int(row["rts"]), int(row["v"])), (row["lid"], g)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=_left_rows, right=_right_rows,
+       tol=st.one_of(st.none(), st.integers(0, 30)))
+def test_asof_join_all_equals_three_separate(spark, left, right, tol):
+    """direction='all' returns the three directions' picks off ONE
+    keyed window pass — pinned cell-for-cell to the three separate
+    joins."""
+    from dask_awkward_sandbox_spark.operators.joins import asof_join
+
+    right = _dedupe_right(right)
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)] or [("_x", -1, -1)],
+        "k string, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        right or [("_x", -1, -1)], "k string, ts long, v long"
+    )
+    allj = {
+        r["lid"]: r
+        for r in asof_join(
+            ldf, rdf, on="ts", by="k", tolerance=tol, direction="all"
+        ).collect()
+    }
+    for direction, (tcol, vcol) in {
+        "backward": ("ts_r", "v"),
+        "forward": ("fwd_ts_r", "fwd_v"),
+        "nearest": ("near_ts_r", "near_v"),
+    }.items():
+        sep = {
+            r["lid"]: (r["ts_r"], r["v"])
+            for r in asof_join(
+                ldf, rdf, on="ts", by="k", tolerance=tol, direction=direction
+            ).collect()
+        }
+        got = {lid: (r[tcol], r[vcol]) for lid, r in allj.items()}
+        assert got == sep, direction
+
+
+def test_asof_join_all_single_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators.joins import asof_join
+
+    ldf = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    rdf = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    plan = (
+        asof_join(ldf, rdf, on="ts", by="k", direction="all")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
