@@ -49,6 +49,10 @@ REGISTERED = [
     # fixed-panel ann_bruteforce_1k leg below isolates the linear
     # serving term; both are recorded deliberately
     "q_ann_bruteforce",
+    # r6 additions: adaptive-nlist GEMM knn leg rides in ivf_assign;
+    # the LM slot watches the bigram-count join at 100x
+    "q_ann_ivf_assign",
+    "q_lm_perplexity",
 ]
 
 SF1_DIR = "/root/repo/.scaledata/sf1"

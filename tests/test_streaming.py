@@ -584,3 +584,47 @@ def test_stream_ivf_append_matches_batch_index(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_streaming_lm_scoring(spark):
+    """LM-perplexity scoring composes with streaming the same way the
+    other curation stages do: the model is FROZEN (trained batch-side,
+    its tables are static broadcast sides), and scoring a micro-batch
+    is a pure batch transform — run per batch via foreachBatch, so no
+    streaming-aggregation state at all (each doc's pairs live inside
+    its batch). Stream-scored results must equal batch scoring of the
+    same corpus row-for-row."""
+    from dask_awkward_sandbox_spark.functions import lm
+    from dask_awkward_sandbox_spark.plans.common import read
+
+    import shutil
+
+    src = os.path.join(SCRATCH, "lm_docs_json")
+    sink = os.path.join(SCRATCH, "lm_scored")
+    ckpt = os.path.join(SCRATCH, "lm_ckpt")
+    for p in (sink, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = read(spark, SF, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").json(src)
+
+    model = lm.lm_train(spark.read.schema("doc_id long, text string").json(src))
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+
+    def score_batch(batch_df, batch_id):
+        lm.lm_score(batch_df, model).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    exp = {
+        tuple(r)
+        for r in lm.lm_score(
+            spark.read.schema("doc_id long, text string").json(src), model
+        ).collect()
+    }
+    assert got == exp and len(got) > 100
