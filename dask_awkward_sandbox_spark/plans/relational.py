@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_awkward_sandbox_spark.operators.joins import asof_join, range_join
+from dask_awkward_sandbox_spark.operators.joins import (
+    asof_join,
+    interval_join,
+    range_join,
+)
 from dask_awkward_sandbox_spark.plans.common import read
 from dask_awkward_sandbox_spark.plans.registry import query
 
@@ -127,3 +131,53 @@ def q_range_join(spark, sf_dir):
     pt = li.select((F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     joined = range_join(pt, iv, point="unit_price", lo="lo", hi="hi", bin_width=5)
     return joined.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_in_band"))
+
+
+@query(
+    "q_interval_join",
+    """
+    with e as (select event_id, user_id,
+                      cast(floor(epoch(ts)) as bigint) as ts, event_type
+               from events),
+    l as (select event_id as l_id, user_id, ts as lo, ts + 3600 as hi
+          from e where event_type = 'purchase'),
+    r as (select event_id as r_id, user_id, ts as lo, ts + 1800 as hi
+          from e where event_type = 'view')
+    select l.user_id, l.l_id, r.r_id,
+           greatest(l.lo, r.lo) as ov_lo, least(l.hi, r.hi) as ov_hi
+    from l join r on l.user_id = r.user_id
+                 and l.lo <= r.hi and r.lo <= l.hi
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Interval-OVERLAP join (operators/joins.py interval_join —
+    range_join's interval x interval sibling, r6): every purchase's
+    1h attribution window against every same-user view's 30min
+    activity window; emit each overlapping pair once with its exact
+    overlap bounds. Spark side is the bin-bucketed form — both sides
+    explode to touched bins, equi-join on (user, bin), exact overlap
+    residual, and the EXACTLY-ONCE rule (emit only in the first
+    overlap bin) replaces a distinct shuffle with a per-row predicate
+    (no-product + dup-free plan-asserted in tests/test_joins_props).
+    The oracle affords the naive non-equi join at gate scale; all-int
+    columns, no rounding slack."""
+    ev = read(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("long")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        ts_s.alias("lo"),
+        (ts_s + 3600).alias("hi"),
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("r_id"),
+        ts_s.alias("lo"),
+        (ts_s + 1800).alias("hi"),
+    )
+    out = interval_join(l, r, by="user_id", bin_width=3600)
+    return out.select(
+        "user_id", "l_id", "r_id",
+        F.greatest(F.col("lo"), F.col("lo_r")).alias("ov_lo"),
+        F.least(F.col("hi"), F.col("hi_r")).alias("ov_hi"),
+    )

@@ -318,3 +318,66 @@ def test_asof_join_all_single_exchange(spark):
     )
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+_ivs = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 120), st.integers(0, 90)),
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=_ivs, right=_ivs, bw=st.sampled_from([1, 7, 13, 1000]))
+def test_interval_join_matches_bruteforce(spark, left, right, bw):
+    """interval_join == the naive overlap product, at bin widths from
+    degenerate (every interval spans many bins — the exactly-once
+    emission rule does real work) to one-bin-fits-all."""
+    from dask_awkward_sandbox_spark.operators.joins import interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, lo, lo + ln) for i, (k, lo, ln) in enumerate(left)]
+        or [(-1, -1, 0, 0)],
+        "k int, lid long, lo long, hi long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i, lo, lo + ln) for i, (k, lo, ln) in enumerate(right)]
+        or [(-1, -1, 0, 0)],
+        "k int, rid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in interval_join(ldf, rdf, by="k", bin_width=bw).collect()
+        if r["lid"] >= 0 and r["rid"] >= 0
+    )
+    exp = sorted(
+        (lk, i, j)
+        for i, (lk, llo, lln) in enumerate(left)
+        for j, (rk, rlo, rln) in enumerate(right)
+        if lk == rk and llo <= rlo + rln and rlo <= llo + lln
+    )
+    assert got == exp
+
+
+def test_interval_join_no_product_and_suffix(spark):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators.joins import interval_join
+
+    ldf = spark.range(100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("lid"),
+        (F.col("id") * 10).alias("lo"), (F.col("id") * 10 + 25).alias("hi"),
+    )
+    rdf = spark.range(80).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("rid"),
+        (F.col("id") * 12).alias("lo"), (F.col("id") * 12 + 40).alias("hi"),
+    )
+    out = interval_join(ldf, rdf, by="k", bin_width=16)
+    assert {"lo", "hi", "lo_r", "hi_r"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly-once: distinct-free plan, yet no duplicate pairs
+    rows = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    assert "HashAggregate" not in plan.split("Filter")[0]

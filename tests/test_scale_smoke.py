@@ -48,6 +48,7 @@ SUBSET = [
     # r5 slot-surgery additions: the new relational + curation slots
     "q_asof_join",
     "q_range_join",
+    "q_interval_join",  # r6: bin-bucketed overlap join, naive oracle at 20k
     "q_dedup_paragraph",
 ]
 
