@@ -1331,16 +1331,20 @@ def knn_join(
         if exclude_self:
             S[lids[:, None] == rids[None, :]] = -np.inf
         kk = min(k, S.shape[1])
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk] if S.shape[1] > kk else (
-            np.broadcast_to(np.arange(S.shape[1]), (S.shape[0], S.shape[1])))
         rows = []
         for i in range(len(lids)):
-            idx = np.asarray(part[i])
-            s = S[i, idx]
-            keep = s > -np.inf
-            idx, s = idx[keep], s[keep]
-            order = np.lexsort((-rids[idx], -s))
-            idx, s = idx[order], s[order]
+            # full lexsort on the CONTRACT key (sim desc, id desc),
+            # then slice k: an argpartition pre-select is tie-blind at
+            # the k-th boundary — equal rounded sims there must break
+            # by higher id, and the partition picks arbitrarily (bug
+            # surfaced by sf1's decorrelated copies, which produce
+            # exact rounded-cosine ties across copies). Occupancy is
+            # bounded by adaptive_nlist, so the per-row m log m is
+            # noise next to the GEMM.
+            s_all = S[i]
+            idx = np.nonzero(s_all > -np.inf)[0]
+            idx = idx[np.lexsort((-rids[idx], -s_all[idx]))[:kk]]
+            s = s_all[idx]
             rows.append(
                 pd.DataFrame(
                     {

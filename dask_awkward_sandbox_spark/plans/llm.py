@@ -1255,3 +1255,68 @@ def q_data_mixture(spark, sf_dir):
         F.coalesce(F.col("rate_ppm"), F.lit(0).cast("long")).alias("rate_ppm"),
         F.col("keep").cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus x corpus k-NN join (top-k path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_knn_join",
+    """
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    kp as (select greatest(16, count(*) // 128) as nk from e),
+    ck as (select row_number() over (order by vec_id) - 1 as list_id, v
+           from e order by vec_id limit (select nk from kp)),
+    ksims as (select e.vec_id, ck.list_id,
+                     round(list_sum(list_transform(range(64),
+                                                   d -> e.v[d+1] * ck.v[d+1])), 6) as s
+              from e cross join ck),
+    asg as (
+      select vec_id, list_id
+      from ksims
+      qualify row_number() over (partition by vec_id
+                                 order by s desc, list_id desc) = 1),
+    nn as (
+      select la.vec_id, ra.vec_id as nn_id,
+             round(list_cosine_similarity(le.v, re.v), 6) as cos_sim,
+             row_number() over (partition by la.vec_id
+                                order by round(list_cosine_similarity(le.v, re.v), 6) desc,
+                                         ra.vec_id desc) as rank
+      from asg la
+      join asg ra on ra.list_id = la.list_id and ra.vec_id <> la.vec_id
+      join e le on le.vec_id = la.vec_id
+      join e re on re.vec_id = ra.vec_id)
+    select vec_id, cast(nn_id as bigint) as nn_id,
+           cast(rank as int) as rank, cos_sim
+    from nn where rank <= 3
+    """,
+)
+def q_knn_join(spark, sf_dir):
+    """The corpus x corpus knn_join TOP-K path under a full value
+    oracle (r6 — the knn1 leg in q_ann_ivf_assign gate-verifies only
+    k=1; this slot drives the per-cell GEMM top-k loop, the rank
+    column, and the (cos desc, id desc) tie order at k=3): every
+    vector's 3 nearest in-cell neighbors under the occupancy-adaptive
+    cell count, cosines rounded to 6 digits BEFORE ranking so the
+    oracle replays ties exactly. The oracle re-derives the adaptive
+    seed cells with its dynamic-LIMIT CTE, self-joins the assignment,
+    and ranks with the identical window. Vectors in singleton cells
+    emit no rows (k-NN among in-cell candidates — the probe dial, not
+    an error)."""
+    e = _emb(spark, sf_dir)
+    nk = similarity.adaptive_nlist(e.count(), target_occupancy=128)
+    X = similarity._sample_matrix(e, "embedding", "vec_id", max(4096, nk))
+    seed = similarity.kmeans_train(
+        e, "embedding", "vec_id", nlist=nk, iters=0, X=X
+    )
+    return similarity.knn_join(
+        e, e, k=3, centroids=seed, nprobe=1, round_digits=6,
+        exclude_self=True,
+    ).select(
+        "vec_id",
+        F.col("nn_id").cast("long").alias("nn_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "cos_sim",
+    )

@@ -134,3 +134,27 @@ def test_self_inclusion_rank1(spark, emb):
     # without exclude_self, everything's nearest neighbor is itself
     # (cos 1.0, and its own cell is always its top probe)
     assert all(x["nn_id"] == x["vec_id"] and x["cos_sim"] == 1.0 for x in rows)
+
+
+def test_boundary_tie_breaks_to_higher_id(spark):
+    """Regression (caught by the sf1 smoke, where decorrelated copies
+    produce exact rounded-cosine ties): when candidates at the k-th
+    boundary tie on the rounded cosine, the winner must be the HIGHER
+    nn_id — an argpartition pre-select chose arbitrarily."""
+    import dask_awkward_sandbox_spark.functions.similarity as sim
+
+    # one cell: query 0 plus four identical candidates -> all cosines
+    # tie at 1.0; k=2 must keep ids 4 and 3, in that order
+    rows = [(i, [1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0]]
+    out = sim.knn_join(
+        df, df, k=2, centroids=cents, nprobe=1, round_digits=6,
+        exclude_self=True,
+    ).filter("vec_id = 0").orderBy("rank").collect()
+    assert [(r["nn_id"], r["rank"]) for r in out] == [(4, 1), (3, 2)]
+    hof = sim.knn_join_hof(
+        df, df, k=2, centroids=cents, nprobe=1, round_digits=6,
+        exclude_self=True,
+    ).filter("vec_id = 0").orderBy("rank").collect()
+    assert [(r["nn_id"], r["rank"]) for r in hof] == [(4, 1), (3, 2)]
