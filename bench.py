@@ -73,6 +73,10 @@ HEADLINERS = [
     "q_dedup_paragraph",
     "q_asof_join",
     "q_range_join",
+    # r6: the interval-overlap sibling + the mixture plan (both cheap;
+    # tracked for growth shape, not weight)
+    "q_interval_join",
+    "q_data_mixture",
     "q_embedding_neardup",
     "q_ann_bruteforce",
     "q_ann_ivf_assign",
