@@ -103,3 +103,71 @@ def quality_score_tokens(toks: Column, text: Column) -> Column:
         + F.lit(0.3) * (d / n)
         + F.lit(0.4) * (F.lit(1.0) - np / ln),
     ).otherwise(F.lit(0.0))
+
+
+def tf_idf_top_terms(
+    docs,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+):
+    """Per-document top-``k`` TF-IDF terms — the keyword-extraction /
+    topic-tagging stage (and the classic retrieval weighting):
+    ``score = tf * ln((N + 1) / (df + 1))`` (add-one smoothed IDF so
+    a corpus-universal term scores 0-ish instead of dividing by
+    surprise), ties (score desc, term asc).
+
+    Returns (id, rank, term, score) — score rounded to 6 digits so a
+    cross-engine ln ulp cannot flip a hash.
+
+    100 TB shape: tf is one (doc, term) map-side-combined aggregate
+    off the exploded scan; df aggregates the per-doc DISTINCT terms
+    (list_distinct scan-side, so the explode never over-counts) into
+    a vocabulary-sized table that broadcasts back onto tf; the
+    per-doc top-k is a rank()<=k window whose WindowGroupLimit does
+    map-side per-doc pruning before the shuffle. ``n_docs`` (corpus
+    size) is a driver-side scalar — pass it when known to skip the
+    count job.
+    """
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = docs.count()
+    toks = tokens(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # round BEFORE ranking (the same rule knn_join applies to its
+    # cosines): the rank must be a function of the published value,
+    # or a cross-engine ln last-ulp between two near-equal scores
+    # could flip the order while both engines print the same numbers
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("_score").alias("score"),
+        )
+    )

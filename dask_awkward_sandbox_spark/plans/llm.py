@@ -1320,3 +1320,42 @@ def q_knn_join(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"),
         "cos_sim",
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tf_idf",
+    f"""
+    with t as (select doc_id, {TOKENS} as ts from documents),
+    nn as (select count(*) as n from t),
+    tf as (select doc_id, w as term, count(*) as tf
+           from (select doc_id, unnest(ts) as w from t) group by 1, 2),
+    dfq as (select w as term, count(*) as df
+            from (select distinct doc_id, unnest(ts) as w from t)
+            group by 1),
+    sc as (select tf.doc_id, tf.term,
+                  round(tf.tf::double
+                        * ln(((select n from nn) + 1.0) / (dfq.df + 1.0)),
+                        6) as score
+           from tf join dfq using (term))
+    select doc_id, cast(rank as int) as rank, term, score
+    from (select *, row_number() over (partition by doc_id
+                                       order by score desc, term asc) as rank
+          from sc)
+    where rank <= 3
+    """,
+)
+def q_tf_idf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (functions/text_analysis.py
+    tf_idf_top_terms — keyword extraction / retrieval weighting)
+    under a full value oracle: DuckDB recomputes tf, the
+    distinct-per-doc df table, the smoothed IDF, and the ranked
+    window. Scores are rounded to 6 digits BEFORE ranking on both
+    engines (the knn round-before-rank rule), so ties replay exactly
+    and a cross-engine ln ulp cannot flip an order the published
+    values don't show."""
+    return ta.tf_idf_top_terms(_docs(spark, sf_dir), k=3)

@@ -152,3 +152,61 @@ def test_real_corpus_and_plan(spark):
     assert len(rows) == docs.count()
     ppls = [r["ppl"] for r in rows if r["ppl"] is not None]
     assert ppls and all(p > 0 for p in ppls)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tf_idf_vs_reference(spark):
+    import math
+
+    from dask_awkward_sandbox_spark.functions import text_analysis as ta
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana cherry cherry date",
+        2: "apple elderberry elderberry elderberry",
+        3: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    n = len(texts)
+    tf = {(d, w): t.split().count(w) for d, t in texts.items() for w in set(t.split())}
+    df = {}
+    for d, t in texts.items():
+        for w in set(t.split()):
+            df[w] = df.get(w, 0) + 1
+    exp = {}
+    for d, t in texts.items():
+        scores = sorted(
+            (
+                (-round(tf[(d, w)] * math.log((n + 1) / (df[w] + 1)), 6), w)
+                for w in set(t.split())
+            )
+        )[:2]
+        exp[d] = [(w, -s) for s, w in scores]
+    got = {}
+    for r in ta.tf_idf_top_terms(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    for d in texts:
+        rows = sorted(got.get(d, []))
+        assert [(t, s) for _, t, s in rows] == [
+            (w, pytest.approx(s, abs=2e-6)) for w, s in exp[d]
+        ]
+    assert 3 not in got  # empty doc emits nothing
+
+
+def test_tf_idf_plan_has_window_group_limit(spark):
+    from dask_awkward_sandbox_spark.functions import text_analysis as ta
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        ta.tf_idf_top_terms(docs, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan   # map-side per-doc top-k
+    assert "BroadcastHashJoin" in plan  # df table broadcasts onto tf
+    assert "CartesianProduct" not in plan

@@ -37,7 +37,8 @@ SUBSET = [
     "q_text_metrics",
     "q_corpus_curation",
     "q_lm_perplexity",  # r6: LM train+score, 20k-doc vocab/bigram joins
-    "q_data_mixture",   # r6: mixture solve + salted-hash keeps at 20k docs
+    "q_data_mixture",
+    "q_tf_idf",         # r6: tf/df joins + ranked window at 20k docs   # r6: mixture solve + salted-hash keeps at 20k docs
     "q_dedup_exact",
     "q_dedup_minhash_clusters",
     "q_embedding_neardup",
