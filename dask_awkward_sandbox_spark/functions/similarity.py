@@ -1568,3 +1568,72 @@ def adaptive_nlist(n: int, target_occupancy: int = 128) -> int:
     assign+probe cost jointly; occupancy-driven is the right dial
     when the probe side is the whole corpus."""
     return max(16, n // target_occupancy)
+
+
+def kmeans_train_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Lloyd's iterations over the FULL corpus — the scale-true
+    trainer for when :func:`kmeans_train`'s bounded driver sample
+    stops being representative (very large ``nlist``, or a corpus
+    whose head-of-ids sample is biased). Same contract: deterministic
+    first-``nlist``-lowest-ids init, dot-product argmax assignment
+    with numpy's first-max tie rule, empty cells keep their centroid.
+
+    Per iteration: ONE corpus scan — a mapInArrow GEMM assignment
+    (batch x nlist matmul, centroids ride in the task closure) into a
+    map-side-combined groupBy over ``nlist`` keys collecting per-dim
+    means; only nlist x dim doubles ever reach the driver (that IS
+    the model, so it must fit regardless). The source projection is
+    cached across iterations. This is the shape MLlib's KMeans runs —
+    re-derived here so the quantizer stack stays dependency-free and
+    its tie/init rules stay oracle-replayable.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    src = df.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    seed = src.orderBy("_id").limit(nlist).collect()  # TakeOrdered
+    C = np.array([r["_v"] for r in seed], dtype=np.float64)
+    dim = C.shape[1]
+    if iters > 0:
+        src = src.select("_v").persist()
+    try:
+        for _ in range(iters):
+            Cit = C.copy()
+
+            def assign(it, _C=Cit):
+                for b in it:
+                    V = np.array(b.to_pydict()["_v"], dtype=np.float64)
+                    if V.size == 0:
+                        continue
+                    cells = np.argmax(V @ _C.T, axis=1).astype(np.int32)
+                    yield pa.RecordBatch.from_pydict(
+                        {"_cell": cells, "_v": [v.tolist() for v in V]},
+                        schema=pa.schema(
+                            [("_cell", pa.int32()),
+                             ("_v", pa.list_(pa.float64()))]
+                        ),
+                    )
+
+            stats = (
+                src.mapInArrow(assign, "_cell int, _v array<double>")
+                .groupBy("_cell")
+                .agg(*[
+                    F.avg(F.element_at("_v", d + 1)).alias(f"_m{d}")
+                    for d in range(dim)
+                ])
+                .collect()
+            )
+            for r in stats:
+                C[r["_cell"]] = [r[f"_m{d}"] for d in range(dim)]
+    finally:
+        if iters > 0:
+            src.unpersist()
+    return [[float(x) for x in c] for c in C]

@@ -405,3 +405,28 @@ def test_connected_components_unconverged_warns(spark):
         connected_components(edges, ids, max_iter=2, stats=stats).count()
     assert not stats["converged"]
     assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_kmeans_distributed_matches_driver(spark):
+    """The full-corpus Lloyd trainer must agree with the sampled
+    driver trainer whenever the sample IS the corpus: same init, same
+    dot-argmax assignment, same empty-cell rule. Well-separated blobs
+    make the assignment trajectory ulp-proof, so centroids agree to
+    float noise; the real corpus (500 <= 4096 sample) agrees too."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import similarity as sim
+
+    rng = [(i, [10.0 * (i % 3) + 0.01 * i, 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    for iters in (0, 3):
+        a = sim.kmeans_train(df, "embedding", "vec_id", nlist=3, iters=iters)
+        b = sim.kmeans_train_distributed(
+            df, "embedding", "vec_id", nlist=3, iters=iters
+        )
+        assert np.allclose(np.array(a), np.array(b), atol=1e-9), iters
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=2)
+    b = sim.kmeans_train_distributed(emb, "embedding", "vec_id", nlist=8, iters=2)
+    assert np.allclose(np.array(a), np.array(b), atol=1e-8)
