@@ -415,3 +415,27 @@ def interval_join(
         )
     )
     return out.drop("_bin")
+
+
+def suggest_bin_width(
+    intervals: DataFrame,
+    lo: str = "lo",
+    hi: str = "hi",
+    floor: int = 1,
+) -> int:
+    """Data-driven ``bin_width`` for :func:`range_join` /
+    :func:`interval_join`: the median interval length (one
+    ``percentile_approx`` aggregate — a mergeable sketch, one
+    map-side-combined pass, driver gets a single number).
+
+    The candidate-volume term is sum(len/bin_width) bins per side and
+    the per-bin occupancy term grows as bin_width does; the median
+    length balances the two for mixed workloads — intervals near the
+    median touch ~2 bins. Skewed length distributions (a few huge
+    intervals) keep the p50 small so the bulk stays cheap; the huge
+    intervals pay proportional bins, which is the correct linear
+    cost."""
+    med = intervals.select(
+        F.percentile_approx(F.col(hi) - F.col(lo), 0.5).alias("m")
+    ).collect()[0]["m"]
+    return max(floor, int(med or floor))

@@ -381,3 +381,23 @@ def test_interval_join_no_product_and_suffix(spark):
     rows = [(r["lid"], r["rid"]) for r in out.collect()]
     assert len(rows) == len(set(rows))
     assert "HashAggregate" not in plan.split("Filter")[0]
+
+
+def test_suggest_bin_width(spark):
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.operators.joins import (
+        interval_join,
+        suggest_bin_width,
+    )
+
+    ivs = spark.range(1000).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 3).alias("lo"),
+        (F.col("id") * 3 + F.when(F.col("id") % 100 == 0, 5000).otherwise(20)).alias("hi"),
+    )
+    w = suggest_bin_width(ivs)
+    assert w == 20  # p50 length, not dragged up by the 1% huge ones
+    # and it plugs straight into the joins
+    out = interval_join(ivs, ivs, by=None, bin_width=w)
+    assert out.count() >= 1000  # every interval overlaps itself
