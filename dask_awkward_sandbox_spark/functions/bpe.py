@@ -15,9 +15,9 @@ loop runs driver-side over that bounded table — `word_budget` caps
 it at the head of the word distribution, exactly the min-frequency
 pruning real trainers apply, so driver memory is fixed no matter the
 corpus. Encoding distributes again: merges ride to executors in the
-task closure (KBs), applied per word with an LRU-style cache inside
-an Arrow-batched iterator — no JVM<->Python per-row chatter, no
-shuffle, embarrassingly parallel.
+task closure (KBs), applied per word with a capped, batch-flushed
+cache inside an Arrow-batched iterator — no JVM<->Python per-row
+chatter, no shuffle, embarrassingly parallel.
 
 Determinism end to end: the word table is tie-broken (count desc,
 word asc), merge selection is tie-broken (pair-count desc, pair
@@ -29,6 +29,7 @@ included.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -137,13 +138,20 @@ def bpe_tokenize(
     import pyarrow as pa
 
     ranks = model.ranks
+    # the SAME word boundary the trainer's scan used: Java's \s is
+    # ASCII [ \t\n\x0b\f\r], while Python str.split() treats
+    # Unicode spaces (U+00A0, U+3000, ...) as separators — a
+    # mismatch would tokenize words the trainer never counted
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def fn(it):
         cache: dict[str, list[str]] = {}
 
         def enc(text):
             out: list[str] = []
-            for w in (text or "").split():
+            for w in ws.split(text or ""):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)
@@ -151,6 +159,12 @@ def bpe_tokenize(
             return out
 
         for b in it:
+            # bound the per-task cache: high-cardinality partitions
+            # (URLs, hashes, code) would otherwise grow it without
+            # limit for the task's lifetime — flush between batches
+            # once it exceeds the cap; hot words repopulate in O(hits)
+            if len(cache) > (1 << 18):
+                cache.clear()
             d = b.to_pydict()
             toks = [enc(t) for t in d[text_col]]
             yield pa.RecordBatch.from_pydict(

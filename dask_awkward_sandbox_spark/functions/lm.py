@@ -76,25 +76,37 @@ def lm_train(
 ) -> BigramLM:
     """Count-based training. Vocabulary is the top ``vocab_size``
     tokens by (count desc, token asc) — a total order both engines
-    share, so an oracle can rebuild the identical cutoff. Mapped
-    unigram counts aggregate the RAW unigram table (never a second
-    corpus scan); bigram counts map both ends through the vocabulary
-    before counting."""
+    share, so an oracle can rebuild the identical cutoff.
+
+    The vocabulary and mapped-unigram tables are COLLECTED (bounded:
+    at most vocab_size+1 rows) and rebuilt as literal DataFrames with
+    no corpus lineage — otherwise every reference to them in the
+    scoring DAG (two vocab broadcast joins, one unigram join, plus
+    the vn count) would re-run the full explode+groupBy corpus
+    aggregate. The <unk> count is total tokens minus the vocabulary's
+    (one cheap sum(size) scan — no explode), so training costs two
+    corpus scans and scoring three, total. The bigram table stays a
+    lazy corpus aggregate: it is vocabulary-MAPPED but corpus-sized
+    lineage, referenced exactly once per scoring action."""
+    spark = docs.sparkSession
     ts = ta.tokens(F.col(text_col))
-    uni_raw = (
+    vocab_rows = (
         docs.select(F.explode(ts).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    vocab = (
-        uni_raw.orderBy(F.col("c").desc(), F.col("w").asc())
+        .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(vocab_size)
-        .select("w")
+        .collect()
     )
-    uni = (
-        _mapped(uni_raw.withColumnRenamed("w", "_rw"), "_rw", vocab, "w")
-        .groupBy("w")
-        .agg(F.sum("c").alias("c"))
+    total = docs.select(F.sum(F.size(ts)).alias("n")).collect()[0]["n"] or 0
+    in_vocab = sum(r["c"] for r in vocab_rows)
+    vocab = spark.createDataFrame(
+        [(r["w"],) for r in vocab_rows], "w string"
+    )
+    uni = spark.createDataFrame(
+        [(r["w"], r["c"]) for r in vocab_rows]
+        + [(UNK, total - in_vocab)],
+        "w string, c long",
     )
     pairs = docs.select(F.explode(_pair_array(ts)).alias("p")).select(
         F.col("p.pw").alias("_rpw"), F.col("p.cw").alias("_rcw")
@@ -102,7 +114,7 @@ def lm_train(
     pairs = _mapped(pairs, "_rpw", vocab, "pw")
     pairs = _mapped(pairs, "_rcw", vocab, "cw")
     bi = pairs.groupBy("pw", "cw").agg(F.count(F.lit(1)).alias("c"))
-    return BigramLM(vocab=vocab, unigrams=uni, bigrams=bi, vn=vocab.count() + 1)
+    return BigramLM(vocab=vocab, unigrams=uni, bigrams=bi, vn=len(vocab_rows) + 1)
 
 
 def lm_score(

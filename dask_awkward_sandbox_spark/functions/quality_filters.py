@@ -549,9 +549,14 @@ def plan_mixture(
         .agg(F.sum("_nt").alias("avail_tokens"))
     )
     joined = totals.join(F.broadcast(wdf), domain_col, "left")
+    # a weighted domain with ZERO available tokens cannot supply any
+    # mixture share: it is excluded from the solve (it gets rate 0
+    # below) rather than forcing T = 0 — which would silently zero
+    # every other domain — or tripping ANSI division-by-zero in the
+    # rate arithmetic
     t_min = F.min(
         F.when(
-            F.col("weight").isNotNull(),
+            F.col("weight").isNotNull() & (F.col("avail_tokens") > 0),
             F.col("avail_tokens").cast("double") / F.col("weight"),
         )
     ).over(Window.partitionBy(F.lit(1)))
@@ -563,7 +568,8 @@ def plan_mixture(
         # skip nulls, so least(1e6, null-rate) would resurrect an
         # unweighted domain at full rate instead of dropping it
         F.when(
-            F.col("weight").isNull(), F.lit(0).cast("long")
+            F.col("weight").isNull() | (F.col("avail_tokens") <= 0),
+            F.lit(0).cast("long"),
         ).otherwise(
             F.least(
                 F.lit(SAMPLE_PPM).cast("long"),

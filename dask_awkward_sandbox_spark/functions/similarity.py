@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 from dask_awkward_sandbox_spark.functions.text_analysis import MOD
 
 
+def _round_half_away(a, digits: int):
+    """Round-half-AWAY-from-zero for numpy arrays — the rule Spark's
+    F.round (BigDecimal HALF_UP) and DuckDB's round() share.
+    np.round is half-to-EVEN, so a value landing exactly on a .5
+    boundary at ``digits`` would publish a different rounded value
+    (np.round(5e-7, 6) == 0.0 vs F.round -> 1e-06) and, since every
+    rounded similarity here is ranked, a different order. All
+    numpy-side rounding in this module must go through this helper so
+    the GEMM paths, the expression paths, and the SQL oracles agree
+    on boundaries."""
+    import numpy as np
+
+    s = 10.0 ** digits
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -111,22 +127,23 @@ def brute_force_topk(
             norms = np.sqrt((M * M).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (M @ Q_.T) / np.outer(norms, q_norms_)
-            sims = np.round(sims, round_digits)
+            sims = _round_half_away(sims, round_digits)
             # self-pairs and zero-norm rows can never be returned
             sims[nb_ids[:, None] == q_ids_[None, :]] = -np.inf
             sims[~np.isfinite(sims)] = -np.inf
             kk = min(k, sims.shape[0])
-            # per query: top-k by (sim desc, nb_id asc); argpartition
-            # narrows to k candidates, lexsort orders them exactly
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+            # per query: top-k by (sim desc, nb_id asc) via a FULL
+            # lexsort on the contract key — an argpartition pre-select
+            # is tie-blind at the k-th boundary (same bug fixed in
+            # knn_join's per_cell; quantized/decorrelated corpora make
+            # exact rounded ties common, and the contract demands the
+            # LOWEST nb_id among boundary ties here)
             rows_q, rows_nb, rows_sim = [], [], []
             for j in range(nq):
-                idx = part[:, j]
-                s = sims[idx, j]
-                keep = s > -np.inf
-                idx, s = idx[keep], s[keep]
-                order = np.lexsort((nb_ids[idx], -s))
-                idx, s = idx[order], s[order]
+                s_all = sims[:, j]
+                idx = np.nonzero(s_all > -np.inf)[0]
+                idx = idx[np.lexsort((nb_ids[idx], -s_all[idx]))[:kk]]
+                s = s_all[idx]
                 rows_q.append(np.full(len(idx), q_ids_[j], dtype=np.int64))
                 rows_nb.append(nb_ids[idx])
                 rows_sim.append(s)
@@ -1272,18 +1289,21 @@ def knn_join(
                     continue
                 S = V @ C.T
                 if round_digits is not None:
-                    S = np.round(S, round_digits)
+                    S = _round_half_away(S, round_digits)
                 norms = np.sqrt((V * V).sum(axis=1))
                 nk = C.shape[0]
-                if probes == 1:
+                p = min(probes, nk)  # hof's F.slice clamps past-end;
+                # mirror it instead of a broadcast ValueError
+                if p == 1:
                     cells = ((nk - 1) - np.argmax(S[:, ::-1], axis=1))[:, None]
                 else:
-                    # per row: top-nprobe cells by (sim desc, id desc)
-                    cells = np.empty((len(ids), probes), dtype=np.int64)
-                    idx = np.arange(nk)
-                    for i in range(len(ids)):
-                        order = np.lexsort((-idx, -S[i]))
-                        cells[i] = order[:probes]
+                    # top-p cells per row by (sim desc, id desc), ONE
+                    # vectorized call: stable argsort over the
+                    # column-REVERSED sims keeps higher original ids
+                    # first among ties (no per-row Python loop — that
+                    # was the O(n * nlist) interpreted term again)
+                    order_rev = np.argsort(-S[:, ::-1], axis=1, kind="stable")
+                    cells = (nk - 1) - order_rev[:, :p]
                 rep = np.repeat(np.arange(len(ids)), cells.shape[1])
                 yield pa.RecordBatch.from_pydict(
                     {
@@ -1326,7 +1346,7 @@ def knn_join(
         with np.errstate(divide="ignore", invalid="ignore"):
             S = (L @ R.T) / np.outer(ln, rn)
         if round_digits is not None:
-            S = np.round(S, round_digits)
+            S = _round_half_away(S, round_digits)
         S[~np.isfinite(S)] = -np.inf
         if exclude_self:
             S[lids[:, None] == rids[None, :]] = -np.inf
@@ -1400,8 +1420,9 @@ def knn_join_hof(
     map-side per-key top-k before the shuffle — plan-asserted). Kept
     as the no-Python-workers fallback and the independent derivation
     the GEMM path is pinned against; same total order, same output
-    contract (zero-norm vectors: null cosine sorts last but still
-    occupies trailing ranks here — the GEMM form drops them)."""
+    contract INCLUDING zero-norm vectors — null cosines (undefined)
+    are filtered before ranking, exactly as the GEMM form's -inf mask
+    drops them, so the two stay row-equal on degenerate inputs."""
     from pyspark.sql import Window
 
     if centroids is None:
@@ -1423,6 +1444,7 @@ def knn_join_hof(
     )
     return (
         cand.select("_lid", "_rid", cos.alias("_s"))
+        .filter(F.col("_s").isNotNull())
         .withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= k)
         .select(
@@ -1550,10 +1572,12 @@ def sq_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nb_id").desc())
+    # one fixed shape either way (the sibling brute_force_topk
+    # contract): (q_id, nb_id, sim) — rerank must not change schema
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .select("q_id", "nb_id", F.col("_rk").alias("rank"), "sim")
+        .select("q_id", "nb_id", "sim")
     )
 
 

@@ -1214,10 +1214,10 @@ MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
     w(lang, weight) as (values ('de', 0.15), ('en', 0.5), ('es', 0.15),
                                ('fr', 0.1), ('zh', 0.1)),
     j as (select tot.lang, avail, weight from tot left join w using (lang)),
-    tm as (select min(case when weight is not null
+    tm as (select min(case when weight is not null and avail > 0
                            then avail::double / weight end) as t from j),
     plan as (select lang, avail, weight,
-                    case when weight is null then 0
+                    case when weight is null or avail <= 0 then 0
                          else least(1000000,
                            cast(floor(weight * (select t from tm)
                                       / avail::double * 1000000) as bigint))

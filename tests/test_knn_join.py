@@ -158,3 +158,36 @@ def test_boundary_tie_breaks_to_higher_id(spark):
         exclude_self=True,
     ).filter("vec_id = 0").orderBy("rank").collect()
     assert [(r["nn_id"], r["rank"]) for r in hof] == [(4, 1), (3, 2)]
+
+
+def test_nprobe_exceeding_cells_clamps(spark, emb):
+    """nprobe > number of centroids must clamp (the hof form's
+    F.slice clamps past-end; the GEMM assignment previously raised a
+    numpy broadcast error) — and with every cell probed the result
+    equals lossless blocking."""
+    cents = sim.kmeans_train(emb, "embedding", "vec_id", nlist=4, iters=0)
+    a = sorted(map(tuple, sim.knn_join(
+        emb, emb, k=3, centroids=cents, nprobe=8, round_digits=6,
+        exclude_self=True).collect()))
+    b = sorted(map(tuple, sim.knn_join_hof(
+        emb, emb, k=3, centroids=cents, nprobe=8, round_digits=6,
+        exclude_self=True).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_zero_norm_vectors_same_contract(spark):
+    """Zero-norm vectors (undefined cosine) are dropped by BOTH
+    forms — as query and as neighbor — instead of the hof form
+    emitting null-cosine trailing ranks."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]),
+            (3, [0.8, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0]]
+    a = sorted(map(tuple, sim.knn_join(
+        df, df, k=3, centroids=cents, nprobe=1, round_digits=6,
+        exclude_self=True).collect()))
+    b = sorted(map(tuple, sim.knn_join_hof(
+        df, df, k=3, centroids=cents, nprobe=1, round_digits=6,
+        exclude_self=True).collect()))
+    assert a == b
+    assert all(r[0] != 0 and r[1] != 0 for r in a)  # id 0 nowhere

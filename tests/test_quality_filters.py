@@ -308,3 +308,17 @@ def test_apply_mixture_plan_shape(spark):
     out = qf.apply_mixture(docs, plan, "dom")
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_plan_mixture_zero_avail_domain(spark):
+    """A weighted domain with zero available tokens cannot supply any
+    share: it must be EXCLUDED from the solve (rate 0) instead of
+    forcing T=0 for everyone or tripping ANSI division-by-zero."""
+    docs = spark.createDataFrame(
+        [(0, "a", "x y z"), (1, "b", "   "), (2, "a", "p q")],
+        "doc_id long, dom string, text string",
+    )
+    plan = {r["domain"]: r for r in qf.plan_mixture(
+        docs, "dom", {"a": 1.0, "b": 1.0}).collect()}
+    assert plan["b"]["avail_tokens"] == 0 and plan["b"]["rate_ppm"] == 0
+    assert plan["a"]["rate_ppm"] == 1_000_000  # a binds among suppliers

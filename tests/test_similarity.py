@@ -430,3 +430,23 @@ def test_kmeans_distributed_matches_driver(spark):
     a = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=2)
     b = sim.kmeans_train_distributed(emb, "embedding", "vec_id", nlist=8, iters=2)
     assert np.allclose(np.array(a), np.array(b), atol=1e-8)
+
+
+def test_brute_force_boundary_tie_lowest_id(spark):
+    """Regression (same family as knn_join's argpartition bug): when
+    k+1 corpus rows tie at the boundary sim, brute_force_topk must
+    keep the LOWEST nb_ids (contract order sim desc, nb_id ASC) —
+    quantized corpora make exact rounded ties common."""
+    from dask_awkward_sandbox_spark.functions import similarity as sim
+
+    rows = [(i, [1.0, 0.0]) for i in range(1, 6)] + [(9, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["nb_id"],)
+        for r in sim.brute_force_topk(corpus, queries, k=3)
+        .orderBy("nb_id").collect()
+    ]
+    assert got == [(1,), (2,), (3,)]
