@@ -1600,6 +1600,7 @@ def kmeans_train_distributed(
     id_col: str = "vec_id",
     nlist: int = 16,
     iters: int = 5,
+    round_digits: int | None = None,
 ) -> list[list[float]]:
     """Lloyd's iterations over the FULL corpus — the scale-true
     trainer for when :func:`kmeans_train`'s bounded driver sample
@@ -1637,7 +1638,15 @@ def kmeans_train_distributed(
                     V = np.array(b.to_pydict()["_v"], dtype=np.float64)
                     if V.size == 0:
                         continue
-                    cells = np.argmax(V @ _C.T, axis=1).astype(np.int32)
+                    S = V @ _C.T
+                    if round_digits is not None:
+                        # round-before-argmax makes the assignment a
+                        # function of published values, so a SQL
+                        # oracle can replay it (np.argmax first-max =
+                        # lowest cell id among ties); default None
+                        # keeps the kmeans_train-pinned contract
+                        S = _round_half_away(S, round_digits)
+                    cells = np.argmax(S, axis=1).astype(np.int32)
                     yield pa.RecordBatch.from_pydict(
                         {"_cell": cells, "_v": [v.tolist() for v in V]},
                         schema=pa.schema(

@@ -1359,3 +1359,58 @@ def q_tf_idf(spark, sf_dir):
     and a cross-engine ln ulp cannot flip an order the published
     values don't show."""
     return ta.tf_idf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (one gate-verified Lloyd iteration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kmeans",
+    """
+    with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    c as (select row_number() over (order by vec_id) - 1 as list_id, v
+          from e order by vec_id limit 16),
+    sims as (select e.vec_id, c.list_id,
+                    round(list_sum(list_transform(range(64),
+                                                  d -> e.v[d+1] * c.v[d+1])), 6) as s
+             from e cross join c),
+    asg as (
+      select vec_id, list_id
+      from sims
+      qualify row_number() over (partition by vec_id
+                                 order by s desc, list_id asc) = 1),
+    dims as (select unnest(range(64)) as d),
+    m as (select a.list_id, dims.d, avg(e.v[dims.d+1]) as val
+          from asg a join e using (vec_id) cross join dims
+          group by 1, 2)
+    select c.list_id, cast(dims.d as int) as d,
+           round(coalesce(m.val, c.v[dims.d+1]), 6) as val
+    from c cross join dims
+    left join m on m.list_id = c.list_id and m.d = dims.d
+    """,
+)
+def q_kmeans(spark, sf_dir):
+    """One distributed Lloyd iteration under the driver's oracle
+    (functions/similarity.py kmeans_train_distributed — the
+    full-corpus trainer): deterministic lowest-16 init, dot-argmax
+    assignment over 6-digit-ROUNDED sims (round-before-argmax makes
+    the assignment a function of published values; numpy first-max ==
+    the oracle's lowest-cell-id tie rule), per-cell per-dim means,
+    empty cells keep their seed. DuckDB replays init, assignment, and
+    every mean; centroid components are rounded to 6 at emit so the
+    cross-engine sum-order ulp in the means cannot flip the hash.
+    Output long-form: (list_id, d, val), 16 x 64 rows."""
+    e = _emb(spark, sf_dir)
+    cents = similarity.kmeans_train_distributed(
+        e, "embedding", "vec_id", nlist=16, iters=1, round_digits=6
+    )
+    # half-AWAY rounding at emit (Python's round() is half-even and
+    # would diverge from DuckDB's round() exactly on .5 boundaries)
+    rows = [
+        (i, d, float(similarity._round_half_away(v, 6)))
+        for i, c in enumerate(cents)
+        for d, v in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "list_id long, d int, val double")

@@ -17,10 +17,10 @@ def test_headliners_are_registered():
 def test_registry_is_exactly_gate_sized():
     from dask_awkward_sandbox_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == 55, len(QUERIES)
+    assert len(QUERIES) == 56, len(QUERIES)
     assert set(ORACLES) <= set(QUERIES)
     # every slot keeps its full value oracle (no rows-only residue)
-    assert len(ORACLES) == 55, sorted(set(QUERIES) - set(ORACLES))
+    assert len(ORACLES) == 56, sorted(set(QUERIES) - set(ORACLES))
 
 
 def test_sf10_probe_slots_resolve():

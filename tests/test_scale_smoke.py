@@ -43,7 +43,8 @@ SUBSET = [
     "q_dedup_minhash_clusters",
     "q_embedding_neardup",
     "q_ann_bruteforce",
-    "q_knn_join",        # r6: per-cell GEMM top-3 at 20k vectors, 156 cells  # r5: the Arrow/GEMM path vs DuckDB at 20k vectors
+    "q_knn_join",        # r6: per-cell GEMM top-3 at 20k vectors, 156 cells
+    "q_kmeans",          # r6: one distributed Lloyd iteration at 20k vectors  # r5: the Arrow/GEMM path vs DuckDB at 20k vectors
     "q_events_windowed",
     "q_window_funcs",
     "q_events_funnel_retention",
