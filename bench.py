@@ -41,6 +41,10 @@ import time
 # name); q_simhash_neardups folded into q_dedup_simhash (sig + pair
 # legs); q_ngram_jaccard folded into q_dedup_exact; newly tracked:
 # q_dedup_paragraph, q_asof_join, q_range_join.
+# r6 late additions (net-new headliners, no renames): q_lm_perplexity
+# (bigram-LM train+score), q_interval_join, q_data_mixture — three of
+# the six late-r6 gate slots (q_knn_join/q_tf_idf/q_kmeans stay
+# smoke-panel-only; knn duplicates ivf_assign's tracked GEMM work).
 # r6 retrack: q_embedding_neardup is now the CLUSTER-COLLAPSE form
 # (embedding_neardup_clusters — linear output; the r5 slot was the
 # output-quadratic pair lister, 15.7x wall at 10x data, demoted to
