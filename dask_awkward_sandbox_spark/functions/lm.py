@@ -103,10 +103,15 @@ def lm_train(
     vocab = spark.createDataFrame(
         [(r["w"],) for r in vocab_rows], "w string"
     )
+    # merge (don't append) the OOV mass: a corpus containing the
+    # LITERAL token '<unk>' in-vocabulary would otherwise produce two
+    # '<unk>' unigram rows, fanning out the scoring join and
+    # corrupting counts — the mapped-aggregate this replaces (and the
+    # oracle's coalesce+group by) collapse them into one row
+    uni_counts = {r["w"]: r["c"] for r in vocab_rows}
+    uni_counts[UNK] = uni_counts.get(UNK, 0) + (total - in_vocab)
     uni = spark.createDataFrame(
-        [(r["w"], r["c"]) for r in vocab_rows]
-        + [(UNK, total - in_vocab)],
-        "w string, c long",
+        sorted(uni_counts.items()), "w string, c long"
     )
     pairs = docs.select(F.explode(_pair_array(ts)).alias("p")).select(
         F.col("p.pw").alias("_rpw"), F.col("p.cw").alias("_rcw")

@@ -21,19 +21,33 @@ from dask_awkward_sandbox_spark.functions.text_analysis import MOD
 
 
 def _round_half_away(a, digits: int):
-    """Round-half-AWAY-from-zero for numpy arrays — the rule Spark's
-    F.round (BigDecimal HALF_UP) and DuckDB's round() share.
-    np.round is half-to-EVEN, so a value landing exactly on a .5
-    boundary at ``digits`` would publish a different rounded value
-    (np.round(5e-7, 6) == 0.0 vs F.round -> 1e-06) and, since every
-    rounded similarity here is ranked, a different order. All
-    numpy-side rounding in this module must go through this helper so
-    the GEMM paths, the expression paths, and the SQL oracles agree
-    on boundaries."""
+    """Round-half-AWAY-from-zero on the SCALED BINARY value — the
+    rule DuckDB's round() uses (np.round is half-to-EVEN; Spark's
+    F.round rounds the shortest-decimal repr instead, which can
+    differ by one final digit when the *10^d fold crosses a .5
+    boundary the repr doesn't). Every ranked similarity in this
+    module — numpy side via this helper, expression side via
+    :func:`round_half_away` — uses the scaled-binary rule so the
+    GEMM paths, the expression paths, and the SQL oracles agree on
+    boundaries."""
     import numpy as np
 
     s = 10.0 ** digits
     return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
+def round_half_away(col: Column, digits: int) -> Column:
+    """Column twin of :func:`_round_half_away` — sign * floor(|x| *
+    10^d + 0.5) / 10^d in plain double arithmetic. Used instead of
+    F.round for every RANKED similarity: F.round rounds the
+    shortest-decimal REPR of the double (BigDecimal.valueOf), while
+    DuckDB's round() and the numpy helper round the scaled binary
+    value — three-way agreement (GEMM paths == expression paths ==
+    SQL oracles) at .5 boundaries requires all sides on the same
+    rule, and the scaled-binary rule is the one two of the three
+    already share."""
+    sc = F.lit(float(10 ** digits))
+    return F.signum(col) * F.floor(F.abs(col) * sc + F.lit(0.5)) / sc
 
 
 def as_double(vec: Column) -> Column:
@@ -132,16 +146,29 @@ def brute_force_topk(
             sims[nb_ids[:, None] == q_ids_[None, :]] = -np.inf
             sims[~np.isfinite(sims)] = -np.inf
             kk = min(k, sims.shape[0])
-            # per query: top-k by (sim desc, nb_id asc) via a FULL
-            # lexsort on the contract key — an argpartition pre-select
-            # is tie-blind at the k-th boundary (same bug fixed in
-            # knn_join's per_cell; quantized/decorrelated corpora make
-            # exact rounded ties common, and the contract demands the
-            # LOWEST nb_id among boundary ties here)
+            # per query: top-k by (sim desc, nb_id asc). Bare
+            # argpartition is tie-blind at the k-th boundary (the
+            # knn_join per_cell bug: equal rounded sims there must
+            # keep the LOWEST nb_id) and a full batch sort is
+            # O(b log b) per query — so partition first, then widen
+            # the candidate set to EVERY row tied at the boundary sim
+            # and lexsort only that: O(b + t log t)
+            part = (
+                np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+                if sims.shape[0] > kk
+                else np.broadcast_to(
+                    np.arange(sims.shape[0])[:, None],
+                    (sims.shape[0], nq),
+                )
+            )
             rows_q, rows_nb, rows_sim = [], [], []
             for j in range(nq):
                 s_all = sims[:, j]
-                idx = np.nonzero(s_all > -np.inf)[0]
+                thresh = s_all[part[:, j]].min()
+                if thresh > -np.inf:
+                    idx = np.nonzero(s_all >= thresh)[0]
+                else:
+                    idx = np.nonzero(s_all > -np.inf)[0]
                 idx = idx[np.lexsort((nb_ids[idx], -s_all[idx]))[:kk]]
                 s = s_all[idx]
                 rows_q.append(np.full(len(idx), q_ids_[j], dtype=np.int64))
@@ -203,7 +230,7 @@ def brute_force_topk_hof(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_norm", norm(F.col("q_vec")))
     j = c.join(F.broadcast(q), F.col("nb_id") != F.col("q_id"))
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(
             F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
@@ -237,7 +264,7 @@ def neardup_pairs(
         F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
     ).withColumn("nb", norm(F.col("vb")))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         round_digits,
     )
@@ -436,7 +463,7 @@ def neardup_pairs_blocked(
     j = cand.join(va, F.col("id_a") == F.col("va._vid")).join(
         vb, F.col("id_b") == F.col("vb._vid")
     )
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(
             F.col("va._v"), F.col("vb._v"), F.col("va._n"), F.col("vb._n")
         ),
@@ -666,7 +693,7 @@ def embedding_neardup_clusters(
         edges.join(va, F.col("a") == F.col("va._vid"))
         .join(vb, F.col("b") == F.col("vb._vid"))
         .filter(
-            F.round(
+            round_half_away(
                 cosine_from_norms(
                     F.col("va._v"), F.col("vb._v"), F.col("va._n"), F.col("vb._n")
                 ),
@@ -703,7 +730,7 @@ def _centroid_sims(
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        return F.round(s, round_digits) if round_digits is not None else s
+        return round_half_away(s, round_digits) if round_digits is not None else s
 
     return F.transform(
         F.sequence(F.lit(0), F.lit(nlist - 1)),
@@ -814,7 +841,7 @@ def ivf_topk(
         .withColumn("list_id", F.explode(probes))
     )
     j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(
             F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
@@ -894,7 +921,7 @@ def ivf_probe_indexed(
     probe_lists = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     c = spark.read.parquet(path).filter(F.col("list_id").isin(probe_lists))
     j = c.join(F.broadcast(q), (F.col("nb_id") != F.col("q_id")) & (c["list_id"] == q["list_id"]))
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(
             F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
@@ -937,7 +964,7 @@ def lsh_bucket_topk(
         F.broadcast(q),
         (F.col("nb_id") != F.col("q_id")) & (c["t"] == q["t"]) & (c["bucket"] == q["bucket"]),
     )
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(
             F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm"),
         ),
@@ -1149,7 +1176,7 @@ def ivfpq_topk(
         .withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= rerank)
     )
-    sim = F.round(
+    sim = round_half_away(
         cosine_from_norms(
             F.col("q_vec"), F.col("nb_vec"), F.col("q_norm"), F.col("nb_norm")
         ),
@@ -1435,7 +1462,7 @@ def knn_join_hof(
         F.col("_lv"), F.col("_rv"), F.col("_lnorm"), F.col("_rnorm")
     )
     if round_digits is not None:
-        cos = F.round(cos, round_digits)
+        cos = round_half_away(cos, round_digits)
     cand = l.join(r, "_cell")
     if exclude_self:
         cand = cand.filter(F.col("_lid") != F.col("_rid"))
@@ -1567,13 +1594,16 @@ def sq_topk(
     )
     scored = exact.select(
         "q_id", "nb_id",
-        cosine(as_double(F.col("_qv")), as_double(F.col("_cv"))).alias("sim"),
+        round_half_away(
+            cosine(as_double(F.col("_qv")), as_double(F.col("_cv"))), 6
+        ).alias("sim"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nb_id").desc())
-    # one fixed shape either way (the sibling brute_force_topk
-    # contract): (q_id, nb_id, sim) — rerank must not change schema
+    # the FULL brute_force_topk contract both branches share: one
+    # fixed (q_id, nb_id, sim) shape, round-before-rank, ties to the
+    # LOWEST nb_id
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nb_id").asc())
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

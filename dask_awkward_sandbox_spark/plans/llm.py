@@ -853,9 +853,9 @@ def q_ann_bruteforce(spark, sf_dir):
         .join(qd, "q_id")
         .select(
             "q_id", "nb_id", "sim",
-            F.round(similarity.cosine(F.col("_dq"), F.col("_dn")), 6).alias(
-                "sq_sim"
-            ),
+            similarity.round_half_away(
+                similarity.cosine(F.col("_dq"), F.col("_dn")), 6
+            ).alias("sq_sim"),
             "nb_code_sum", "nb_code0",
         )
     )

@@ -210,3 +210,24 @@ def test_tf_idf_plan_has_window_group_limit(spark):
     assert "WindowGroupLimit" in plan   # map-side per-doc top-k
     assert "BroadcastHashJoin" in plan  # df table broadcasts onto tf
     assert "CartesianProduct" not in plan
+
+
+def test_literal_unk_token_in_corpus(spark):
+    """A corpus containing the LITERAL token '<unk>' must not produce
+    two '<unk>' unigram rows (which would fan out the scoring join):
+    the literal occurrences and the OOV mass merge into one count,
+    exactly as the reference model's dict merge does."""
+    texts = ["<unk> appears here", "<unk> again rare1 rare2", "x <unk>"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    model = lm.lm_train(docs, vocab_size=3)  # '<unk>' (3x) makes the cut
+    uni = model.unigrams.collect()
+    assert len([r for r in uni if r["w"] == lm.UNK]) == 1
+    vocab, pyuni, bi, vn = _py_model(texts, 3)
+    assert {r["w"]: r["c"] for r in uni} == pyuni
+    got = {r["doc_id"]: r for r in lm.lm_score(docs, model).collect()}
+    for i, t in enumerate(texts):
+        exp = _py_score(t.split(), vocab, pyuni, bi, vn)
+        assert (got[i]["n_pairs"], got[i]["sum_bi"]) == exp[:2]
+        assert got[i]["avg_logp"] == pytest.approx(exp[2], abs=2e-6)

@@ -38,13 +38,13 @@ SUBSET = [
     "q_corpus_curation",
     "q_lm_perplexity",  # r6: LM train+score, 20k-doc vocab/bigram joins
     "q_data_mixture",
-    "q_tf_idf",         # r6: tf/df joins + ranked window at 20k docs   # r6: mixture solve + salted-hash keeps at 20k docs
+    "q_tf_idf",         # r6: tf/df joins + ranked window at 20k docs
     "q_dedup_exact",
     "q_dedup_minhash_clusters",
     "q_embedding_neardup",
     "q_ann_bruteforce",
     "q_knn_join",        # r6: per-cell GEMM top-3 at 20k vectors, 156 cells
-    "q_kmeans",          # r6: one distributed Lloyd iteration at 20k vectors  # r5: the Arrow/GEMM path vs DuckDB at 20k vectors
+    "q_kmeans",          # r6: one distributed Lloyd iteration at 20k vectors
     "q_events_windowed",
     "q_window_funcs",
     "q_events_funnel_retention",
