@@ -92,10 +92,17 @@ def asof_join(
     returns as ``on + suffix`` (also the staleness witness).
 
     Null ``on`` rows: pandas refuses null keys; here they stay inert
-    — a null-ts right row never matches anything, a null-ts left row
-    stays in the output with null match columns (r6; the r5 base let
-    a null-ts right row's payload carry with a null witness ts, which
-    was match-without-evidence).
+    — a null-ts right row never matches anything (filtered before the
+    union, same as asof_join_skew), a null-ts left row stays in the
+    output with null match columns in EVERY direction (r7: forward/
+    nearest previously let the null-ts left row — which sorts first
+    under asc — see every right row in its following frame).
+
+    Each direction carries ONE struct of (on, payload...) rather than
+    independent per-column carries, so all matched columns come from
+    the SAME right row (r7: per-column ``last(..., ignorenulls)``
+    silently substituted a null payload cell with the value from an
+    older/newer right row, where merge_asof returns NaN).
     """
     if direction not in ("backward", "forward", "nearest", "all"):
         raise ValueError(
@@ -109,11 +116,18 @@ def asof_join(
         return c + suffix if c in overlap or c == on else c
 
     l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(
-        *by_cols,
-        F.col(on),
-        *[F.col(c).alias(rname(c)) for c in payload],
-    ).withColumn("_side", F.lit(0))
+    r_tag = (
+        right.select(
+            *by_cols,
+            F.col(on),
+            *[F.col(c).alias(rname(c)) for c in payload],
+        )
+        .withColumn("_side", F.lit(0))
+        # a null-`on` right row can never be evidence for a match —
+        # drop it before the union so its payload cannot attach to
+        # any carry (r7 ADVICE; asof_join_skew already did this)
+        .filter(F.col(on).isNotNull())
+    )
     allc = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     from pyspark.sql import Window
@@ -131,40 +145,44 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = [rname(c) for c in payload]
-    rcol = lambda c: F.when(F.col("_side") == 0, F.col(c))  # noqa: E731
+    # ONE struct per direction: the whole matched right row travels
+    # atomically through the carry (r7 ADVICE — see docstring)
+    _ON = "_asof_on"
+    r_row = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(on).alias(_ON), *[F.col(c) for c in carried]),
+    )
     cols = ["*"]
     if direction in ("backward", "nearest", "all"):
-        cols += [
-            F.last(rcol(c), ignorenulls=True).over(w_b).alias("_b_" + c)
-            for c in (on, *carried)
-        ]
+        cols.append(F.last(r_row, ignorenulls=True).over(w_b).alias("_b"))
     if direction in ("forward", "nearest", "all"):
-        cols += [
-            F.first(rcol(c), ignorenulls=True).over(w_f).alias("_n_" + c)
-            for c in (on, *carried)
-        ]
+        cols.append(F.first(r_row, ignorenulls=True).over(w_f).alias("_n"))
     filled = allc.select(*cols).filter(F.col("_side") == 1)
 
-    def _valid(prefix: str, dist) -> Column:
-        v = F.col(prefix + on).isNotNull()
+    def _valid(match, dist) -> Column:
+        # a null-`on` LEFT row matches nothing in any direction (its
+        # forward frame would otherwise contain every right row —
+        # nulls sort first under asc)
+        v = F.col(on).isNotNull() & match.isNotNull()
         if tolerance is not None:
             v &= F.coalesce(dist <= F.lit(tolerance), F.lit(False))
         return v
 
-    valid_b = _valid("_b_", F.col(on) - F.col("_b_" + on))
-    valid_f = _valid("_n_", F.col("_n_" + on) - F.col(on))
-    pick_b = lambda c: F.when(valid_b, F.col("_b_" + c))  # noqa: E731
-    pick_f = lambda c: F.when(valid_f, F.col("_n_" + c))  # noqa: E731
+    b_on, n_on = F.col("_b")[_ON], F.col("_n")[_ON]
+    valid_b = _valid(F.col("_b"), F.col(on) - b_on)
+    valid_f = _valid(F.col("_n"), n_on - F.col(on))
+    fname = lambda c: _ON if c == on else c  # noqa: E731
+    pick_b = lambda c: F.when(valid_b, F.col("_b")[fname(c)])  # noqa: E731
+    pick_f = lambda c: F.when(valid_f, F.col("_n")[fname(c)])  # noqa: E731
     use_b = valid_b & (
-        ~valid_f
-        | ((F.col(on) - F.col("_b_" + on)) <= (F.col("_n_" + on) - F.col(on)))
+        ~valid_f | ((F.col(on) - b_on) <= (n_on - F.col(on)))
     )
-    pick_n = lambda c: F.when(use_b, F.col("_b_" + c)).otherwise(  # noqa: E731
-        F.when(valid_f, F.col("_n_" + c))
+    pick_n = lambda c: F.when(use_b, F.col("_b")[fname(c)]).otherwise(  # noqa: E731
+        F.when(valid_f, F.col("_n")[fname(c)])
     )
 
     keep = [c for c in filled.columns
-            if c != "_side" and not c.startswith(("_b_", "_n_")) and c not in carried]
+            if c not in ("_side", "_b", "_n") and c not in carried]
     if direction == "all":
         # all three directions off the ONE keyed window pass — the
         # carries are already both computed, so three separate joins
@@ -254,22 +272,27 @@ def asof_join_skew(
         "_k", k
     ).withColumn("_slice", F.floor(F.col("_k") / F.lit(slice_width)))
 
-    # 1. local carry, per (by, slice) — the hot key is split by time
+    # 1. local carry, per (by, slice) — the hot key is split by time.
+    # Ordered by the EXACT `on` (r7 ADVICE: ordering by the truncated
+    # _k let a left row at ts=1.2 see a right row at ts=1.7 when both
+    # share a truncated second); _k is only the slice assignment.
+    # Nulls-first under asc parks the sentinel slice's null-ts left
+    # rows together (no right rows there — they were filtered).
+    # The carry is ONE struct so all matched columns come from the
+    # same right row (r7 ADVICE; shape matches the boundary struct
+    # below so the stitch can coalesce whole rows).
     w_local = (
         Window.partitionBy(*by_cols, "_slice")
-        .orderBy(F.col("_k").asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    right_on = F.when(F.col("_side") == 0, F.col(on))
+    r_row = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_k"), F.col(on), *[F.col(c) for c in carried]),
+    )
     filled = allc.select(
         "*",
-        F.last(right_on, ignorenulls=True).over(w_local).alias("_l_" + on),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w_local)
-            .alias("_l_" + c)
-            for c in carried
-        ],
+        F.last(r_row, ignorenulls=True).over(w_local).alias("_l"),
     ).filter(F.col("_side") == 1)
 
     # 2. boundary pass: last right row per (by, slice) -> carry
@@ -296,19 +319,19 @@ def asof_join_skew(
         F.last("_b", ignorenulls=True).over(w_b).alias("_cin"),
     )
 
-    # 3. stitch: local carry wins; else the carry entering the slice
+    # 3. stitch: local carry wins; else the carry entering the slice.
+    # Whole-STRUCT coalesce (r7): per-column coalesce could mix a
+    # local right row's null payload cell with the boundary row's
+    # value — the chosen match must be one right row, atomically.
+    chosen = F.coalesce(F.col("_l"), F.col("_cin"))
     out = filled.join(entering, [*by_cols, "_slice"]).select(
         *[
             c
             for c in filled.columns
-            if not c.startswith("_l_")
-            and c not in ("_side", "_slice", "_k", *carried)
+            if c not in ("_l", "_side", "_slice", "_k", *carried)
         ],
-        F.coalesce(F.col("_l_" + on), F.col("_cin." + on)).alias(on + suffix),
-        *[
-            F.coalesce(F.col("_l_" + c), F.col("_cin." + c)).alias(c)
-            for c in carried
-        ],
+        chosen.getField(on).alias(on + suffix),
+        *[chosen.getField(c).alias(c) for c in carried],
     ).drop("_cin")
     if tolerance is not None:
         stale = F.col(on) - F.col(on + suffix) > F.lit(tolerance)

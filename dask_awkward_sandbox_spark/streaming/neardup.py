@@ -103,7 +103,18 @@ def stream_neardup_dedup(
             import os as _os
 
             if _os.path.isdir(store_path):
-                stored = spark.read.parquet(store_path).filter(
+                # explicit schema (r7 ADVICE): an early batch that
+                # keeps no bucketed docs writes a store dir holding
+                # only _SUCCESS, and schema INFERENCE over it throws
+                # ("Unable to infer schema"), crashing the stream.
+                # The store schema is the kept-buckets schema +
+                # the batch_id partition column.
+                store_schema = (
+                    bkts.select("doc", "sig", "band", "key")
+                    .withColumn("batch_id", F.lit(0).cast("long"))
+                    .schema
+                )
+                stored = spark.read.schema(store_schema).parquet(store_path).filter(
                     F.col("batch_id") < batch_id
                 )
             else:  # first batch: no store yet

@@ -383,6 +383,72 @@ def test_interval_join_no_product_and_suffix(spark):
     assert "HashAggregate" not in plan.split("Filter")[0]
 
 
+def test_asof_join_null_ts_left_inert_all_directions(spark):
+    """r7 ADVICE regression: a left row with a NULL `on` value sorts
+    FIRST under asc ordering, so its forward frame contains every
+    right row — it must still match NOTHING in any direction (the
+    documented contract: null-ts left rows survive with null match
+    columns)."""
+    from dask_awkward_sandbox_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [("a", None, 0), ("a", 10, 1)], "k string, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [("a", 5, 50), ("a", 20, 200)], "k string, ts long, v long"
+    )
+    for direction, cols in {
+        "backward": [("ts_r", "v")],
+        "forward": [("ts_r", "v")],
+        "nearest": [("ts_r", "v")],
+        "all": [("ts_r", "v"), ("fwd_ts_r", "fwd_v"), ("near_ts_r", "near_v")],
+    }.items():
+        rows = {
+            r["lid"]: r
+            for r in asof_join(ldf, rdf, on="ts", by="k", direction=direction).collect()
+        }
+        assert set(rows) == {0, 1}, direction
+        for tcol, vcol in cols:
+            assert rows[0][tcol] is None and rows[0][vcol] is None, (direction, tcol)
+        # the non-null left row still matches normally
+        assert rows[1]["v"] is not None, direction
+
+
+def test_asof_join_null_payload_carried_atomically(spark):
+    """r7 ADVICE regression: when the MATCHED right row has a NULL
+    payload cell, the output must carry that null — not substitute
+    the cell from an older (backward) / later (forward) right row.
+    merge_asof semantics: the match is one whole row."""
+    from dask_awkward_sandbox_spark.operators.joins import asof_join, asof_join_skew
+
+    ldf = spark.createDataFrame([("a", 2, 0)], "k string, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [("a", 0, 7, 70), ("a", 1, None, 71), ("a", 3, None, 73), ("a", 4, 9, 74)],
+        "k string, ts long, v long, w long",
+    )
+    back = asof_join(ldf, rdf, on="ts", by="k").collect()[0]
+    assert (back["ts_r"], back["v"], back["w"]) == (1, None, 71)
+    fwd = asof_join(ldf, rdf, on="ts", by="k", direction="forward").collect()[0]
+    assert (fwd["ts_r"], fwd["v"], fwd["w"]) == (3, None, 73)
+    sk = asof_join_skew(ldf, rdf, on="ts", by="k", slice_width=7).collect()[0]
+    assert (sk["ts_r"], sk["v"], sk["w"]) == (1, None, 71)
+
+
+def test_asof_join_skew_fractional_ts_orders_by_exact_on(spark):
+    """r7 ADVICE regression: with fractional timestamps, two rows in
+    the same truncated second must still order by the EXACT `on` —
+    a left row at ts=1.2 may not pick up a right row at ts=1.7."""
+    from dask_awkward_sandbox_spark.operators.joins import asof_join, asof_join_skew
+
+    ldf = spark.createDataFrame([("a", 1.2, 0)], "k string, ts double, lid long")
+    rdf = spark.createDataFrame(
+        [("a", 0.5, 5), ("a", 1.7, 17)], "k string, ts double, v long"
+    )
+    for fn, kw in ((asof_join, {}), (asof_join_skew, {"slice_width": 10})):
+        row = fn(ldf, rdf, on="ts", by="k", **kw).collect()[0]
+        assert (row["ts_r"], row["v"]) == (0.5, 5), fn.__name__
+
+
 def test_suggest_bin_width(spark):
     from pyspark.sql import functions as F
 

@@ -115,6 +115,44 @@ def test_stream_matches_reference(spark, tmp_path):
     assert stored == kept
 
 
+def test_empty_first_batch_store_does_not_crash_stream(spark, tmp_path):
+    """r7 ADVICE regression: a first batch keeping NO bucketed docs
+    (all docs token-less -> empty band buckets) writes a store dir
+    holding only _SUCCESS; the next batch's store read must treat it
+    as empty instead of crashing on schema inference."""
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    # batch 0: token-less docs (punctuation only -> no shingles, no
+    # buckets, kept but nothing stored); batch 1: real docs
+    b0 = [(0, "..."), (1, "!!!")]
+    b1 = [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+          (11, "alpha beta gamma delta epsilon zeta eta theta")]
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.json(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/f*")
+    )
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    stream_neardup_dedup(
+        stream, store, out, str(tmp_path / "ckpt"),
+        num_perms=NUM_PERMS, bands=BANDS, min_match=MIN_MATCH,
+    )
+    dec = {r["doc"]: r for r in spark.read.parquet(out).collect()}
+    assert set(dec) == {0, 1, 10, 11}
+    # token-less docs keep (no LSH signal); the in-batch exact pair
+    # still dedups in the later batch
+    assert not dec[0]["is_dup"] and not dec[1]["is_dup"]
+    assert not dec[10]["is_dup"] and dec[11]["is_dup"]
+    assert dec[11]["dup_of"] == 10
+
+
 def test_replay_guard_ignores_own_partial_write(spark, tmp_path):
     """A replayed batch must not see its OWN earlier partial store
     write: plant a stale batch_id=0 store partition containing the
