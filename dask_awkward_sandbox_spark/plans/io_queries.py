@@ -49,7 +49,11 @@ def _scratch(sf_dir: str, name: str) -> str:
            cast(count(*) as bigint) as flat_n,
            cast(sum(l_linenumber) as bigint) as flat_sum_ln,
            cast(sum(l_linenumber) as bigint) as enf_sum_ln,
-           cast(count(*) as bigint) as enf_n_bogus_null
+           cast(count(*) as bigint) as enf_n_bogus_null,
+           cast(sum(cast(round(l_quantity*100) as bigint) * 2 + 1) as bigint)
+             as mp_sum_qty2,
+           cast(sum(l_linenumber * (cast(round(l_quantity*100) as bigint) * 2 + 1))
+                as bigint) as mp_dot
     from lineitem group by l_orderkey
     """,
 )
@@ -59,7 +63,15 @@ def q_parquet_roundtrip(spark, sf_dir):
     read-side schema pruning. The SAME read-back frame then goes
     through ``to_dataframe`` (explode + struct flattening, the
     dd.DataFrame conversion) and re-aggregates — the flat_* columns
-    only match if the flatten is lossless."""
+    only match if the flatten is lossless.
+
+    r7 gate surgery (registry back to exactly 50): the former
+    q_map_partitions slot rides along as the mp_* legs —
+    dak.map_partitions ≙ mapInArrow, arbitrary per-partition code,
+    Arrow-batched (the one legitimate Python-in-the-path escape
+    hatch); the per-row qty2 values it computes aggregate per order,
+    incl. a linenumber-weighted dot that is NOT derivable from the
+    other columns, so a broken Arrow kernel breaks the hash."""
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
@@ -95,7 +107,44 @@ def q_parquet_roundtrip(spark, sf_dir):
         .cast("long")
         .alias("enf_n_bogus_null"),
     )
-    return nested_side.join(flat_side, "l_orderkey").join(enf_side, "l_orderkey")
+    # mp_* legs: map_partitions over the flat lineitem scan
+    import pyarrow as pa
+
+    li = read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+    def fn(batches):
+        for b in batches:
+            qty2 = pa.compute.add(
+                pa.compute.multiply(
+                    pa.compute.round(
+                        pa.compute.multiply(b.column("l_quantity"), 100.0)
+                    ).cast(pa.int64()),
+                    2,
+                ),
+                1,
+            )
+            t = pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "l_linenumber": b.column("l_linenumber").cast(pa.int64()),
+                    "qty2": qty2,
+                }
+            )
+            for ob in t.to_batches():
+                yield ob
+
+    mp = li.mapInArrow(fn, "l_orderkey long, l_linenumber long, qty2 long")
+    mp_side = mp.groupBy("l_orderkey").agg(
+        F.sum("qty2").alias("mp_sum_qty2"),
+        F.sum(F.col("l_linenumber") * F.col("qty2")).alias("mp_dot"),
+    )
+    return (
+        nested_side.join(flat_side, "l_orderkey")
+        .join(enf_side, "l_orderkey")
+        .join(mp_side, "l_orderkey")
+    )
 
 
 _LISTS_ROWS = [

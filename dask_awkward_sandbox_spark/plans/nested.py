@@ -52,66 +52,6 @@ def _disc_c(items):
 
 
 @query(
-    "q_num_firsts_mask",
-    f"""
-    with b as (
-      select l_orderkey,
-             cast(count(*) as bigint) as n_items,
-             cast(count(case when {QC} > 4500 then 1 end) as bigint) as n_high,
-             cast(coalesce(sum(case when l_returnflag = 'R' then {QC} end), 0) as bigint)
-               as masked_sum,
-             cast(count(case when l_returnflag = 'R' then 1 end) as bigint) as n_kept,
-             cast(sum(case when l_returnflag = 'R' then {QC} else -{QC} end) as bigint)
-               as signed_sum
-      from lineitem group by l_orderkey),
-    f as (
-      select l_orderkey, cast(l_linenumber as bigint) as first_ln, {QC} as first_qty_c
-      from lineitem
-      qualify row_number() over (partition by l_orderkey order by {ORD}) = 1)
-    select b.*, f.first_ln, f.first_qty_c
-    from b join f using (l_orderkey)
-    """,
-)
-def q_num_firsts_mask(spark, sf_dir):
-    """ak.num (plus length after elementwise filter), ak.firsts, and
-    ak.mask / ak.drop_none / ak.where / ak.is_none in one per-order
-    pass — all JVM higher-order functions over the nested build."""
-    # Pruned to the three touched leaves; items tying on the pruned
-    # (ln, qty, rf) prefix are indistinguishable in every exposed
-    # output (firsts only surfaces ln/qty), so any tie permutation vs
-    # the oracle's full-struct order is value-invisible.
-    it = order_items(
-        spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_returnflag"]
-    )
-    # Materialize the shared arrays once (see q_reduce_order_count note:
-    # Catalyst can't CSE across HOF lambdas, so _q/_isr would otherwise
-    # be re-derived by each of the four consumers).
-    pre = it.select(
-        "l_orderkey",
-        F.col("items"),
-        _qty_c(F.col("items")).alias("_q"),
-        F.transform(F.col("items").getField("l_returnflag"), lambda r: r == "R").alias("_isr"),
-    )
-    q, is_r = F.col("_q"), F.col("_isr")
-    first = st.firsts(F.col("items"))
-    masked = st.mask(q, is_r)
-    n_kept = st.num(st.drop_none(masked)) - F.aggregate(
-        st.is_none(q), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-    )
-    signed = st.where(is_r, q, F.transform(q, lambda x: -x))
-    return pre.select(
-        "l_orderkey",
-        st.num(F.col("items")).alias("n_items"),
-        st.num(F.filter(q, lambda x: x > 4500)).alias("n_high"),
-        red.sum(masked).cast("long").alias("masked_sum"),
-        n_kept.alias("n_kept"),
-        red.sum(signed).cast("long").alias("signed_sum"),
-        first["l_linenumber"].cast("long").alias("first_ln"),
-        cents(first["l_quantity"]).alias("first_qty_c"),
-    )
-
-
-@query(
     "q_flatten_softmax",
     f"""
     with v as (select l_orderkey, l_linenumber, l_quantity, l_extendedprice,
@@ -119,24 +59,53 @@ def q_num_firsts_mask(spark, sf_dir):
                from lineitem),
     m as (select *, max(l_quantity) over (partition by l_orderkey) as mx from v),
     e as (select *, exp(l_quantity - mx) as ex from m),
-    s as (select *, sum(ex) over (partition by l_orderkey) as sm from e)
-    select l_orderkey, cast(idx as bigint) as idx,
+    s as (select *, sum(ex) over (partition by l_orderkey) as sm from e),
+    seq as (
+      select l_orderkey, l_returnflag,
+             row_number() over (partition by l_orderkey order by {ORD}) as rn,
+             row_number() over (partition by l_orderkey, l_returnflag
+                                order by {ORD}) as rnf
+      from lineitem),
+    runs as (
+      select l_orderkey, min(rn) as mn, count(*) as c
+      from seq group by l_orderkey, l_returnflag, rn - rnf),
+    r2 as (
+      select l_orderkey,
+             cast(row_number() over (partition by l_orderkey order by mn) - 1
+                  as bigint) as idx,
+             cast(c as bigint) as run_len
+      from runs)
+    select s.l_orderkey, cast(s.idx as bigint) as idx,
            cast(l_linenumber as bigint) as ln,
            {QC} as qty_c, {PC} as price_c,
-           round(ex/sm, 6) as softmax
-    from s
+           round(ex/sm, 6) as softmax,
+           r2.run_len
+    from s left join r2 on r2.l_orderkey = s.l_orderkey and r2.idx = s.idx
     """,
 )
 def q_flatten_softmax(spark, sf_dir):
     """Build nested, compute ak.local_index and ak.softmax (axis=1,
     numerically-stable) alongside each record, then flatten back to
     rows (explode_flatten) — a lossless roundtrip carrying derived
-    per-element columns."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_extendedprice"])
+    per-element columns. PLUS (r7 gate surgery — the former
+    q_run_lengths slot) ak.run_lengths over the returnflag sequence:
+    the runs array is SHORTER than the items array, and arrays_zip
+    pads it with nulls, which is exactly the oracle's left join of
+    the gaps-and-islands rewrite onto the flattened rows — no second
+    build, no join, one shuffle total.
+
+    NOT prunable: run boundaries depend on the full tie order
+    (l_linenumber repeats within an order, and returnflag adjacency
+    among ties follows the full-struct ORD the oracle uses), so this
+    slot ships the full struct — softmax/local_index legs read the
+    same full-ordered items, which matches the oracle's ORD
+    row_number exactly."""
+    it = order_items(spark, sf_dir)
     z = F.arrays_zip(
         st.local_index(F.col("items")).alias("idx"),
         F.col("items").alias("item"),
         red.softmax(fld(F.col("items"), "l_quantity")).alias("sm"),
+        st.run_lengths(fld(F.col("items"), "l_returnflag")).alias("run_len"),
     )
     ex = st.explode_flatten(it.select("l_orderkey", z.alias("zi")), "zi", keep=["l_orderkey"])
     e = F.col("zi")
@@ -147,6 +116,7 @@ def q_flatten_softmax(spark, sf_dir):
         cents(e["item"]["l_quantity"]).alias("qty_c"),
         cents(e["item"]["l_extendedprice"]).alias("price_c"),
         F.round(e["sm"], 6).alias("softmax"),
+        e["run_len"].alias("run_len"),
     )
 
 
@@ -163,24 +133,56 @@ def q_flatten_softmax(spark, sf_dir):
           qualify row_number() over (partition by l_orderkey
                                      order by l_quantity asc, {ORD}) = 1),
     m as (select l_orderkey, max(case when l_linenumber <> 1 then {QC} end) as top1_masked_qty_c
-          from lineitem group by l_orderkey)
+          from lineitem group by l_orderkey),
+    b as (
+      select l_orderkey,
+             cast(count(*) as bigint) as n_items,
+             cast(count(case when {QC} > 4500 then 1 end) as bigint) as n_high,
+             cast(coalesce(sum(case when l_returnflag = 'R' then {QC} end), 0) as bigint)
+               as masked_sum,
+             cast(count(case when l_returnflag = 'R' then 1 end) as bigint) as n_kept,
+             cast(sum(case when l_returnflag = 'R' then {QC} else -{QC} end) as bigint)
+               as signed_sum
+      from lineitem group by l_orderkey),
+    f as (
+      select l_orderkey, cast(l_linenumber as bigint) as first_ln, {QC} as first_qty_c
+      from lineitem
+      qualify row_number() over (partition by l_orderkey order by {ORD}) = 1)
     select a.l_orderkey, t1.top1_qty_c, t2.top2_qty_c, a.min_ln, a.min_qty_c,
-           m.top1_masked_qty_c
+           m.top1_masked_qty_c,
+           b.n_items, b.n_high, b.masked_sum, b.n_kept, b.signed_sum,
+           f.first_ln, f.first_qty_c
     from a join t1 using (l_orderkey) left join t2 using (l_orderkey)
-           join m using (l_orderkey)
+           join m using (l_orderkey) join b using (l_orderkey)
+           join f using (l_orderkey)
     """,
 )
 def q_sort_argsort(spark, sf_dir):
     """ak.sort (descending + list slice: top-2 values per list) and
     ak.argsort (stable first index of the minimum, then fetch that
-    record) in one per-order pass.
+    record), PLUS (r7 gate surgery, registry back to exactly 50 so
+    every slot gets a driver row — the former q_num_firsts_mask legs)
+    ak.num (incl. length after elementwise filter), ak.firsts, and
+    ak.mask / ak.drop_none / ak.where / ak.is_none — one per-order
+    pass over ONE shared nested build, all JVM higher-order functions.
 
-    Pruned to the two touched fields: sorted VALUES and the argmin
-    item's (ln, qty) outputs are identical under any tie order beyond
-    the (l_linenumber, l_quantity) prefix, so the build only ships
-    those leaves through the shuffle."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
-    q = _qty_c(F.col("items"))
+    Pruned to the three touched leaves: sorted VALUES are
+    order-insensitive, and the argmin/firsts items only expose
+    (ln, qty), so items tying on the pruned (ln, qty, rf) prefix are
+    value-indistinguishable vs the oracle's full-struct order."""
+    it = order_items(
+        spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_returnflag"]
+    )
+    # Materialize the shared arrays once (see q_reduce_order_count note:
+    # Catalyst can't CSE across HOF lambdas, so _q/_isr would otherwise
+    # be re-derived by each consumer).
+    pre = it.select(
+        "l_orderkey",
+        F.col("items"),
+        _qty_c(F.col("items")).alias("_q"),
+        F.transform(F.col("items").getField("l_returnflag"), lambda r: r == "R").alias("_isr"),
+    )
+    q, is_r = F.col("_q"), F.col("_isr")
     top2 = F.slice(st.sort(q, ascending=False), 1, 2)
     idx = st.argsort(q)
     first_item = F.get(F.col("items"), F.get(idx, 0).cast("int"))
@@ -191,29 +193,54 @@ def q_sort_argsort(spark, sf_dir):
         F.col("items"),
         lambda s: F.when(s["l_linenumber"] != 1, cents(s["l_quantity"])),
     )
-    return it.select(
+    first = st.firsts(F.col("items"))
+    masked = st.mask(q, is_r)
+    n_kept = st.num(st.drop_none(masked)) - F.aggregate(
+        st.is_none(q), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    signed = st.where(is_r, q, F.transform(q, lambda x: -x))
+    return pre.select(
         "l_orderkey",
         F.get(top2, 0).alias("top1_qty_c"),
         F.get(top2, 1).alias("top2_qty_c"),
         first_item["l_linenumber"].cast("long").alias("min_ln"),
         cents(first_item["l_quantity"]).alias("min_qty_c"),
         F.get(st.sort(masked_q, ascending=False), 0).alias("top1_masked_qty_c"),
+        st.num(F.col("items")).alias("n_items"),
+        st.num(F.filter(q, lambda x: x > 4500)).alias("n_high"),
+        red.sum(masked).cast("long").alias("masked_sum"),
+        n_kept.alias("n_kept"),
+        red.sum(signed).cast("long").alias("signed_sum"),
+        first["l_linenumber"].cast("long").alias("first_ln"),
+        cents(first["l_quantity"]).alias("first_qty_c"),
     )
 
 
 @query(
-    "q_zip_with_field",
+    "q_cartesian_combinations",
     f"""
+    with s as (select l_orderkey, count(*) as n,
+                      sum({QC}) as sq, sum({QC}*{QC}) as sqq, sum({DC}) as sd,
+                      sum({QC} * {PC}) as dot,
+                      sum({PC} * (100 - {DC})) as dpu
+               from lineitem group by l_orderkey)
     select l_orderkey,
-           cast(sum({QC} * {PC}) as bigint) as dot_c,
-           cast(sum({PC} * (100 - {DC})) as bigint) as sum_disc_price_u
-    from lineitem group by l_orderkey
+           cast(n*n as bigint) as n_pairs_cart,
+           cast(sq*sd as bigint) as cross_sum,
+           cast(n*(n-1)/2 as bigint) as n_pairs_comb,
+           cast((sq*sq - sqq)/2 as bigint) as pair_sum,
+           cast(dot as bigint) as dot_c,
+           cast(dpu as bigint) as sum_disc_price_u
+    from s
     """,
 )
-def q_zip_with_field(spark, sf_dir):
-    """ak.zip + ak.unzip + elementwise product reduce (list dot
-    product), and ak.with_field / ak.without_field (add a computed
-    field to each record, drop another, reduce the new field)."""
+def q_cartesian_combinations(spark, sf_dir):
+    """ak.cartesian of (qty, discount) lists and ak.combinations (n=2
+    unordered pairs i<j) per order; closed-form oracles
+    (sum_ij x_i y_j == sum(x)sum(y); sum_{{i<j}} x_i x_j == (S²-SS)/2).
+    PLUS (r7 gate surgery — the former q_zip_with_field legs) ak.zip +
+    ak.unzip + elementwise product reduce (list dot product) and
+    ak.with_field / ak.without_field, off the SAME nested build."""
     it = order_items(
         spark, sf_dir,
         fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -227,45 +254,15 @@ def q_zip_with_field(spark, sf_dir):
         lambda s: cents(s["l_extendedprice"]) * (F.lit(100) - cents(s["l_discount"])),
     )
     slim = st.without_field(enriched, "l_tax")
-    # materialize the two folded arrays once (unzip re-derives z per
-    # extracted leg; see q_reduce_order_count note on HOF lambda CSE)
-    pre = it.select(
-        "l_orderkey",
-        dot.alias("_dot"),
-        fld(slim, "disc_price_u").alias("_dpu"),
-    )
-    return pre.select(
-        "l_orderkey",
-        red.sum(F.col("_dot")).cast("long").alias("dot_c"),
-        red.sum(F.col("_dpu")).cast("long").alias("sum_disc_price_u"),
-    )
-
-
-@query(
-    "q_cartesian_combinations",
-    f"""
-    with s as (select l_orderkey, count(*) as n,
-                      sum({QC}) as sq, sum({QC}*{QC}) as sqq, sum({DC}) as sd
-               from lineitem group by l_orderkey)
-    select l_orderkey,
-           cast(n*n as bigint) as n_pairs_cart,
-           cast(sq*sd as bigint) as cross_sum,
-           cast(n*(n-1)/2 as bigint) as n_pairs_comb,
-           cast((sq*sq - sqq)/2 as bigint) as pair_sum
-    from s
-    """,
-)
-def q_cartesian_combinations(spark, sf_dir):
-    """ak.cartesian of (qty, discount) lists and ak.combinations (n=2
-    unordered pairs i<j) per order; closed-form oracles
-    (sum_ij x_i y_j == sum(x)sum(y); sum_{{i<j}} x_i x_j == (S²-SS)/2)."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_discount"])
-    # materialize the O(n²)-sized pair arrays ONCE (each feeds two
-    # consumers; see q_reduce_order_count note on HOF lambda CSE)
+    # materialize the four folded/pair arrays ONCE (each feeds two
+    # consumers, and unzip re-derives z per extracted leg; see
+    # q_reduce_order_count note on HOF lambda CSE)
     pre = it.select(
         "l_orderkey",
         st.cartesian(_qty_c(F.col("items")), _disc_c(F.col("items"))).alias("_cart"),
         st.combinations(_qty_c(F.col("items"))).alias("_comb"),
+        dot.alias("_dot"),
+        fld(slim, "disc_price_u").alias("_dpu"),
     )
     cart, comb = F.col("_cart"), F.col("_comb")
     return pre.select(
@@ -278,37 +275,9 @@ def q_cartesian_combinations(spark, sf_dir):
         F.aggregate(comb, F.lit(0.0), lambda a, p: a + p["_0"] * p["_1"])
         .cast("long")
         .alias("pair_sum"),
+        red.sum(F.col("_dot")).cast("long").alias("dot_c"),
+        red.sum(F.col("_dpu")).cast("long").alias("sum_disc_price_u"),
     )
-
-
-@query(
-    "q_run_lengths",
-    f"""
-    with seq as (
-      select l_orderkey, l_returnflag,
-             row_number() over (partition by l_orderkey order by {ORD}) as rn,
-             row_number() over (partition by l_orderkey, l_returnflag
-                                order by {ORD}) as rnf
-      from lineitem),
-    runs as (
-      select l_orderkey, min(rn) as mn, count(*) as c
-      from seq group by l_orderkey, l_returnflag, rn - rnf)
-    select l_orderkey,
-           cast(row_number() over (partition by l_orderkey order by mn) - 1 as bigint) as idx,
-           cast(c as bigint) as run_len
-    from runs
-    """,
-)
-def q_run_lengths(spark, sf_dir):
-    """ak.run_lengths over the returnflag sequence of each order;
-    oracle is the classic gaps-and-islands rewrite."""
-    # NOT prunable: run boundaries depend on the full tie order
-    # (l_linenumber repeats within an order, and returnflag adjacency
-    # among ties follows the full-struct ORD the oracle uses)
-    it = order_items(spark, sf_dir)
-    rl = st.run_lengths(fld(F.col("items"), "l_returnflag"))
-    ex = it.select("l_orderkey", F.posexplode(rl).alias("idx", "run_len"))
-    return ex.select("l_orderkey", F.col("idx").cast("long").alias("idx"), "run_len")
 
 
 @query(
@@ -396,12 +365,26 @@ def q_pad_fill_none(spark, sf_dir):
 @query(
     "q_concatenate",
     f"""
-    select l_returnflag, cast(count(*) as bigint) as n,
-           cast(sum({QC}) as bigint) as sum_qty_c,
-           cast(count(case when l_quantity > 30 then 1 end) as bigint) as n_high_qty,
-           cast(count(case when l_quantity > 30 then 1 end)
-                + count(case when l_discount > 0.05 then 1 end) as bigint) as n_cat2
-    from lineitem group by l_returnflag
+    with c as (
+      select l_returnflag, cast(count(*) as bigint) as n,
+             cast(sum({QC}) as bigint) as sum_qty_c,
+             cast(count(case when l_quantity > 30 then 1 end) as bigint) as n_high_qty,
+             cast(count(case when l_quantity > 30 then 1 end)
+                  + count(case when l_discount > 0.05 then 1 end) as bigint) as n_cat2
+      from lineitem group by l_returnflag),
+    g as (
+      select cast(sum({QC}) as bigint) as total_qty_c,
+             cast(count(l_quantity) as bigint) as n_vals,
+             cast(min({QC}) as bigint) as min_qty_c,
+             cast(max({QC}) as bigint) as max_qty_c,
+             cast(sum({QC}) as double) / count(l_quantity) as mean_qty_c,
+             {", ".join(
+                 f"cast(count(case when floor({QC} / 640.0) = {i} then 1 end) as bigint)"
+                 f" as h{i}"
+                 for i in range(8)
+             )}
+      from lineitem)
+    select c.*, g.* from c cross join g
     """,
 )
 def q_concatenate(spark, sf_dir):
@@ -409,7 +392,17 @@ def q_concatenate(spark, sf_dir):
     recovers the whole (metadata-only union, no shuffle); plus
     ak.singletons (non-null scalar -> 1-list, null -> empty list) and
     ak.concatenate axis=1 (elementwise list append) — the per-row
-    list lengths aggregate to the non-null counts."""
+    list lengths aggregate to the non-null counts.
+
+    PLUS (r7 gate surgery — the former q_reduce_axis_none slot)
+    ak.sum/count/min/max/mean(axis=None): whole-collection reduction
+    over the nested build (per-list fold map-side, one partial per
+    order row into the global agg — never per element) and the GLOBAL
+    ragged histogram (operators/histogram.py) over the same lists;
+    the 1-row global aggregate broadcast-crosses onto the 3-row
+    returnflag frame."""
+    from dask_awkward_sandbox_spark.operators import histogram as hg
+
     li = read(spark, sf_dir, "lineitem")
     cut = F.lit("1998-01-01").cast("timestamp")
     lo = li.filter(F.col("l_shipdate") < cut)
@@ -418,17 +411,52 @@ def q_concatenate(spark, sf_dir):
     s_qty = st.singletons(F.when(F.col("l_quantity") > 30, cents(F.col("l_quantity"))))
     s_disc = st.singletons(F.when(F.col("l_discount") > 0.05, cents(F.col("l_discount"))))
     cat2 = st.concatenate_axis1([s_qty, s_disc])
-    return both.groupBy("l_returnflag").agg(
+    conc = both.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
         F.sum(F.size(s_qty)).alias("n_high_qty"),
         F.sum(F.size(cat2)).alias("n_cat2"),
     )
 
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
+    q = _qty_c(F.col("items"))
+    hist = hg.histogram_axis1(q, _HIST_BINS, _HIST_LO, _HIST_HI)
+    pre = it.select(q.alias("_q"), hist.alias("_h"))
+    axis_none = pre.agg(
+        red.sum0(F.col("_q")).cast("long").alias("total_qty_c"),
+        red.count0(F.col("_q")).cast("long").alias("n_vals"),
+        red.min0(F.col("_q")).cast("long").alias("min_qty_c"),
+        red.max0(F.col("_q")).cast("long").alias("max_qty_c"),
+        red.mean0(F.col("_q")).alias("mean_qty_c"),
+        *[
+            F.sum(F.get(F.col("_h"), i)).cast("long").alias(f"h{i}")
+            for i in range(_HIST_BINS)
+        ],
+    )
+    return conc.crossJoin(F.broadcast(axis_none))
+
 
 # ---------------------------------------------------------------------------
 # reducers
 # ---------------------------------------------------------------------------
+
+
+_PAIR_SUMS = f"""
+    select l_orderkey,
+           cast(count(*) as double) as n,
+           cast(sum({QC}) as double) as sx,
+           cast(sum({PC}) as double) as sy,
+           cast(sum({QC}*{QC}) as double) as sxx,
+           cast(sum({PC}*{PC}) as double) as syy,
+           cast(sum({QC}*{PC}) as double) as sxy,
+           cast(sum(l_linenumber) as double) as sw,
+           cast(sum(l_linenumber*{QC}) as double) as wsx,
+           cast(sum(l_linenumber*{PC}) as double) as wsy,
+           cast(sum(l_linenumber*{QC}*{QC}) as double) as wsxx,
+           cast(sum(l_linenumber*{PC}*{PC}) as double) as wsyy,
+           cast(sum(l_linenumber*{QC}*{PC}) as double) as wsxy
+    from lineitem group by l_orderkey
+"""
 
 
 @query(
@@ -461,15 +489,36 @@ def q_concatenate(spark, sf_dir):
                   cast(sum({QC}) as double) as s1,
                   cast(sum({QC}*{QC}) as double) as s2,
                   cast(sum({QC}*{QC}*{QC}) as double) as s3
-           from lineitem group by l_orderkey)
+           from lineitem group by l_orderkey),
+    ps as ({_PAIR_SUMS}),
+    fi as (
+      select l_orderkey,
+             (n*sxy - sx*sy) / (n*sxx - sx*sx) as slope,
+             (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n as intercept,
+             sxy/n - (sx/n)*(sy/n) as covar_qp,
+             (sxy/n - (sx/n)*(sy/n))
+                   / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) as corr_qp,
+             (sw*wsxy - wsx*wsy) / (sw*wsxx - wsx*wsx) as wslope,
+             wsxy/sw - (wsx/sw)*(wsy/sw) as wcovar_qp,
+             (wsxy/sw - (wsx/sw)*(wsy/sw))
+                   / sqrt((wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)))
+                 as wcorr_qp
+      from ps
+      where n*sxx - sx*sx <> 0
+        and (sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)) > 0
+        and sw*wsxx - wsx*wsx <> 0
+        and (wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)) > 0)
     select b.*, mn.argmin_qty, mx.argmax_qty,
            s1/nn/100 as mean_qty,
            (s2 - s1*s1/nn)/nn/10000 as var_qty,
            sqrt((s2 - s1*s1/nn)/nn)/100 as std_qty,
            s2/nn/10000 as m2,
-           s3/nn/1000000 as m3
+           s3/nn/1000000 as m3,
+           fi.slope, fi.intercept, fi.covar_qp, fi.corr_qp,
+           fi.wslope, fi.wcovar_qp, fi.wcorr_qp
     from b join mn using (l_orderkey) join mx using (l_orderkey)
            join st using (l_orderkey)
+           left join fi using (l_orderkey)
     """,
 )
 def q_reduce_order_count(spark, sf_dir):
@@ -480,7 +529,10 @@ def q_reduce_order_count(spark, sf_dir):
     and ak.mean/var/std/moment n=2,3 (axis=1; r5 fusion — the moment
     sums ride the SAME struct accumulator, so the former
     q_reduce_stats slot collapsed into this single pass; both engines
-    apply identical one-pass formulas to exact integer power sums)."""
+    apply identical one-pass formulas to exact integer power sums).
+    r7 gate surgery: the former q_fit_corr slot (linear_fit/covar/
+    corr + weighted forms) rides along as left-joined legs off the
+    same build — see the in-body comment."""
     # Scale shape (r4 rewrite, VERDICT r3 "What's wrong #2"): higher-
     # order functions are interpreted (outside whole-stage codegen) and
     # Catalyst cannot CSE across lambda bodies, so 13 independent
@@ -556,7 +608,7 @@ def q_reduce_order_count(spark, sf_dir):
     acc = F.aggregate(z, init, step)
     pre = it.select("l_orderkey", acc.alias("_a"))
     a = F.col("_a")
-    return pre.select(
+    red_out = pre.select(
         "l_orderkey",
         a["sq"].alias("sum_qty_c"),
         a["sp"].alias("sum_price_c"),
@@ -598,62 +650,22 @@ def q_reduce_order_count(spark, sf_dir):
         (a["sq3"].cast("double") / a["n"].cast("double") / 1000000).alias("m3"),
     )
 
-
-_PAIR_SUMS = f"""
-    select l_orderkey,
-           cast(count(*) as double) as n,
-           cast(sum({QC}) as double) as sx,
-           cast(sum({PC}) as double) as sy,
-           cast(sum({QC}*{QC}) as double) as sxx,
-           cast(sum({PC}*{PC}) as double) as syy,
-           cast(sum({QC}*{PC}) as double) as sxy,
-           cast(sum(l_linenumber) as double) as sw,
-           cast(sum(l_linenumber*{QC}) as double) as wsx,
-           cast(sum(l_linenumber*{PC}) as double) as wsy,
-           cast(sum(l_linenumber*{QC}*{QC}) as double) as wsxx,
-           cast(sum(l_linenumber*{PC}*{PC}) as double) as wsyy,
-           cast(sum(l_linenumber*{QC}*{PC}) as double) as wsxy
-    from lineitem group by l_orderkey
-"""
-
-
-@query(
-    "q_fit_corr",
-    f"""
-    with s as ({_PAIR_SUMS})
-    select l_orderkey,
-           (n*sxy - sx*sy) / (n*sxx - sx*sx) as slope,
-           (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n as intercept,
-           sxy/n - (sx/n)*(sy/n) as covar_qp,
-           (sxy/n - (sx/n)*(sy/n))
-                 / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) as corr_qp,
-           (sw*wsxy - wsx*wsy) / (sw*wsxx - wsx*wsx) as wslope,
-           wsxy/sw - (wsx/sw)*(wsy/sw) as wcovar_qp,
-           (wsxy/sw - (wsx/sw)*(wsy/sw))
-                 / sqrt((wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)))
-               as wcorr_qp
-    from s
-    where n*sxx - sx*sx <> 0
-      and (sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)) > 0
-      and sw*wsxx - wsx*wsx <> 0
-      and (wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)) > 0
-    """,
-)
-def q_fit_corr(spark, sf_dir):
-    """ak.linear_fit + ak.covar / ak.corr (axis=1): pairwise-list
-    reductions qty_c vs price_c per order, identical expression trees
-    on both sides for bit-exact agreement; rows where either
-    denominator degenerates are filtered on both sides. Late-r5 legs:
-    the WEIGHTED forms (weight = l_linenumber) of slope/covar/corr —
-    the reducers the reference raises DaskAwkwardNotImplemented for,
-    value-oracled every round (every w-scaled sum is an exact int in
-    double, so both engines agree bit-for-bit)."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_extendedprice"])
+    # r7 gate surgery — the former q_fit_corr slot, preserved verbatim
+    # (filter semantics included) and LEFT-JOINED on l_orderkey:
+    # ak.linear_fit + ak.covar / ak.corr (axis=1) with identical
+    # expression trees on both sides for bit-exact agreement, plus the
+    # WEIGHTED forms (weight = l_linenumber — reducers the reference
+    # raises DaskAwkwardNotImplemented for). Rows where a denominator
+    # degenerates carry NULL fit legs (the oracle's fi CTE keeps the
+    # original WHERE and left-joins the same way). The fit side reads
+    # the SAME build subtree (identical fields), so Catalyst reuses
+    # the exchange and the join adds no extra shuffle — both sides
+    # are already hash-partitioned on l_orderkey.
     x, y = _qty_c(F.col("items")), _price_c(F.col("items"))
     w = F.transform(F.col("items"), lambda s: s["l_linenumber"].cast("double"))
     fit = red.linear_fit(x, y)
     wfit = red.linear_fit(x, y, weight=w)
-    out = it.select(
+    fit_out = it.select(
         "l_orderkey",
         fit["slope"].alias("slope"),
         fit["intercept"].alias("intercept"),
@@ -662,98 +674,13 @@ def q_fit_corr(spark, sf_dir):
         wfit["slope"].alias("wslope"),
         red.covar(x, y, weight=w).alias("wcovar_qp"),
         red.corr(x, y, weight=w).alias("wcorr_qp"),
-    )
-    return out.filter(
+    ).filter(
         F.col("slope").isNotNull()
         & F.col("corr_qp").isNotNull()
         & F.col("wslope").isNotNull()
         & F.col("wcorr_qp").isNotNull()
     )
+    return red_out.join(fit_out, "l_orderkey", "left")
 
 
 _HIST_BINS, _HIST_LO, _HIST_HI = 8, 0.0, 5120.0  # qty cents 100..5000, width 640
-
-
-@query(
-    "q_reduce_axis_none",
-    f"""
-    select cast(sum({QC}) as bigint) as total_qty_c,
-           cast(count(l_quantity) as bigint) as n_vals,
-           cast(min({QC}) as bigint) as min_qty_c,
-           cast(max({QC}) as bigint) as max_qty_c,
-           cast(sum({QC}) as double) / count(l_quantity) as mean_qty_c,
-           {", ".join(
-               f"cast(count(case when floor({QC} / 640.0) = {i} then 1 end) as bigint)"
-               f" as h{i}"
-               for i in range(_HIST_BINS)
-           )}
-    from lineitem
-    """,
-)
-def q_reduce_axis_none(spark, sf_dir):
-    """ak.sum/count/min/max/mean(axis=None): whole-collection
-    reduction over the nested build — per-list fold map-side, one
-    partial per order row into the global agg (never per element).
-    Late-r5 legs: the GLOBAL ragged histogram (operators/histogram.py)
-    over the same lists — per-row count vectors from an in-row fold,
-    reduced by position inside this same aggregate; the oracle rebins
-    every lineitem with the identical floor arithmetic."""
-    from dask_awkward_sandbox_spark.operators import histogram as hg
-
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
-    q = _qty_c(F.col("items"))
-    hist = hg.histogram_axis1(q, _HIST_BINS, _HIST_LO, _HIST_HI)
-    pre = it.select(q.alias("_q"), hist.alias("_h"))
-    return pre.agg(
-        red.sum0(F.col("_q")).cast("long").alias("total_qty_c"),
-        red.count0(F.col("_q")).cast("long").alias("n_vals"),
-        red.min0(F.col("_q")).cast("long").alias("min_qty_c"),
-        red.max0(F.col("_q")).cast("long").alias("max_qty_c"),
-        red.mean0(F.col("_q")).alias("mean_qty_c"),
-        *[
-            F.sum(F.get(F.col("_h"), i)).cast("long").alias(f"h{i}")
-            for i in range(_HIST_BINS)
-        ],
-    )
-
-
-# ---------------------------------------------------------------------------
-# map_partitions
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q_map_partitions",
-    f"""
-    select l_orderkey, cast(l_linenumber as bigint) as l_linenumber,
-           {QC} * 2 + 1 as qty2
-    from lineitem
-    """,
-)
-def q_map_partitions(spark, sf_dir):
-    """dak.map_partitions ≙ mapInArrow: arbitrary per-partition code,
-    Arrow-batched (the one legitimate Python-in-the-path escape hatch)."""
-    import pyarrow as pa
-
-    li = read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-
-    def fn(batches):
-        for b in batches:
-            t = pa.table(
-                {
-                    "l_orderkey": b.column("l_orderkey"),
-                    "l_linenumber": b.column("l_linenumber").cast(pa.int64()),
-                    "qty2": pa.compute.add(
-                        pa.compute.multiply(
-                            pa.compute.round(pa.compute.multiply(b.column("l_quantity"), 100.0))
-                            .cast(pa.int64()),
-                            2,
-                        ),
-                        1,
-                    ),
-                }
-            )
-            for ob in t.to_batches():
-                yield ob
-
-    return li.mapInArrow(fn, "l_orderkey long, l_linenumber long, qty2 long")
