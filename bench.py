@@ -52,7 +52,8 @@ import time
 # r7 gate surgery (registry 56 -> 50 so every slot gets a driver
 # correctness row): q_zip_with_field folded into
 # q_cartesian_combinations (zip/unzip/with_field legs off the shared
-# build); q_fit_corr into q_reduce_order_count (left-joined fit legs,
+# build); q_fit_corr into q_reduce_order_count (r8: FUSED into the
+# single-pass struct accumulator as 8 more pair sums — join-free,
 # exchange-reused); q_num_firsts_mask into q_sort_argsort;
 # q_run_lengths into q_flatten_softmax; q_reduce_axis_none into
 # q_concatenate; q_map_partitions into q_parquet_roundtrip. The three

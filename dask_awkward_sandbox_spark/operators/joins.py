@@ -15,6 +15,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_reserved(op: str, reserved: set, *col_lists) -> None:
+    """Refuse input columns that collide with an operator's internal
+    scratch names — a silent drop or duplicate struct field otherwise
+    (r7 ADVICE; matches the explicit-error style of the direction
+    check)."""
+    bad = sorted({c for cols in col_lists for c in cols if c in reserved})
+    if bad:
+        raise ValueError(
+            f"{op}: input column(s) {bad} collide with reserved internal "
+            f"names {sorted(reserved)}; rename them before the join"
+        )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -108,6 +121,13 @@ def asof_join(
         raise ValueError(
             f"direction must be backward/forward/nearest/all, got {direction!r}"
         )
+    # reserved internal names (r7 ADVICE): a right payload literally
+    # named `_asof_on` would duplicate the carry-struct field, and
+    # left/right columns named `_b`/`_n`/`_side` would be silently
+    # dropped by the keep filter — refuse loudly instead.
+    _check_reserved(
+        "asof_join", {"_side", "_b", "_n", "_asof_on"}, left.columns, right.columns
+    )
     by_cols = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c not in {*by_cols, on}]
     overlap = set(payload) & set(left.columns)
@@ -220,8 +240,12 @@ def asof_join_skew(
     The union-trick asof is ONE keyed window, so a single dominant
     key (one instrument with 40% of the quotes) pins one reducer: a
     window partition cannot be split by AQE. This variant slices TIME
-    into fixed-width buckets (``_slice = floor(on / slice_width)``)
-    so the hot key's rows spread across its time slices:
+    into fixed-width buckets (``_slice = floor(trunc(on) /
+    slice_width)`` — the timestamp is first truncated TOWARD ZERO by
+    ``cast('long')``, so ``on=-0.5`` lands in slice 0, not -1; the
+    assignment is monotone and used consistently on both sides, so
+    only the slice-boundary positions shift, never correctness) so
+    the hot key's rows spread across its time slices:
 
     1. **local**: the carry-forward window runs per ``(by, _slice)``
        — the hot key now occupies many partitions, one per slice;
@@ -245,6 +269,12 @@ def asof_join_skew(
     """
     from pyspark.sql import Window
 
+    _check_reserved(
+        "asof_join_skew",
+        {"_side", "_k", "_slice", "_l", "_b", "_cin"},
+        left.columns,
+        right.columns,
+    )
     by_cols = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c not in {*by_cols, on}]
     overlap = set(payload) & set(left.columns)

@@ -530,9 +530,12 @@ def q_reduce_order_count(spark, sf_dir):
     sums ride the SAME struct accumulator, so the former
     q_reduce_stats slot collapsed into this single pass; both engines
     apply identical one-pass formulas to exact integer power sums).
-    r7 gate surgery: the former q_fit_corr slot (linear_fit/covar/
-    corr + weighted forms) rides along as left-joined legs off the
-    same build — see the in-body comment."""
+    r8: the former q_fit_corr legs (ak.linear_fit / ak.covar /
+    ak.corr + weighted forms, semantics of operators/reducers.py:326)
+    are FUSED into the same accumulator as 8 more exact-integer pair
+    sums — no second build, no join; degenerate-denominator rows
+    carry NULL fit legs via F.when, mirroring the oracle's fi-CTE
+    WHERE + left join."""
     # Scale shape (r4 rewrite, VERDICT r3 "What's wrong #2"): higher-
     # order functions are interpreted (outside whole-stage codegen) and
     # Catalyst cannot CSE across lambda bodies, so 13 independent
@@ -560,27 +563,39 @@ def q_reduce_order_count(spark, sf_dir):
             cents(s["l_quantity"]).alias("q"),
             cents(s["l_extendedprice"]).alias("p"),
             cents(s["l_discount"]).alias("d"),
+            s["l_linenumber"].cast("long").alias("w"),
             i.cast("long").alias("i"),
         ),
     )
     nl = F.lit(None).cast("long")
+    zl = F.lit(0).cast("long")
     init = F.struct(
-        F.lit(0).cast("long").alias("sq"),
-        F.lit(0).cast("long").alias("sp"),
+        zl.alias("sq"),
+        zl.alias("sp"),
         F.lit(1.0).alias("pd"),
         nl.alias("mnq"),
         nl.alias("mxq"),
         nl.alias("mxp"),
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0).cast("long").alias("sq2"),
-        F.lit(0).cast("long").alias("sq3"),
-        F.lit(0).cast("long").alias("nd"),
+        zl.alias("n"),
+        zl.alias("sq2"),
+        zl.alias("sq3"),
+        zl.alias("nd"),
         F.lit(False).alias("anyb"),
         F.lit(True).alias("alls"),
         nl.alias("amn_i"),
         nl.alias("amn_v"),
         nl.alias("amx_i"),
         nl.alias("amx_v"),
+        # r8 fit-leg fusion: exact-integer pair sums (q<=5e3, p<=1.1e7
+        # cents, w<=7, <=7 items -> max term w*p*p ~ 5.4e15 << 2^63)
+        zl.alias("syy"),
+        zl.alias("sxy"),
+        zl.alias("sw"),
+        zl.alias("wsx"),
+        zl.alias("wsy"),
+        zl.alias("wsxx"),
+        zl.alias("wsyy"),
+        zl.alias("wsxy"),
     )
 
     def step(a, e):
@@ -603,11 +618,47 @@ def q_reduce_order_count(spark, sf_dir):
             F.when(is_mn, e["q"]).otherwise(a["amn_v"]).alias("amn_v"),
             F.when(is_mx, e["i"]).otherwise(a["amx_i"]).alias("amx_i"),
             F.when(is_mx, e["q"]).otherwise(a["amx_v"]).alias("amx_v"),
+            (a["syy"] + e["p"] * e["p"]).alias("syy"),
+            (a["sxy"] + e["q"] * e["p"]).alias("sxy"),
+            (a["sw"] + e["w"]).alias("sw"),
+            (a["wsx"] + e["w"] * e["q"]).alias("wsx"),
+            (a["wsy"] + e["w"] * e["p"]).alias("wsy"),
+            (a["wsxx"] + e["w"] * e["q"] * e["q"]).alias("wsxx"),
+            (a["wsyy"] + e["w"] * e["p"] * e["p"]).alias("wsyy"),
+            (a["wsxy"] + e["w"] * e["q"] * e["p"]).alias("wsxy"),
         )
 
     acc = F.aggregate(z, init, step)
     pre = it.select("l_orderkey", acc.alias("_a"))
     a = F.col("_a")
+
+    # fit legs off the SAME accumulator: the oracle's fi CTE casts each
+    # exact pair sum to double FIRST, then applies the formula text —
+    # replicated verbatim here (IEEE double ops are deterministic, so
+    # identical inputs + identical op order = bit-exact agreement).
+    # The oracle's WHERE drops degenerate rows before a LEFT JOIN, so
+    # ALL seven legs are NULL together when ANY denominator degenerates.
+    nD = a["n"].cast("double")
+    sx, sy = a["sq"].cast("double"), a["sp"].cast("double")
+    sxx, syy, sxy = (a[c].cast("double") for c in ("sq2", "syy", "sxy"))
+    sw = a["sw"].cast("double")
+    wsx, wsy = a["wsx"].cast("double"), a["wsy"].cast("double")
+    wsxx, wsyy, wsxy = (a[c].cast("double") for c in ("wsxx", "wsyy", "wsxy"))
+    slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    var_xy = (sxx / nD - (sx / nD) * (sx / nD)) * (syy / nD - (sy / nD) * (sy / nD))
+    wvar_xy = (wsxx / sw - (wsx / sw) * (wsx / sw)) * (
+        wsyy / sw - (wsy / sw) * (wsy / sw)
+    )
+    ok = (
+        ((nD * sxx - sx * sx) != 0)
+        & (var_xy > 0)
+        & ((sw * wsxx - wsx * wsx) != 0)
+        & (wvar_xy > 0)
+    )
+
+    def leg(expr, name):
+        return F.when(ok, expr).alias(name)
+
     red_out = pre.select(
         "l_orderkey",
         a["sq"].alias("sum_qty_c"),
@@ -648,39 +699,15 @@ def q_reduce_order_count(spark, sf_dir):
         ).alias("std_qty"),
         (a["sq2"].cast("double") / a["n"].cast("double") / 10000).alias("m2"),
         (a["sq3"].cast("double") / a["n"].cast("double") / 1000000).alias("m3"),
+        leg(slope, "slope"),
+        leg((sy - slope * sx) / nD, "intercept"),
+        leg(sxy / nD - (sx / nD) * (sy / nD), "covar_qp"),
+        leg((sxy / nD - (sx / nD) * (sy / nD)) / F.sqrt(var_xy), "corr_qp"),
+        leg((sw * wsxy - wsx * wsy) / (sw * wsxx - wsx * wsx), "wslope"),
+        leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
+        leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
     )
-
-    # r7 gate surgery — the former q_fit_corr slot, preserved verbatim
-    # (filter semantics included) and LEFT-JOINED on l_orderkey:
-    # ak.linear_fit + ak.covar / ak.corr (axis=1) with identical
-    # expression trees on both sides for bit-exact agreement, plus the
-    # WEIGHTED forms (weight = l_linenumber — reducers the reference
-    # raises DaskAwkwardNotImplemented for). Rows where a denominator
-    # degenerates carry NULL fit legs (the oracle's fi CTE keeps the
-    # original WHERE and left-joins the same way). The fit side reads
-    # the SAME build subtree (identical fields), so Catalyst reuses
-    # the exchange and the join adds no extra shuffle — both sides
-    # are already hash-partitioned on l_orderkey.
-    x, y = _qty_c(F.col("items")), _price_c(F.col("items"))
-    w = F.transform(F.col("items"), lambda s: s["l_linenumber"].cast("double"))
-    fit = red.linear_fit(x, y)
-    wfit = red.linear_fit(x, y, weight=w)
-    fit_out = it.select(
-        "l_orderkey",
-        fit["slope"].alias("slope"),
-        fit["intercept"].alias("intercept"),
-        red.covar(x, y).alias("covar_qp"),
-        red.corr(x, y).alias("corr_qp"),
-        wfit["slope"].alias("wslope"),
-        red.covar(x, y, weight=w).alias("wcovar_qp"),
-        red.corr(x, y, weight=w).alias("wcorr_qp"),
-    ).filter(
-        F.col("slope").isNotNull()
-        & F.col("corr_qp").isNotNull()
-        & F.col("wslope").isNotNull()
-        & F.col("wcorr_qp").isNotNull()
-    )
-    return red_out.join(fit_out, "l_orderkey", "left")
+    return red_out
 
 
 _HIST_BINS, _HIST_LO, _HIST_HI = 8, 0.0, 5120.0  # qty cents 100..5000, width 640

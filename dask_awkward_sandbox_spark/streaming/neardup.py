@@ -179,7 +179,10 @@ def stream_neardup_dedup(
             try:
                 (
                     decisions.select("doc", "is_dup", "dup_of")
-                    .withColumn("batch_id", F.lit(batch_id))
+                    # long to match the declared read schema above —
+                    # partition values are re-parsed from directory
+                    # names, but the stamped type should agree anyway
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("batch_id")
@@ -189,7 +192,7 @@ def stream_neardup_dedup(
                     decisions.filter(~F.col("is_dup"))
                     .select("doc", "sig", F.explode("bks").alias("bk"))
                     .select("doc", "sig", "bk.band", "bk.key")
-                    .withColumn("batch_id", F.lit(batch_id))
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
                 )
                 (
                     kept_bkts.write.mode("overwrite")

@@ -29,6 +29,31 @@ def test_registry_is_exactly_gate_sized():
     assert len(ORACLES) == 50, sorted(set(QUERIES) - set(ORACLES))
 
 
+def test_final_line_fits_driver_tail_capture():
+    """The driver captures only the last ~2000 chars of stdout and
+    parses the FINAL line as the headline JSON. BENCH_r05 and r06 both
+    recorded parsed:null because the final line outgrew that window.
+    Build the line bench.main() prints for the CURRENT headliner count
+    with worst-case float widths (xxx.xxx after round(,3)) and assert
+    it stays safely under the capture, leaving slack for the sf token
+    and a few extra-long future slot names."""
+    import json
+
+    import bench
+
+    worst = {name: 999.999 for name in bench.HEADLINERS}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(worst.values()), 3),
+            "unit": "sec",
+            "queries": worst,
+            "sf": 0.001,
+        }
+    )
+    assert len(line) <= 1800, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
+
+
 def test_sf10_probe_slots_resolve():
     from dask_awkward_sandbox_spark.plans import QUERIES
     from scripts.scale_probe_sf10 import REGISTERED

@@ -467,3 +467,27 @@ def test_suggest_bin_width(spark):
     # and it plugs straight into the joins
     out = interval_join(ivs, ivs, by=None, bin_width=w)
     assert out.count() >= 1000  # every interval overlaps itself
+
+
+def test_asof_join_reserved_column_names_refused(spark):
+    """Input columns that collide with the operators' internal scratch
+    names raise instead of silently dropping / duplicating (r7 ADVICE:
+    a right payload named _asof_on duplicated the carry-struct field;
+    a left column named _b vanished through the keep filter)."""
+    import pytest
+
+    from dask_awkward_sandbox_spark.operators.joins import asof_join, asof_join_skew
+
+    ldf = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, _b long")
+    rdf = spark.createDataFrame([("a", 0.5, 2)], "k string, ts double, v long")
+    with pytest.raises(ValueError, match="_b"):
+        asof_join(ldf, rdf, on="ts", by="k")
+    rdf2 = spark.createDataFrame(
+        [("a", 0.5, 2)], "k string, ts double, _asof_on long"
+    )
+    ldf2 = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, lid long")
+    with pytest.raises(ValueError, match="_asof_on"):
+        asof_join(ldf2, rdf2, on="ts", by="k")
+    ldf3 = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, _slice long")
+    with pytest.raises(ValueError, match="_slice"):
+        asof_join_skew(ldf3, rdf, on="ts", by="k")
