@@ -553,15 +553,15 @@ def connected_components(
                 "old",
                 F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
             )
-        # lazy: the changed-count below materializes it in ONE job
+        # lazy: the edge count below materializes it in ONE job
         merged = merged.localCheckpoint(eager=False)
-        changed = merged.filter(F.col("label") != F.col("old")).count()
         labels = merged.select("id", "label")
         if stats is not None:
+            # the changed-label trace costs an extra job per round —
+            # probes opt in via stats; the production path skips it
+            changed = merged.filter(F.col("label") != F.col("old")).count()
             stats["iterations"] = it + 1
             stats["changed"].append(changed)
-        if changed == 0:
-            break
         # EDGE CONTRACTION (r6): rewrite the edge set through the
         # round's labels — (a,b) becomes (label(a), label(b)), self
         # loops drop, duplicates collapse. Without this, min-label
@@ -582,8 +582,22 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
+        # Convergence test = EMPTY contracted edge set (r8, replacing
+        # the changed-count test): und empty ⟺ every original edge
+        # connects same-labeled nodes ⟺ labels are uniform per
+        # component, and the min-propagation invariant (label(v) ≤ v,
+        # label(v) is an id IN v's component) forces a uniform label
+        # to BE the component min. The changed-count exit needed one
+        # extra full propagation round to observe zero movement; this
+        # exits the round the graph collapses, and the count job
+        # doubles as the materialization of the und checkpoint the
+        # next round would have forced anyway.
+        n_edges = und.count()
         if stats is not None:
-            stats["edges_per_round"].append(und.count())
+            stats["iterations"] = it + 1
+            stats["edges_per_round"].append(n_edges)
+        if n_edges == 0:
+            break
     else:
         if stats is not None:
             stats["converged"] = False
@@ -609,6 +623,7 @@ def embedding_neardup_clusters(
     max_iter: int = 20,
     round_digits: int = 6,
     stats: dict | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate CLUSTERS — the collapse form that
     stays linear where :func:`neardup_pairs_blocked` is
@@ -649,42 +664,71 @@ def embedding_neardup_clusters(
     transitive closure of verified edges. Returns (id, cluster);
     keep-set = rows with id == cluster.
     """
-    n = df.count()
+    # ``n`` sizes the adaptive plane count only — callers that know
+    # |df| from footer metadata (plans.common.parquet_row_count) pass
+    # it and skip one full-scan count job
+    if n is None:
+        n = df.count()
     if planes is None:
         planes = adaptive_planes(n, target_occupancy=8)
-    # checkpoint the bucket table ONCE (r6 perf): the edge build
-    # self-joins it and the candidate DAG otherwise re-evaluates the
-    # interpreted-HOF hyperplane projections (tables x planes x dim
-    # multiply-adds per row) once per branch — measured 3.9s -> ~1s
-    # for the sf0.1 edge phase. Lazy: materialized by the first job
-    # that reads it.
+    # checkpoint the bucket table ONCE (r6 perf): the edge build reads
+    # it on two branches and the candidate DAG otherwise re-evaluates
+    # the interpreted-HOF hyperplane projections (tables x planes x
+    # dim multiply-adds per row) once per branch — measured 3.9s ->
+    # ~1s for the sf0.1 edge phase. Lazy: materialized by the first
+    # job that reads it.
     b = (
         with_lsh_buckets(df, id_col, vec_col, dim, planes, tables)
         .select(F.col(id_col).alias("m"), "t", "bucket")
         .localCheckpoint(eager=False)
     )
     pair_cap = 64
-    sizes = b.groupBy("t", "bucket").agg(
-        F.count(F.lit(1)).alias("occ"), F.min("m").alias("rep")
+    # ONE window pass computes bucket occupancy + representative (r8:
+    # replaces a groupBy + join-back — one exchange instead of two and
+    # no join; count/min windows are whole-partition folds, and the
+    # per-bucket buffering a window needs is exactly the bucket's rows)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("t", "bucket")
+    bs = b.select(
+        "t",
+        "bucket",
+        "m",
+        F.count(F.lit(1)).over(wb).alias("occ"),
+        F.min("m").over(wb).alias("rep"),
     )
-    bs = b.join(sizes, ["t", "bucket"])
-    small = bs.filter(F.col("occ") <= pair_cap).select("t", "bucket", "m")
-    # within-bucket all-pairs, bounded by pair_cap^2/2 per bucket
-    pair_edges = (
-        small.alias("x")
-        .join(
-            small.alias("y"),
-            (F.col("x.t") == F.col("y.t"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.m") < F.col("y.m")),
+    # within-bucket all-pairs for buckets at/under pair_cap, bounded
+    # by pair_cap^2/2 per bucket — generated JVM-side from the
+    # collected member list (<= pair_cap ids, collected ONLY for small
+    # buckets) instead of a bucket-key self-join: the groupBy reuses
+    # the window's (t, bucket) partitioning, so pair generation adds
+    # ZERO exchanges where the self-join added two plus a join.
+    ms = F.col("ms")
+    all_pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("x.m").alias("a"), F.col("y.m").alias("b"))
+    )
+    pair_edges = (
+        bs.filter(F.col("occ") <= pair_cap)
+        .groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .select(F.explode(all_pairs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
     )
     star_edges = (
         bs.filter((F.col("occ") > pair_cap) & (F.col("m") != F.col("rep")))
         .select(F.col("rep").alias("a"), F.col("m").alias("b"))
     )
-    edges = pair_edges.union(star_edges).distinct()
+    # NO pre-verify distinct (r8): a pair co-bucketing in k tables is
+    # verified k times (bounded by `tables` — a per-edge 64-dim cosine,
+    # cheap), where the distinct is a full |candidate| shuffle + stage
+    # barrier; connected_components dedups its edge set anyway.
+    edges = pair_edges.union(star_edges)
     vt = df.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
@@ -865,6 +909,7 @@ def ivf_write_index(
     iters: int = 5,
     round_digits: int | None = None,
     X=None,
+    files_per_list: int = 1,
 ) -> list[list[float]]:
     """Materialize the IVF corpus assignment ONCE: train the coarse
     quantizer, assign every vector, and write (nb_id, nb_vec, nb_norm)
@@ -876,7 +921,15 @@ def ivf_write_index(
     every future query batch, and the directory layout turns a probe
     into a partition-pruned scan — a batch probing nprobe of nlist
     lists reads ~nprobe/nlist of the corpus bytes and shuffles
-    nothing."""
+    nothing.
+
+    The write repartitions on (list_id, salt) first (r8): without it
+    every input task writes a sliver into every list directory —
+    tasks x nlist tiny files (measured 512 files / 1.6s for a 2000-row
+    index; now nlist files / ~0.6s), and small-file explosion is the
+    classic partitioned-write failure at scale. ``files_per_list``
+    dials the salt width: 1 for small corpora, raise it so each file
+    stays row-group-sized when a list holds millions of vectors."""
     centroids = kmeans_train(corpus, vec_col, id_col, nlist=nlist, iters=iters, X=X)
     idx = (
         corpus.select(
@@ -886,6 +939,11 @@ def ivf_write_index(
             "list_id", assign_nearest_centroid(F.col("nb_vec"), centroids, round_digits)
         )
         .withColumn("nb_norm", norm(F.col("nb_vec")))
+    )
+    idx = idx.repartition(
+        nlist * files_per_list,
+        F.col("list_id"),
+        F.pmod(F.xxhash64(F.col("nb_id")), F.lit(files_per_list)),
     )
     idx.write.partitionBy("list_id").mode("overwrite").parquet(path)
     return centroids

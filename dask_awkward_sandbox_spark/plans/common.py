@@ -25,6 +25,27 @@ ITEM_ORDER_SQL = (
 )
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of ``{sf_dir}/{name}.parquet`` from the parquet
+    FOOTER metadata — no Spark job, no data read. Sizing decisions
+    that only need |table| (e.g. adaptive IVF cell counts) should not
+    cost a cluster-wide scan: at 100 TB this is O(files) driver-side
+    footer reads (the number any catalog/manifest already carries),
+    where ``df.count()`` is a full job per call."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet's ``ts`` precision varies by generator run:

@@ -20,7 +20,7 @@ from dask_awkward_sandbox_spark.functions import (
     similarity,
     text_analysis as ta,
 )
-from dask_awkward_sandbox_spark.plans.common import read
+from dask_awkward_sandbox_spark.plans.common import parquet_row_count, read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 # DuckDB fragments mirroring text_analysis definitions exactly.
@@ -941,6 +941,7 @@ def q_embedding_neardup(spark, sf_dir):
     e = _emb(spark, sf_dir)
     return similarity.embedding_neardup_clusters(
         e, dim=EMB_DIM, threshold=0.4, tables=LSH_TABLES,
+        n=parquet_row_count(sf_dir, "embeddings"),
     ).select(F.col("id"), F.col("cluster"))
 
 
@@ -1059,7 +1060,11 @@ def q_ann_ivf_assign(spark, sf_dir):
     # size the sample to the adaptive cell count (sf100's 2M vectors
     # want ~15k cells > the 4096 default) — the extra rows change
     # nothing for the ivf/pq legs, which read only the sample's head
-    nk = similarity.adaptive_nlist(e.count(), target_occupancy=128)
+    # footer-metadata count (plans.common.parquet_row_count): the
+    # adaptive cell sizing needs only |embeddings|, not a scan job
+    nk = similarity.adaptive_nlist(
+        parquet_row_count(sf_dir, "embeddings"), target_occupancy=128
+    )
     X = similarity._sample_matrix(e, "embedding", "vec_id", max(4096, nk))
     similarity.ivf_write_index(
         e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0,
@@ -1306,7 +1311,11 @@ def q_knn_join(spark, sf_dir):
     emit no rows (k-NN among in-cell candidates — the probe dial, not
     an error)."""
     e = _emb(spark, sf_dir)
-    nk = similarity.adaptive_nlist(e.count(), target_occupancy=128)
+    # footer-metadata count (plans.common.parquet_row_count): the
+    # adaptive cell sizing needs only |embeddings|, not a scan job
+    nk = similarity.adaptive_nlist(
+        parquet_row_count(sf_dir, "embeddings"), target_occupancy=128
+    )
     X = similarity._sample_matrix(e, "embedding", "vec_id", max(4096, nk))
     seed = similarity.kmeans_train(
         e, "embedding", "vec_id", nlist=nk, iters=0, X=X
