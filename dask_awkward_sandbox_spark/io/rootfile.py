@@ -1,0 +1,331 @@
+"""Minimal ROOT (TFile) byte-level reader/writer for FLAT branches.
+
+The real-bytes half of the ROOT story (io/root.py holds the
+partitioned-source machinery; reference parity notes there). This
+module decodes the PHYSICAL layer of the public ROOT file format —
+the same layout uproot's docs and ROOT's own io documentation
+describe:
+
+- the 100-byte TFile header (``root`` magic, fVersion, fBEGIN, fEND,
+  big-endian throughout),
+- the contiguous TKey record chain (fNbytes/fVersion/fObjlen/fDatime/
+  fKeylen/fCycle/fSeekKey/fSeekPdir + three TStrings), including
+  freed-slot gap records (negative fNbytes),
+- TBasket payloads for flat (one value per entry) branches: raw
+  big-endian arrays, either uncompressed (fObjlen == fNbytes-fKeylen)
+  or zlib-compressed blocks with the 9-byte ``ZL`` block header,
+- the public TTree leaflist type letters (``B b S s I i L l F D O``)
+  for element decode.
+
+What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
+jagged branches (their per-entry offsets live in TTree streamer
+metadata this module does not parse), LZ4/ZSTD/LZMA baskets, and full
+TTree/TBranch streamer decode. One documented simplification: real
+ROOT embeds branch objects inside the TTree streamer; here each
+branch's leaflist rides as a standalone ``TBranch`` key whose title
+is the leaflist — the title-carries-leaflist convention is the real
+``TTree::Branch(name, addr, "pt/D")`` contract, only its placement
+is simplified. The writer exists so tests can round-trip real bytes
+without uproot in the container (the BMP/WAV codec precedent).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from dask_awkward_sandbox_spark.functions.multimodal import DecodeUnavailable
+
+MAGIC = b"root"
+_HEADER_FMT = ">4siiiiiiiBiii"  # magic..fCompress (through byte 42)
+
+# public TTree leaflist letters -> numpy big-endian dtypes
+LEAF_DTYPES = {
+    "B": ">i1",
+    "b": ">u1",
+    "S": ">i2",
+    "s": ">u2",
+    "I": ">i4",
+    "i": ">u4",
+    "L": ">i8",
+    "l": ">u8",
+    "F": ">f4",
+    "D": ">f8",
+    "O": ">u1",  # bool stored as one byte
+}
+
+
+@dataclass
+class Key:
+    """One parsed TKey record (header only; payload read on demand)."""
+
+    nbytes: int
+    objlen: int
+    keylen: int
+    cycle: int
+    seek: int
+    classname: str
+    name: str
+    title: str
+
+    @property
+    def compressed(self) -> bool:
+        return self.objlen != self.nbytes - self.keylen
+
+
+def _tstring(b: bytes, off: int) -> tuple[str, int]:
+    n = b[off]
+    off += 1
+    if n == 255:  # long-string escape: 4-byte length follows
+        (n,) = struct.unpack_from(">i", b, off)
+        off += 4
+    return b[off : off + n].decode("utf-8", "replace"), off + n
+
+
+def _wstring(s: str) -> bytes:
+    e = s.encode()
+    if len(e) < 255:
+        return bytes([len(e)]) + e
+    return b"\xff" + struct.pack(">i", len(e)) + e
+
+
+def parse_key(b: bytes, seek: int) -> Key:
+    """Parse one TKey header starting at ``seek`` within ``b``."""
+    nbytes, version, objlen, _datime, keylen, cycle = struct.unpack_from(
+        ">ihiIhh", b, seek
+    )
+    off = seek + 18
+    if version > 1000:  # big-file keys carry 64-bit seeks
+        seekkey, _seekpdir = struct.unpack_from(">qq", b, off)
+        off += 16
+    else:
+        seekkey, _seekpdir = struct.unpack_from(">ii", b, off)
+        off += 8
+    classname, off = _tstring(b, off)
+    name, off = _tstring(b, off)
+    title, off = _tstring(b, off)
+    if off - seek > keylen:
+        raise ValueError(
+            f"TKey at {seek}: strings overrun fKeylen ({off - seek} > {keylen})"
+        )
+    # the WALK position is authoritative for payload location: in a
+    # well-formed file fSeekKey equals it, and after external edits
+    # (slot reuse, splices) the chain position is the ground truth
+    del seekkey
+    return Key(nbytes, objlen, keylen, cycle, seek, classname, name, title)
+
+
+def _decompress(payload: bytes, objlen: int) -> bytes:
+    """Decode ROOT compressed-block framing: each block is a 9-byte
+    header (2-byte algo tag, 1 method byte, 3-byte LE compressed size,
+    3-byte LE uncompressed size) + the stream. Only zlib (``ZL``) is
+    decodable here; LZ4/ZSTD/LZMA ("L4"/"ZS"/"XZ") are gated."""
+    out = bytearray()
+    off = 0
+    while len(out) < objlen:
+        if off + 9 > len(payload):
+            raise ValueError("compressed basket: truncated block header")
+        tag = payload[off : off + 2]
+        c_size = int.from_bytes(payload[off + 3 : off + 6], "little")
+        off += 9
+        if tag == b"ZL":
+            out += zlib.decompress(payload[off : off + c_size])
+        elif tag in (b"L4", b"ZS", b"XZ"):
+            raise DecodeUnavailable(
+                f"ROOT basket compressed with {tag.decode()} — only zlib (ZL) "
+                "blocks are decodable in this container; recompress with "
+                "ROOT's kZLIB or use the uproot backend"
+            )
+        else:
+            raise ValueError(f"unknown ROOT compression tag {tag!r}")
+        off += c_size
+    return bytes(out)
+
+
+class RootFlatFile:
+    """Parsed view of a minimal flat-branch ROOT file.
+
+    ``branches``: {name: leaflist letter}; ``baskets``: {name: [Key]}
+    in file order; values decode lazily per basket.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        b = self._buf
+        if b[:4] != MAGIC:
+            raise ValueError(f"{path}: not a ROOT file (magic {b[:4]!r})")
+        (
+            _magic,
+            self.version,
+            self.begin,
+            end,
+            _seekfree,
+            _nbytesfree,
+            _nfree,
+            _nbytesname,
+            _units,
+            self.compress,
+            _seekinfo,
+            _nbytesinfo,
+        ) = struct.unpack_from(_HEADER_FMT, b, 0)
+        self.end = end
+        self.branches: dict[str, str] = {}
+        self.baskets: dict[str, list[Key]] = {}
+        self.trees: set[str] = set()
+        seek = self.begin
+        while seek < self.end:
+            (nbytes,) = struct.unpack_from(">i", b, seek)
+            if nbytes == 0:
+                break
+            if nbytes < 0:  # freed slot: gap record of -nbytes bytes
+                seek += -nbytes
+                continue
+            k = parse_key(b, seek)
+            if k.classname == "TBranch":
+                # documented simplification: leaflist rides as the
+                # standalone branch key's title ("pt/D")
+                nm, _, leaf = k.title.partition("/")
+                if nm != k.name:
+                    raise ValueError(
+                        f"branch key {k.name!r}: leaflist {k.title!r} names "
+                        f"a different leaf {nm!r}"
+                    )
+                if leaf not in LEAF_DTYPES:
+                    raise DecodeUnavailable(
+                        f"branch {k.name!r}: leaflist {k.title!r} is not a "
+                        "flat single-leaf type — jagged/compound branches "
+                        "need TTree streamer metadata (gated; use uproot)"
+                    )
+                self.branches[k.name] = leaf
+            elif k.classname == "TBasket":
+                # real-ROOT convention: basket key title = tree name
+                self.baskets.setdefault(k.name, []).append(k)
+                self.trees.add(k.title)
+            seek += nbytes
+
+    def _payload(self, k: Key) -> bytes:
+        raw = self._buf[k.seek + k.keylen : k.seek + k.nbytes]
+        return _decompress(raw, k.objlen) if k.compressed else raw
+
+    def branch_array(self, name: str) -> np.ndarray:
+        if name not in self.branches:
+            raise KeyError(f"no branch {name!r}; have {sorted(self.branches)}")
+        dt = np.dtype(LEAF_DTYPES[self.branches[name]])
+        parts = [
+            np.frombuffer(self._payload(k), dtype=dt)
+            for k in self.baskets.get(name, [])
+        ]
+        arr = np.concatenate(parts) if parts else np.empty(0, dtype=dt)
+        if self.branches[name] == "O":
+            return arr.astype(bool)
+        return arr
+
+    def num_entries(self) -> int:
+        counts = {
+            name: sum(
+                k.objlen // np.dtype(LEAF_DTYPES[self.branches[name]]).itemsize
+                for k in ks
+            )
+            for name, ks in self.baskets.items()
+            if name in self.branches
+        }
+        if not counts:
+            return 0
+        vals = set(counts.values())
+        if len(vals) > 1:
+            raise ValueError(f"branches disagree on entry count: {counts}")
+        return vals.pop()
+
+
+def write_root_flat(
+    path: str,
+    tree: str,
+    data: dict[str, tuple[str, np.ndarray]],
+    basket_entries: int = 1000,
+    compress: bool = False,
+) -> None:
+    """Write a minimal flat-branch ROOT file: TFile header + one
+    TBranch key per branch (title = leaflist) + TBasket keys holding
+    big-endian value arrays, ``basket_entries`` per basket,
+    optionally zlib-compressed with the real ``ZL`` block framing.
+
+    ``data``: {branch: (leaf_letter, values)}. All branches must have
+    equal length (flat tree contract).
+    """
+    lens = {name: len(v) for name, (_, v) in data.items()}
+    if len(set(lens.values())) > 1:
+        raise ValueError(f"flat branches must align: {lens}")
+
+    records: list[bytes] = []
+
+    def key_record(classname: str, name: str, title: str, payload: bytes,
+                   objlen: int, seek: int) -> bytes:
+        strings = _wstring(classname) + _wstring(name) + _wstring(title)
+        keylen = 18 + 8 + len(strings)  # short (version<1000) 32-bit seeks
+        head = struct.pack(
+            ">ihiIhhii",
+            keylen + len(payload),
+            4,
+            objlen,
+            0,
+            keylen,
+            1,
+            seek,
+            0,
+        )
+        return head + strings + payload
+
+    seek = 100
+    for name, (leaf, values) in data.items():
+        if leaf not in LEAF_DTYPES:
+            raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
+        rec = key_record("TBranch", name, f"{name}/{leaf}", b"", 0, seek)
+        records.append(rec)
+        seek += len(rec)
+        arr = np.asarray(values).astype(np.dtype(LEAF_DTYPES[leaf]))
+        for start in range(0, max(len(arr), 1), basket_entries):
+            chunk = arr[start : start + basket_entries]
+            if len(chunk) == 0:
+                continue
+            raw = chunk.tobytes()
+            if compress:
+                c = zlib.compress(raw, 6)
+                hdr = (
+                    b"ZL"
+                    + bytes([8])
+                    + len(c).to_bytes(3, "little")
+                    + len(raw).to_bytes(3, "little")
+                )
+                payload = hdr + c
+            else:
+                payload = raw
+            rec = key_record("TBasket", name, tree, payload, len(raw), seek)
+            records.append(rec)
+            seek += len(rec)
+
+    end = seek
+    header = struct.pack(
+        _HEADER_FMT,
+        MAGIC,
+        63200,
+        100,
+        end,
+        0,
+        0,
+        0,
+        0,
+        4,
+        101 if compress else 0,
+        0,
+        0,
+    )
+    with open(path, "wb") as f:
+        f.write(header.ljust(100, b"\x00"))
+        for rec in records:
+            f.write(rec)
+    assert os.path.getsize(path) == end

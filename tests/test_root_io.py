@@ -163,3 +163,135 @@ def test_from_root_projected_count_only_keeps_one_branch(spark, backend):
         backend=backend,
     ).count()
     assert n == 23
+
+
+# ---------------------------------------------------------------------------
+# RawRootBackend: REAL byte decode (io/rootfile.py) — r8
+# ---------------------------------------------------------------------------
+
+
+def _write_flat(tmp_path, name="events.root", n=2500, compress=False,
+                basket_entries=1000, tree="Events"):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    path = str(tmp_path / name)
+    seed = n * 7 + 13
+    data = {
+        "event": ("L", np.arange(seed, seed + n, dtype=np.int64)),
+        "pt": ("D", (np.arange(n, dtype=np.float64) * 0.25 + 0.5)),
+        "hlt": ("O", (np.arange(n) % 3 == 0)),
+        "nhits": ("I", (np.arange(n, dtype=np.int32) % 7)),
+    }
+    write_root_flat(path, tree, data, basket_entries=basket_entries,
+                    compress=compress)
+    return path, data
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_rawroot_roundtrip_values(spark, tmp_path, compress):
+    """A generated flat-branch ROOT file (real TFile header + TKey
+    chain + big-endian baskets, optionally zlib ZL blocks) round-trips
+    through from_root with exact value equality, across basket and
+    entry-range boundaries."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+
+    path, data = _write_flat(tmp_path, compress=compress)
+    df = from_root(spark, path, tree="Events", step_size=700,
+                   backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    assert len(got) == 2500
+    np.testing.assert_array_equal(got["event"].to_numpy(), data["event"][1])
+    np.testing.assert_array_equal(got["pt"].to_numpy(), data["pt"][1])
+    np.testing.assert_array_equal(got["hlt"].to_numpy(), data["hlt"][1])
+    np.testing.assert_array_equal(got["nhits"].to_numpy(), data["nhits"][1])
+
+
+def test_rawroot_branch_pruning_and_multifile(spark, tmp_path):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+
+    p1, d1 = _write_flat(tmp_path, "a.root", n=1100)
+    p2, d2 = _write_flat(tmp_path, "b.root", n=900)
+    df = from_root(spark, [p1, p2], branches=["pt"], step_size=500,
+                   backend=RawRootBackend())
+    assert df.columns == ["pt"]
+    got = sorted(r["pt"] for r in df.collect())
+    want = sorted(np.concatenate([d1["pt"][1], d2["pt"][1]]).tolist())
+    assert got == want
+
+
+def test_rawroot_projected_prunes_to_touched_branch(spark, tmp_path):
+    from dask_awkward_sandbox_spark.io.root import (
+        RawRootBackend,
+        from_root_projected,
+    )
+
+    path, data = _write_flat(tmp_path, n=800)
+    out = from_root_projected(
+        spark, path,
+        lambda df: df.select((F.col("pt") * 2).alias("pt2")),
+        backend=RawRootBackend(), step_size=300,
+    )
+    assert out.columns == ["pt2"]
+    assert abs(sum(r["pt2"] for r in out.collect())
+               - 2 * float(data["pt"][1].sum())) < 1e-9
+
+
+def test_rawroot_error_surface(spark, tmp_path):
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
+
+    path, _ = _write_flat(tmp_path, n=50)
+    be = RawRootBackend()
+    with pytest.raises(KeyError, match="no tree"):
+        be.num_entries(path, "NotATree")
+    with pytest.raises(KeyError, match="unknown branches"):
+        be.arrow_schema(path, "Events", ["nope"])
+    bad = tmp_path / "bad.root"
+    bad.write_bytes(b"nope" + b"\x00" * 96)
+    with pytest.raises(ValueError, match="not a ROOT file"):
+        RootFlatFile(str(bad))
+
+
+def test_rawroot_foreign_compression_gated(tmp_path):
+    """An LZ4-tagged basket must raise DecodeUnavailable, not decode
+    garbage — patch a compressed file's ZL tag to L4."""
+    path, _ = _write_flat(tmp_path, n=100, compress=True)
+    raw = bytearray(open(path, "rb").read())
+    i = raw.find(b"ZL")
+    assert i > 0
+    raw[i : i + 2] = b"L4"
+    open(path, "wb").write(bytes(raw))
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
+
+    f = RootFlatFile(path)
+    with pytest.raises(DecodeUnavailable, match="L4"):
+        f.branch_array("event")
+
+
+def test_rawroot_gap_records_skipped(tmp_path):
+    """Freed TKey slots (negative fNbytes) are gaps the key walk must
+    skip — splice one between the header and the first key."""
+    import struct
+
+    import numpy as np
+
+    path, data = _write_flat(tmp_path, n=40, basket_entries=40)
+    raw = open(path, "rb").read()
+    gap = struct.pack(">i", -64) + b"\x00" * 60
+    patched = raw[:100] + gap + raw[100:]
+    # shift fEND and every key's self-seek is unused by the walk;
+    # rewrite header end field
+    end = len(patched)
+    patched = patched[:12] + struct.pack(">i", end) + patched[16:]
+    open(path, "wb").write(patched)
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
+
+    f = RootFlatFile(path)
+    assert f.num_entries() == 40
+    np.testing.assert_array_equal(f.branch_array("event"), data["event"][1])
