@@ -246,23 +246,37 @@ def _read_manifest(path: str, version: int | None = None) -> dict:
         return _json.load(f)
 
 
+class SnapshotConflict(Exception):
+    """A concurrent writer published this version first — the caller
+    must re-read the latest manifest and retry its merge against it."""
+
+
 def _publish_manifest(path: str, manifest: dict) -> None:
-    """Atomic publish: write to a temp name, rename into place. The
-    rename is the commit point; a version file that already exists
-    means a concurrent writer won the race — single-writer tables
-    treat that as an error, not a retry."""
+    """Atomic compare-and-swap publish (r8; the Delta/Iceberg commit
+    protocol shape): write the manifest to a writer-unique temp name,
+    then ``os.link`` it to the version file. Hard-linking is the CAS —
+    it either creates the name or fails with EEXIST atomically, where
+    the old exists()-then-rename pair had a window in which two
+    writers both passed the check and the second rename silently
+    OVERWROTE the first commit. Losers get :class:`SnapshotConflict`
+    and retry against the new latest (snapshot_upsert's loop)."""
+    import uuid
+
     d = _os.path.join(path, MANIFEST_DIR)
     _os.makedirs(d, exist_ok=True)
     target = _manifest_file(path, manifest["version"])
-    if _os.path.exists(target):
-        raise RuntimeError(
-            f"manifest v{manifest['version']} already exists — concurrent "
-            "writer detected; snapshot tables are single-writer"
-        )
-    tmp = target + ".tmp"
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         _json.dump(manifest, f, indent=1)
-    _os.rename(tmp, target)
+    try:
+        _os.link(tmp, target)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"manifest v{manifest['version']} was published by a concurrent "
+            "writer; re-read the latest manifest and retry"
+        ) from None
+    finally:
+        _os.remove(tmp)
 
 
 def create_snapshot_table(
@@ -329,6 +343,7 @@ def snapshot_upsert(
     path: str,
     updates: DataFrame,
     batch_id: str | int | None = None,
+    max_retries: int = 5,
 ) -> bool:
     """MERGE into the snapshot table; returns True if applied, False
     if ``batch_id`` was already applied (exactly-once by METADATA —
@@ -337,59 +352,85 @@ def snapshot_upsert(
 
     Only touched buckets are read (from whatever version dirs
     currently own them) and rewritten into the new version dir —
-    O(batch + touched-bucket bytes), never O(table)."""
+    O(batch + touched-bucket bytes), never O(table).
+
+    CONCURRENT writers serialize optimistically (r8; the r6/r7
+    verdicts' open item — Delta/Iceberg's commit loop): each attempt
+    writes its data under a writer-unique dir, then CAS-publishes the
+    next manifest version (hard-link create, _publish_manifest). The
+    loser's :class:`SnapshotConflict` re-reads the NEW latest
+    manifest — so its merge re-reads the winner's buckets, not the
+    stale ones — removes its orphaned data dir, and retries; after
+    ``max_retries`` losses the conflict propagates. batch_id dedup is
+    re-checked per attempt (the winner may have applied this very
+    batch)."""
+    import shutil
+    import uuid
+
     _require_local(path)
-    m = _read_manifest(path)
-    if batch_id is not None and batch_id in m["applied_batches"]:
-        return False
-    keys, n_buckets = m["keys"], m["n_buckets"]
-    upd = _collapse_batch(_with_bucket(updates, keys, n_buckets), keys)
-    touched = [r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()]
-    if not touched:
-        return False
-    # current owners of the touched buckets, grouped by version dir
-    by_dir: dict[str, list[int]] = {}
-    for b in touched:
-        vdir = m["buckets"].get(str(b))
-        if vdir is not None:
-            by_dir.setdefault(vdir, []).append(b)
-    existing = None
-    for vdir, buckets in sorted(by_dir.items()):
-        part = spark.read.parquet(_os.path.join(path, vdir)).filter(
-            F.col(BUCKET_COL).isin(buckets)
-        )
-        existing = part if existing is None else existing.unionByName(part)
-    new_version = m["version"] + 1
-    vdir = _os.path.join(path, f"v{new_version}")
-    if existing is not None:
-        out = existing.join(upd.select(*keys), keys, "left_anti").unionByName(
-            upd.select(*existing.columns)
-        )
-    else:
-        out = upd
-    out.write.partitionBy(BUCKET_COL).mode("error").parquet(vdir)
-    new_buckets = dict(m["buckets"])
-    for b in touched:
-        new_buckets[str(b)] = f"v{new_version}"
-    _publish_manifest(
-        path,
-        {
-            "version": new_version,
-            "keys": keys,
-            "n_buckets": n_buckets,
-            "buckets": new_buckets,
-            # bounded window (last 512): a streaming replay always
-            # re-delivers from the immediately-preceding checkpoint,
-            # so dedup only ever needs recent ids — an unbounded list
-            # would grow every manifest O(total batches)
-            "applied_batches": (
-                m["applied_batches"]
-                + ([batch_id] if batch_id is not None else [])
-            )[-512:],
-            "schema": m.get("schema"),
-        },
-    )
-    return True
+    last: SnapshotConflict | None = None
+    for _attempt in range(max(1, max_retries)):
+        m = _read_manifest(path)
+        if batch_id is not None and batch_id in m["applied_batches"]:
+            return False
+        keys, n_buckets = m["keys"], m["n_buckets"]
+        upd = _collapse_batch(_with_bucket(updates, keys, n_buckets), keys)
+        touched = [r[BUCKET_COL] for r in upd.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return False
+        # current owners of the touched buckets, grouped by version dir
+        by_dir: dict[str, list[int]] = {}
+        for b in touched:
+            vdir = m["buckets"].get(str(b))
+            if vdir is not None:
+                by_dir.setdefault(vdir, []).append(b)
+        existing = None
+        for vdir, buckets in sorted(by_dir.items()):
+            part = spark.read.parquet(_os.path.join(path, vdir)).filter(
+                F.col(BUCKET_COL).isin(buckets)
+            )
+            existing = part if existing is None else existing.unionByName(part)
+        new_version = m["version"] + 1
+        # writer-unique data dir: two racing writers must never target
+        # the same directory — the manifest, not the name, assigns
+        # ownership, and vacuum drops unreferenced dirs (lost races)
+        dname = f"v{new_version}_{uuid.uuid4().hex[:8]}"
+        vdir = _os.path.join(path, dname)
+        if existing is not None:
+            out = existing.join(upd.select(*keys), keys, "left_anti").unionByName(
+                upd.select(*existing.columns)
+            )
+        else:
+            out = upd
+        out.write.partitionBy(BUCKET_COL).mode("error").parquet(vdir)
+        new_buckets = dict(m["buckets"])
+        for b in touched:
+            new_buckets[str(b)] = dname
+        try:
+            _publish_manifest(
+                path,
+                {
+                    "version": new_version,
+                    "keys": keys,
+                    "n_buckets": n_buckets,
+                    "buckets": new_buckets,
+                    # bounded window (last 512): a streaming replay
+                    # always re-delivers from the immediately-preceding
+                    # checkpoint, so dedup only ever needs recent ids —
+                    # an unbounded list would grow every manifest
+                    # O(total batches)
+                    "applied_batches": (
+                        m["applied_batches"]
+                        + ([batch_id] if batch_id is not None else [])
+                    )[-512:],
+                    "schema": m.get("schema"),
+                },
+            )
+            return True
+        except SnapshotConflict as e:
+            last = e
+            shutil.rmtree(vdir, ignore_errors=True)
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def vacuum_snapshots(path: str, keep_last: int = 1) -> list[str]:

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dask_awkward_sandbox_spark.io import lakehouse as lh
@@ -165,10 +167,13 @@ def test_snapshot_merge_touches_only_owned_dirs(spark, tmp_path):
     with open(os.path.join(path, "_manifests", "v00000001.json")) as f:
         m = json.load(f)
     owners = set(m["buckets"].values())
-    assert owners == {"v0", "v1"}
-    assert sum(1 for v in m["buckets"].values() if v == "v1") == 1
+    # r8: the new-version data dir carries a writer-unique suffix
+    # (concurrent writers must never target the same directory)
+    v1 = [d for d in owners if d.startswith("v1")]
+    assert len(v1) == 1 and owners == {"v0", v1[0]}, owners
+    assert sum(1 for v in m["buckets"].values() if v == v1[0]) == 1
     # the v1 dir holds exactly one bucket directory
-    v1_buckets = [d for d in os.listdir(os.path.join(path, "v1"))
+    v1_buckets = [d for d in os.listdir(os.path.join(path, v1[0]))
                   if d.startswith(lh.BUCKET_COL)]
     assert len(v1_buckets) == 1
 
@@ -228,3 +233,69 @@ def test_snapshot_streaming_sink_exactly_once(spark, tmp_path):
     # history is time-travelable: version 0 has only the first batch
     v0 = _table(lh.read_snapshot_table(spark, table, version=0))
     assert v0 == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_publish_is_cas(tmp_path):
+    """The manifest publish is an atomic create — a pre-existing
+    version file means a concurrent writer won, surfaced as
+    SnapshotConflict (never a silent overwrite)."""
+    import json
+    import os
+
+    path = str(tmp_path / "snap")
+    os.makedirs(os.path.join(path, lh.MANIFEST_DIR))
+    winner = {"version": 1, "keys": ["id"], "n_buckets": 2,
+              "buckets": {}, "applied_batches": ["w"], "schema": None}
+    lh._publish_manifest(path, winner)
+    loser = dict(winner, applied_batches=["l"])
+    with pytest.raises(lh.SnapshotConflict):
+        lh._publish_manifest(path, loser)
+    # the winner's content is untouched by the losing attempt
+    with open(lh._manifest_file(path, 1)) as f:
+        assert json.load(f)["applied_batches"] == ["w"]
+
+
+def test_snapshot_concurrent_writers_serialize(spark, tmp_path, monkeypatch):
+    """Two interleaved snapshot_upsert writers: A reads the manifest,
+    then B commits first; A's publish loses the CAS, rereads the NEW
+    latest (so its merge sees B's buckets), and retries to v2. Both
+    writers' rows land; A's orphaned first-attempt data dir is
+    removed."""
+    import os
+
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+
+    upd_b = spark.createDataFrame([(300, "B", 3)], "id long, s string, n long")
+    upd_a = spark.createDataFrame(
+        [(5, "A", 5), (301, "A", 4)], "id long, s string, n long"
+    )
+
+    stale = lh._read_manifest(path)  # what writer A read before B ran
+    assert lh.snapshot_upsert(spark, path, upd_b, batch_id="B")  # B commits v1
+
+    real_read = lh._read_manifest
+    calls = {"n": 0}
+
+    def first_read_is_stale(p, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale  # A's in-flight view from before B's commit
+        return real_read(p, version)
+
+    monkeypatch.setattr(lh, "_read_manifest", first_read_is_stale)
+    assert lh.snapshot_upsert(spark, path, upd_a, batch_id="A")  # retries to v2
+    monkeypatch.setattr(lh, "_read_manifest", real_read)
+
+    assert lh.list_snapshot_versions(path) == [0, 1, 2]
+    got = {r[0]: r[1] for r in _table(lh.read_snapshot_table(spark, path))}
+    assert got[300] == "B" and got[301] == "A" and got[5] == "A"
+    assert len(got) == 102
+    # every on-disk data dir is referenced by some manifest (the losing
+    # attempt's dir was cleaned up)
+    referenced = set()
+    for v in lh.list_snapshot_versions(path):
+        referenced.update(lh._read_manifest(path, v)["buckets"].values())
+    on_disk = {d for d in os.listdir(path)
+               if d.startswith("v") and d != lh.MANIFEST_DIR}
+    assert on_disk <= referenced, (on_disk, referenced)
