@@ -55,6 +55,7 @@ def repartition(
     rows_per_partition: int | None = None,
     one_to_n: int | None = None,
     n_to_one: int | None = None,
+    divisions: tuple | list | None = None,
 ) -> DataFrame:
     """Restructure partitioning (reference Array.repartition,
     lib/core.py:979 — npartitions / rows_per_partition / one_to_n /
@@ -79,14 +80,27 @@ def repartition(
       a NARROW coalesce, no shuffle, exactly the reference's adjacent-
       merge semantics.
 
-    The ``divisions`` scheme (exact row-offset boundaries) has no
-    faithful Spark mapping: DataFrames are unordered multisets, so row
-    offsets are only meaningful under an explicit order — use
+    The ``divisions`` scheme (exact row-offset boundaries, reference
+    lib/core.py:982) has no faithful Spark mapping: DataFrames are
+    unordered multisets, so row offsets are only meaningful under an
+    explicit order. Passing ``divisions`` raises a DIRECTED error (the
+    akcompat keyword-surface contract — a ported script gets pointed
+    at the equivalents, never a bare TypeError): use
     ``df.repartitionByRange(n, order_col)`` for the order-aware
     equivalent, or ``operators.structure.unflatten`` machinery when
     exact counts per partition matter.
     """
     import math
+
+    if divisions is not None:
+        raise NotImplementedError(
+            "repartition(divisions=...) assigns rows to partitions by "
+            "exact row-offset boundaries, which presumes dask's ordered-"
+            "partition model; Spark DataFrames are unordered multisets. "
+            "Use repartition(num_partitions=...) / rows_per_partition=... "
+            "for size-based splits, or df.repartitionByRange(n, order_col) "
+            "when the boundaries follow an explicit order column."
+        )
 
     given = [
         num_partitions is not None,

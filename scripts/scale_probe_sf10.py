@@ -53,6 +53,20 @@ REGISTERED = [
     # the LM slot watches the bigram-count join at 100x
     "q_ann_ivf_assign",
     "q_lm_perplexity",
+    # r8 panel widening (r6-verdict item 4, recorded against the
+    # post-merge registry shapes): the five late-r6 slots — knn_join's
+    # adaptive-nlist linearity claim was only measured to sf1 before
+    "q_knn_join",
+    "q_kmeans",
+    "q_tf_idf",
+    "q_interval_join",
+    "q_data_mixture",
+    # the merged hosts whose shapes changed in r7/r8
+    "q_sort_argsort",
+    "q_cartesian_combinations",
+    "q_concatenate",
+    "q_flatten_softmax",
+    "q_parquet_roundtrip",
 ]
 
 SF1_DIR = "/root/repo/.scaledata/sf1"

@@ -385,3 +385,16 @@ def test_error_types_parity(spark, sf):
         int(arr)
     with pytest.raises(dak.ConcretizationTypeError):
         len(arr)
+
+
+def test_repartition_divisions_directed_error(spark):
+    """divisions= (dask's ordered-partition row-offset scheme) must
+    raise a DIRECTED NotImplementedError naming the Spark-side
+    equivalents, never a bare TypeError on ported scripts."""
+    import pytest
+
+    from dask_awkward_sandbox_spark.core import repartition
+
+    df = spark.range(10)
+    with pytest.raises(NotImplementedError, match="repartitionByRange"):
+        repartition(df, divisions=(0, 5, 10))
