@@ -154,15 +154,42 @@ class RawRootBackend:
         unknown = [b for b in names if b not in f.branches]
         if unknown:
             raise KeyError(f"unknown branches {unknown}; have {sorted(f.branches)}")
-        return pa.schema([(n, self._ARROW[f.branches[n]]) for n in names])
+        # leaf-counter jagged branches surface as list<elem> (the
+        # "x[n]/D" leaflist — values flat on disk, lengths from the
+        # counter branch)
+        return pa.schema(
+            [
+                (
+                    n,
+                    pa.list_(self._ARROW[f.branches[n]])
+                    if n in f.counters
+                    else self._ARROW[f.branches[n]],
+                )
+                for n in names
+            ]
+        )
 
     def read(self, path, tree, branches, start, stop):
+        import numpy as np
+
         f = self._open(path, tree)
         schema = self.arrow_schema(path, tree, branches)
-        return pa.table(
-            {n: f.branch_array(n)[start:stop] for n in schema.names},
-            schema=schema,
-        )
+        cols = {}
+        for n in schema.names:
+            vals = f.branch_array(n)
+            if n in f.counters:
+                # offsets from the counter's cumsum; entry slice
+                # [start, stop) maps to value slice via the offsets
+                off = np.zeros(f.num_entries() + 1, dtype=np.int64)
+                np.cumsum(f.branch_lengths(n), out=off[1:])
+                lo, hi = int(off[start]), int(off[stop])
+                cols[n] = pa.ListArray.from_arrays(
+                    pa.array(off[start : stop + 1] - lo, type=pa.int32()),
+                    pa.array(vals[lo:hi]),
+                )
+            else:
+                cols[n] = vals[start:stop]
+        return pa.table(cols, schema=schema)
 
 
 class SyntheticNanoBackend:

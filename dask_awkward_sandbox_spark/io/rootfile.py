@@ -17,10 +17,17 @@ describe:
 - the public TTree leaflist type letters (``B b S s I i L l F D O``)
   for element decode.
 
+Jagged branches decode via the public LEAF-COUNTER convention
+(``TTree::Branch("Muon_pt", addr, "Muon_pt[nMuon]/D")``): the branch
+stores only the concatenated values and per-entry lengths come from
+the named counter branch, so list boundaries derive from data this
+module already reads — no basket-internal offset tables needed.
+
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
-jagged branches (their per-entry offsets live in TTree streamer
-metadata this module does not parse), LZ4/ZSTD/LZMA baskets, and full
-TTree/TBranch streamer decode. One documented simplification: real
+variable-length branches WITHOUT a counter leaf (their per-entry
+offsets live in TBasket/TTree streamer metadata this module does not
+parse), LZ4/ZSTD/LZMA baskets, and full TTree/TBranch streamer
+decode. One documented simplification: real
 ROOT embeds branch objects inside the TTree streamer; here each
 branch's leaflist rides as a standalone ``TBranch`` key whose title
 is the leaflist — the title-carries-leaflist convention is the real
@@ -175,8 +182,13 @@ class RootFlatFile:
         ) = struct.unpack_from(_HEADER_FMT, b, 0)
         self.end = end
         self.branches: dict[str, str] = {}
+        # jagged (leaf-counter) branches: {name: counter_branch_name}
+        self.counters: dict[str, str] = {}
         self.baskets: dict[str, list[Key]] = {}
         self.trees: set[str] = set()
+        import re as _re
+
+        leaf_re = _re.compile(r"^(\w+)(?:\[(\w+)\])?/(\w)$")
         seek = self.begin
         while seek < self.end:
             (nbytes,) = struct.unpack_from(">i", b, seek)
@@ -188,20 +200,25 @@ class RootFlatFile:
             k = parse_key(b, seek)
             if k.classname == "TBranch":
                 # documented simplification: leaflist rides as the
-                # standalone branch key's title ("pt/D")
-                nm, _, leaf = k.title.partition("/")
+                # standalone branch key's title ("pt/D" flat,
+                # "pt[n]/D" leaf-counter jagged — TTree::Branch text)
+                m = leaf_re.match(k.title)
+                if m is None or m.group(3) not in LEAF_DTYPES:
+                    raise DecodeUnavailable(
+                        f"branch {k.name!r}: leaflist {k.title!r} is not a "
+                        "single-leaf flat or counter-jagged type — compound "
+                        "branches need TTree streamer metadata (gated; use "
+                        "uproot)"
+                    )
+                nm, counter, leaf = m.groups()
                 if nm != k.name:
                     raise ValueError(
                         f"branch key {k.name!r}: leaflist {k.title!r} names "
                         f"a different leaf {nm!r}"
                     )
-                if leaf not in LEAF_DTYPES:
-                    raise DecodeUnavailable(
-                        f"branch {k.name!r}: leaflist {k.title!r} is not a "
-                        "flat single-leaf type — jagged/compound branches "
-                        "need TTree streamer metadata (gated; use uproot)"
-                    )
                 self.branches[k.name] = leaf
+                if counter is not None:
+                    self.counters[k.name] = counter
             elif k.classname == "TBasket":
                 # real-ROOT convention: basket key title = tree name
                 self.baskets.setdefault(k.name, []).append(k)
@@ -225,14 +242,42 @@ class RootFlatFile:
             return arr.astype(bool)
         return arr
 
+    def branch_lengths(self, name: str) -> np.ndarray:
+        """Per-entry list lengths of a leaf-counter jagged branch —
+        the counter branch's values (the public ``x[n]/T`` contract:
+        the branch stores concatenated values, the counter the
+        lengths)."""
+        if name not in self.counters:
+            raise KeyError(f"{name!r} is not a counter-jagged branch")
+        counter = self.counters[name]
+        if counter not in self.branches:
+            raise ValueError(
+                f"jagged branch {name!r} names counter {counter!r}, which "
+                f"is not a branch in this file ({sorted(self.branches)})"
+            )
+        if counter in self.counters:
+            raise ValueError(f"counter {counter!r} must itself be flat")
+        n = self.branch_array(counter).astype(np.int64)
+        if (n < 0).any():
+            raise ValueError(f"counter {counter!r} holds negative lengths")
+        total = len(self.branch_array(name))
+        if int(n.sum()) != total:
+            raise ValueError(
+                f"jagged branch {name!r}: counter sums to {int(n.sum())} "
+                f"values but the value stream holds {total}"
+            )
+        return n
+
     def num_entries(self) -> int:
+        # jagged branches' basket bytes count VALUES, not entries —
+        # only flat branches witness the entry count
         counts = {
             name: sum(
                 k.objlen // np.dtype(LEAF_DTYPES[self.branches[name]]).itemsize
                 for k in ks
             )
             for name, ks in self.baskets.items()
-            if name in self.branches
+            if name in self.branches and name not in self.counters
         }
         if not counts:
             return 0
@@ -249,17 +294,48 @@ def write_root_flat(
     basket_entries: int = 1000,
     compress: bool = False,
 ) -> None:
-    """Write a minimal flat-branch ROOT file: TFile header + one
-    TBranch key per branch (title = leaflist) + TBasket keys holding
-    big-endian value arrays, ``basket_entries`` per basket,
+    """Write a minimal flat/counter-jagged ROOT file: TFile header +
+    one TBranch key per branch (title = leaflist) + TBasket keys
+    holding big-endian value arrays, ``basket_entries`` per basket,
     optionally zlib-compressed with the real ``ZL`` block framing.
 
-    ``data``: {branch: (leaf_letter, values)}. All branches must have
-    equal length (flat tree contract).
+    ``data``: {branch: (spec, values)} where spec is a leaf letter
+    (``"D"``) for a flat branch with ``values`` a 1-D array, or
+    ``"[counter]D"`` for a leaf-counter jagged branch with ``values``
+    a list of per-entry lists — written as the concatenated value
+    stream under the leaflist title ``name[counter]/D``, lengths
+    carried by the (flat, required) counter branch.
     """
-    lens = {name: len(v) for name, (_, v) in data.items()}
+    parsed: dict[str, tuple[str, str | None, object]] = {}
+    for name, (spec, values) in data.items():
+        counter = None
+        if spec.startswith("["):
+            counter, _, leaf = spec[1:].partition("]")
+        else:
+            leaf = spec
+        parsed[name] = (leaf, counter, values)
+    lens = {
+        name: len(v)
+        for name, (_, counter, v) in parsed.items()
+        if counter is None
+    }
     if len(set(lens.values())) > 1:
         raise ValueError(f"flat branches must align: {lens}")
+    for name, (_, counter, v) in parsed.items():
+        if counter is None:
+            continue
+        if counter not in parsed or parsed[counter][1] is not None:
+            raise ValueError(
+                f"jagged branch {name!r} needs flat counter branch "
+                f"{counter!r} in the same write"
+            )
+        want = [len(x) for x in v]
+        got = list(np.asarray(parsed[counter][2]).astype(np.int64))
+        if want != got:
+            raise ValueError(
+                f"jagged branch {name!r}: per-entry lengths disagree with "
+                f"counter {counter!r}"
+            )
 
     records: list[bytes] = []
 
@@ -281,12 +357,15 @@ def write_root_flat(
         return head + strings + payload
 
     seek = 100
-    for name, (leaf, values) in data.items():
+    for name, (leaf, counter, values) in parsed.items():
         if leaf not in LEAF_DTYPES:
             raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
-        rec = key_record("TBranch", name, f"{name}/{leaf}", b"", 0, seek)
+        title = f"{name}[{counter}]/{leaf}" if counter else f"{name}/{leaf}"
+        rec = key_record("TBranch", name, title, b"", 0, seek)
         records.append(rec)
         seek += len(rec)
+        if counter is not None:
+            values = [x for sub in values for x in sub]  # value stream
         arr = np.asarray(values).astype(np.dtype(LEAF_DTYPES[leaf]))
         for start in range(0, max(len(arr), 1), basket_entries):
             chunk = arr[start : start + basket_entries]

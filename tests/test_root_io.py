@@ -295,3 +295,58 @@ def test_rawroot_gap_records_skipped(tmp_path):
     f = RootFlatFile(path)
     assert f.num_entries() == 40
     np.testing.assert_array_equal(f.branch_array("event"), data["event"][1])
+
+
+def test_rawroot_jagged_leaf_counter_roundtrip(spark, tmp_path):
+    """Leaf-counter jagged branches ("Muon_pt[nMuon]/D"): values are
+    one flat big-endian stream, per-entry lengths come from the
+    counter branch — round-trips to list<double> with exact values
+    and list boundaries, across basket and entry-range cuts, and
+    composes with jagged DataFrame ops (size == counter)."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    n = 900
+    rng = [(i * 13 + 5) % 4 for i in range(n)]
+    pts = [[round(i + j * 0.5, 3) for j in range(c)] for i, c in enumerate(rng)]
+    path = str(tmp_path / "jag.root")
+    write_root_flat(
+        path,
+        "Events",
+        {
+            "event": ("L", np.arange(n, dtype=np.int64)),
+            "nMuon": ("I", np.array(rng, dtype=np.int32)),
+            "Muon_pt": ("[nMuon]D", pts),
+        },
+        basket_entries=250,
+        compress=True,
+    )
+    df = from_root(spark, path, step_size=200, backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    assert list(got["nMuon"]) == rng
+    assert [list(x) for x in got["Muon_pt"]] == pts
+    assert (
+        df.filter(F.size("Muon_pt") != F.col("nMuon")).count() == 0
+    )
+
+
+def test_rawroot_jagged_error_surface(tmp_path):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    with pytest.raises(ValueError, match="needs flat counter"):
+        write_root_flat(
+            str(tmp_path / "x.root"), "Events",
+            {"pt": ("[n]D", [[1.0], [2.0]])},
+        )
+    with pytest.raises(ValueError, match="lengths disagree"):
+        write_root_flat(
+            str(tmp_path / "y.root"), "Events",
+            {
+                "n": ("I", np.array([1, 2], dtype=np.int32)),
+                "pt": ("[n]D", [[1.0], [2.0]]),
+            },
+        )
