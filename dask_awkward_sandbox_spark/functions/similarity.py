@@ -582,21 +582,49 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # Convergence test = EMPTY contracted edge set (r8, replacing
-        # the changed-count test): und empty ⟺ every original edge
-        # connects same-labeled nodes ⟺ labels are uniform per
-        # component, and the min-propagation invariant (label(v) ≤ v,
-        # label(v) is an id IN v's component) forces a uniform label
-        # to BE the component min. The changed-count exit needed one
-        # extra full propagation round to observe zero movement; this
-        # exits the round the graph collapses, and the count job
-        # doubles as the materialization of the und checkpoint the
-        # next round would have forced anyway.
+        # Convergence test = EMPTY contracted edge set (r8): und empty
+        # means every original edge's endpoints map into the same
+        # pointer CHAIN — but NOT yet that every chain is collapsed:
+        # a node contracted away in an early round whose
+        # representative's label dropped later can still hold a stale
+        # label deeper than this round's `jumps` hops reached (a
+        # round-8 review simulation found a 27-node witness). So on
+        # empty edges, run jump-ONLY collapse rounds (|V|-row
+        # self-joins, no edge propagation — chains halve per hop, so
+        # O(log chain depth) rounds) until no label moves; at that
+        # fixpoint labels are uniform per component and the
+        # min-propagation invariant (label(v) <= v, label stays in
+        # v's component) makes the uniform label the component min.
+        # Still one round cheaper than the old changed-count exit,
+        # which needed a full extra |E| propagation round to observe
+        # zero movement; the count job doubles as the materialization
+        # of the und checkpoint the next round would have forced.
         n_edges = und.count()
         if stats is not None:
             stats["iterations"] = it + 1
             stats["edges_per_round"].append(n_edges)
         if n_edges == 0:
+            if stats is not None:
+                stats["post_collapse_rounds"] = 0
+            while True:
+                jump = labels.select(
+                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                )
+                nxt = labels.join(
+                    jump, labels["label"] == jump["jid"], "left"
+                ).select(
+                    "id",
+                    F.col("label").alias("old"),
+                    F.least(
+                        F.col("label"), F.coalesce("jlabel", "label")
+                    ).alias("label"),
+                ).localCheckpoint(eager=False)
+                moved = nxt.filter(F.col("label") != F.col("old")).count()
+                labels = nxt.select("id", "label")
+                if stats is not None:
+                    stats["post_collapse_rounds"] += 1
+                if moved == 0:
+                    break
             break
     else:
         if stats is not None:

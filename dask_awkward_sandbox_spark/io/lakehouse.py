@@ -433,12 +433,24 @@ def snapshot_upsert(
     raise last if last is not None else RuntimeError("unreachable")
 
 
-def vacuum_snapshots(path: str, keep_last: int = 1) -> list[str]:
+def vacuum_snapshots(
+    path: str, keep_last: int = 1, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Drop version DIRS no kept manifest references (and the dropped
     manifests themselves). A dir stays as long as ANY kept manifest
     points a bucket at it — current data is never deleted no matter
-    how old its dir is. Returns the removed dir names."""
+    how old its dir is. Returns the removed dir names.
+
+    ``min_age_seconds`` is the retention window for UNREFERENCED dirs
+    (r8 review — the Delta VACUUM retention rule): with concurrent
+    writers supported, an in-flight upsert's freshly-written data dir
+    is unreferenced until its CAS publish, so vacuuming it would let
+    the subsequent successful publish commit a manifest pointing at a
+    deleted directory. Only unreferenced dirs older than the window
+    (mtime) are removed; run vacuum with 0 only when no writer can be
+    in flight."""
     import shutil
+    import time
 
     versions = list_snapshot_versions(path)
     kept = versions[-keep_last:]
@@ -450,10 +462,11 @@ def vacuum_snapshots(path: str, keep_last: int = 1) -> list[str]:
         if v in kept:
             continue
         _os.remove(_manifest_file(path, v))
+    cutoff = time.time() - min_age_seconds
     for d in _os.listdir(path):
         if d.startswith("v") and d != MANIFEST_DIR and d not in referenced:
             full = _os.path.join(path, d)
-            if _os.path.isdir(full):
+            if _os.path.isdir(full) and _os.path.getmtime(full) <= cutoff:
                 shutil.rmtree(full)
                 removed.append(d)
     return sorted(removed)

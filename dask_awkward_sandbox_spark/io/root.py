@@ -138,7 +138,12 @@ class RawRootBackend:
         from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
 
         f = RootFlatFile(path)
-        if tree not in f.trees:
+        # zero-entry files hold branch keys but no baskets, so no
+        # basket carries the tree name — accept them vacuously (they
+        # report 0 entries and contribute no tasks, the plan_tasks
+        # contract the other backends honor); a wrong tree name on a
+        # file WITH data still errors
+        if f.trees and tree not in f.trees:
             raise KeyError(f"no tree {tree!r} in {path}; have {sorted(f.trees)}")
         return f
 
@@ -148,8 +153,8 @@ class RawRootBackend:
         "F": pa.float32(), "D": pa.float64(), "O": pa.bool_(),
     }
 
-    def arrow_schema(self, path, tree, branches):
-        f = self._open(path, tree)
+    @classmethod
+    def _schema_of(cls, f, branches):
         names = list(branches) if branches is not None else sorted(f.branches)
         unknown = [b for b in names if b not in f.branches]
         if unknown:
@@ -161,19 +166,24 @@ class RawRootBackend:
             [
                 (
                     n,
-                    pa.list_(self._ARROW[f.branches[n]])
+                    pa.list_(cls._ARROW[f.branches[n]])
                     if n in f.counters
-                    else self._ARROW[f.branches[n]],
+                    else cls._ARROW[f.branches[n]],
                 )
                 for n in names
             ]
         )
 
+    def arrow_schema(self, path, tree, branches):
+        return self._schema_of(self._open(path, tree), branches)
+
     def read(self, path, tree, branches, start, stop):
         import numpy as np
 
+        # ONE parse per task (r8 review: read() previously re-opened
+        # the file through arrow_schema, key-walking it twice)
         f = self._open(path, tree)
-        schema = self.arrow_schema(path, tree, branches)
+        schema = self._schema_of(f, branches)
         cols = {}
         for n in schema.names:
             vals = f.branch_array(n)

@@ -181,6 +181,7 @@ class RootFlatFile:
             _nbytesinfo,
         ) = struct.unpack_from(_HEADER_FMT, b, 0)
         self.end = end
+        self._decoded: dict[str, np.ndarray] = {}
         self.branches: dict[str, str] = {}
         # jagged (leaf-counter) branches: {name: counter_branch_name}
         self.counters: dict[str, str] = {}
@@ -230,6 +231,12 @@ class RootFlatFile:
         return _decompress(raw, k.objlen) if k.compressed else raw
 
     def branch_array(self, name: str) -> np.ndarray:
+        # memoized per instance (r8 review): jagged reads touch the
+        # value stream AND the counter twice (decode + length check) —
+        # without the cache every basket decompressed twice per task
+        got = self._decoded.get(name)
+        if got is not None:
+            return got
         if name not in self.branches:
             raise KeyError(f"no branch {name!r}; have {sorted(self.branches)}")
         dt = np.dtype(LEAF_DTYPES[self.branches[name]])
@@ -239,7 +246,8 @@ class RootFlatFile:
         ]
         arr = np.concatenate(parts) if parts else np.empty(0, dtype=dt)
         if self.branches[name] == "O":
-            return arr.astype(bool)
+            arr = arr.astype(bool)
+        self._decoded[name] = arr
         return arr
 
     def branch_lengths(self, name: str) -> np.ndarray:
@@ -372,17 +380,24 @@ def write_root_flat(
             if len(chunk) == 0:
                 continue
             raw = chunk.tobytes()
+            payload = raw
             if compress:
                 c = zlib.compress(raw, 6)
-                hdr = (
-                    b"ZL"
-                    + bytes([8])
-                    + len(c).to_bytes(3, "little")
-                    + len(raw).to_bytes(3, "little")
-                )
-                payload = hdr + c
-            else:
-                payload = raw
+                # real ROOT's rule: store RAW when compression does not
+                # shrink. This also keeps the reader's size test sound —
+                # a framed payload that coincidentally matched the raw
+                # length (9 + len(c) == len(raw) happens on mildly
+                # compressible data; r8 review found a 64-double
+                # witness) would otherwise be misread as uncompressed
+                # and decoded as garbage.
+                if 9 + len(c) < len(raw):
+                    hdr = (
+                        b"ZL"
+                        + bytes([8])
+                        + len(c).to_bytes(3, "little")
+                        + len(raw).to_bytes(3, "little")
+                    )
+                    payload = hdr + c
             rec = key_record("TBasket", name, tree, payload, len(raw), seek)
             records.append(rec)
             seek += len(rec)

@@ -191,7 +191,9 @@ def test_snapshot_vacuum_keeps_current_data(spark, tmp_path):
             spark.createDataFrame([(0, f"u{i}", i)], "id long, s string, n long"),
         )
     before = _table(lh.read_snapshot_table(spark, path))
-    removed = lh.vacuum_snapshots(path, keep_last=1)
+    # min_age_seconds=0: no writer is in flight in this test; the
+    # default 1h retention would (correctly) keep the young dirs
+    removed = lh.vacuum_snapshots(path, keep_last=1, min_age_seconds=0)
     # older manifests gone, latest intact, data identical
     assert lh.list_snapshot_versions(path) == [3]
     assert _table(lh.read_snapshot_table(spark, path)) == before
@@ -299,3 +301,27 @@ def test_snapshot_concurrent_writers_serialize(spark, tmp_path, monkeypatch):
     on_disk = {d for d in os.listdir(path)
                if d.startswith("v") and d != lh.MANIFEST_DIR}
     assert on_disk <= referenced, (on_disk, referenced)
+
+
+def test_snapshot_vacuum_retention_protects_inflight_dirs(spark, tmp_path):
+    """With concurrent writers, an in-flight upsert's data dir is
+    unreferenced until its CAS publish — vacuum must not remove
+    unreferenced dirs younger than the retention window (r8 review:
+    vacuuming one lets the subsequent publish commit a manifest
+    pointing at a deleted directory)."""
+    import os
+
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=4)
+    # simulate writer A mid-flight: data dir written, manifest not yet
+    inflight = os.path.join(path, "v1_deadbeef")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    removed = lh.vacuum_snapshots(path, keep_last=1)  # default retention
+    assert removed == []
+    assert os.path.isdir(inflight)
+    # past the window it is a lost race and goes
+    removed = lh.vacuum_snapshots(path, keep_last=1, min_age_seconds=0)
+    assert removed == ["v1_deadbeef"]
+    assert not os.path.isdir(inflight)

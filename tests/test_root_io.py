@@ -350,3 +350,54 @@ def test_rawroot_jagged_error_surface(tmp_path):
                 "pt": ("[n]D", [[1.0], [2.0]]),
             },
         )
+
+
+def test_rawroot_empty_file_contributes_no_tasks(spark, tmp_path):
+    """A zero-entry file holds branch keys but no baskets; it must
+    report 0 entries and be skipped by planning (the plan_tasks
+    'empty files contribute no tasks' contract), not KeyError."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    full, data = _write_flat(tmp_path, "full.root", n=60)
+    empty = str(tmp_path / "empty.root")
+    write_root_flat(
+        empty, "Events",
+        {"event": ("L", np.empty(0, dtype=np.int64)),
+         "pt": ("D", np.empty(0, dtype=np.float64)),
+         "hlt": ("O", np.empty(0, dtype=bool)),
+         "nhits": ("I", np.empty(0, dtype=np.int32))},
+    )
+    be = RawRootBackend()
+    assert be.num_entries(empty, "Events") == 0
+    df = from_root(spark, [full, empty], branches=["event"], step_size=25,
+                   backend=be)
+    assert df.count() == 60
+
+
+def test_rawroot_compression_coincidence_stores_raw(tmp_path):
+    """When 9 + len(zlib(raw)) == len(raw) the framed payload is
+    byte-length-indistinguishable from an uncompressed basket and
+    would decode as garbage (r8 review finding) — the writer must
+    fall back to raw storage whenever compression does not shrink.
+    Seed 628 is a searched witness hitting the exact coincidence."""
+    import numpy as np
+    import zlib
+
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile, write_root_flat
+
+    rng = np.random.default_rng(628)
+    k = int(rng.integers(4, 60))
+    vals = np.concatenate([np.repeat(rng.random(), k), rng.random(64 - k)])
+    raw = vals.astype(">f8").tobytes()
+    assert 9 + len(zlib.compress(raw, 6)) == len(raw)  # the coincidence
+    path = str(tmp_path / "c.root")
+    write_root_flat(
+        path, "Events",
+        {"n": ("I", np.full(64, 1, dtype=np.int32)), "x": ("D", vals)},
+        basket_entries=64, compress=True,
+    )
+    f = RootFlatFile(path)
+    np.testing.assert_array_equal(f.branch_array("x"), vals)

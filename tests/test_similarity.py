@@ -450,3 +450,64 @@ def test_brute_force_boundary_tie_lowest_id(spark):
         .orderBy("nb_id").collect()
     ]
     assert got == [(1,), (2,), (3,)]
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """r8 regression (found by review simulation): the empty-edge-set
+    exit could return STALE labels — a node contracted away early,
+    whose representative's label dropped later through a chain deeper
+    than the final round's pointer jumps, kept a non-min label while
+    stats claimed converged. Random graphs vs driver-side union-find
+    catch that whole failure family; seeds 34 and 51 REPRODUCE the
+    stale-label failure under the pre-fix exit (verified by
+    driver-side simulation of the loop semantics)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        connected_components,
+    )
+
+    for seed in (3, 34, 51, 23):
+        rng = random.Random(seed)
+        n = 30
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.12
+        ]
+        if not edges:
+            continue
+        # driver-side union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+        # min-relabel: union-find roots are not necessarily the min id
+        comp_min: dict = {}
+        for v, r in want.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[r] for v, r in want.items()}
+
+        ids = spark.range(n).select(F.col("id"))
+        edf = spark.createDataFrame(edges, "a long, b long")
+        stats: dict = {}
+        got = {
+            r["id"]: r["cluster"]
+            for r in connected_components(edf, ids, stats=stats).collect()
+        }
+        assert got == want, (seed, stats, {
+            v: (got[v], want[v]) for v in got if got[v] != want[v]
+        })
+        assert stats["converged"]
