@@ -74,15 +74,18 @@ def minhash_lsh_candidates(
     id_col: str,
     num_perms: int = 16,
     bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any
     band's full sub-signature become a pair. Returns (id_a, id_b,
     n_shared_bands) with id_a < id_b.
 
     The band join is an equi-join on (band, band_key) — shuffle both
-    sides once, never cross-join.
+    sides once, never cross-join. Pass ``sig`` (a
+    :func:`minhash_signature` output, possibly checkpointed) to reuse
+    a signature scan another leg already paid for.
     """
-    exploded = minhash_band_buckets(df, text_col, id_col, num_perms, bands)
+    exploded = minhash_band_buckets(df, text_col, id_col, num_perms, bands, sig=sig)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = a.join(
@@ -98,17 +101,24 @@ def minhash_lsh_candidates(
 
 
 def minhash_band_buckets(
-    df: DataFrame, text_col: str, id_col: str, num_perms: int = 16, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band, key) LSH bucket membership — scan-side signatures,
     one row per doc per band, no shuffle. Token-less docs carry no LSH
     signal and are excluded (they'd otherwise all collide on the
     empty-signature key; SQL engines instead drop them from the
-    unnest, so exclusion is also what the oracle computes)."""
+    unnest, so exclusion is also what the oracle computes). ``sig``
+    (a precomputed :func:`minhash_signature` output with at least
+    ``num_perms`` columns) skips the signature scan."""
     rows = num_perms // bands
-    sig = minhash_signature(df, text_col, num_perms).filter(
-        F.col("minhash_0").isNotNull()
-    )
+    if sig is None:
+        sig = minhash_signature(df, text_col, num_perms)
+    sig = sig.filter(F.col("minhash_0").isNotNull())
     band_cols = []
     for bi in range(bands):
         parts = [F.col(f"minhash_{bi * rows + r}") for r in range(rows)]
@@ -275,7 +285,13 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_neardups(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_neardups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by simhash hamming distance.
 
     Blocking: half-key bands (pigeonhole — any pair within hamming
@@ -284,12 +300,16 @@ def simhash_neardups(df: DataFrame, text_col: str, id_col: str, max_hamming: int
     simhash degenerates to 0 and every such doc would pair with every
     other at hamming 0 — noise, and a divergence from SQL engines
     whose unnest drops them entirely.
+
+    ``sig``: a precomputed (id_col, simhash) frame to reuse a
+    signature scan another leg already paid for — the CALLER then
+    owns token-less exclusion (this function cannot re-check it
+    without the text column).
     """
-    has_tokens = F.size(tokens(F.col(text_col))) > 0
-    sh = (
-        simhash(df.filter(has_tokens), text_col)
-        .select(F.col(id_col).alias("doc"), "simhash")
-    )
+    if sig is None:
+        has_tokens = F.size(tokens(F.col(text_col))) > 0
+        sig = simhash(df.filter(has_tokens), text_col)
+    sh = sig.select(F.col(id_col).alias("doc"), "simhash")
     nbands = max_hamming + 1
     width = 16 // nbands
     bandcols = [

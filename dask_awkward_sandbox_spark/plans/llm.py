@@ -643,13 +643,25 @@ def q_dedup_simhash(spark, sf_dir):
     IS the token-less predicate (tokens split on whitespace), without
     paying a second regex tokenization per row."""
     d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    sig = dedup.simhash(d, "text", bits=16).select(
+    # ONE simhash scan feeds BOTH legs (r8, same move as the minhash
+    # slot): the token-less filter above is the exclusion
+    # simhash_neardups would apply itself, so the checkpointed
+    # (doc_id, simhash) frame is valid for the pair leg too — the
+    # tokenize + 16 bit-sum folds run once instead of twice.
+    sh = (
+        dedup.simhash(d, "text", bits=16)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=False)
+    )
+    sig = sh.select(
         F.lit("sig").alias("leg"),
         F.col("doc_id").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),
         F.col("simhash").alias("val"),
     )
-    pairs = dedup.simhash_neardups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    pairs = dedup.simhash_neardups(
+        None, "text", "doc_id", max_hamming=3, sig=sh
+    )
     pairs = pairs.select(
         F.lit("pair").alias("leg"),
         "id_a",
@@ -697,7 +709,17 @@ def q_dedup_minhash(spark, sf_dir):
     giant dup clusters use q_dedup_minhash_clusters — the pair
     leg's output is inherently O(sum bucket^2)."""
     d = _docs(spark, sf_dir)
-    sig = dedup.minhash_signature(d, "text", NUM_PERMS)
+    # ONE 16-perm signature scan feeds BOTH legs (r8): the perm
+    # family is index-generated, so perms(8) == perms(16)[:8] — the
+    # sig leg reads columns 0-7 of the same frame the pair leg bands
+    # over. Lazy checkpoint: tokenize + 16 interpreted folds run once
+    # (previously 8 + 16 folds over two scans). Only doc_id + the
+    # signature columns are kept so the checkpoint never stores text.
+    sig16 = (
+        dedup.minhash_signature(d, "text", 16)
+        .select("doc_id", *[f"minhash_{i}" for i in range(16)])
+        .localCheckpoint(eager=False)
+    )
     cols = F.array(
         *[
             F.struct(
@@ -708,7 +730,7 @@ def q_dedup_minhash(spark, sf_dir):
         ]
     )
     sig_leg = (
-        sig.select("doc_id", F.explode(cols).alias("s"))
+        sig16.select("doc_id", F.explode(cols).alias("s"))
         .select(
             F.lit("sig").alias("leg"),
             F.col("doc_id").alias("id_a"),
@@ -717,7 +739,7 @@ def q_dedup_minhash(spark, sf_dir):
         )
     )
     pair_leg = dedup.minhash_lsh_candidates(
-        d, "text", "doc_id", num_perms=16, bands=4
+        d, "text", "doc_id", num_perms=16, bands=4, sig=sig16
     ).select(
         F.lit("pair").alias("leg"),
         "id_a",
