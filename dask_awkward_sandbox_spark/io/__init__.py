@@ -19,6 +19,7 @@ from dask_awkward_sandbox_spark.io.parquet import (
     to_parquet,
 )
 from dask_awkward_sandbox_spark.io.root import (
+    RawRootBackend,
     SyntheticNanoBackend,
     UprootBackend,
     from_root,
@@ -54,6 +55,7 @@ __all__ = [
     "necessary_branches",
     "UprootBackend",
     "SyntheticNanoBackend",
+    "RawRootBackend",
     "from_text",
     "from_lists",
     "from_map",
