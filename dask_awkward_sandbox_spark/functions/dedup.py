@@ -69,7 +69,7 @@ def minhash_signature(df: DataFrame, text_col: str, num_perms: int = 16) -> Data
 
 
 def minhash_lsh_candidates(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     num_perms: int = 16,
@@ -101,7 +101,7 @@ def minhash_lsh_candidates(
 
 
 def minhash_band_buckets(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     num_perms: int = 16,
@@ -117,6 +117,11 @@ def minhash_band_buckets(
     ``num_perms`` columns) skips the signature scan."""
     rows = num_perms // bands
     if sig is None:
+        if df is None:
+            raise ValueError(
+                "minhash_band_buckets: pass df (signatures computed here) "
+                "or sig= (a precomputed minhash_signature frame); got neither"
+            )
         sig = minhash_signature(df, text_col, num_perms)
     sig = sig.filter(F.col("minhash_0").isNotNull())
     band_cols = []
@@ -286,7 +291,7 @@ def hamming64(a, b):
 
 
 def simhash_neardups(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
@@ -307,6 +312,11 @@ def simhash_neardups(
     without the text column).
     """
     if sig is None:
+        if df is None:
+            raise ValueError(
+                "simhash_neardups: pass df (signatures computed here) or "
+                "sig= (a precomputed (id, simhash) frame); got neither"
+            )
         has_tokens = F.size(tokens(F.col(text_col))) > 0
         sig = simhash(df.filter(has_tokens), text_col)
     sh = sig.select(F.col(id_col).alias("doc"), "simhash")

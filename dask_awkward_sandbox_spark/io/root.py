@@ -193,6 +193,16 @@ class RawRootBackend:
                 off = np.zeros(f.num_entries() + 1, dtype=np.int64)
                 np.cumsum(f.branch_lengths(n), out=off[1:])
                 lo, hi = int(off[start]), int(off[stop])
+                if hi - lo > 2**31 - 1:
+                    # ListArray offsets are int32; a single task slice
+                    # holding >= 2^31 values needs a smaller step_size
+                    # (per-slice bound, not a file bound)
+                    raise ValueError(
+                        f"branch {n!r}: entry slice [{start}, {stop}) holds "
+                        f"{hi - lo} values — over the int32 list-offset "
+                        "bound; lower step_size so each task slice stays "
+                        "under 2^31 values"
+                    )
                 cols[n] = pa.ListArray.from_arrays(
                     pa.array(off[start : stop + 1] - lo, type=pa.int32()),
                     pa.array(vals[lo:hi]),

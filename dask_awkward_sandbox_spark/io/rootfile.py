@@ -245,6 +245,11 @@ class RootFlatFile:
             for k in self.baskets.get(name, [])
         ]
         arr = np.concatenate(parts) if parts else np.empty(0, dtype=dt)
+        # normalize to NATIVE byte order unconditionally (r9 advice):
+        # pyarrow rejects byte-swapped arrays, and the zero-basket
+        # fallback above otherwise keeps the big-endian dtype — an
+        # all-empty jagged branch on a valid file would crash read()
+        arr = arr.astype(arr.dtype.newbyteorder("="), copy=False)
         if self.branches[name] == "O":
             arr = arr.astype(bool)
         self._decoded[name] = arr
@@ -293,6 +298,19 @@ class RootFlatFile:
         if len(vals) > 1:
             raise ValueError(f"branches disagree on entry count: {counts}")
         return vals.pop()
+
+
+def _check_small_file_offset(off: int) -> None:
+    """The small-file form packs fSeekKey/fEND as 32-bit; the big-file
+    form (fVersion+1000000, 64-bit seeks — which :func:`parse_key`
+    already READS) is not written here. Directed error instead of a
+    struct.error mid-write (r9 advice)."""
+    if off > 2**31 - 1:
+        raise ValueError(
+            "write_root_flat: file would exceed the 2 GiB small-file "
+            "limit (32-bit seeks/fEND); split the data across files or "
+            "lower basket_entries per file"
+        )
 
 
 def write_root_flat(
@@ -349,6 +367,7 @@ def write_root_flat(
 
     def key_record(classname: str, name: str, title: str, payload: bytes,
                    objlen: int, seek: int) -> bytes:
+        _check_small_file_offset(seek)
         strings = _wstring(classname) + _wstring(name) + _wstring(title)
         keylen = 18 + 8 + len(strings)  # short (version<1000) 32-bit seeks
         head = struct.pack(
@@ -403,6 +422,7 @@ def write_root_flat(
             seek += len(rec)
 
     end = seek
+    _check_small_file_offset(end)  # last record may push fEND past 32-bit
     header = struct.pack(
         _HEADER_FMT,
         MAGIC,

@@ -401,3 +401,48 @@ def test_rawroot_compression_coincidence_stores_raw(tmp_path):
     )
     f = RootFlatFile(path)
     np.testing.assert_array_equal(f.branch_array("x"), vals)
+
+
+def test_rawroot_all_empty_jagged_reads(spark, tmp_path):
+    """A valid file where a jagged branch is empty in EVERY entry has
+    zero value baskets; the decoder's empty fallback must hand pyarrow
+    a native-order array (r9 advice: the big-endian empty dtype made
+    RawRootBackend.read crash with ArrowNotImplementedError)."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    n = 30
+    path = str(tmp_path / "allempty.root")
+    write_root_flat(
+        path, "Events",
+        {
+            "event": ("L", np.arange(n, dtype=np.int64)),
+            "nMuon": ("I", np.zeros(n, dtype=np.int32)),
+            "Muon_pt": ("[nMuon]D", [[] for _ in range(n)]),
+        },
+    )
+    df = from_root(spark, path, step_size=10, backend=RawRootBackend())
+    rows = df.orderBy("event").collect()
+    assert len(rows) == n
+    assert all(r["Muon_pt"] == [] for r in rows)
+
+
+def test_write_root_flat_2gib_guard(tmp_path):
+    """The small-file form packs 32-bit seeks; oversize writes must be
+    a directed ValueError, not a struct.error mid-write (r9 advice).
+    The guard function is shared by key_record and the fEND pack —
+    drive it at the boundary, then confirm normal writes still work."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io import rootfile as rf
+
+    rf._check_small_file_offset(2**31 - 1)  # boundary is fine
+    with pytest.raises(ValueError, match="2 GiB"):
+        rf._check_small_file_offset(2**31)
+    path = str(tmp_path / "small.root")
+    rf.write_root_flat(
+        path, "Events", {"x": ("D", np.arange(10, dtype=np.float64))}
+    )
+    assert rf.RootFlatFile(path).num_entries() == 10
