@@ -23,17 +23,23 @@ stores only the concatenated values and per-entry lengths come from
 the named counter branch, so list boundaries derive from data this
 module already reads — no basket-internal offset tables needed.
 
+Branch metadata decodes from BOTH layouts (r9): the embedded-streamer
+layout real ROOT uses — a ``TTree`` key whose payload streams the
+TTree object with its fBranches TObjArray of TBranch/TLeaf, walked
+here via the public version-header/TNamed/TObjArray serialization
+with byte-count skipping of unmodeled members — and the simplified
+standalone-``TBranch``-key layout (title = leaflist, the real
+``TTree::Branch(name, addr, "pt/D")`` leaflist contract with
+simplified placement; r8).
+
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
 variable-length branches WITHOUT a counter leaf (their per-entry
 offsets live in TBasket/TTree streamer metadata this module does not
-parse), LZ4/ZSTD/LZMA baskets, and full TTree/TBranch streamer
-decode. One documented simplification: real
-ROOT embeds branch objects inside the TTree streamer; here each
-branch's leaflist rides as a standalone ``TBranch`` key whose title
-is the leaflist — the title-carries-leaflist convention is the real
-``TTree::Branch(name, addr, "pt/D")`` contract, only its placement
-is simplified. The writer exists so tests can round-trip real bytes
-without uproot in the container (the BMP/WAV codec precedent).
+parse), LZ4/ZSTD/LZMA baskets, TBranchElement/compound branches
+(need streamer-info records), and class/object back-reference tags
+inside object arrays. The writer exists so tests can round-trip real
+bytes without uproot in the container (the BMP/WAV codec precedent);
+``embed_tree=True`` writes the embedded layout.
 """
 
 from __future__ import annotations
@@ -126,6 +132,156 @@ def parse_key(b: bytes, seek: int) -> Key:
     return Key(nbytes, objlen, keylen, cycle, seek, classname, name, title)
 
 
+# ---------------------------------------------------------------------------
+# Embedded TTree streamer layout (r9)
+#
+# Real ROOT does NOT write branches as standalone keys: the TTree key's
+# payload is a streamed TTree object whose fBranches TObjArray embeds
+# TBranch objects (each embedding its fLeaves TObjArray of TLeaf*).
+# The public serialization building blocks, all implemented here:
+#
+# - version header: uint32 fByteCount | kByteCountMask (0x40000000),
+#   then uint16 fVersion; the byte count delimits the object, which is
+#   exactly how real readers SKIP members they do not model,
+# - TObject: uint16 version, uint32 fUniqueID, uint32 fBits (+uint16
+#   pid if kIsReferenced — handled on read, never written),
+# - TNamed: version header + TObject + fName/fTitle TStrings,
+# - TObjArray: version header + TObject + fName + int32 nObjects +
+#   int32 fLowerBound, elements each preceded by the kNewClassTag
+#   (0xFFFFFFFF) + NUL-terminated class name.
+#
+# Documented simplifications (the remaining distance to files real
+# ROOT wrote): fEntries rides as an int64 right after the TTree's
+# TNamed (real TTree streams TAttLine/Fill/Marker and a double
+# fEntries there), and TBranch/TLeaf members beyond TNamed are not
+# written — readers skip unmodeled members via byte counts, which is
+# also how THIS reader survives richer payloads: it reads each
+# branch's name + leaflist title and byte-count-skips the rest.
+# ---------------------------------------------------------------------------
+
+_BYTECOUNT_MASK = 0x40000000
+_NEW_CLASS_TAG = 0xFFFFFFFF
+_IS_REFERENCED = 1 << 4  # TObject::kIsReferenced
+
+
+def _w_version(body: bytes, version: int) -> bytes:
+    return struct.pack(">IH", (len(body) + 2) | _BYTECOUNT_MASK, version) + body
+
+
+def _r_version(b: bytes, off: int) -> tuple[int, int, int]:
+    """-> (end_offset_of_object, version, offset_after_header)."""
+    (bc,) = struct.unpack_from(">I", b, off)
+    if not bc & _BYTECOUNT_MASK:
+        raise ValueError(f"streamer object at {off}: missing kByteCountMask")
+    (version,) = struct.unpack_from(">H", b, off + 4)
+    return off + 4 + (bc & ~_BYTECOUNT_MASK), version, off + 6
+
+
+def _w_tobject() -> bytes:
+    return struct.pack(">HII", 1, 0, 0x03000000)
+
+
+def _r_tobject(b: bytes, off: int) -> int:
+    _v, _uid, bits = struct.unpack_from(">HII", b, off)
+    off += 10
+    if bits & _IS_REFERENCED:
+        off += 2  # pid tag
+    return off
+
+
+def _w_tnamed(name: str, title: str) -> bytes:
+    return _w_version(_w_tobject() + _wstring(name) + _wstring(title), 1)
+
+
+def _r_tnamed(b: bytes, off: int) -> tuple[str, str, int]:
+    end, _v, off = _r_version(b, off)
+    off = _r_tobject(b, off)
+    name, off = _tstring(b, off)
+    title, off = _tstring(b, off)
+    return name, title, end  # byte count is authoritative for the end
+
+
+def _w_objarray(elements: list[tuple[str, bytes]]) -> bytes:
+    body = _w_tobject() + _wstring("") + struct.pack(">ii", len(elements), 0)
+    for classname, obj in elements:
+        body += struct.pack(">I", _NEW_CLASS_TAG)
+        body += classname.encode() + b"\x00"
+        body += obj
+    return _w_version(body, 3)
+
+
+def _r_objarray(b: bytes, off: int):
+    """Yield (classname, obj_start, obj_end) per element; assumes every
+    element carries the new-class tag (what the writer emits; richer
+    tag forms — class refs/object refs — are gated)."""
+    end, _v, off = _r_version(b, off)
+    off = _r_tobject(b, off)
+    _name, off = _tstring(b, off)
+    n, _lower = struct.unpack_from(">ii", b, off)
+    off += 8
+    out = []
+    for _ in range(n):
+        (tag,) = struct.unpack_from(">I", b, off)
+        off += 4
+        if tag != _NEW_CLASS_TAG:
+            raise DecodeUnavailable(
+                "TObjArray element uses a class/object back-reference tag "
+                f"(0x{tag:08x}) — only new-class-tag streams decode here; "
+                "use the uproot backend"
+            )
+        nul = b.index(b"\x00", off)
+        classname = b[off:nul].decode()
+        off = nul + 1
+        obj_end, _ver, _body = _r_version(b, off)
+        out.append((classname, off, obj_end))
+        off = obj_end
+    if off > end:
+        raise ValueError("TObjArray elements overran the array byte count")
+    return out, end
+
+
+def _w_tree_payload(tree: str, branches: dict[str, str], entries: int) -> bytes:
+    """Streamed TTree payload: TNamed + int64 entries + fBranches
+    TObjArray of TBranch (TNamed name/leaflist + fLeaves TObjArray of
+    one TLeaf, class by leaf letter)."""
+    els = []
+    for name, title in branches.items():
+        leaf_letter = title.rsplit("/", 1)[-1]
+        leaf_cls = f"TLeaf{leaf_letter.upper()}" if leaf_letter.isalpha() else "TLeaf"
+        leaf = _w_version(_w_tnamed(name, title), 1)
+        branch_body = _w_tnamed(name, title) + _w_objarray([(leaf_cls, leaf)])
+        els.append(("TBranch", _w_version(branch_body, 13)))
+    body = (
+        _w_tnamed(tree, "")
+        + struct.pack(">q", entries)
+        + _w_objarray(els)
+    )
+    return _w_version(body, 20)
+
+
+def _r_tree_payload(b: bytes) -> tuple[str, int, dict[str, str]]:
+    """-> (tree_name, entries, {branch: leaflist title}). Walks only
+    name/title/byte-count structure; unmodeled members inside each
+    TBranch are skipped via the byte counts (the real-reader move)."""
+    _end, _v, off = _r_version(b, 0)
+    tree, _title, off = _r_tnamed(b, off)
+    (entries,) = struct.unpack_from(">q", b, off)
+    off += 8
+    els, _aend = _r_objarray(b, off)
+    out: dict[str, str] = {}
+    for classname, obj_off, _obj_end in els:
+        if classname != "TBranch":
+            raise DecodeUnavailable(
+                f"fBranches holds a {classname} — only plain TBranch "
+                "decodes here (TBranchElement needs streamer-info; use "
+                "the uproot backend)"
+            )
+        _bend, _bver, boff = _r_version(b, obj_off)
+        name, title, _ = _r_tnamed(b, boff)
+        out[name] = title
+    return tree, int(entries), out
+
+
 def _decompress(payload: bytes, objlen: int) -> bytes:
     """Decode ROOT compressed-block framing: each block is a 9-byte
     header (2-byte algo tag, 1 method byte, 3-byte LE compressed size,
@@ -187,9 +343,7 @@ class RootFlatFile:
         self.counters: dict[str, str] = {}
         self.baskets: dict[str, list[Key]] = {}
         self.trees: set[str] = set()
-        import re as _re
-
-        leaf_re = _re.compile(r"^(\w+)(?:\[(\w+)\])?/(\w)$")
+        self._embedded_entries: int | None = None
         seek = self.begin
         while seek < self.end:
             (nbytes,) = struct.unpack_from(">i", b, seek)
@@ -200,31 +354,50 @@ class RootFlatFile:
                 continue
             k = parse_key(b, seek)
             if k.classname == "TBranch":
-                # documented simplification: leaflist rides as the
-                # standalone branch key's title ("pt/D" flat,
-                # "pt[n]/D" leaf-counter jagged — TTree::Branch text)
-                m = leaf_re.match(k.title)
-                if m is None or m.group(3) not in LEAF_DTYPES:
-                    raise DecodeUnavailable(
-                        f"branch {k.name!r}: leaflist {k.title!r} is not a "
-                        "single-leaf flat or counter-jagged type — compound "
-                        "branches need TTree streamer metadata (gated; use "
-                        "uproot)"
-                    )
-                nm, counter, leaf = m.groups()
-                if nm != k.name:
-                    raise ValueError(
-                        f"branch key {k.name!r}: leaflist {k.title!r} names "
-                        f"a different leaf {nm!r}"
-                    )
-                self.branches[k.name] = leaf
-                if counter is not None:
-                    self.counters[k.name] = counter
+                # simplified layout: leaflist rides as the standalone
+                # branch key's title ("pt/D" flat, "pt[n]/D"
+                # leaf-counter jagged — TTree::Branch text)
+                self._register_branch(k.name, k.title)
+            elif k.classname == "TTree":
+                # real-ROOT layout (r9): branches embedded in the
+                # streamed TTree payload — walk name/title/byte-count
+                # structure, skip unmodeled members via byte counts
+                tname, entries, brs = _r_tree_payload(self._payload(k))
+                self.trees.add(tname)
+                self._embedded_entries = entries
+                for name, title in brs.items():
+                    self._register_branch(name, title)
             elif k.classname == "TBasket":
                 # real-ROOT convention: basket key title = tree name
                 self.baskets.setdefault(k.name, []).append(k)
                 self.trees.add(k.title)
             seek += nbytes
+
+    _LEAF_RE = None  # compiled lazily below
+
+    def _register_branch(self, name: str, title: str) -> None:
+        import re as _re
+
+        cls = type(self)
+        if cls._LEAF_RE is None:
+            cls._LEAF_RE = _re.compile(r"^(\w+)(?:\[(\w+)\])?/(\w)$")
+        m = cls._LEAF_RE.match(title)
+        if m is None or m.group(3) not in LEAF_DTYPES:
+            raise DecodeUnavailable(
+                f"branch {name!r}: leaflist {title!r} is not a "
+                "single-leaf flat or counter-jagged type — compound "
+                "branches need full streamer-info decode (gated; use "
+                "uproot)"
+            )
+        nm, counter, leaf = m.groups()
+        if nm != name:
+            raise ValueError(
+                f"branch {name!r}: leaflist {title!r} names "
+                f"a different leaf {nm!r}"
+            )
+        self.branches[name] = leaf
+        if counter is not None:
+            self.counters[name] = counter
 
     def _payload(self, k: Key) -> bytes:
         raw = self._buf[k.seek + k.keylen : k.seek + k.nbytes]
@@ -293,11 +466,19 @@ class RootFlatFile:
             if name in self.branches and name not in self.counters
         }
         if not counts:
-            return 0
+            # zero-basket file: the embedded TTree (if any) still
+            # declares fEntries
+            return self._embedded_entries or 0
         vals = set(counts.values())
         if len(vals) > 1:
             raise ValueError(f"branches disagree on entry count: {counts}")
-        return vals.pop()
+        n = vals.pop()
+        if self._embedded_entries is not None and self._embedded_entries != n:
+            raise ValueError(
+                f"TTree declares {self._embedded_entries} entries but "
+                f"flat-branch baskets hold {n}"
+            )
+        return n
 
 
 def _check_small_file_offset(off: int) -> None:
@@ -319,11 +500,21 @@ def write_root_flat(
     data: dict[str, tuple[str, np.ndarray]],
     basket_entries: int = 1000,
     compress: bool = False,
+    embed_tree: bool = False,
 ) -> None:
     """Write a minimal flat/counter-jagged ROOT file: TFile header +
-    one TBranch key per branch (title = leaflist) + TBasket keys
-    holding big-endian value arrays, ``basket_entries`` per basket,
-    optionally zlib-compressed with the real ``ZL`` block framing.
+    branch metadata + TBasket keys holding big-endian value arrays,
+    ``basket_entries`` per basket, optionally zlib-compressed with the
+    real ``ZL`` block framing.
+
+    ``embed_tree`` (r9) selects the branch-metadata layout:
+    False — one standalone ``TBranch`` key per branch (title =
+    leaflist; the r8 simplification); True — ONE ``TTree`` key whose
+    payload is a streamed TTree object embedding TBranch/TLeaf via
+    version headers, TNamed, and TObjArray with new-class tags — the
+    layout real ROOT uses (member simplifications documented at
+    :func:`_w_tree_payload`). Both layouts read back through the SAME
+    :class:`RootFlatFile` walk.
 
     ``data``: {branch: (spec, values)} where spec is a leaf letter
     (``"D"``) for a flat branch with ``values`` a 1-D array, or
@@ -384,13 +575,22 @@ def write_root_flat(
         return head + strings + payload
 
     seek = 100
-    for name, (leaf, counter, values) in parsed.items():
+    titles: dict[str, str] = {}
+    for name, (leaf, counter, _values) in parsed.items():
         if leaf not in LEAF_DTYPES:
             raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
-        title = f"{name}[{counter}]/{leaf}" if counter else f"{name}/{leaf}"
-        rec = key_record("TBranch", name, title, b"", 0, seek)
+        titles[name] = f"{name}[{counter}]/{leaf}" if counter else f"{name}/{leaf}"
+    if embed_tree:
+        n_entries = next(iter(lens.values()), 0)
+        payload = _w_tree_payload(tree, titles, n_entries)
+        rec = key_record("TTree", tree, "", payload, len(payload), seek)
         records.append(rec)
         seek += len(rec)
+    for name, (leaf, counter, values) in parsed.items():
+        if not embed_tree:
+            rec = key_record("TBranch", name, titles[name], b"", 0, seek)
+            records.append(rec)
+            seek += len(rec)
         if counter is not None:
             values = [x for sub in values for x in sub]  # value stream
         arr = np.asarray(values).astype(np.dtype(LEAF_DTYPES[leaf]))

@@ -160,8 +160,29 @@ _LISTS_ROWS = [
 # 0,3,6,9 -> ids 1,4,7,10)
 _SAMPLE_IDS = list(range(1, 12))
 
-_SMALL_SOURCES_ORACLE = """
-    with j as (
+# root leg twin: entry i has event = 1_000_000 + i, nMuon = i % 4,
+# Muon_pt[j] = ((i*7 + j*3) % 500)/10 + 0.5 — cents are exactly
+# x*10 + 50. The Spark side decodes these from REAL ROOT bytes
+# (write_root_flat -> from_root(RawRootBackend)); the oracle
+# recomputes from the closed-form generator (the
+# q_multimodal_features precedent). root_dot is boundary-sensitive:
+# values credited to the wrong entry change it even when totals hold.
+_ROOT_N = 400
+
+_SMALL_SOURCES_ORACLE = f"""
+    with root_ent as (select cast(t.i as bigint) as i from range({_ROOT_N}) t(i)),
+    root_vals as (
+      select e.i, (((e.i*7 + j.j*3) % 500) * 10 + 50) as pt_c
+      from root_ent e, lateral (select unnest(range(e.i % 4)) as j) j
+    ),
+    rt as (
+      select cast({_ROOT_N} as bigint) as root_n,
+             cast((select sum(1000000 + i) from root_ent) as bigint) as root_sum_event,
+             cast((select count(*) from root_vals) as bigint) as root_total_pt,
+             cast((select sum(pt_c) from root_vals) as bigint) as root_sum_pt_c,
+             cast((select sum((i % 97) * pt_c) from root_vals) as bigint) as root_dot
+    ),
+    j as (
       select event_type, cast(count(*) as bigint) as n,
              cast(sum(cast(round(value*100) as bigint)) as bigint) as sum_value_c,
              cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint)
@@ -179,8 +200,8 @@ _SMALL_SOURCES_ORACLE = """
                  cast(6 as bigint) as total_items,
                  cast(18.5 as double) as sum_v_total),
     s as (select cast(4 as bigint) as n_sampled, cast(22 as bigint) as sum_sampled)
-    select j.*, d.*, l.*, s.*
-    from j cross join d cross join l cross join s
+    select j.*, d.*, l.*, s.*, rt.*
+    from j cross join d cross join l cross join s cross join rt
 """
 
 
@@ -201,6 +222,13 @@ def q_small_sources(spark, sf_dir):
       texts contain no newlines, so lines == documents).
     - sample(factor=3) per-partition decimation over a single-partition
       from_lists frame (closed-form positions).
+    - root_* legs (r9): a flat+leaf-counter-jagged ROOT file is written
+      at query time with write_root_flat (real TFile header / TKey
+      chain / zlib ZL baskets), read back through
+      from_root(backend=RawRootBackend) across basket AND entry-range
+      cuts, and aggregated; the oracle recomputes from the closed-form
+      per-entry generator. This puts the io/rootfile.py byte decoder
+      under the driver's value gate every round.
 
     The 1-row aggregates broadcast-cross onto the per-event-type frame.
     """
@@ -256,10 +284,55 @@ def q_small_sources(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sampled"), F.sum("id").alias("sum_sampled")
     )
 
+    # root byte-decode roundtrip (1 row): write real ROOT bytes, read
+    # them back through the raw backend, 4 baskets x multiple
+    # entry-range tasks so slice arithmetic is under the gate too
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    rpath = os.path.join(_scratch(sf_dir, "root_gate"), "events.root")
+    os.makedirs(os.path.dirname(rpath), exist_ok=True)
+    i = np.arange(_ROOT_N, dtype=np.int64)
+    nmu = (i % 4).astype(np.int32)
+    pts = [
+        [((int(ii) * 7 + j * 3) % 500) / 10.0 + 0.5 for j in range(int(c))]
+        for ii, c in zip(i, nmu)
+    ]
+    write_root_flat(
+        rpath,
+        "Events",
+        {
+            "event": ("L", 1_000_000 + i),
+            "nMuon": ("I", nmu),
+            "Muon_pt": ("[nMuon]D", pts),
+        },
+        basket_entries=_ROOT_N // 4,
+        compress=True,
+    )
+    rdf = from_root(spark, rpath, tree="Events", step_size=_ROOT_N // 3,
+                    backend=RawRootBackend())
+    pt_c = F.aggregate(
+        F.col("Muon_pt"),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.round(x * 100).cast("long"),
+    )
+    root_stats = rdf.select(
+        "event", pt_c.alias("pt_c"), F.size("Muon_pt").alias("npt")
+    ).agg(
+        F.count(F.lit(1)).alias("root_n"),
+        F.sum("event").alias("root_sum_event"),
+        F.sum("npt").cast("long").alias("root_total_pt"),
+        F.sum("pt_c").alias("root_sum_pt_c"),
+        F.sum(((F.col("event") - 1_000_000) % 97) * F.col("pt_c")).alias("root_dot"),
+    )
+
     return (
         json_side.crossJoin(F.broadcast(text_stats))
         .crossJoin(F.broadcast(list_stats))
         .crossJoin(F.broadcast(sample_stats))
+        .crossJoin(F.broadcast(root_stats))
     )
 
 

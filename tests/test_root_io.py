@@ -446,3 +446,135 @@ def test_write_root_flat_2gib_guard(tmp_path):
         path, "Events", {"x": ("D", np.arange(10, dtype=np.float64))}
     )
     assert rf.RootFlatFile(path).num_entries() == 10
+
+
+# ---------------------------------------------------------------------------
+# Embedded-TTree-streamer layout (r9): branches ride inside the TTree
+# key's payload, the layout real ROOT writes.
+# ---------------------------------------------------------------------------
+
+
+def _write_embedded(tmp_path, name="emb.root", n=600, compress=True):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    nmu = np.array([(i * 11 + 2) % 5 for i in range(n)], dtype=np.int32)
+    pts = [[round(i * 0.25 + j, 3) for j in range(int(c))] for i, c in enumerate(nmu)]
+    data = {
+        "event": ("L", np.arange(n, dtype=np.int64) + 7000),
+        "nMuon": ("I", nmu),
+        "Muon_pt": ("[nMuon]D", pts),
+    }
+    path = str(tmp_path / name)
+    write_root_flat(path, "Events", data, basket_entries=150,
+                    compress=compress, embed_tree=True)
+    return path, data, pts
+
+
+def test_embedded_tree_roundtrip_same_reader(spark, tmp_path):
+    """A file in the embedded-streamer layout round-trips through the
+    SAME from_root/RootFlatFile path that reads the standalone-key
+    layout — flat + jagged values exact, tree registered from the
+    TTree key, fEntries cross-checked against basket inference."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
+
+    path, data, pts = _write_embedded(tmp_path)
+    f = RootFlatFile(path)
+    assert f.trees == {"Events"}
+    assert f._embedded_entries == 600
+    assert f.num_entries() == 600
+
+    df = from_root(spark, path, tree="Events", step_size=170,
+                   backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    np.testing.assert_array_equal(got["event"].to_numpy(), data["event"][1])
+    assert [list(x) for x in got["Muon_pt"]] == pts
+    # wrong tree name errors even though branches parsed
+    with pytest.raises(KeyError, match="no tree"):
+        RawRootBackend().num_entries(path, "NotEvents")
+
+
+def test_embedded_tree_zero_entry_declares_entries(tmp_path):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile, write_root_flat
+
+    path = str(tmp_path / "empty.root")
+    write_root_flat(
+        path, "Events",
+        {"event": ("L", np.empty(0, dtype=np.int64))}, embed_tree=True,
+    )
+    f = RootFlatFile(path)
+    assert f.num_entries() == 0
+    assert f.trees == {"Events"}  # known WITHOUT any basket
+
+
+def test_embedded_tree_skips_unmodeled_members(tmp_path):
+    """Byte-count-delimited skipping is the real-reader contract: a
+    TBranch object carrying EXTRA members after TNamed (here: the
+    fLeaves array plus trailing bytes the walker does not model) must
+    still yield its name + leaflist, because the version header's byte
+    count delimits the object."""
+    import struct
+
+    from dask_awkward_sandbox_spark.io import rootfile as rf
+
+    # hand-build a TTree payload whose TBranch has 64 junk bytes after
+    # the members the reader models
+    branch_body = rf._w_tnamed("pt", "pt/D") + b"\xAB" * 64
+    els = [("TBranch", rf._w_version(branch_body, 13))]
+    body = rf._w_tnamed("Events", "") + struct.pack(">q", 5) + rf._w_objarray(els)
+    payload = rf._w_version(body, 20)
+    tree, entries, brs = rf._r_tree_payload(payload)
+    assert (tree, entries) == ("Events", 5)
+    assert brs == {"pt": "pt/D"}
+
+
+def test_embedded_tree_backref_tag_gated(tmp_path):
+    """Class/object back-reference tags (real ROOT emits them when a
+    class repeats) are gated, not misdecoded."""
+    import struct
+
+    from dask_awkward_sandbox_spark.functions.multimodal import DecodeUnavailable
+    from dask_awkward_sandbox_spark.io import rootfile as rf
+
+    leaf = rf._w_version(rf._w_tnamed("pt", "pt/D"), 1)
+    good = rf._w_version(rf._w_tnamed("pt", "pt/D") + rf._w_objarray([("TLeafD", leaf)]), 13)
+    # build an objarray then corrupt the first element's class tag into
+    # a back-reference (tag without the new-class bit pattern)
+    arr = bytearray(rf._w_objarray([("TBranch", good)]))
+    tagpos = arr.find(struct.pack(">I", rf._NEW_CLASS_TAG))
+    arr[tagpos:tagpos + 4] = struct.pack(">I", 0x00000042)
+    body = rf._w_tnamed("Events", "") + struct.pack(">q", 1) + bytes(arr)
+    payload = rf._w_version(body, 20)
+    with pytest.raises(DecodeUnavailable, match="back-reference"):
+        rf._r_tree_payload(payload)
+
+
+def test_embedded_tree_entry_mismatch_errors(tmp_path):
+    """fEntries disagreeing with basket inference is corruption, not
+    something to paper over."""
+    import struct
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile, write_root_flat
+
+    path = str(tmp_path / "mis.root")
+    write_root_flat(
+        path, "Events",
+        {"event": ("L", np.arange(10, dtype=np.int64))}, embed_tree=True,
+    )
+    raw = bytearray(open(path, "rb").read())
+    # the int64 entry count follows the TTree payload's TNamed; find
+    # the packed value 10 in the TTree key region and bump it
+    pos = raw.find(struct.pack(">q", 10), 100)
+    assert pos > 0
+    raw[pos:pos + 8] = struct.pack(">q", 11)
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="declares 11"):
+        RootFlatFile(path).num_entries()
