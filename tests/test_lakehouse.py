@@ -325,3 +325,132 @@ def test_snapshot_vacuum_retention_protects_inflight_dirs(spark, tmp_path):
     removed = lh.vacuum_snapshots(path, keep_last=1, min_age_seconds=0)
     assert removed == ["v1_deadbeef"]
     assert not os.path.isdir(inflight)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (r9) + the unified upsert front door
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_schema_evolution_add_column(spark, tmp_path):
+    """v0 has (id, s, n); v1 adds nullable 'lang'. Time travel reads
+    each version under ITS OWN schema: v0 shows 2+1 columns, v1 shows
+    the new column with NULL backfill on untouched rows."""
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+
+    upd = spark.createDataFrame(
+        [(5, "five", 50, "en"), (200, "new", 2, "fr")],
+        "id long, s string, n long, lang string",
+    )
+    assert lh.snapshot_upsert(spark, path, upd, batch_id="evolve")
+
+    v1 = lh.read_snapshot_table(spark, path)
+    assert v1.columns == ["id", "s", "n", "lang"]
+    by_id = {r["id"]: r for r in v1.collect()}
+    assert len(by_id) == 101
+    assert by_id[5]["lang"] == "en" and by_id[5]["s"] == "five"
+    assert by_id[200]["lang"] == "fr"
+    # rows still owned by the v0 dir NULL-backfill the new column
+    assert by_id[7]["lang"] is None and by_id[7]["s"] == "v7"
+
+    # v0 time travel: the added column does not exist there
+    v0 = lh.read_snapshot_table(spark, path, version=0)
+    assert v0.columns == ["id", "s", "n"]
+    assert v0.count() == 100
+
+
+def test_snapshot_schema_evolution_narrow_batch_and_type_conflict(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+
+    # a batch OMITTING a column: its rows get NULL there, schema keeps it
+    narrow = spark.createDataFrame([(3, "three")], "id long, s string")
+    assert lh.snapshot_upsert(spark, path, narrow, batch_id="narrow")
+    by_id = {r["id"]: r for r in lh.read_snapshot_table(spark, path).collect()}
+    assert by_id[3]["n"] is None and by_id[3]["s"] == "three"
+    assert by_id[4]["n"] == 40
+
+    # type change on a shared column is a directed error
+    bad = spark.createDataFrame([(1, "x", "oops")], "id long, s string, n string")
+    with pytest.raises(lh.SchemaEvolutionError, match="column 'n'"):
+        lh.snapshot_upsert(spark, path, bad, batch_id="bad")
+
+    # a batch missing the MERGE KEY is a directed error, not a backfill
+    keyless = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError, match="merge key"):
+        lh.snapshot_upsert(spark, path, keyless, batch_id="keyless")
+
+
+def test_snapshot_concurrent_evolution_rebases_or_conflicts(spark, tmp_path, monkeypatch):
+    """Writer A (adding col 'a') loses the CAS to writer B (adding col
+    'b'): A's retry re-reads B's manifest and rebases, so the final
+    schema holds BOTH columns. If instead both add the SAME column
+    with different types, the loser gets the directed conflict."""
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+
+    stale = lh._read_manifest(path)
+    upd_b = spark.createDataFrame([(400, "B", 1, 9.5)], "id long, s string, n long, b double")
+    assert lh.snapshot_upsert(spark, path, upd_b, batch_id="B")
+
+    real_read = lh._read_manifest
+    calls = {"n": 0}
+
+    def first_read_is_stale(p, version=None):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_read(p, version)
+
+    monkeypatch.setattr(lh, "_read_manifest", first_read_is_stale)
+    upd_a = spark.createDataFrame([(401, "A", 2, True)], "id long, s string, n long, a boolean")
+    assert lh.snapshot_upsert(spark, path, upd_a, batch_id="A")
+    monkeypatch.setattr(lh, "_read_manifest", real_read)
+
+    out = lh.read_snapshot_table(spark, path)
+    assert out.columns == ["id", "s", "n", "b", "a"]
+    by_id = {r["id"]: r for r in out.collect()}
+    assert by_id[400]["b"] == 9.5 and by_id[400]["a"] is None
+    assert by_id[401]["a"] is True and by_id[401]["b"] is None
+
+    # same-name different-type concurrent adds: loser conflicts
+    stale2 = lh._read_manifest(path)
+    upd_c = spark.createDataFrame([(402, "C", 3, "s")], "id long, s string, n long, c string")
+    assert lh.snapshot_upsert(spark, path, upd_c, batch_id="C")
+    calls["n"] = 0
+    monkeypatch.setattr(lh, "_read_manifest", first_read_is_stale)
+    # reuse the stale-read shim with the NEW stale manifest
+    stale = stale2
+    upd_d = spark.createDataFrame([(403, "D", 4, 7)], "id long, s string, n long, c long")
+    with pytest.raises(lh.SchemaEvolutionError, match="column 'c'"):
+        lh.snapshot_upsert(spark, path, upd_d, batch_id="D")
+
+
+def test_upsert_table_unified_front_door(spark, tmp_path):
+    """ONE path for both flavors: creates on first call, merges after,
+    exactly-once by batch_id on the snapshot flavor (including a
+    replay of the CREATING batch), directed error for batch_id on the
+    plain flavor."""
+    snap = str(tmp_path / "snap")
+    plain = str(tmp_path / "plain")
+
+    # snapshot flavor: create records the batch id
+    assert lh.upsert_table(spark, snap, _base(spark), ["id"], n_buckets=8,
+                           snapshot=True, batch_id="b0")
+    # replaying the creating batch is a metadata no-op
+    assert lh.upsert_table(spark, snap, _base(spark), ["id"], n_buckets=8,
+                           snapshot=True, batch_id="b0") is False
+    upd = spark.createDataFrame([(1, "one", 11)], "id long, s string, n long")
+    assert lh.upsert_table(spark, snap, upd, ["id"], snapshot=True, batch_id="b1")
+    assert lh.upsert_table(spark, snap, upd, ["id"], snapshot=True, batch_id="b1") is False
+    got = {r["id"]: r["s"] for r in lh.read_snapshot_table(spark, snap).collect()}
+    assert got[1] == "one" and len(got) == 100
+
+    # plain flavor: same front door, content-idempotent replay
+    assert lh.upsert_table(spark, plain, _base(spark), ["id"], n_buckets=8,
+                           snapshot=False)
+    assert lh.upsert_table(spark, plain, upd, ["id"], n_buckets=8, snapshot=False)
+    assert lh.upsert_table(spark, plain, upd, ["id"], n_buckets=8, snapshot=False)
+    got = {r["id"]: r["s"] for r in lh.read_merge_table(spark, plain).collect()}
+    assert got[1] == "one" and len(got) == 100
+    with pytest.raises(ValueError, match="batch_id dedup needs the manifest"):
+        lh.upsert_table(spark, plain, upd, ["id"], snapshot=False, batch_id="x")
