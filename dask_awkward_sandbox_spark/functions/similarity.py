@@ -475,6 +475,7 @@ def neardup_pairs_blocked(
 def connected_components(
     edges: DataFrame, ids: DataFrame, max_iter: int = 20,
     stats: dict | None = None, jumps: int = 2,
+    init_from_edges: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list: min-label
     propagation with pointer jumping (the same loop shape as
@@ -514,9 +515,33 @@ def connected_components(
     # still materializes exactly once and never recomputes upstream.
     und = edges.selectExpr("a", "b").union(edges.selectExpr("b as a", "a as b"))
     und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
-    labels = ids.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(
-        eager=False
-    )
+    if init_from_edges:
+        # Seeded init (r9, the r8 verdict's item 4): label(v) starts at
+        # min(v, min neighbor of v) instead of v — one groupBy-min over
+        # the checkpointed edge set plus a |V| left join, ~40% of a
+        # full round (no jumps, no contraction, no count barrier), and
+        # round 1's neighbor propagation then reaches TWO hops (the
+        # neighbor's label is already its own neighborhood min), so
+        # convergence lands one round earlier. Sound for min-label
+        # propagation: any init with label(v) <= v and label(v) in v's
+        # component preserves the invariant the fixpoint argument
+        # rests on (see the empty-edge-exit comment below); a direct
+        # verified neighbor is in v's component by construction.
+        seed = und.groupBy("a").agg(F.min("b").alias("_nb")).withColumnRenamed(
+            "a", "id"
+        )
+        labels = (
+            ids.join(seed, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("id"), F.coalesce("_nb", "id")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        labels = ids.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(
+            eager=False
+        )
     if stats is not None:
         stats["iterations"], stats["changed"] = 0, []
         stats["converged"] = True
@@ -776,7 +801,9 @@ def embedding_neardup_clusters(
         .select("a", "b")
     )
     ids = df.select(F.col(id_col).alias("id"))
-    return connected_components(verified, ids, max_iter=max_iter, stats=stats)
+    return connected_components(
+        verified, ids, max_iter=max_iter, stats=stats, init_from_edges=True
+    )
 
 
 def _centroid_sims(

@@ -502,12 +502,18 @@ def test_connected_components_random_graphs_match_union_find(spark):
 
         ids = spark.range(n).select(F.col("id"))
         edf = spark.createDataFrame(edges, "a long, b long")
-        stats: dict = {}
-        got = {
-            r["id"]: r["cluster"]
-            for r in connected_components(edf, ids, stats=stats).collect()
-        }
-        assert got == want, (seed, stats, {
-            v: (got[v], want[v]) for v in got if got[v] != want[v]
-        })
-        assert stats["converged"]
+        # both init modes must agree with union-find: identity labels
+        # and the r9 seeded init (label = min neighbor), which must be
+        # a pure convergence accelerator, never a semantics change
+        for init in (False, True):
+            stats: dict = {}
+            got = {
+                r["id"]: r["cluster"]
+                for r in connected_components(
+                    edf, ids, stats=stats, init_from_edges=init
+                ).collect()
+            }
+            assert got == want, (seed, init, stats, {
+                v: (got[v], want[v]) for v in got if got[v] != want[v]
+            })
+            assert stats["converged"]
