@@ -243,3 +243,151 @@ def test_video_frame_extraction(spark):
         for r in mm.frame_sample_plan(media, every_n=10).collect()
     }
     assert planned == {(r["media_id"], r["frame_idx"]) for r in got}
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r9): real zlib + filters + CRC chunks, no PIL
+# ---------------------------------------------------------------------------
+
+
+def _planted_px(h=14, w=20, seed=3):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 5 + seed) % 256, (y * 9 + seed) % 256, (x * y + seed) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    px = _planted_px()
+    buf = mm._encode_png_py(px)
+    assert buf[:8] == mm.PNG_MAGIC
+    w, h, got = mm._decode_png_pixels(buf)
+    assert (w, h) == (20, 14)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_decoder_handles_all_filter_types():
+    """The decoder must read files REAL encoders wrote: build an IDAT
+    whose rows cycle through filters Sub/Up/Average/Paeth/None (the
+    forward-filter transform implemented here in the test, per the PNG
+    spec), and require exact pixel reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    px = _planted_px(h=15, w=9, seed=7)
+    h, w, bpp = px.shape[0], px.shape[1], 3
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = [1, 2, 3, 4, 0][y % 5]
+        prev = flat[y - 1] if y else np.zeros(w * bpp, np.int32)
+        line = np.zeros(w * bpp, dtype=np.int32)
+        for x in range(w * bpp):
+            a = flat[y][x - bpp] if x >= bpp else 0
+            bup = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = bup
+            elif ft == 3:
+                pred = (a + bup) // 2
+            else:
+                p = a + bup - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - bup), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (bup if pb_ <= pc_ else c)
+            line[x] = (flat[y][x] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(line.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, got = mm._decode_png_pixels(buf)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_multi_idat_and_error_surface():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    px = _planted_px(h=6, w=4)
+    # split the compressed stream across two IDAT chunks — legal PNG
+    h, w = 6, 4
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    z = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", z[:7])
+        + mm._png_chunk(b"IDAT", z[7:])
+        + mm._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mm._decode_png_pixels(buf)[2], px)
+
+    # CRC corruption is a decode error, not garbage pixels
+    good = mm._encode_png_py(px)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm._decode_png_pixels(bytes(bad))
+    # non-RGB color types are directed errors
+    gray_ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    gbuf = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", gray_ihdr)
+        + mm._png_chunk(b"IDAT", z)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type 0"):
+        mm._decode_png_pixels(gbuf)
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm._decode_png_pixels(b"nope")
+    with pytest.raises(mm.DecodeUnavailable, match="JPEG"):
+        mm.decode_jpeg(b"\xff\xd8\xff")
+
+
+def test_png_spark_decode_and_resize(spark):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    df = mm.synthetic_png_media(spark, n=12, width=20, height=14).repartition(4)
+    stats = {r["media_id"]: r for r in mm.decode_png(df).collect()}
+    assert len(stats) == 12
+    assert all((r["width"], r["height"]) == (20, 14) for r in stats.values())
+    # mean matches the driver-side recompute of the generator
+    y, x = np.mgrid[0:14, 0:20]
+    px0 = np.stack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256], -1)
+    assert stats[0]["mean_pixel"] == pytest.approx(float(np.mean(px0)))
+
+    out = mm.resize_png(df, 10, 7)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert all((r["width"], r["height"]) == (10, 7) for r in rows.values())
+    # resized pixels == the shared nearest-neighbor kernel on the source
+    w, h, got = mm._decode_png_pixels(bytes(rows[3]["payload"]))
+    i = 3
+    px3 = np.stack(
+        [(x * 7 + i) % 256, (y * 11 + 2 * i) % 256, (x + y + 3 * i) % 256], -1
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got, mm._nn_resize(px3, 10, 7))
