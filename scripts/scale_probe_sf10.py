@@ -67,7 +67,18 @@ REGISTERED = [
     "q_concatenate",
     "q_flatten_softmax",
     "q_parquet_roundtrip",
+    # r9 panel widening (r8-verdict item 6): the three dedup slots had
+    # no recorded sf10 growth on the post-r8 shared-signature-scan
+    # shapes (one 16-perm scan feeding both legs of each slot)
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
 ]
+
+# r8's knn sf10 cell read 10.6x in the official artifact and 7.8x in a
+# same-day rerun — the one noisy cell in the panel; min-of-3 instead
+# of min-of-2 to pin its steady state (r8-verdict item 6)
+EXTRA_REPS = {"q_knn_join": 3}
 
 SF1_DIR = "/root/repo/.scaledata/sf1"
 SF10_DIR = "/root/repo/.scaledata/sf10"
@@ -102,6 +113,33 @@ def _extra_queries(spark, d):
     }
 
 
+def _minhash_pair_output(spark):
+    """q_dedup_minhash's pair leg is a PAIR LISTER — on this corpus's
+    ~2700-doc near-identical template groups its OUTPUT is quadratic
+    in group size (62.4M pairs at sf1), so wall growth above 10x is
+    output volume, not plan pathology (the r9 diagnosis; the same
+    story as the demoted embedding pair lister). Record out_pairs at
+    both scales so the artifact PROVES output-boundedness: wall/pair
+    stays ~flat. The registered scale path for minhash dedup is the
+    cluster slot (flat iterations, ~3x growth)."""
+    from dask_awkward_sandbox_spark.functions import dedup
+    from dask_awkward_sandbox_spark.plans.llm import _docs
+
+    out = {}
+    for sf_name, d in (("sf1", SF1_DIR), ("sf10", SF10_DIR)):
+        t0 = time.perf_counter()
+        n = dedup.minhash_lsh_candidates(
+            _docs(spark, d), "text", "doc_id", num_perms=16, bands=4
+        ).count()
+        out[sf_name] = {"output_pairs": n,
+                        "wall": round(time.perf_counter() - t0, 3)}
+    out["output_growth"] = round(
+        out["sf10"]["output_pairs"] / out["sf1"]["output_pairs"], 2
+    )
+    out["wall_growth"] = round(out["sf10"]["wall"] / out["sf1"]["wall"], 2)
+    return out
+
+
 def main() -> None:
     from dask_awkward_sandbox_spark.plans import QUERIES
     from dask_awkward_sandbox_spark.session import get_spark
@@ -133,8 +171,9 @@ def main() -> None:
         # q_reduce_order_count at 14.8x where two fresh-session
         # re-measurements steady-stated at ~5.5x; the committed
         # artifact must carry the steady-state number)
-        t_sf1[name] = _timed(lambda: _noop(QUERIES[name](spark, SF1_DIR)), reps=2)
-        t_sf10[name] = _timed(lambda: _noop(QUERIES[name](spark, SF10_DIR)), reps=2)
+        reps = EXTRA_REPS.get(name, 2)
+        t_sf1[name] = _timed(lambda: _noop(QUERIES[name](spark, SF1_DIR)), reps=reps)
+        t_sf10[name] = _timed(lambda: _noop(QUERIES[name](spark, SF10_DIR)), reps=reps)
         growth[name] = round(t_sf10[name] / t_sf1[name], 2)
         print(f"# {name}: sf1 {t_sf1[name]}s sf10 {t_sf10[name]}s "
               f"growth {growth[name]}x stable={stable[name]}", file=sys.stderr)
@@ -155,6 +194,7 @@ def main() -> None:
             "growth_sf10_vs_sf1": growth,
             "plans_stable": all(stable.values()),
             "plan_stable": stable,
+            "minhash_pair_lister": _minhash_pair_output(spark),
         }
     )
     if delta:
