@@ -322,20 +322,26 @@ class RootFlatFile:
         b = self._buf
         if b[:4] != MAGIC:
             raise ValueError(f"{path}: not a ROOT file (magic {b[:4]!r})")
-        (
-            _magic,
-            self.version,
-            self.begin,
-            end,
-            _seekfree,
-            _nbytesfree,
-            _nfree,
-            _nbytesname,
-            _units,
-            self.compress,
-            _seekinfo,
-            _nbytesinfo,
-        ) = struct.unpack_from(_HEADER_FMT, b, 0)
+        _magic, self.version, self.begin = struct.unpack_from(">4sii", b, 0)
+        if self.version > 1_000_000:
+            # big-file form (files >= 2 GiB — the common case for real
+            # HEP datasets): fEND/fSeekFree/fSeekInfo widen to 64-bit,
+            # announced by fVersion + 1000000 (public TFile layout)
+            end, _seekfree = struct.unpack_from(">qq", b, 12)
+            (_nbytesfree, _nfree, _nbytesname) = struct.unpack_from(">iii", b, 28)
+            (self.compress,) = struct.unpack_from(">i", b, 41)
+        else:
+            (
+                end,
+                _seekfree,
+                _nbytesfree,
+                _nfree,
+                _nbytesname,
+                _units,
+                self.compress,
+                _seekinfo,
+                _nbytesinfo,
+            ) = struct.unpack_from(">iiiiiBiii", b, 12)
         self.end = end
         self._decoded: dict[str, np.ndarray] = {}
         self.branches: dict[str, str] = {}
@@ -501,6 +507,7 @@ def write_root_flat(
     basket_entries: int = 1000,
     compress: bool = False,
     embed_tree: bool = False,
+    big_file: bool = False,
 ) -> None:
     """Write a minimal flat/counter-jagged ROOT file: TFile header +
     branch metadata + TBasket keys holding big-endian value arrays,
@@ -522,6 +529,12 @@ def write_root_flat(
     a list of per-entry lists — written as the concatenated value
     stream under the leaflist title ``name[counter]/D``, lengths
     carried by the (flat, required) counter branch.
+
+    ``big_file`` (r9) writes the >= 2 GiB form real HEP files use:
+    fVersion + 1000000 with 64-bit fEND/fSeekFree/fSeekInfo and
+    version-1004 keys carrying 64-bit fSeekKey/fSeekPdir (which
+    :func:`parse_key` reads). The small form keeps its directed
+    2 GiB guard; at 100 TB every production file should be big-form.
     """
     parsed: dict[str, tuple[str, str | None, object]] = {}
     for name, (spec, values) in data.items():
@@ -558,20 +571,20 @@ def write_root_flat(
 
     def key_record(classname: str, name: str, title: str, payload: bytes,
                    objlen: int, seek: int) -> bytes:
-        _check_small_file_offset(seek)
         strings = _wstring(classname) + _wstring(name) + _wstring(title)
-        keylen = 18 + 8 + len(strings)  # short (version<1000) 32-bit seeks
-        head = struct.pack(
-            ">ihiIhhii",
-            keylen + len(payload),
-            4,
-            objlen,
-            0,
-            keylen,
-            1,
-            seek,
-            0,
-        )
+        if big_file:
+            keylen = 18 + 16 + len(strings)  # version>1000: 64-bit seeks
+            head = struct.pack(
+                ">ihiIhhqq",
+                keylen + len(payload), 1004, objlen, 0, keylen, 1, seek, 0,
+            )
+        else:
+            _check_small_file_offset(seek)
+            keylen = 18 + 8 + len(strings)  # short form: 32-bit seeks
+            head = struct.pack(
+                ">ihiIhhii",
+                keylen + len(payload), 4, objlen, 0, keylen, 1, seek, 0,
+            )
         return head + strings + payload
 
     seek = 100
@@ -622,22 +635,29 @@ def write_root_flat(
             seek += len(rec)
 
     end = seek
-    _check_small_file_offset(end)  # last record may push fEND past 32-bit
-    header = struct.pack(
-        _HEADER_FMT,
-        MAGIC,
-        63200,
-        100,
-        end,
-        0,
-        0,
-        0,
-        0,
-        4,
-        101 if compress else 0,
-        0,
-        0,
-    )
+    if big_file:
+        header = struct.pack(
+            ">4sii" + "qqiiiBiqi",
+            MAGIC, 1_063_200, 100,
+            end, 0, 0, 0, 0, 8, 101 if compress else 0, 0, 0,
+        )
+    else:
+        _check_small_file_offset(end)  # last record may push fEND past 32-bit
+        header = struct.pack(
+            _HEADER_FMT,
+            MAGIC,
+            63200,
+            100,
+            end,
+            0,
+            0,
+            0,
+            0,
+            4,
+            101 if compress else 0,
+            0,
+            0,
+        )
     with open(path, "wb") as f:
         f.write(header.ljust(100, b"\x00"))
         for rec in records:

@@ -1141,25 +1141,61 @@ def q_ann_ivf_assign(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# PNG gate-leg geometry: every doc gets a 12x8 RGB image whose pixel
+# (y, x) is ((x*7 + i) % 256, (y*11 + 2i) % 256, (x + y + 3i) % 256)
+# for i = doc_id — closed-form, so the oracle can recompute the exact
+# pixel SUM without a PNG decoder. 3*12*8 = 288 pixels-channels; the
+# decoded mean times 288 rounds back to the exact integer sum.
+_PNG_W, _PNG_H = 12, 8
+
 @query(
     "q_multimodal_features",
-    """
-    select doc_id,
-           cast(n_chars % 256 + 1 as bigint) as width,
-           cast(doc_id % 128 + 1 as bigint) as height,
-           cast(octet_length(encode(text)) as bigint) as n_bytes
-    from documents
+    f"""
+    with png as (
+      select d.doc_id,
+             cast(sum((x.x*7 + d.doc_id) % 256 + (y.y*11 + 2*d.doc_id) % 256
+                      + (x.x + y.y + 3*d.doc_id) % 256) as bigint) as png_pixsum
+      from documents d, range({_PNG_W}) x(x), range({_PNG_H}) y(y)
+      group by d.doc_id)
+    select d.doc_id,
+           cast(d.n_chars % 256 + 1 as bigint) as width,
+           cast(d.doc_id % 128 + 1 as bigint) as height,
+           cast(octet_length(encode(d.text)) as bigint) as n_bytes,
+           cast({_PNG_W} as bigint) as png_w,
+           cast({_PNG_H} as bigint) as png_h,
+           png.png_pixsum
+    from documents d join png using (doc_id)
     """,
 )
 def q_multimodal_features(spark, sf_dir):
-    """REAL multimodal decode over real bytes: each document's utf-8
-    payload is wrapped into a valid BMP file image JVM-side
-    (bmp_column: magic, little-endian header fields, pixel data),
-    then an Arrow-batched pure-python decoder (parse_bmp_header)
-    reads width/height/payload-size back OUT of the bytes. The oracle
-    predicts the header fields from the source columns — a
-    construction or parsing bug on either side breaks the match."""
-    from dask_awkward_sandbox_spark.functions.multimodal import bmp_column, decode_bmp
+    """REAL multimodal decode over real bytes, two codec legs:
+
+    - BMP: each document's utf-8 payload is wrapped into a valid BMP
+      file image JVM-side (bmp_column: magic, little-endian header
+      fields, pixel data), then an Arrow-batched pure-python decoder
+      (parse_bmp_header) reads width/height/payload-size back OUT of
+      the bytes. The oracle predicts the header fields from the
+      source columns.
+    - PNG (r9): a 12x8 RGB image whose pixels are a closed-form
+      function of doc_id is ENCODED to real PNG bytes executor-side
+      (_encode_png_py: IHDR/IDAT/IEND, zlib, CRC framing) and DECODED
+      back (decode_png: chunk walk, CRC verify, inflate, unfilter);
+      png_pixsum = round(mean * 288) is the exact integer pixel sum,
+      which the oracle recomputes from the generator — a bit flipped
+      anywhere in the zlib round-trip or filter reconstruction breaks
+      the hash. The same write-real-bytes-then-decode pattern as the
+      root_* legs in q_small_sources.
+
+    A construction or parsing bug on either side breaks the match."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dask_awkward_sandbox_spark.functions.multimodal import (
+        _encode_png_py,
+        bmp_column,
+        decode_bmp,
+        decode_png,
+    )
 
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
@@ -1170,8 +1206,40 @@ def q_multimodal_features(spark, sf_dir):
         ).alias("payload"),
     )
     out = decode_bmp(d)
-    return out.select(
-        F.col("media_id").alias("doc_id"), "width", "height", "n_bytes"
+
+    w, h = _PNG_W, _PNG_H
+
+    def make_png(batches):
+        y, x = np.mgrid[0:h, 0:w]
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            payloads = [
+                _encode_png_py(
+                    np.stack(
+                        [(x * 7 + i) % 256, (y * 11 + 2 * i) % 256,
+                         (x + y + 3 * i) % 256],
+                        axis=-1,
+                    ).astype(np.uint8)
+                )
+                for i in ids
+            ]
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    pngs = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        make_png, "media_id long, payload binary"
+    )
+    png_side = decode_png(pngs).select(
+        F.col("media_id"),
+        F.col("width").alias("png_w"),
+        F.col("height").alias("png_h"),
+        F.round(F.col("mean_pixel") * (3 * w * h)).cast("long").alias("png_pixsum"),
+    )
+    return out.join(png_side, "media_id").select(
+        F.col("media_id").alias("doc_id"), "width", "height", "n_bytes",
+        "png_w", "png_h", "png_pixsum",
     )
 
 

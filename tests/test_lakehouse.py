@@ -454,3 +454,36 @@ def test_upsert_table_unified_front_door(spark, tmp_path):
     assert got[1] == "one" and len(got) == 100
     with pytest.raises(ValueError, match="batch_id dedup needs the manifest"):
         lh.upsert_table(spark, plain, upd, ["id"], snapshot=False, batch_id="x")
+
+
+def test_snapshot_streaming_sink_evolves_schema_across_batches(spark, tmp_path):
+    """Schema evolution composed with the streaming sink: batch 0
+    creates the table, a later upsert ADDS a column mid-stream (the
+    foreachBatch path routes through upsert_table -> snapshot_upsert,
+    so evolution applies), and time travel still reads v0 under its
+    own narrower schema."""
+    import os
+
+    path = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).write.json(os.path.join(src, "batch0"))
+    stream = spark.readStream.schema("id long, s string").json(
+        os.path.join(src, "*")
+    )
+    q = lh.snapshot_dedup_sink(stream, path, ["id"], ckpt).start()
+    q.awaitTermination(60)
+    assert {r["id"] for r in lh.read_snapshot_table(spark, path).collect()} == {1, 2}
+
+    # evolve OUT of band (a wider producer joins the pipeline)
+    wide = spark.createDataFrame([(3, "c", 9.5)], "id long, s string, score double")
+    assert lh.upsert_table(spark, path, wide, ["id"], batch_id="wide-1")
+    out = lh.read_snapshot_table(spark, path)
+    assert out.columns == ["id", "s", "score"]
+    by_id = {r["id"]: r for r in out.collect()}
+    assert by_id[3]["score"] == 9.5 and by_id[1]["score"] is None
+    v0 = lh.read_snapshot_table(spark, path, version=0)
+    assert v0.columns == ["id", "s"]

@@ -578,3 +578,36 @@ def test_embedded_tree_entry_mismatch_errors(tmp_path):
     open(path, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="declares 11"):
         RootFlatFile(path).num_entries()
+
+
+def test_rawroot_big_file_form_roundtrip(spark, tmp_path):
+    """The >= 2 GiB form real HEP files use (r9): fVersion + 1000000
+    header with 64-bit fEND/fSeekFree/fSeekInfo and version-1004 keys
+    with 64-bit seeks. A small file written in the big form must
+    round-trip through the SAME reader (header branch + parse_key's
+    version>1000 path), including the Spark from_root path."""
+    import struct
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile, write_root_flat
+
+    n = 120
+    nmu = np.array([(i * 3 + 1) % 4 for i in range(n)], dtype=np.int32)
+    pts = [[i * 0.5 + j for j in range(int(c))] for i, c in enumerate(nmu)]
+    path = str(tmp_path / "big.root")
+    write_root_flat(
+        path, "Events",
+        {"event": ("L", np.arange(n, dtype=np.int64)),
+         "nMuon": ("I", nmu), "Muon_pt": ("[nMuon]D", pts)},
+        basket_entries=50, compress=True, embed_tree=True, big_file=True,
+    )
+    raw = open(path, "rb").read()
+    assert struct.unpack_from(">i", raw, 4)[0] == 1_063_200  # big fVersion
+    f = RootFlatFile(path)
+    assert f.end == len(raw)  # 64-bit fEND parsed from the big header
+    df = from_root(spark, path, step_size=40, backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    assert list(got["event"]) == list(range(n))
+    assert [list(x) for x in got["Muon_pt"]] == pts
