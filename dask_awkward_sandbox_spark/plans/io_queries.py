@@ -199,9 +199,34 @@ _SMALL_SOURCES_ORACLE = f"""
     l as (select cast(4 as bigint) as n_lists,
                  cast(6 as bigint) as total_items,
                  cast(18.5 as double) as sum_v_total),
-    s as (select cast(4 as bigint) as n_sampled, cast(22 as bigint) as sum_sampled)
-    select j.*, d.*, l.*, s.*, rt.*
-    from j cross join d cross join l cross join s cross join rt
+    s as (select cast(4 as bigint) as n_sampled, cast(22 as bigint) as sum_sampled),
+    lake_base as (select event_id, event_type,
+                         cast(round(value*100) as bigint) as value_c
+                  from events where event_id % 7 = 0),
+    lake_upd as (
+      select event_id, event_type, value_c * 2 as value_c, 'u' as src
+      from lake_base where event_id % 21 = 0
+      union all
+      select event_id, event_type,
+             cast(round(value*100) as bigint) as value_c, 'u' as src
+      from events where event_id % 11 = 0 and event_id % 7 <> 0),
+    lake_latest as (
+      select * from lake_upd
+      union all
+      select b.event_id, b.event_type, b.value_c, cast(null as varchar) as src
+      from lake_base b where b.event_id % 21 <> 0),
+    lk as (
+      select cast((select count(*) from lake_latest) as bigint) as lake_n,
+             cast((select sum(value_c) from lake_latest) as bigint) as lake_sum_c,
+             cast((select count(*) from lake_latest where src = 'u') as bigint)
+               as lake_n_src_u,
+             cast((select count(*) from lake_latest where src is null) as bigint)
+               as lake_n_src_null,
+             cast((select count(*) from lake_base) as bigint) as lake_v0_n,
+             cast((select sum(value_c) from lake_base) as bigint) as lake_v0_sum_c
+    )
+    select j.*, d.*, l.*, s.*, rt.*, lk.*
+    from j cross join d cross join l cross join s cross join rt cross join lk
 """
 
 
@@ -229,6 +254,16 @@ def q_small_sources(spark, sf_dir):
       cuts, and aggregated; the oracle recomputes from the closed-form
       per-entry generator. This puts the io/rootfile.py byte decoder
       under the driver's value gate every round.
+    - lake_* legs (late r9): the snapshot-table lakehouse contract
+      under the value gate — create a table from an events slice,
+      apply ONE upsert that both updates (doubled value_c for
+      event_id%21==0) and inserts (event_id%11 rows) while ADDING a
+      column (src — schema evolution with NULL backfill), REPLAY the
+      same batch_id (must be a metadata no-op: if it returned
+      applied=True the n_src_null leg is poisoned and the hash
+      breaks), then aggregate the latest version AND the v0 time
+      travel (read under v0's own narrower schema). The oracle
+      recomputes both versions from the source view.
 
     The 1-row aggregates broadcast-cross onto the per-event-type frame.
     """
@@ -328,11 +363,59 @@ def q_small_sources(spark, sf_dir):
         F.sum(((F.col("event") - 1_000_000) % 97) * F.col("pt_c")).alias("root_dot"),
     )
 
+    # lakehouse snapshot legs (late r9): deterministic per run — the
+    # table is rebuilt from scratch each call
+    import shutil
+
+    from dask_awkward_sandbox_spark.io import lakehouse as lh
+
+    lpath = _scratch(sf_dir, "lake_gate")
+    shutil.rmtree(lpath, ignore_errors=True)
+    ev = read(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("value_c")
+    )
+    base = ev.filter(F.col("event_id") % 7 == 0)
+    lh.create_snapshot_table(base, lpath, ["event_id"], n_buckets=8)
+    upd = (
+        base.filter(F.col("event_id") % 21 == 0)
+        .withColumn("value_c", F.col("value_c") * 2)
+        .unionByName(
+            ev.filter((F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0))
+        )
+        .withColumn("src", F.lit("u"))
+    )
+    applied = lh.snapshot_upsert(spark, lpath, upd, batch_id="gate-b1")
+    # exactly-once: the replay must be a metadata no-op; poison the
+    # n_src_null leg if either flag is wrong so the value hash breaks
+    replayed = lh.snapshot_upsert(spark, lpath, upd, batch_id="gate-b1")
+    poison = 0 if (applied is True and replayed is False) else 10**9
+    latest = lh.read_snapshot_table(spark, lpath)
+    v0 = lh.read_snapshot_table(spark, lpath, version=0)
+    lake_stats = (
+        latest.agg(
+            F.count(F.lit(1)).alias("lake_n"),
+            F.sum("value_c").alias("lake_sum_c"),
+            F.count(F.when(F.col("src") == "u", 1)).alias("lake_n_src_u"),
+            (F.count(F.when(F.col("src").isNull(), 1)) + F.lit(poison)).alias(
+                "lake_n_src_null"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                v0.agg(
+                    F.count(F.lit(1)).alias("lake_v0_n"),
+                    F.sum("value_c").alias("lake_v0_sum_c"),
+                )
+            )
+        )
+    )
+
     return (
         json_side.crossJoin(F.broadcast(text_stats))
         .crossJoin(F.broadcast(list_stats))
         .crossJoin(F.broadcast(sample_stats))
         .crossJoin(F.broadcast(root_stats))
+        .crossJoin(F.broadcast(lake_stats))
     )
 
 
