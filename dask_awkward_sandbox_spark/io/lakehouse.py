@@ -157,6 +157,19 @@ def merge_upsert(
         .filter(F.col(BUCKET_COL).isin(touched))
         .join(upd.select(*keys), keys, "left_anti")
     )
+    # the plain table has no manifest to version a schema, so a batch
+    # whose columns differ from the table's is a DIRECTED error — the
+    # old select(*existing.columns) silently DROPPED new columns and
+    # crashed opaquely on missing ones (r9 self-review)
+    if set(upd.columns) != set(existing.columns):
+        extra = sorted(set(upd.columns) - set(existing.columns))
+        missing = sorted(set(existing.columns) - set(upd.columns))
+        raise ValueError(
+            f"merge_upsert: batch schema differs from the table's "
+            f"(extra columns {extra}, missing {missing}); the plain table "
+            "cannot evolve schemas — use the snapshot flavor "
+            "(upsert_table(snapshot=True)) for add-column evolution"
+        )
     out = existing.unionByName(upd.select(*existing.columns))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

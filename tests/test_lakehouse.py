@@ -487,3 +487,18 @@ def test_snapshot_streaming_sink_evolves_schema_across_batches(spark, tmp_path):
     assert by_id[3]["score"] == 9.5 and by_id[1]["score"] is None
     v0 = lh.read_snapshot_table(spark, path, version=0)
     assert v0.columns == ["id", "s"]
+
+
+def test_plain_merge_rejects_schema_change(spark, tmp_path):
+    """The plain flavor has no manifest to version schemas: an
+    evolving batch must be a directed error pointing at the snapshot
+    flavor, never a silent column drop (r9 self-review — the old path
+    select()ed the batch down to the table's columns)."""
+    path = str(tmp_path / "plain")
+    lh.create_merge_table(_base(spark), path, ["id"], n_buckets=8)
+    wide = spark.createDataFrame([(1, "x", 5, "u")], "id long, s string, n long, src string")
+    with pytest.raises(ValueError, match="snapshot"):
+        lh.merge_upsert(spark, path, wide, ["id"], n_buckets=8)
+    narrow = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(ValueError, match="missing"):
+        lh.merge_upsert(spark, path, narrow, ["id"], n_buckets=8)
