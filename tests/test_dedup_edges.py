@@ -144,3 +144,28 @@ def test_paragraph_dedup_properties(spark):
     once = paragraph_dedup(dup, "text", "doc_id", min_chars=2).select("doc_id", "text")
     twice = paragraph_dedup(once, "text", "doc_id", min_chars=2).select("doc_id", "text")
     assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_simhash_hof_and_codegen_forms_agree(spark):
+    """dedup.simhash (append-a-column HOF fold) and
+    dedup.simhash_signatures (explode + codegen aggregates, the r9
+    fast path both registered users take) must produce bit-identical
+    signatures — the two implementations of one contract may not
+    drift. Also pins the default width at 56 bits."""
+    from pyspark.sql import functions as F
+
+    from dask_awkward_sandbox_spark.functions import dedup
+
+    d = _docs(spark).filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    hof = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(d, "text").select("doc_id", "simhash").collect()}
+    fast = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(d, "text", "doc_id").collect()}
+    assert hof == fast and len(hof) == 3
+    assert all(0 <= v < (1 << 56) for v in hof.values())
+    # identical texts hash identically; different text differs
+    assert hof[0] == hof[1] != hof[4]
+    import pytest as _p
+
+    with _p.raises(ValueError, match=r"\[1, 56\]"):
+        dedup.simhash_signatures(d, "text", "doc_id", bits=57)
