@@ -135,6 +135,80 @@ def minhash_band_buckets(
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def minhash_bucket_sizes(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    sig: DataFrame | None = None,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """(band, key, bsize) — LSH bucket occupancy. One partial-agg
+    groupBy over the |docs|*bands membership rows; output is bounded
+    by the number of non-empty buckets. ``buckets`` reuses a
+    :func:`minhash_band_buckets` frame another leg already paid for."""
+    if buckets is None:
+        buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands, sig=sig)
+    return buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsize"))
+
+
+def minhash_candidate_counts(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    sig: DataFrame | None = None,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc LSH candidate-comparison count: for each doc, the number
+    of (doc, other) comparisons a verify stage would run, summed over
+    its bands — sum(bucket_size - 1), WITH band multiplicity (a pair
+    sharing 2 bands counts twice, exactly the comparisons an
+    unsuppressed verifier performs).
+
+    This is the output-BOUNDED derivation of the candidate kernel in
+    :func:`minhash_lsh_candidates`: that function LISTS the pairs,
+    whose count is O(sum bucket^2) — corpus-quadratic on
+    template-heavy corpora (measured 62.4M -> 641M pairs for 10x docs
+    on the r9 sf10 probe) — while this one returns |docs| rows off the
+    same bucket structure via one groupBy + one equi-join, so it scales
+    to 100 TB no matter how skewed the buckets are. Use the pair lister
+    only when downstream verification needs the pairs themselves, and
+    prefer :func:`minhash_dedup_clusters` for dedup decisions."""
+    if buckets is None:
+        buckets = minhash_band_buckets(df, text_col, id_col, num_perms, bands, sig=sig)
+    sizes = minhash_bucket_sizes(None, text_col, id_col, buckets=buckets)
+    return (
+        buckets.join(sizes, ["band", "key"])
+        .groupBy("doc")
+        .agg(F.sum(F.col("bsize") - 1).cast("long").alias("n_candidates"))
+    )
+
+
+def minhash_bucket_histogram(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_perms: int = 16,
+    bands: int = 4,
+    sig: DataFrame | None = None,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """(band, bsize, n_buckets) — the bucket-occupancy histogram per
+    band, the skew diagnostic for LSH banding: a fat tail here is the
+    early warning that the pair lister's output would explode. Output
+    is tiny (distinct occupancy levels per band); work is the same
+    single partial-agg groupBy as :func:`minhash_bucket_sizes`."""
+    sizes = minhash_bucket_sizes(
+        df, text_col, id_col, num_perms, bands, sig=sig, buckets=buckets
+    )
+    return sizes.groupBy("band", "bsize").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+
+
 def minhash_dedup_clusters(
     df: DataFrame,
     text_col: str,

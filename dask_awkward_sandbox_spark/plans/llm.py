@@ -691,37 +691,53 @@ def q_dedup_simhash(spark, sf_dir):
     bkey as (select doc_id, pid // 4 as band,
                     md5(string_agg(mh::varchar, '_' order by pid)) as key
              from sig16 group by doc_id, pid // 4),
-    pairs as (
-      select a.doc_id as id_a, b.doc_id as id_b,
-             cast(count(*) as bigint) as n_shared_bands
-      from bkey a join bkey b on a.band = b.band and a.key = b.key
-                             and a.doc_id < b.doc_id
-      group by a.doc_id, b.doc_id)
+    bsz as (select band, key, count(*) as bsize from bkey group by band, key),
+    cand as (select doc_id, cast(sum(bsize - 1) as bigint) as n_candidates
+             from bkey join bsz using (band, key) group by doc_id),
+    hist as (select band, bsize, cast(count(*) as bigint) as n_buckets
+             from bsz group by band, bsize)
     select 'sig' as leg, doc_id as id_a, cast(pid as bigint) as id_b,
            cast(mh as bigint) as val
     from sig8
     union all
-    select 'pair' as leg, id_a, id_b, n_shared_bands as val from pairs
+    select 'cand' as leg, doc_id as id_a, cast(null as bigint) as id_b,
+           n_candidates as val
+    from cand
+    union all
+    select 'hist' as leg, cast(band as bigint) as id_a,
+           cast(bsize as bigint) as id_b, n_buckets as val
+    from hist
     """.replace("{perms16}", _perm_values_sql(16)).replace("{perms}", _perm_values_sql()),
 )
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH surface in one slot, two legs: the raw 8-perm
+    """MinHash-LSH surface in one slot, three legs: the raw 8-perm
     signatures ('sig' — min over (a*h+b) mod p of the shared word
-    hash, id_b carries the permutation id) AND the LSH candidate
-    pairs ('pair' — 16 perms, 4 bands of 4, the
-    equi-join-on-band-keys candidate generator). Merged r5 from the
-    former q_minhash_sig/q_dedup_minhash split to free gate slots;
-    both legs keep their full value oracles (DuckDB rebuilds
-    signatures, band keys and the blocking join). For corpora with
-    giant dup clusters use q_dedup_minhash_clusters — the pair
-    leg's output is inherently O(sum bucket^2)."""
+    hash, id_b carries the permutation id), the per-doc LSH
+    candidate-comparison counts ('cand' — 16 perms, 4 bands of 4,
+    sum(bucket_size - 1) over the doc's bands: the verify-stage cost
+    the banding implies), and the per-band bucket-occupancy histogram
+    ('hist' — the banding skew diagnostic). All three value-oracled:
+    DuckDB rebuilds signatures, band keys, occupancy and the candidate
+    sums.
+
+    r10 (verdict item 1): the former 'pair' leg LISTED the candidate
+    pairs — O(sum bucket^2) OUTPUT, measured 62.4M -> 641M pairs
+    (24.96x wall) for 10x docs on this corpus's template groups — so
+    it was demoted to pytest (test_dedup_edges) + the sf10 probe's
+    minhash_pair_lister aux block, the same move as the r6 embedding
+    pair lister. 'cand'/'hist' derive from the SAME bucket structure
+    through one partial-agg groupBy + one equi-join, so every
+    registered leg's output is bounded by |docs| regardless of bucket
+    skew. Dedup decisions live in q_dedup_minhash_clusters; pair
+    listing stays available as dedup.minhash_lsh_candidates for
+    callers whose verify stage needs the pairs themselves."""
     d = _docs(spark, sf_dir)
-    # ONE 16-perm signature scan feeds BOTH legs (r8): the perm
+    # ONE 16-perm signature scan feeds ALL legs (r8): the perm
     # family is index-generated, so perms(8) == perms(16)[:8] — the
-    # sig leg reads columns 0-7 of the same frame the pair leg bands
-    # over. Lazy checkpoint: tokenize + 16 interpreted folds run once
-    # (previously 8 + 16 folds over two scans). Only doc_id + the
-    # signature columns are kept so the checkpoint never stores text.
+    # sig leg reads columns 0-7 of the same frame the bucket legs band
+    # over. Lazy checkpoint: tokenize + 16 interpreted folds run once.
+    # Only doc_id + the signature columns are kept so the checkpoint
+    # never stores text.
     sig16 = (
         dedup.minhash_signature(d, "text", 16)
         .select("doc_id", *[f"minhash_{i}" for i in range(16)])
@@ -745,15 +761,29 @@ def q_dedup_minhash(spark, sf_dir):
             F.col("s.minhash").cast("long").alias("val"),
         )
     )
-    pair_leg = dedup.minhash_lsh_candidates(
-        d, "text", "doc_id", num_perms=16, bands=4, sig=sig16
+    # ONE bucket-membership frame feeds BOTH bucket legs: cand joins
+    # it to its own sizes, hist re-aggregates the sizes — the lazy
+    # checkpoint stops the second leg from re-banding the signatures
+    buckets = dedup.minhash_band_buckets(
+        None, "text", "doc_id", num_perms=16, bands=4, sig=sig16
+    ).localCheckpoint(eager=False)
+    cand_leg = dedup.minhash_candidate_counts(
+        None, "text", "doc_id", buckets=buckets
     ).select(
-        F.lit("pair").alias("leg"),
-        "id_a",
-        "id_b",
-        F.col("n_shared_bands").cast("long").alias("val"),
+        F.lit("cand").alias("leg"),
+        F.col("doc").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("n_candidates").alias("val"),
     )
-    return sig_leg.unionAll(pair_leg)
+    hist_leg = dedup.minhash_bucket_histogram(
+        None, "text", "doc_id", buckets=buckets
+    ).select(
+        F.lit("hist").alias("leg"),
+        F.col("band").cast("long").alias("id_a"),
+        F.col("bsize").cast("long").alias("id_b"),
+        F.col("n_buckets").alias("val"),
+    )
+    return sig_leg.unionAll(cand_leg).unionAll(hist_leg)
 
 
 @query(

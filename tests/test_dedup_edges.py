@@ -146,6 +146,77 @@ def test_paragraph_dedup_properties(spark):
     assert sorted(once.collect()) == sorted(twice.collect())
 
 
+def test_minhash_pair_lister_and_bounded_stats(spark):
+    """The demoted pair lister (r10: out of the gate slot — its output
+    is O(sum bucket^2)) stays contract-locked here: pairs must match a
+    Python brute-force rebuild of the banding, and the registered
+    output-bounded derivations (candidate counts + bucket histogram)
+    must be arithmetically consistent with the listed pairs:
+    sum(n_candidates) == 2 * sum(n_shared_bands) and
+    sum over the histogram of n_buckets * bsize * (bsize - 1)."""
+    from collections import defaultdict
+
+    from dask_awkward_sandbox_spark.functions import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),    # near dup
+        (3, "completely different text about spark engines"),
+        (4, "completely different text about spark engines"),    # exact dup of 3
+        (5, "yet another unrelated document body here"),
+        (6, ""),                                                 # token-less: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    perms, bands = 8, 4
+
+    # brute-force band keys from the signature frame itself (the
+    # banding contract, not the implementation under test)
+    sig = dedup.minhash_signature(df, "text", perms).collect()
+    band_of = defaultdict(list)  # (band, key-tuple) -> [doc]
+    for r in sig:
+        if r["minhash_0"] is None:
+            continue
+        rows_per_band = perms // bands
+        for bi in range(bands):
+            key = tuple(
+                r[f"minhash_{bi * rows_per_band + j}"] for j in range(rows_per_band)
+            )
+            band_of[(bi, key)].append(r["doc_id"])
+    want_pairs = defaultdict(int)
+    for docs in band_of.values():
+        for i, a in enumerate(sorted(docs)):
+            for b in sorted(docs)[i + 1 :]:
+                want_pairs[(a, b)] += 1
+
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_bands"]
+        for r in dedup.minhash_lsh_candidates(
+            df, "text", "doc_id", num_perms=perms, bands=bands
+        ).collect()
+    }
+    assert got_pairs == dict(want_pairs)
+    assert (0, 1) in got_pairs and got_pairs[(0, 1)] == bands  # exact dups share all bands
+    assert all(6 not in p for p in got_pairs)  # token-less excluded
+
+    cand = {
+        r["doc"]: r["n_candidates"]
+        for r in dedup.minhash_candidate_counts(
+            df, "text", "doc_id", num_perms=perms, bands=bands
+        ).collect()
+    }
+    hist = dedup.minhash_bucket_histogram(
+        df, "text", "doc_id", num_perms=perms, bands=bands
+    ).collect()
+    total_slots = 2 * sum(got_pairs.values())
+    assert sum(cand.values()) == total_slots
+    assert sum(r["n_buckets"] * r["bsize"] * (r["bsize"] - 1) for r in hist) == total_slots
+    assert 6 not in cand
+    # per-doc spot check: doc 0 shares all 4 bands with doc 1 plus any
+    # bands co-bucketed with doc 2
+    assert cand[0] >= bands
+
+
 def test_simhash_hof_and_codegen_forms_agree(spark):
     """dedup.simhash (append-a-column HOF fold) and
     dedup.simhash_signatures (explode + codegen aggregates, the r9
