@@ -13,7 +13,10 @@ describe:
   freed-slot gap records (negative fNbytes),
 - TBasket payloads for flat (one value per entry) branches: raw
   big-endian arrays, either uncompressed (fObjlen == fNbytes-fKeylen)
-  or zlib-compressed blocks with the 9-byte ``ZL`` block header,
+  or compressed blocks with the 9-byte header — zlib (``ZL``) and,
+  r10, LZ4 (``L4``: canonical XXH64 + LZ4 block, ROOT's default
+  compression since 6.14; io/lz4block.py implements both public
+  formats pure-Python),
 - the public TTree leaflist type letters (``B b S s I i L l F D O``)
   for element decode.
 
@@ -35,7 +38,7 @@ simplified placement; r8).
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
 variable-length branches WITHOUT a counter leaf (their per-entry
 offsets live in TBasket/TTree streamer metadata this module does not
-parse), LZ4/ZSTD/LZMA baskets, TBranchElement/compound branches
+parse), ZSTD/LZMA baskets, TBranchElement/compound branches
 (need streamer-info records), and class/object back-reference tags
 inside object arrays. The writer exists so tests can round-trip real
 bytes without uproot in the container (the BMP/WAV codec precedent);
@@ -285,8 +288,15 @@ def _r_tree_payload(b: bytes) -> tuple[str, int, dict[str, str]]:
 def _decompress(payload: bytes, objlen: int) -> bytes:
     """Decode ROOT compressed-block framing: each block is a 9-byte
     header (2-byte algo tag, 1 method byte, 3-byte LE compressed size,
-    3-byte LE uncompressed size) + the stream. Only zlib (``ZL``) is
-    decodable here; LZ4/ZSTD/LZMA ("L4"/"ZS"/"XZ") are gated."""
+    3-byte LE uncompressed size) + the stream. zlib (``ZL``) and LZ4
+    (``L4`` — ROOT's default since 6.14; 8-byte canonical XXH64 of the
+    compressed block, verified, then the LZ4 block; r10) decode here;
+    ZSTD/LZMA ("ZS"/"XZ") stay gated."""
+    from dask_awkward_sandbox_spark.io.lz4block import (
+        lz4_block_decompress,
+        xxh64,
+    )
+
     out = bytearray()
     off = 0
     while len(out) < objlen:
@@ -294,14 +304,27 @@ def _decompress(payload: bytes, objlen: int) -> bytes:
             raise ValueError("compressed basket: truncated block header")
         tag = payload[off : off + 2]
         c_size = int.from_bytes(payload[off + 3 : off + 6], "little")
+        u_size = int.from_bytes(payload[off + 6 : off + 9], "little")
         off += 9
         if tag == b"ZL":
             out += zlib.decompress(payload[off : off + c_size])
-        elif tag in (b"L4", b"ZS", b"XZ"):
+        elif tag == b"L4":
+            # ROOT's kLZ4 frame: 8-byte canonical (big-endian) XXH64 of
+            # the compressed block precedes it; c_size counts both
+            if c_size < 8:
+                raise ValueError("L4 block: size smaller than its checksum")
+            want = int.from_bytes(payload[off : off + 8], "big")
+            block = payload[off + 8 : off + c_size]
+            if xxh64(block) != want:
+                raise ValueError(
+                    "L4 block: XXH64 checksum mismatch (corrupt basket)"
+                )
+            out += lz4_block_decompress(block, u_size)
+        elif tag in (b"ZS", b"XZ"):
             raise DecodeUnavailable(
-                f"ROOT basket compressed with {tag.decode()} — only zlib (ZL) "
-                "blocks are decodable in this container; recompress with "
-                "ROOT's kZLIB or use the uproot backend"
+                f"ROOT basket compressed with {tag.decode()} — zlib (ZL) and "
+                "LZ4 (L4) decode in this container; recompress with kZLIB/"
+                "kLZ4 or use the uproot backend"
             )
         else:
             raise ValueError(f"unknown ROOT compression tag {tag!r}")
@@ -505,14 +528,17 @@ def write_root_flat(
     tree: str,
     data: dict[str, tuple[str, np.ndarray]],
     basket_entries: int = 1000,
-    compress: bool = False,
+    compress: bool | str = False,
     embed_tree: bool = False,
     big_file: bool = False,
 ) -> None:
     """Write a minimal flat/counter-jagged ROOT file: TFile header +
     branch metadata + TBasket keys holding big-endian value arrays,
-    ``basket_entries`` per basket, optionally zlib-compressed with the
-    real ``ZL`` block framing.
+    ``basket_entries`` per basket, optionally compressed with the real
+    block framing: ``compress=True``/``"zlib"`` writes ``ZL`` blocks,
+    ``"lz4"`` (r10) writes ``L4`` blocks — 9-byte header + canonical
+    XXH64 of the compressed block + the LZ4 block, the frame real ROOT
+    has written by default since 6.14.
 
     ``embed_tree`` (r9) selects the branch-metadata layout:
     False — one standalone ``TBranch`` key per branch (title =
@@ -536,6 +562,10 @@ def write_root_flat(
     :func:`parse_key` reads). The small form keeps its directed
     2 GiB guard; at 100 TB every production file should be big-form.
     """
+    if compress not in (False, True, "zlib", "lz4"):
+        raise ValueError(
+            f"compress must be False/True/'zlib'/'lz4', got {compress!r}"
+        )
     parsed: dict[str, tuple[str, str | None, object]] = {}
     for name, (spec, values) in data.items():
         counter = None
@@ -613,7 +643,25 @@ def write_root_flat(
                 continue
             raw = chunk.tobytes()
             payload = raw
-            if compress:
+            if compress == "lz4":
+                from dask_awkward_sandbox_spark.io.lz4block import (
+                    lz4_block_compress,
+                    xxh64,
+                )
+
+                block = lz4_block_compress(raw)
+                framed = xxh64(block).to_bytes(8, "big") + block
+                # real ROOT's rule (both algos): store RAW when
+                # compression does not shrink — see the ZL note below
+                if 9 + len(framed) < len(raw):
+                    hdr = (
+                        b"L4"
+                        + bytes([1])
+                        + len(framed).to_bytes(3, "little")
+                        + len(raw).to_bytes(3, "little")
+                    )
+                    payload = hdr + framed
+            elif compress:
                 c = zlib.compress(raw, 6)
                 # real ROOT's rule: store RAW when compression does not
                 # shrink. This also keeps the reader's size test sound —
@@ -635,11 +683,13 @@ def write_root_flat(
             seek += len(rec)
 
     end = seek
+    # public fCompress encoding: algorithm*100 + level (zlib=1xx, lz4=4xx)
+    fcompress = 0 if not compress else (404 if compress == "lz4" else 101)
     if big_file:
         header = struct.pack(
             ">4sii" + "qqiiiBiqi",
             MAGIC, 1_063_200, 100,
-            end, 0, 0, 0, 0, 8, 101 if compress else 0, 0, 0,
+            end, 0, 0, 0, 0, 8, fcompress, 0, 0,
         )
     else:
         _check_small_file_offset(end)  # last record may push fEND past 32-bit
@@ -654,7 +704,7 @@ def write_root_flat(
             0,
             0,
             4,
-            101 if compress else 0,
+            fcompress,
             0,
             0,
         )

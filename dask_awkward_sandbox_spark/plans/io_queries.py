@@ -180,7 +180,10 @@ _SMALL_SOURCES_ORACLE = f"""
              cast((select sum(1000000 + i) from root_ent) as bigint) as root_sum_event,
              cast((select count(*) from root_vals) as bigint) as root_total_pt,
              cast((select sum(pt_c) from root_vals) as bigint) as root_sum_pt_c,
-             cast((select sum((i % 97) * pt_c) from root_vals) as bigint) as root_dot
+             cast((select sum((i % 97) * pt_c) from root_vals) as bigint) as root_dot,
+             cast((select sum(pt_c) from root_vals) as bigint) as root_lz4_sum_pt_c,
+             cast((select sum((i % 97) * pt_c) from root_vals) as bigint)
+               as root_lz4_dot
     ),
     j as (
       select event_type, cast(count(*) as bigint) as n,
@@ -362,6 +365,35 @@ def q_small_sources(spark, sf_dir):
         F.sum("pt_c").alias("root_sum_pt_c"),
         F.sum(((F.col("event") - 1_000_000) % 97) * F.col("pt_c")).alias("root_dot"),
     )
+    # root_lz4_* legs (r10): the SAME data written with L4 baskets
+    # (pure-Python LZ4 block + XXH64 framing — ROOT's default algo
+    # since 6.14, io/lz4block.py) must decode to the same closed-form
+    # values through its own file and reader pass; the nMuon (0..3
+    # repeating) and event (arithmetic int64) baskets always shrink,
+    # so the L4 decode path genuinely executes under the gate
+    rpath4 = os.path.join(_scratch(sf_dir, "root_gate"), "events_lz4.root")
+    write_root_flat(
+        rpath4,
+        "Events",
+        {
+            "event": ("L", 1_000_000 + i),
+            "nMuon": ("I", nmu),
+            "Muon_pt": ("[nMuon]D", pts),
+        },
+        basket_entries=_ROOT_N // 4,
+        compress="lz4",
+    )
+    rdf4 = from_root(spark, rpath4, tree="Events", step_size=_ROOT_N // 3,
+                     backend=RawRootBackend())
+    root_lz4_stats = rdf4.select(
+        "event", pt_c.alias("pt_c")
+    ).agg(
+        F.sum("pt_c").alias("root_lz4_sum_pt_c"),
+        F.sum(((F.col("event") - 1_000_000) % 97) * F.col("pt_c")).alias(
+            "root_lz4_dot"
+        ),
+    )
+    root_stats = root_stats.crossJoin(F.broadcast(root_lz4_stats))
 
     # lakehouse snapshot legs (late r9): deterministic per run — the
     # table is rebuilt from scratch each call

@@ -189,12 +189,12 @@ def _write_flat(tmp_path, name="events.root", n=2500, compress=False,
     return path, data
 
 
-@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("compress", [False, True, "lz4"])
 def test_rawroot_roundtrip_values(spark, tmp_path, compress):
     """A generated flat-branch ROOT file (real TFile header + TKey
-    chain + big-endian baskets, optionally zlib ZL blocks) round-trips
-    through from_root with exact value equality, across basket and
-    entry-range boundaries."""
+    chain + big-endian baskets, optionally zlib ZL or LZ4 L4 blocks)
+    round-trips through from_root with exact value equality, across
+    basket and entry-range boundaries."""
     import numpy as np
 
     from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
@@ -259,18 +259,28 @@ def test_rawroot_error_surface(spark, tmp_path):
 
 
 def test_rawroot_foreign_compression_gated(tmp_path):
-    """An LZ4-tagged basket must raise DecodeUnavailable, not decode
-    garbage — patch a compressed file's ZL tag to L4."""
+    """A ZSTD-tagged basket must raise DecodeUnavailable, not decode
+    garbage — patch a compressed file's ZL tag to ZS. An L4 tag over
+    non-LZ4 bytes (r10: L4 now DECODES) must fail the XXH64 checksum
+    with a directed ValueError instead of emitting garbage."""
     path, _ = _write_flat(tmp_path, n=100, compress=True)
     raw = bytearray(open(path, "rb").read())
     i = raw.find(b"ZL")
     assert i > 0
-    raw[i : i + 2] = b"L4"
-    open(path, "wb").write(bytes(raw))
     from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
 
+    zs = bytearray(raw)
+    zs[i : i + 2] = b"ZS"
+    open(path, "wb").write(bytes(zs))
     f = RootFlatFile(path)
-    with pytest.raises(DecodeUnavailable, match="L4"):
+    with pytest.raises(DecodeUnavailable, match="ZS"):
+        f.branch_array("event")
+
+    l4 = bytearray(raw)
+    l4[i : i + 2] = b"L4"
+    open(path, "wb").write(bytes(l4))
+    f = RootFlatFile(path)
+    with pytest.raises(ValueError, match="checksum"):
         f.branch_array("event")
 
 
@@ -611,3 +621,48 @@ def test_rawroot_big_file_form_roundtrip(spark, tmp_path):
     got = df.orderBy("event").toPandas()
     assert list(got["event"]) == list(range(n))
     assert [list(x) for x in got["Muon_pt"]] == pts
+
+
+def test_rawroot_lz4_jagged_embedded_roundtrip(spark, tmp_path):
+    """r10: L4 baskets (pure-Python LZ4 block + XXH64 framing,
+    io/lz4block.py) read back through the same RootFlatFile walk —
+    combined with the embedded-TTree layout and leaf-counter jagged
+    branches. The file must actually CONTAIN L4 frames (the repeating
+    counter values always shrink), so the decode path is proven
+    exercised, and corrupting one compressed byte must fail the
+    checksum instead of decoding garbage."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile, write_root_flat
+
+    n = 700
+    nmu = np.array([(i * 5 + 2) % 4 for i in range(n)], dtype=np.int32)
+    pts = [[round(i * 0.25 + j, 3) for j in range(int(c))]
+           for i, c in enumerate(nmu)]
+    path = str(tmp_path / "l4.root")
+    write_root_flat(
+        path, "Events",
+        {"event": ("L", np.arange(n, dtype=np.int64)),
+         "nMuon": ("I", nmu), "Muon_pt": ("[nMuon]D", pts)},
+        basket_entries=200, compress="lz4", embed_tree=True,
+    )
+    raw = open(path, "rb").read()
+    assert b"L4" in raw  # at least one basket really took the L4 path
+    f = RootFlatFile(path)
+    assert f.compress == 404  # fCompress = kLZ4*100 + level
+    df = from_root(spark, path, step_size=300, backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    assert list(got["event"]) == list(range(n))
+    assert list(got["nMuon"]) == list(nmu)
+    assert [list(x) for x in got["Muon_pt"]] == pts
+
+    # flip one byte inside the first L4 block body -> checksum catches
+    i = raw.find(b"L4")
+    bad = bytearray(raw)
+    bad[i + 9 + 8 + 3] ^= 0xFF  # past header + checksum, inside the block
+    open(path, "wb").write(bytes(bad))
+    f2 = RootFlatFile(path)
+    with pytest.raises(ValueError, match="checksum"):
+        for b in f2.branches:
+            f2.branch_array(b)
