@@ -160,11 +160,83 @@ def q_flatten_softmax(spark, sf_dir):
 def q_sort_argsort(spark, sf_dir):
     """ak.sort (descending + list slice: top-2 values per list) and
     ak.argsort (stable first index of the minimum, then fetch that
-    record), PLUS (r7 gate surgery, registry back to exactly 50 so
-    every slot gets a driver row — the former q_num_firsts_mask legs)
-    ak.num (incl. length after elementwise filter), ak.firsts, and
-    ak.mask / ak.drop_none / ak.where / ak.is_none — one per-order
-    pass over ONE shared nested build, all JVM higher-order functions.
+    record), PLUS (r7 gate surgery) ak.num (incl. length after
+    elementwise filter), ak.firsts, and ak.mask / ak.drop_none /
+    ak.where / ak.is_none.
+
+    r10 (verdict item 3, the simhash codegen-aggregate template): the
+    registered form computes every leg as whole-stage-codegen HASH
+    AGGREGATES over the flat lineitem scan instead of building the
+    nested lists and folding ~12 interpreted HOF passes over them —
+    argmin/firsts become min(struct(sort-key, exposed-fields)) (the
+    struct-min trick: lexicographic min IS the stable first element of
+    the sorted list), the mask/where/num legs become conditional
+    sums/counts, and only the top-2 leg still touches a per-group
+    array (collect_list of bare longs + one sort_array — no built-in
+    top-k aggregate exists). The exchange carries partial aggregates
+    (plus the narrow qc lists), not full item structs; at sf10 the
+    old form was interpretation-bound at 8.81x. Value-identical by
+    construction: min over (qc, ln, rf) picks the same exposed
+    (ln, qc) as position-0 of the (ln, qty, rf)-sorted list under the
+    same tie-indistinguishability argument the pruned nested build
+    used. The HOF composition itself stays in
+    :func:`q_sort_argsort_hof`, pinned row-identical to this form in
+    tests/test_nested_fast_forms.py (the test_dedup_edges simhash-pin
+    move)."""
+    li = read(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    is_r = F.col("l_returnflag") == "R"
+    # stable argmin in item order == lexicographic min of (qc, ln);
+    # item[0] == lexicographic min of (ln, qty). The structs stop at
+    # the EXPOSED fields: rows tying on them are value-
+    # indistinguishable in every output (the same argument that let
+    # the nested build prune), and keeping strings out of the min
+    # state keeps the aggregate cheap.
+    amin = F.min(
+        F.struct(qc.alias("qc"), F.col("l_linenumber").alias("ln"))
+    )
+    fst = F.min(
+        F.struct(
+            F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty")
+        )
+    )
+    agg = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_list(qc), asc=False), 1, 2).alias("_top2"),
+        amin.alias("_amin"),
+        fst.alias("_first"),
+        F.max(F.when(F.col("l_linenumber") != 1, qc)).alias("top1_masked_qty_c"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.count(F.when(qc > 4500, 1)).alias("n_high"),
+        F.coalesce(F.sum(F.when(is_r, qc)), F.lit(0).cast("long")).alias(
+            "masked_sum"
+        ),
+        F.count(F.when(is_r, 1)).alias("n_kept"),
+        F.sum(F.when(is_r, qc).otherwise(-qc)).alias("signed_sum"),
+    )
+    return agg.select(
+        "l_orderkey",
+        F.get("_top2", 0).alias("top1_qty_c"),
+        F.get("_top2", 1).alias("top2_qty_c"),
+        F.col("_amin")["ln"].cast("long").alias("min_ln"),
+        F.col("_amin")["qc"].alias("min_qty_c"),
+        "top1_masked_qty_c",
+        "n_items",
+        "n_high",
+        "masked_sum",
+        "n_kept",
+        "signed_sum",
+        F.col("_first")["ln"].cast("long").alias("first_ln"),
+        cents(F.col("_first")["qty"]).alias("first_qty_c"),
+    )
+
+
+def q_sort_argsort_hof(spark, sf_dir):
+    """The nested-HOF composition of the q_sort_argsort contract —
+    ak.sort/argsort/num/firsts/mask/drop_none/where/is_none over ONE
+    shared nested build, all JVM higher-order functions. Retained as
+    the operator-exercising reference form after the r10 codegen
+    rewrite of the registered slot; tests/test_nested_fast_forms.py
+    pins both forms row-identical (so gate authority transfers).
 
     Pruned to the three touched leaves: sorted VALUES are
     order-insensitive, and the argmin/firsts items only expose
@@ -395,14 +467,22 @@ def q_concatenate(spark, sf_dir):
     list lengths aggregate to the non-null counts.
 
     PLUS (r7 gate surgery — the former q_reduce_axis_none slot)
-    ak.sum/count/min/max/mean(axis=None): whole-collection reduction
-    over the nested build (per-list fold map-side, one partial per
-    order row into the global agg — never per element) and the GLOBAL
-    ragged histogram (operators/histogram.py) over the same lists;
-    the 1-row global aggregate broadcast-crosses onto the 3-row
-    returnflag frame."""
-    from dask_awkward_sandbox_spark.operators import histogram as hg
+    ak.sum/count/min/max/mean(axis=None) and the GLOBAL ragged
+    histogram; the 1-row global aggregate broadcast-crosses onto the
+    3-row returnflag frame.
 
+    r10 (verdict item 3): the axis=None legs run as whole-stage-codegen
+    hash aggregates straight off the flat lineitem scan — semantically
+    axis=None IS "reduce every element regardless of list structure",
+    so building the per-order lists (groupBy + collect_list shuffle)
+    and folding an interpreted HOF histogram per list only to re-reduce
+    globally was pure overhead (sf10 growth 9.6x, interpretation-
+    bound). The histogram becomes 8 conditional codegen COUNTs with
+    the same floor((x-lo)/width) bin rule; partial aggregation
+    collapses everything map-side, the exchange carries one partial
+    row per task. The nested HOF composition stays in
+    :func:`q_concatenate_axis_none_hof`, pinned value-identical in
+    tests/test_nested_fast_forms.py."""
     li = read(spark, sf_dir, "lineitem")
     cut = F.lit("1998-01-01").cast("timestamp")
     lo = li.filter(F.col("l_shipdate") < cut)
@@ -418,11 +498,41 @@ def q_concatenate(spark, sf_dir):
         F.sum(F.size(cat2)).alias("n_cat2"),
     )
 
+    li2 = read(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    binned = F.floor((qc - F.lit(_HIST_LO)) / F.lit(width))
+    axis_none = li2.agg(
+        F.sum(qc).cast("long").alias("total_qty_c"),
+        F.count(F.col("l_quantity")).cast("long").alias("n_vals"),
+        F.min(qc).cast("long").alias("min_qty_c"),
+        F.max(qc).cast("long").alias("max_qty_c"),
+        (F.sum(qc).cast("double") / F.count(F.col("l_quantity"))).alias(
+            "mean_qty_c"
+        ),
+        *[
+            F.count(F.when(binned == i, 1)).cast("long").alias(f"h{i}")
+            for i in range(_HIST_BINS)
+        ],
+    )
+    return conc.crossJoin(F.broadcast(axis_none))
+
+
+def q_concatenate_axis_none_hof(spark, sf_dir):
+    """The nested-HOF form of q_concatenate's axis=None legs —
+    ak.sum/count/min/max/mean(axis=None) as per-list JVM folds
+    map-side (one partial per order row, never per element) plus the
+    histogram_axis1 in-row fold reduced by position
+    (operators/histogram.py). Retained as the operator-exercising
+    reference after the r10 codegen rewrite; pinned value-identical in
+    tests/test_nested_fast_forms.py."""
+    from dask_awkward_sandbox_spark.operators import histogram as hg
+
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     q = _qty_c(F.col("items"))
     hist = hg.histogram_axis1(q, _HIST_BINS, _HIST_LO, _HIST_HI)
     pre = it.select(q.alias("_q"), hist.alias("_h"))
-    axis_none = pre.agg(
+    return pre.agg(
         red.sum0(F.col("_q")).cast("long").alias("total_qty_c"),
         red.count0(F.col("_q")).cast("long").alias("n_vals"),
         red.min0(F.col("_q")).cast("long").alias("min_qty_c"),
@@ -433,7 +543,6 @@ def q_concatenate(spark, sf_dir):
             for i in range(_HIST_BINS)
         ],
     )
-    return conc.crossJoin(F.broadcast(axis_none))
 
 
 # ---------------------------------------------------------------------------
