@@ -60,6 +60,33 @@ import time
 # tracked names among these (q_reduce_order_count, q_sort_argsort,
 # q_cartesian_combinations) each carry strictly MORE legs than their
 # r6 shapes.
+# BASELINE.md's r01 rows mapped onto today's slot names (r10, verdict
+# item 8 — the grading ratio the verdicts computed by hand now rides
+# in the artifact). Merge-aware: q_with_field's 1.274 is EXCLUDED
+# (folded into q_cartesian_combinations, already counted via
+# q_combinations' row); q_token_count + q_fingerprint both map onto
+# the single q_text_metrics slot so their baseline seconds add.
+# Sum = 21.376s — the "21.38" the r8/r9 verdicts graded against.
+BASELINE_MAPPED = {
+    "q1_pricing_summary": 0.769,
+    "q3_shipping_priority": 1.185,
+    "q5_local_supplier": 1.102,
+    "q6_forecast_revenue": 0.335,
+    "q18_large_orders": 0.961,
+    "q_reduce_order_count": 1.787,   # r01 q_reduce_sum
+    "q_sort_argsort": 1.213,         # r01 q_sort
+    "q_cartesian_combinations": 1.500,  # r01 q_combinations
+    "q_str_surface": 0.352,          # r01 q_str_split_join
+    "q_text_metrics": 0.889,         # r01 q_token_count + q_fingerprint
+    "q_dedup_minhash": 0.959,        # r01 q_minhash_sig
+    "q_dedup_minhash_clusters": 4.375,
+    "q_dedup_simhash": 1.599,
+    "q_ann_bruteforce": 1.218,
+    "q_ann_ivf_assign": 1.923,       # r01 q_ann_ivf
+    "q_events_sessionize": 0.798,
+    "q_events_windowed": 0.411,
+}
+
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -334,12 +361,20 @@ def main() -> None:
     # count); spread and skew_demo ride the preceding aux line with
     # the probe. tests/test_bench_contract.py builds the final line
     # for the CURRENT headliner count and asserts it fits.
+    base_total = round(sum(BASELINE_MAPPED.values()), 3)
+    mapped_total = round(sum(timings[k] for k in BASELINE_MAPPED if k in timings), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # the BASELINE.md-mapped grading ratio (see BASELINE_MAPPED)
+        "baseline_mapped": {
+            "baseline_total": base_total,
+            "mapped_total": mapped_total,
+            "ratio": round(mapped_total / base_total, 3),
+        },
     }
     aux = {
         "metric": "bench_aux",

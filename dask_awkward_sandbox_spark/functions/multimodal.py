@@ -339,7 +339,16 @@ def _encode_png_py(pixels) -> bytes:
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     """Reverse the per-scanline filters (PNG spec §6): each row leads
     with a filter byte; Sub/Up/Average/Paeth reconstruct from the
-    left/up/up-left neighbors of the DECODED image."""
+    left/up/up-left neighbors of the DECODED image.
+
+    Cost note (r10 advice): None/Up are whole-row numpy ops and Sub is
+    a per-byte-lane cumsum (mod-256 prefix sum — the left dependency is
+    LINEAR for Sub, so it vectorizes); Average/Paeth carry a floor/
+    branchy left dependency that is genuinely sequential, so they run
+    a per-byte Python loop — O(W*bpp) interpreted steps per such
+    scanline. This repo's writer emits filter 0 only; external-encoder
+    PNGs that lean on Average/Paeth decode correctly but slowly — at
+    scale route those through a native decoder wheel."""
     import numpy as np
 
     stride = w * bpp
@@ -357,14 +366,15 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+        elif ft == 1:  # Sub: per-lane mod-256 prefix sum, vectorized
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth need a sequential left scan
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0  # left
                 bup = prev[x]  # up
                 c = prev[x - bpp] if x >= bpp else 0  # up-left
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + bup) // 2
                 else:  # Paeth
                     p = a + bup - c

@@ -347,10 +347,96 @@ def with_lsh_buckets(
     tables: int = 4,
 ) -> DataFrame:
     """Explode each vector into its ``tables`` (t, bucket) memberships:
-    (id_col, _vec double[], _norm, t, bucket). Scan-side expressions,
-    one output row per (vector, table) — no shuffle. All
-    planes*tables projections are computed in ONE pass per row
-    (_projections), then sign bits pack into per-table buckets."""
+    (id_col, _vec double[], _norm, t, bucket). One output row per
+    (vector, table) — no shuffle.
+
+    r10: the projections run as an Arrow-batched numpy kernel
+    (mapInArrow). The sf100 probe measured the interpreted-HOF form at
+    70.8s of a 186s run — tables*planes*dim interpreted multiply-adds
+    per row (6*18*64 = 6912 at 2M vectors) dominated the whole
+    operator. The kernel computes the IDENTICAL left-fold sums via
+    ``np.cumsum`` (strictly sequential prefix adds — bit-identical to
+    the ``F.aggregate`` fold and to the SQL oracle's list_sum, so the
+    sign bits, and therefore every bucket id, cannot drift; the
+    :func:`with_lsh_buckets_hof` pin in tests/test_similarity.py holds
+    both forms equal). The HOF form stays below for callers that must
+    avoid Python workers."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.array(
+        [hyperplane(dim, p) for p in range(planes * tables)], dtype=np.float64
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    nplanes = planes * tables
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            vecs = b.column(1)
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            nb = len(b)
+            if nb == 0:
+                continue
+            if vecs.null_count:
+                raise ValueError("with_lsh_buckets: null vectors unsupported")
+            offs = vecs.offsets.to_numpy(zero_copy_only=False)
+            if ((offs[1:] - offs[:-1]) != dim).any():
+                raise ValueError(
+                    f"with_lsh_buckets: vectors must be dense length-{dim}"
+                )
+            V = (
+                vecs.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64)[offs[0] : offs[-1]]
+                .reshape(nb, dim)
+            )
+            # exact left folds: cumsum is sequential prefix addition,
+            # so [:, -1] is bit-identical to the HOF aggregate
+            projs = np.empty((nb, nplanes), dtype=np.float64)
+            for p in range(nplanes):
+                projs[:, p] = np.cumsum(V * P[p], axis=1)[:, -1]
+            norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            buckets = np.zeros((nb, tables), dtype=np.int32)
+            bits = projs >= 0
+            for t in range(tables):
+                for pp in range(planes):
+                    buckets[:, t] |= bits[:, t * planes + pp].astype(np.int32) << pp
+            idx = pa.array(np.repeat(np.arange(nb), tables))
+            voffs = pa.array(
+                np.arange(0, (nb * tables + 1) * dim, dim, dtype=np.int32)
+            )
+            vflat = pa.array(np.repeat(V, tables, axis=0).ravel())
+            yield pa.record_batch(
+                [
+                    ids.take(idx),
+                    pa.ListArray.from_arrays(voffs, vflat),
+                    pa.array(np.repeat(norms, tables)),
+                    pa.array(np.tile(np.arange(tables, dtype=np.int32), nb)),
+                    pa.array(buckets.reshape(-1)),
+                ],
+                names=[id_col, "_vec", "_norm", "t", "bucket"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        kernel,
+        f"{id_col} {id_type}, _vec array<double>, _norm double, t int, bucket int",
+    )
+
+
+def with_lsh_buckets_hof(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int = 3,
+    tables: int = 4,
+) -> DataFrame:
+    """The all-Catalyst form of :func:`with_lsh_buckets` (scan-side
+    expressions, zero Python): all planes*tables projections in ONE
+    pass per row (_projections), sign bits packed into per-table
+    buckets. Retained as the reference implementation after the r10
+    Arrow-kernel rewrite; the pin test holds both bit-identical."""
     v = as_double(F.col(vec_col))
     base = df.select(
         F.col(id_col),
@@ -485,6 +571,15 @@ def connected_components(
     EVERY node (isolated nodes become their own singleton component).
     Returns (id, cluster) where cluster = min id of the component.
 
+    ``init_from_edges=True`` CONTRACT (r10 advice): every edge
+    endpoint must appear in ``ids`` — the seed assigns label(v) =
+    min(v, min neighbor of v) straight from the edge list, so a
+    foreign endpoint would surface as a final cluster label that is
+    not a vertex. Both in-repo callers satisfy it by construction
+    (their edges derive from the same frame as ids); pass edge lists
+    from elsewhere through a semi-join against ``ids`` first, or use
+    the identity init, which never reads neighbor ids into labels.
+
     100 TB shape: each iteration is two groupBy-min shuffles of the
     CURRENT edge set plus |V|-row self-joins for the pointer jumps,
     then an edge CONTRACTION that rewrites edges through the round's
@@ -527,6 +622,8 @@ def connected_components(
         # component preserves the invariant the fixpoint argument
         # rests on (see the empty-edge-exit comment below); a direct
         # verified neighbor is in v's component by construction.
+        # PRECONDITION (r10 advice): the seed is a raw neighbor id from
+        # `edges` — see the docstring's init_from_edges contract.
         seed = und.groupBy("a").agg(F.min("b").alias("_nb")).withColumnRenamed(
             "a", "id"
         )

@@ -170,6 +170,22 @@ def merge_upsert(
             "cannot evolve schemas — use the snapshot flavor "
             "(upsert_table(snapshot=True)) for add-column evolution"
         )
+    # ... and same-name/different-TYPE drift must be directed too (r9
+    # advice): a name-only check let a retyped column pass here and
+    # then fail opaquely (or silently coerce) inside unionByName/write
+    upd_types = {f.name: f.dataType for f in upd.schema.fields}
+    drift = sorted(
+        f"{f.name}: table {f.dataType.simpleString()} vs batch "
+        f"{upd_types[f.name].simpleString()}"
+        for f in existing.schema.fields
+        if f.name != BUCKET_COL and upd_types[f.name] != f.dataType
+    )
+    if drift:
+        raise ValueError(
+            f"merge_upsert: batch column types differ from the table's "
+            f"({'; '.join(drift)}); the plain table cannot evolve "
+            "schemas — recast the batch to the table's types"
+        )
     out = existing.unionByName(upd.select(*existing.columns))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

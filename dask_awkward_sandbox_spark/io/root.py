@@ -111,10 +111,13 @@ class RawRootBackend:
     """REAL byte-level decode for flat-branch ROOT files (r8; the
     r6/r7 verdicts' "minimal uncompressed-basket reader" — the
     BMP/WAV-codec precedent applied to TTrees). io/rootfile.py holds
-    the format layer: TFile header walk, TKey chain, big-endian
-    basket arrays, zlib (``ZL``) block framing; jagged branches,
-    LZ4/ZSTD baskets and full TTree streamers stay gated behind
-    DecodeUnavailable with pointers at the uproot backend.
+    the format layer: TFile header walk, TKey chain, big-endian basket
+    arrays, zlib (``ZL``) + LZ4 (``L4``, r10) block framing, embedded
+    TTree streamer walk, leaf-counter jagged branches, and (r10)
+    simple-container TBranchElement (vector<basic>) via basket
+    entry-offset tables; ZSTD/LZMA baskets and object/nested-container
+    branches stay gated behind DecodeUnavailable with pointers at the
+    uproot backend.
 
     Flat branches are the nanoAOD scalar surface (event ids, counts,
     HLT flags, MET): per-branch baskets decode independently, so
@@ -159,15 +162,16 @@ class RawRootBackend:
         unknown = [b for b in names if b not in f.branches]
         if unknown:
             raise KeyError(f"unknown branches {unknown}; have {sorted(f.branches)}")
-        # leaf-counter jagged branches surface as list<elem> (the
-        # "x[n]/D" leaflist — values flat on disk, lengths from the
-        # counter branch)
+        # jagged branches surface as list<elem>: leaf-counter ("x[n]/D",
+        # lengths from the counter branch) and simple-container
+        # TBranchElement (r10: vector<float> etc., lengths from the
+        # basket entry-offset tables)
         return pa.schema(
             [
                 (
                     n,
                     pa.list_(cls._ARROW[f.branches[n]])
-                    if n in f.counters
+                    if n in f.counters or n in f.vectors
                     else cls._ARROW[f.branches[n]],
                 )
                 for n in names
@@ -187,9 +191,10 @@ class RawRootBackend:
         cols = {}
         for n in schema.names:
             vals = f.branch_array(n)
-            if n in f.counters:
-                # offsets from the counter's cumsum; entry slice
-                # [start, stop) maps to value slice via the offsets
+            if n in f.counters or n in f.vectors:
+                # offsets from the lengths' cumsum (counter branch or
+                # basket offset tables); entry slice [start, stop)
+                # maps to value slice via the offsets
                 off = np.zeros(f.num_entries() + 1, dtype=np.int64)
                 np.cumsum(f.branch_lengths(n), out=off[1:])
                 lo, hi = int(off[start]), int(off[stop])

@@ -74,6 +74,20 @@ LEAF_DTYPES = {
     "O": ">u1",  # bool stored as one byte
 }
 
+# simple STL containers a TBranchElement can hold that decode here
+# (r10): per-entry payload = 10-byte version header (fByteCount |
+# kByteCountMask, fVersion, int32 size) + size big-endian elements;
+# entry boundaries come from the basket's entry-offset table (fLast +
+# trailing int32 offsets — the public TBasket layout). Anything else
+# (vector<vector<..>>, objects, strings) stays gated.
+VECTOR_CLASSES = {
+    "vector<float>": "F",
+    "vector<double>": "D",
+    "vector<int>": "I",
+    "vector<long>": "L",
+    "vector<short>": "S",
+}
+
 
 @dataclass
 class Key:
@@ -246,9 +260,16 @@ def _r_objarray(b: bytes, off: int):
 def _w_tree_payload(tree: str, branches: dict[str, str], entries: int) -> bytes:
     """Streamed TTree payload: TNamed + int64 entries + fBranches
     TObjArray of TBranch (TNamed name/leaflist + fLeaves TObjArray of
-    one TLeaf, class by leaf letter)."""
+    one TLeaf, class by leaf letter). A title that names a simple STL
+    class (``vector<float>``) streams as a TBranchElement instead:
+    TNamed(name, "") + fClassName TString — the member real readers
+    key the container decode on (r10)."""
     els = []
     for name, title in branches.items():
+        if title in VECTOR_CLASSES:
+            be_body = _w_tnamed(name, "") + _wstring(title)
+            els.append(("TBranchElement", _w_version(be_body, 10)))
+            continue
         leaf_letter = title.rsplit("/", 1)[-1]
         leaf_cls = f"TLeaf{leaf_letter.upper()}" if leaf_letter.isalpha() else "TLeaf"
         leaf = _w_version(_w_tnamed(name, title), 1)
@@ -273,10 +294,19 @@ def _r_tree_payload(b: bytes) -> tuple[str, int, dict[str, str]]:
     els, _aend = _r_objarray(b, off)
     out: dict[str, str] = {}
     for classname, obj_off, _obj_end in els:
+        if classname == "TBranchElement":
+            # simple-container branch (r10): TNamed + fClassName; the
+            # class name rides in the title slot of the result so
+            # _register_branch dispatches on it
+            _bend, _bver, boff = _r_version(b, obj_off)
+            name, _title, named_end = _r_tnamed(b, boff)
+            clsname, _ = _tstring(b, named_end)
+            out[name] = clsname
+            continue
         if classname != "TBranch":
             raise DecodeUnavailable(
                 f"fBranches holds a {classname} — only plain TBranch "
-                "decodes here (TBranchElement needs streamer-info; use "
+                "and simple-container TBranchElement decode here (use "
                 "the uproot backend)"
             )
         _bend, _bver, boff = _r_version(b, obj_off)
@@ -367,9 +397,13 @@ class RootFlatFile:
             ) = struct.unpack_from(">iiiiiBiii", b, 12)
         self.end = end
         self._decoded: dict[str, np.ndarray] = {}
+        self._veclens: dict[str, np.ndarray] = {}
         self.branches: dict[str, str] = {}
         # jagged (leaf-counter) branches: {name: counter_branch_name}
         self.counters: dict[str, str] = {}
+        # simple-container TBranchElement branches (r10): lengths come
+        # from each basket's entry-offset table, not a counter branch
+        self.vectors: set[str] = set()
         self.baskets: dict[str, list[Key]] = {}
         self.trees: set[str] = set()
         self._embedded_entries: int | None = None
@@ -382,7 +416,11 @@ class RootFlatFile:
                 seek += -nbytes
                 continue
             k = parse_key(b, seek)
-            if k.classname == "TBranch":
+            if k.classname == "TBranchElement":
+                # standalone-key layout twin of the embedded form: the
+                # container class rides in the title
+                self._register_branch(k.name, k.title)
+            elif k.classname == "TBranch":
                 # simplified layout: leaflist rides as the standalone
                 # branch key's title ("pt/D" flat, "pt[n]/D"
                 # leaf-counter jagged — TTree::Branch text)
@@ -407,6 +445,16 @@ class RootFlatFile:
     def _register_branch(self, name: str, title: str) -> None:
         import re as _re
 
+        if title in VECTOR_CLASSES:
+            self.branches[name] = VECTOR_CLASSES[title]
+            self.vectors.add(name)
+            return
+        if title.startswith("vector<") or title.startswith("std::"):
+            raise DecodeUnavailable(
+                f"branch {name!r}: container class {title!r} — only "
+                f"{sorted(VECTOR_CLASSES)} decode here (nested/object "
+                "containers need full streamer-info; use uproot)"
+            )
         cls = type(self)
         if cls._LEAF_RE is None:
             cls._LEAF_RE = _re.compile(r"^(\w+)(?:\[(\w+)\])?/(\w)$")
@@ -432,6 +480,98 @@ class RootFlatFile:
         raw = self._buf[k.seek + k.keylen : k.seek + k.nbytes]
         return _decompress(raw, k.objlen) if k.compressed else raw
 
+    _BASKET_TRAILER = ">HIIII"  # fVersion fBufferSize fNevBufSize fNevBuf fLast
+
+    def _decode_vector_baskets(self, name: str) -> None:
+        """Decode a simple-container (TBranchElement) branch: each
+        basket's key carries the public TBasket trailer (fNevBuf +
+        fLast), the payload holds per-entry [10-byte version header +
+        int32 size + big-endian elements] runs delimited by the
+        trailing int32 entry-offset table. Fully vectorized: headers
+        are gathered and validated with one fancy-index pass, values
+        with one boolean mask — no per-entry Python loop."""
+        dt = np.dtype(LEAF_DTYPES[self.branches[name]])
+        isz = dt.itemsize
+        vals: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        for k in self.baskets.get(name, []):
+            tr = self._buf[k.seek + k.keylen - 18 : k.seek + k.keylen]
+            if len(tr) != 18:
+                raise ValueError(
+                    f"vector basket {name!r}: key too short for the "
+                    "entry-offset trailer"
+                )
+            _ver, _bufsz, _nevsz, nev, flast = struct.unpack(
+                self._BASKET_TRAILER, tr
+            )
+            payload = self._payload(k)
+            data_len = flast - k.keylen
+            if not 0 <= data_len <= len(payload) or data_len + 4 * nev > len(
+                payload
+            ):
+                raise ValueError(
+                    f"vector basket {name!r}: entry-offset table overruns "
+                    "the basket"
+                )
+            offs = (
+                np.frombuffer(payload, dtype=">i4", count=nev, offset=data_len)
+                .astype(np.int64)
+                - k.keylen
+            )
+            ends = np.append(offs[1:], data_len)
+            if nev == 0:
+                lens.append(np.empty(0, dtype=np.int64))
+                continue
+            if offs[0] != 0 or (offs[1:] != ends[:-1]).any() or (
+                ends < offs + 10
+            ).any():
+                raise ValueError(
+                    f"vector basket {name!r}: non-contiguous or truncated "
+                    "entry runs"
+                )
+            n = (ends - offs - 10) // isz
+            if ((ends - offs - 10) % isz).any():
+                raise ValueError(
+                    f"vector basket {name!r}: entry byte spans are not a "
+                    f"multiple of the {isz}-byte element"
+                )
+            pay = np.frombuffer(payload, dtype=np.uint8, count=data_len)
+            hidx = (offs[:, None] + np.arange(10)[None, :]).ravel()
+            hdr = pay[hidx].reshape(nev, 10).astype(np.int64)
+            bc = (hdr[:, 0] << 24) | (hdr[:, 1] << 16) | (hdr[:, 2] << 8) | hdr[:, 3]
+            size = (hdr[:, 6] << 24) | (hdr[:, 7] << 16) | (hdr[:, 8] << 8) | hdr[:, 9]
+            if ((bc & _BYTECOUNT_MASK) == 0).any():
+                raise ValueError(
+                    f"vector basket {name!r}: entry header missing "
+                    "kByteCountMask"
+                )
+            if ((bc & ~_BYTECOUNT_MASK) != 6 + n * isz).any() or (size != n).any():
+                raise ValueError(
+                    f"vector basket {name!r}: entry header size disagrees "
+                    "with the offset-table span"
+                )
+            keep = np.ones(data_len, dtype=bool)
+            keep[hidx] = False
+            vals.append(np.frombuffer(pay[keep].tobytes(), dtype=dt))
+            lens.append(n)
+        arr = (
+            np.concatenate(vals) if vals else np.empty(0, dtype=dt)
+        ).astype(dt.newbyteorder("="), copy=False)
+        self._decoded[name] = arr
+        self._veclens[name] = (
+            np.concatenate(lens) if lens else np.empty(0, dtype=np.int64)
+        )
+
+    def _vector_entry_count(self, name: str) -> int:
+        """Entry count of a vector branch from the basket trailers
+        alone — no decompression."""
+        total = 0
+        for k in self.baskets.get(name, []):
+            tr = self._buf[k.seek + k.keylen - 18 : k.seek + k.keylen]
+            if len(tr) == 18:
+                total += struct.unpack(self._BASKET_TRAILER, tr)[3]
+        return total
+
     def branch_array(self, name: str) -> np.ndarray:
         # memoized per instance (r8 review): jagged reads touch the
         # value stream AND the counter twice (decode + length check) —
@@ -441,6 +581,9 @@ class RootFlatFile:
             return got
         if name not in self.branches:
             raise KeyError(f"no branch {name!r}; have {sorted(self.branches)}")
+        if name in self.vectors:
+            self._decode_vector_baskets(name)
+            return self._decoded[name]
         dt = np.dtype(LEAF_DTYPES[self.branches[name]])
         parts = [
             np.frombuffer(self._payload(k), dtype=dt)
@@ -458,10 +601,14 @@ class RootFlatFile:
         return arr
 
     def branch_lengths(self, name: str) -> np.ndarray:
-        """Per-entry list lengths of a leaf-counter jagged branch —
-        the counter branch's values (the public ``x[n]/T`` contract:
-        the branch stores concatenated values, the counter the
-        lengths)."""
+        """Per-entry list lengths of a jagged branch: the counter
+        branch's values for a leaf-counter branch (the public
+        ``x[n]/T`` contract), or the basket entry-offset table's spans
+        for a simple-container TBranchElement (r10)."""
+        if name in self.vectors:
+            if name not in self._veclens:
+                self._decode_vector_baskets(name)
+            return self._veclens[name]
         if name not in self.counters:
             raise KeyError(f"{name!r} is not a counter-jagged branch")
         counter = self.counters[name]
@@ -485,15 +632,25 @@ class RootFlatFile:
 
     def num_entries(self) -> int:
         # jagged branches' basket bytes count VALUES, not entries —
-        # only flat branches witness the entry count
+        # flat branches witness the entry count directly; vector
+        # branches witness it through their basket trailers' fNevBuf
         counts = {
             name: sum(
                 k.objlen // np.dtype(LEAF_DTYPES[self.branches[name]]).itemsize
                 for k in ks
             )
             for name, ks in self.baskets.items()
-            if name in self.branches and name not in self.counters
+            if name in self.branches
+            and name not in self.counters
+            and name not in self.vectors
         }
+        counts.update(
+            {
+                name: self._vector_entry_count(name)
+                for name in self.vectors
+                if self.baskets.get(name)
+            }
+        )
         if not counts:
             # zero-basket file: the embedded TTree (if any) still
             # declares fEntries
@@ -567,9 +724,18 @@ def write_root_flat(
             f"compress must be False/True/'zlib'/'lz4', got {compress!r}"
         )
     parsed: dict[str, tuple[str, str | None, object]] = {}
+    vectors: set[str] = set()
+    titles: dict[str, str] = {}
     for name, (spec, values) in data.items():
         counter = None
-        if spec.startswith("["):
+        if spec in VECTOR_CLASSES:
+            # simple-container TBranchElement (r10): values are a list
+            # of per-entry lists; lengths ride in the basket
+            # entry-offset tables, no counter branch
+            vectors.add(name)
+            leaf = VECTOR_CLASSES[spec]
+            titles[name] = spec
+        elif spec.startswith("["):
             counter, _, leaf = spec[1:].partition("]")
         else:
             leaf = spec
@@ -599,9 +765,13 @@ def write_root_flat(
 
     records: list[bytes] = []
 
-    def key_record(classname: str, name: str, title: str, payload: bytes,
-                   objlen: int, seek: int) -> bytes:
+    def key_len(classname: str, name: str, title: str, trailer_len: int = 0) -> int:
         strings = _wstring(classname) + _wstring(name) + _wstring(title)
+        return 18 + (16 if big_file else 8) + len(strings) + trailer_len
+
+    def key_record(classname: str, name: str, title: str, payload: bytes,
+                   objlen: int, seek: int, trailer: bytes = b"") -> bytes:
+        strings = _wstring(classname) + _wstring(name) + _wstring(title) + trailer
         if big_file:
             keylen = 18 + 16 + len(strings)  # version>1000: 64-bit seeks
             head = struct.pack(
@@ -618,11 +788,51 @@ def write_root_flat(
         return head + strings + payload
 
     seek = 100
-    titles: dict[str, str] = {}
     for name, (leaf, counter, _values) in parsed.items():
         if leaf not in LEAF_DTYPES:
             raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
-        titles[name] = f"{name}[{counter}]/{leaf}" if counter else f"{name}/{leaf}"
+        if name not in vectors:
+            titles[name] = (
+                f"{name}[{counter}]/{leaf}" if counter else f"{name}/{leaf}"
+            )
+
+    def compress_payload(raw: bytes) -> bytes:
+        if compress == "lz4":
+            from dask_awkward_sandbox_spark.io.lz4block import (
+                lz4_block_compress,
+                xxh64,
+            )
+
+            block = lz4_block_compress(raw)
+            framed = xxh64(block).to_bytes(8, "big") + block
+            # real ROOT's rule (both algos): store RAW when compression
+            # does not shrink — see the ZL note below
+            if 9 + len(framed) < len(raw):
+                return (
+                    b"L4"
+                    + bytes([1])
+                    + len(framed).to_bytes(3, "little")
+                    + len(raw).to_bytes(3, "little")
+                    + framed
+                )
+        elif compress:
+            c = zlib.compress(raw, 6)
+            # real ROOT's rule: store RAW when compression does not
+            # shrink. This also keeps the reader's size test sound —
+            # a framed payload that coincidentally matched the raw
+            # length (9 + len(c) == len(raw) happens on mildly
+            # compressible data; r8 review found a 64-double
+            # witness) would otherwise be misread as uncompressed
+            # and decoded as garbage.
+            if 9 + len(c) < len(raw):
+                return (
+                    b"ZL"
+                    + bytes([8])
+                    + len(c).to_bytes(3, "little")
+                    + len(raw).to_bytes(3, "little")
+                    + c
+                )
+        return raw
     if embed_tree:
         n_entries = next(iter(lens.values()), 0)
         payload = _w_tree_payload(tree, titles, n_entries)
@@ -631,9 +841,43 @@ def write_root_flat(
         seek += len(rec)
     for name, (leaf, counter, values) in parsed.items():
         if not embed_tree:
-            rec = key_record("TBranch", name, titles[name], b"", 0, seek)
+            cls = "TBranchElement" if name in vectors else "TBranch"
+            rec = key_record(cls, name, titles[name], b"", 0, seek)
             records.append(rec)
             seek += len(rec)
+        if name in vectors:
+            dt = np.dtype(LEAF_DTYPES[leaf])
+            kl = key_len("TBasket", name, tree, trailer_len=18)
+            for start in range(0, max(len(values), 1), basket_entries):
+                ents = values[start : start + basket_entries]
+                if not ents:
+                    continue
+                data_buf = bytearray()
+                offs: list[int] = []
+                for ent in ents:
+                    offs.append(kl + len(data_buf))
+                    a = np.asarray(ent).astype(dt)
+                    data_buf += struct.pack(
+                        ">IHI",
+                        (6 + dt.itemsize * len(a)) | _BYTECOUNT_MASK,
+                        9,
+                        len(a),
+                    )
+                    data_buf += a.tobytes()
+                flast = kl + len(data_buf)
+                raw = bytes(data_buf) + b"".join(
+                    struct.pack(">i", o) for o in offs
+                )
+                trailer = struct.pack(
+                    ">HIIII", 3, len(raw), 4, len(ents), flast
+                )
+                rec = key_record(
+                    "TBasket", name, tree, compress_payload(raw), len(raw),
+                    seek, trailer=trailer,
+                )
+                records.append(rec)
+                seek += len(rec)
+            continue
         if counter is not None:
             values = [x for sub in values for x in sub]  # value stream
         arr = np.asarray(values).astype(np.dtype(LEAF_DTYPES[leaf]))
@@ -642,43 +886,7 @@ def write_root_flat(
             if len(chunk) == 0:
                 continue
             raw = chunk.tobytes()
-            payload = raw
-            if compress == "lz4":
-                from dask_awkward_sandbox_spark.io.lz4block import (
-                    lz4_block_compress,
-                    xxh64,
-                )
-
-                block = lz4_block_compress(raw)
-                framed = xxh64(block).to_bytes(8, "big") + block
-                # real ROOT's rule (both algos): store RAW when
-                # compression does not shrink — see the ZL note below
-                if 9 + len(framed) < len(raw):
-                    hdr = (
-                        b"L4"
-                        + bytes([1])
-                        + len(framed).to_bytes(3, "little")
-                        + len(raw).to_bytes(3, "little")
-                    )
-                    payload = hdr + framed
-            elif compress:
-                c = zlib.compress(raw, 6)
-                # real ROOT's rule: store RAW when compression does not
-                # shrink. This also keeps the reader's size test sound —
-                # a framed payload that coincidentally matched the raw
-                # length (9 + len(c) == len(raw) happens on mildly
-                # compressible data; r8 review found a 64-double
-                # witness) would otherwise be misread as uncompressed
-                # and decoded as garbage.
-                if 9 + len(c) < len(raw):
-                    hdr = (
-                        b"ZL"
-                        + bytes([8])
-                        + len(c).to_bytes(3, "little")
-                        + len(raw).to_bytes(3, "little")
-                    )
-                    payload = hdr + c
-            rec = key_record("TBasket", name, tree, payload, len(raw), seek)
+            rec = key_record("TBasket", name, tree, compress_payload(raw), len(raw), seek)
             records.append(rec)
             seek += len(rec)
 

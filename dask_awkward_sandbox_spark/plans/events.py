@@ -364,40 +364,96 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
-@query(
-    "q_stream_dedup",
-    """
-    select event_type,
-           cast(count(*) as bigint) as n,
-           cast(count(distinct user_id) as bigint) as n_users,
-           cast(sum(cast(round(value * 100) as bigint)) as bigint) as sum_value_c
-    from events group by event_type
-    """,
-)
-def q_stream_dedup(spark, sf_dir):
-    """Streaming exact dedup under the driver's value oracle (r4
-    verdict item 7): the events table is replayed as a json file
-    stream with a PLANTED duplicate file — every event from the last
-    30 minutes of the timeline is re-emitted in a second,
-    later-mtime file — through ``stream_dedup_exact``
-    (dropDuplicatesWithinWatermark on event_id, 1-hour watermark)
-    into a memory sink; the surviving rows are aggregated per
-    event_type.
+_ND_OFF = 1_000_000_000_000  # planted near-dup copy id offset (collision-free)
 
-    Deterministic emission contract: event_id is unique in the
-    source, so the correct output is exactly the original event set —
-    which is what the oracle aggregates relationally. The duplicates
-    are all WITHIN the watermark horizon of their originals (30min
-    re-emit window vs 1h delay, and the stream head arrives in file
-    1), so the originals' state rows are guaranteed retained when the
-    duplicates arrive and every duplicate is dropped regardless of
-    micro-batch boundaries. A broken dedup inflates n / sum_value_c
-    and fails the value hash; an over-eager dedup (dropping distinct
-    ids) deflates n.
+
+def _stream_dedup_oracle() -> str:
+    from dask_awkward_sandbox_spark.plans.llm import H9, TOKENS, _perm_values_sql
+
+    h = H9.replace("w", "unnest(" + TOKENS + ")")
+    return f"""
+    with b1 as (select doc_id as doc, text from documents where doc_id % 2 = 0),
+    b2 as (select doc_id as doc, text from documents where doc_id % 2 = 1
+           union all
+           select doc_id + {_ND_OFF} as doc, text from documents
+           where doc_id % 10 = 0),
+    alldocs as (select doc, text from b1 union all select doc, text from b2),
+    tok as (select doc, {h} as hh from alldocs),
+    p(pid, pa, pb) as {_perm_values_sql(16)},
+    sig as (select doc, pid, min((pa * hh + pb) % 1000000007) as mh
+            from tok cross join p group by doc, pid),
+    bkey as (select doc, pid // 4 as band,
+                    md5(string_agg(mh::varchar, '_' order by pid)) as key
+             from sig group by doc, pid // 4),
+    prs as (select distinct a.doc as old, n.doc as new
+            from bkey a join bkey n on a.band = n.band and a.key = n.key
+                                   and a.doc <> n.doc),
+    agree as (select prs.old, prs.new, count(*) as na
+              from prs
+              join sig sa on sa.doc = prs.old
+              join sig sb on sb.doc = prs.new and sb.pid = sa.pid
+                         and sb.mh = sa.mh
+              group by prs.old, prs.new),
+    ok as (select old, new from agree where na >= 12),
+    m1 as (select o.new as doc, min(o.old) as dup_of
+           from ok o join b1 x on x.doc = o.old join b1 y on y.doc = o.new
+           where o.old < o.new group by o.new),
+    kept1 as (select doc from b1 where doc not in (select doc from m1)),
+    m2 as (select o.new as doc, min(o.old) as dup_of
+           from ok o join b2 y on y.doc = o.new
+           where o.old in (select doc from kept1)
+              or (o.old in (select doc from b2) and o.old < o.new)
+           group by o.new),
+    nd as (select 'neardup' as leg, cast(d.doc as varchar) as key,
+                  cast(case when m.doc is not null then 1 else 0 end as bigint) as n,
+                  m.dup_of as n_users,
+                  cast(null as bigint) as sum_value_c
+           from alldocs d
+           left join (select * from m1 union all select * from m2) m
+                  on m.doc = d.doc),
+    ex as (select 'exact' as leg, event_type as key,
+                  cast(count(*) as bigint) as n,
+                  cast(count(distinct user_id) as bigint) as n_users,
+                  cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                    as sum_value_c
+           from events group by event_type)
+    select * from ex union all select * from nd
     """
+
+
+@query("q_stream_dedup", _stream_dedup_oracle())
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup under the driver's value oracle, two legs
+    through two REAL readStream paths:
+
+    'exact' (r4 verdict item 7): the events table replayed as a json
+    file stream with a PLANTED duplicate file — every event from the
+    last 30 minutes of the timeline re-emitted in a second,
+    later-mtime file — through ``stream_dedup_exact``
+    (dropDuplicatesWithinWatermark on event_id, 1-hour watermark),
+    survivors aggregated per event_type. event_id is unique in the
+    source and every duplicate arrives within the watermark horizon
+    of its original, so the correct output is exactly the original
+    event set regardless of micro-batch boundaries.
+
+    'neardup' (r10, verdict item 5 — the production "drop anything
+    similar to already-ingested" shape, streaming/neardup.py promoted
+    from pytest-only): the documents table split into two stream
+    files — evens first, then odds PLUS planted near-identical copies
+    (doc_id%10==0 texts under offset ids) — through
+    ``stream_neardup_dedup`` (16-perm MinHash, 4 bands, match >= 12/16
+    against the growing kept-doc bucket store + smaller-id batchmates;
+    exactly-once decisions via batch_id-partitioned store reads). One
+    row per doc: n=is_dup, n_users=dup_of. The oracle replays the
+    full two-batch contract relationally: batch-1 within-dups, the
+    kept-1 store, then batch-2 decisions against store + batchmates.
+    A broken store filter, replay leak, or banding drift flips
+    decision bits and breaks the hash."""
     import os
+    import shutil
     import time
 
+    from dask_awkward_sandbox_spark.streaming import stream_neardup_dedup
     from dask_awkward_sandbox_spark.streaming.events import (
         JSON_TS_FORMAT,
         stream_dedup_exact,
@@ -431,7 +487,7 @@ def q_stream_dedup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return (
+    exact_leg = (
         spark.table("q_stream_dedup_sink")
         .groupBy("event_type")
         .agg(
@@ -439,7 +495,49 @@ def q_stream_dedup(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
         )
+        .select(
+            F.lit("exact").alias("leg"),
+            F.col("event_type").alias("key"),
+            "n",
+            "n_users",
+            "sum_value_c",
+        )
     )
+
+    # neardup leg: rebuild the stream dirs from scratch each call so
+    # the two-batch replay (and its store) is deterministic per run
+    nd_base = os.path.join("/root/repo/.scratch", tag, "stream_neardup")
+    shutil.rmtree(nd_base, ignore_errors=True)
+    in_path = os.path.join(nd_base, "in")
+    d = read(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(_ND_OFF)).alias("doc_id"), "text"
+        )
+    )
+    b1.repartition(1).write.mode("overwrite").json(in_path)
+    time.sleep(1.2)  # file source orders by mtime: batch 2 strictly second
+    b2.repartition(1).write.mode("append").json(in_path)
+    stream_neardup_dedup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_path),
+        store_path=os.path.join(nd_base, "store"),
+        out_path=os.path.join(nd_base, "out"),
+        checkpoint=os.path.join(nd_base, "ckpt"),
+        num_perms=16,
+        bands=4,
+        min_match=0.75,
+    )
+    nd_leg = spark.read.parquet(os.path.join(nd_base, "out")).select(
+        F.lit("neardup").alias("leg"),
+        F.col("doc").cast("string").alias("key"),
+        F.col("is_dup").cast("long").alias("n"),
+        F.col("dup_of").alias("n_users"),
+        F.lit(None).cast("long").alias("sum_value_c"),
+    )
+    return exact_leg.unionByName(nd_leg)
 
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000

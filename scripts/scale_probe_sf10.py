@@ -73,6 +73,34 @@ REGISTERED = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    # r10 panel widening (r9-verdict item 7): every remaining
+    # registered slot whose input scales with sf — the full TPC-H gate
+    # set, the string/categorical/nested-structure slots, the events
+    # family, LSH buckets and the multimodal decode path. Excluded on
+    # purpose: the q_stream_* slots (their walls are dominated by the
+    # deliberate mtime-ordering sleeps, not compute) and
+    # q_small_sources (fixed-size root/PNG/lake fixtures dominate).
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q_top_customers",
+    "q10_returned_items",
+    "q_money_decimal",
+    "q7_volume_shipping",
+    "q4_priority_semi",
+    "q14_promo_effect",
+    "q16_supplier_breadth",
+    "q19_disjunctive",
+    "q_str_surface",
+    "q_to_categorical",
+    "q_pad_fill_none",
+    "q_unflatten",
+    "q_window_funcs",
+    "q_events_windowed",
+    "q_events_sessionize",
+    "q_events_funnel_retention",
+    "q_ann_lsh_buckets",
+    "q_multimodal_features",
 ]
 
 # r8's knn sf10 cell read 10.6x in the official artifact and 7.8x in a

@@ -49,9 +49,26 @@ def test_final_line_fits_driver_tail_capture():
             "unit": "sec",
             "queries": worst,
             "sf": 0.001,
+            "baseline_mapped": {
+                "baseline_total": 999.999,
+                "mapped_total": 999.999,
+                "ratio": 999.999,
+            },
         }
     )
     assert len(line) <= 1800, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
+
+
+def test_baseline_mapped_slots_are_headliners():
+    """Every BASELINE_MAPPED key must be a timed headliner, and the
+    baseline sum must stay the 21.376s the r8/r9 verdicts graded
+    against (BASELINE.md total 22.65 minus the folded q_with_field
+    row's 1.274)."""
+    import bench
+
+    missing = [n for n in bench.BASELINE_MAPPED if n not in bench.HEADLINERS]
+    assert not missing, missing
+    assert round(sum(bench.BASELINE_MAPPED.values()), 3) == 21.376
 
 
 def test_sf10_probe_slots_resolve():

@@ -666,3 +666,117 @@ def test_rawroot_lz4_jagged_embedded_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="checksum"):
         for b in f2.branches:
             f2.branch_array(b)
+
+
+def _write_vector(tmp_path, name="vec.root", n=500, compress=False,
+                  embed_tree=True, basket_entries=150):
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    path = str(tmp_path / name)
+    counts = [(i * 7 + 3) % 5 for i in range(n)]
+    pts = [[round(i * 0.5 + j * 0.25, 4) for j in range(c)]
+           for i, c in enumerate(counts)]
+    hits = [[(i + j) % 11 for j in range((i * 3) % 4)] for i in range(n)]
+    write_root_flat(
+        path, "Events",
+        {"event": ("L", np.arange(n, dtype=np.int64)),
+         "Trk_pt": ("vector<float>", pts),
+         "Trk_hits": ("vector<int>", hits)},
+        basket_entries=basket_entries, compress=compress,
+        embed_tree=embed_tree,
+    )
+    return path, pts, hits
+
+
+@pytest.mark.parametrize("embed_tree", [True, False])
+@pytest.mark.parametrize("compress", [False, "lz4"])
+def test_vector_branch_roundtrip_bytes(tmp_path, embed_tree, compress):
+    """Simple-container TBranchElement branches (r10, verdict item 6):
+    vector<float>/vector<int> write as per-entry version-header runs +
+    basket entry-offset tables and read back exactly through the same
+    RootFlatFile walk, in both metadata layouts, raw and compressed.
+    float32 storage quantizes values, so expectations go through
+    np.float32."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import RootFlatFile
+
+    path, pts, hits = _write_vector(
+        tmp_path, compress=compress, embed_tree=embed_tree
+    )
+    f = RootFlatFile(path)
+    assert f.vectors == {"Trk_pt", "Trk_hits"}
+    assert f.branches["Trk_pt"] == "F" and f.branches["Trk_hits"] == "I"
+    assert f.num_entries() == 500
+    want_pt = np.array([x for e in pts for x in e], dtype=np.float32)
+    np.testing.assert_array_equal(f.branch_array("Trk_pt"), want_pt)
+    assert list(f.branch_lengths("Trk_pt")) == [len(e) for e in pts]
+    assert list(f.branch_array("Trk_hits")) == [x for e in hits for x in e]
+    assert list(f.branch_lengths("Trk_hits")) == [len(e) for e in hits]
+
+
+def test_vector_branch_from_root(spark, tmp_path):
+    """Vector branches surface as list<elem> columns through
+    from_root/RawRootBackend, across basket and entry-range cuts,
+    composing with jagged DataFrame ops."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+
+    path, pts, hits = _write_vector(tmp_path, compress="lz4")
+    df = from_root(spark, path, tree="Events", step_size=120,
+                   backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    assert len(got) == 500
+    want = [list(np.asarray(e, dtype=np.float32)) for e in pts]
+    assert [list(x) for x in got["Trk_pt"]] == want
+    assert [list(x) for x in got["Trk_hits"]] == [list(e) for e in hits]
+    n_vals = df.agg(F.sum(F.size("Trk_pt"))).collect()[0][0]
+    assert n_vals == sum(len(e) for e in pts)
+
+
+def test_vector_branch_error_surface(tmp_path):
+    """Unsupported container classes stay gated with directed errors;
+    a corrupted entry header fails loudly, not as garbage values."""
+    import struct
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import (
+        RootFlatFile,
+        write_root_flat,
+    )
+
+    with pytest.raises(ValueError, match="unsupported leaf"):
+        write_root_flat(
+            str(tmp_path / "x.root"), "T",
+            {"v": ("vector<vector<float>>", [[1.0]])},
+        )
+
+    path, _, _ = _write_vector(tmp_path, n=60, basket_entries=30)
+    f = RootFlatFile(path)
+    k = f.baskets["Trk_pt"][0]
+    raw = bytearray(open(path, "rb").read())
+    # flip the declared size int32 inside the first entry header
+    hdr_off = k.seek + k.keylen + 6
+    (size,) = struct.unpack_from(">I", raw, hdr_off)
+    struct.pack_into(">I", raw, hdr_off, size + 1)
+    open(path, "wb").write(bytes(raw))
+    f2 = RootFlatFile(path)
+    with pytest.raises(ValueError, match="header size disagrees"):
+        f2.branch_array("Trk_pt")
+
+    # a registered-but-foreign container class is a DIRECTED gate
+    from dask_awkward_sandbox_spark.io.rootfile import _w_tree_payload
+
+    payload = _w_tree_payload("T", {"v": "vector<float>"}, 0)
+    patched = payload.replace(b"vector<float>", b"vector<TLorV>")
+    from dask_awkward_sandbox_spark.io.rootfile import _r_tree_payload
+    _t, _n, brs = _r_tree_payload(patched)
+    stub = RootFlatFile.__new__(RootFlatFile)
+    stub.branches, stub.counters, stub.vectors = {}, {}, set()
+    with pytest.raises(DecodeUnavailable, match="vector<TLorV>"):
+        for nm, title in brs.items():
+            stub._register_branch(nm, title)

@@ -517,3 +517,48 @@ def test_connected_components_random_graphs_match_union_find(spark):
                 v: (got[v], want[v]) for v in got if got[v] != want[v]
             })
             assert stats["converged"]
+
+
+def test_with_lsh_buckets_arrow_matches_hof(spark):
+    """The r10 Arrow-kernel bucket build and the all-Catalyst HOF form
+    are two implementations of one bit-exact contract (np.cumsum is a
+    strictly sequential prefix add == the F.aggregate left fold), so
+    ids, tables, buckets, vectors AND norms must match EXACTLY —
+    including the sign bits of near-zero projections."""
+    import random
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        with_lsh_buckets,
+        with_lsh_buckets_hof,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(frame):
+        return sorted(
+            (r["vec_id"], r["t"], r["bucket"], tuple(r["_vec"]), r["_norm"])
+            for r in frame.collect()
+        )
+
+    fast = canon(with_lsh_buckets(df, "vec_id", "embedding", 16, planes=5, tables=3))
+    hof = canon(with_lsh_buckets_hof(df, "vec_id", "embedding", 16, planes=5, tables=3))
+    assert len(fast) == 300 * 3
+    assert fast == hof
+
+    # float32 storage path: cast-then-fold must also agree
+    df32 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    f32 = canon(with_lsh_buckets(df32, "vec_id", "embedding", 16, planes=3, tables=2))
+    h32 = canon(with_lsh_buckets_hof(df32, "vec_id", "embedding", 16, planes=3, tables=2))
+    assert f32 == h32
+
+    import pytest as _p
+
+    ragged = spark.createDataFrame(
+        [(1, [0.5] * 16), (2, [0.5] * 15)], "vec_id long, embedding array<double>"
+    )
+    with _p.raises(Exception, match="dense length-16"):
+        with_lsh_buckets(ragged, "vec_id", "embedding", 16).collect()
