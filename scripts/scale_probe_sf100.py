@@ -99,6 +99,11 @@ def main() -> None:
     clusters = {}
     for op_name, build in (("minhash_clusters", minhash_clusters),
                            ("embedding_neardup_clusters", neardup_clusters)):
+        # warmup at the driver's sf0.1 (bench.py's policy: the wall
+        # should measure plan execution, not first-call codegen/JIT —
+        # and, r10, first-ever Python-worker spawn for the Arrow
+        # bucket kernel, which read as +4s of fake sf1 wall)
+        _noop(build("/root/testdata/sf0.1", {}))
         per_scale = {}
         for sf_name, d in (("sf1", SF1_DIR), ("sf10", SF10_DIR),
                            ("sf100", SF100_DIR)):

@@ -502,3 +502,14 @@ def test_plain_merge_rejects_schema_change(spark, tmp_path):
     narrow = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError, match="missing"):
         lh.merge_upsert(spark, path, narrow, ["id"], n_buckets=8)
+
+
+def test_plain_merge_rejects_type_drift(spark, tmp_path):
+    """Same-name/different-TYPE batches must be directed too (r10
+    advice): a name-only check let a retyped column pass and then fail
+    opaquely (or silently coerce) inside unionByName/write."""
+    path = str(tmp_path / "plain_t")
+    lh.create_merge_table(_base(spark), path, ["id"], n_buckets=8)
+    retyped = spark.createDataFrame([(1, "x", 5.0)], "id long, s string, n double")
+    with pytest.raises(ValueError, match="types differ"):
+        lh.merge_upsert(spark, path, retyped, ["id"], n_buckets=8)
