@@ -142,14 +142,15 @@ def _extra_queries(spark, d):
 
 
 def _minhash_pair_output(spark):
-    """q_dedup_minhash's pair leg is a PAIR LISTER — on this corpus's
-    ~2700-doc near-identical template groups its OUTPUT is quadratic
-    in group size (62.4M pairs at sf1), so wall growth above 10x is
-    output volume, not plan pathology (the r9 diagnosis; the same
-    story as the demoted embedding pair lister). Record out_pairs at
-    both scales so the artifact PROVES output-boundedness: wall/pair
-    stays ~flat. The registered scale path for minhash dedup is the
-    cluster slot (flat iterations, ~3x growth)."""
+    """The DEMOTED minhash pair lister (r10 — dropped from the
+    q_dedup_minhash gate slot per the r9 verdict's item 1): on this
+    corpus's ~2700-doc near-identical template groups its OUTPUT is
+    quadratic in group size (62.4M pairs at sf1), so wall growth above
+    10x is output volume, not plan pathology — the same story as the
+    r6-demoted embedding pair lister. This aux block keeps the lister
+    measured (wall/pair ~flat proves output-boundedness); the
+    registered legs are now the output-bounded candidate stats, and
+    the scale path for minhash dedup is the cluster slot."""
     from dask_awkward_sandbox_spark.functions import dedup
     from dask_awkward_sandbox_spark.plans.llm import _docs
 
