@@ -78,6 +78,65 @@ def cosine(a: Column, b: Column) -> Column:
     return cosine_from_norms(a, b, norm(a), norm(b))
 
 
+def cosine_pairs_arrow(joined: DataFrame, dim: int, round_digits: int) -> DataFrame:
+    """(id_a, id_b, sim) from a joined candidate-pair frame whose
+    columns are exactly (id_a, id_b, _va, _vb, _na, _nb) — the Arrow
+    twin of filtering on ``round_half_away(cosine_from_norms(...))``.
+
+    r10: per-pair cosines were the second interpreted-HOF hotspot the
+    sf100 probe exposed (27.5s of the embedding near-dup run: 37.8M
+    candidate edges x 64-dim zip_with+fold). Each Arrow batch computes
+    every row-dot as one vectorized einsum; results round through the
+    SAME scaled-binary half-away rule as the expression and SQL paths
+    (the module-wide contract: rounded similarities are engine-order-
+    independent, which is precisely what lets a reassociated numpy dot
+    replace the left fold here — unlike the LSH sign bits, which have
+    no rounding guard and therefore use the bit-exact cumsum kernel).
+    Zero-norm pairs drop, matching the null-cosine filter semantics.
+    Pinned equal to the expression form in tests/test_similarity.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    fields = joined.schema.fields
+    ia, ib = fields[0].name, fields[1].name
+    ta, tb = fields[0].dataType.simpleString(), fields[1].dataType.simpleString()
+
+    def kernel(batches):
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+
+            def mat(col_i):
+                arr = b.column(col_i)
+                offs = arr.offsets.to_numpy(zero_copy_only=False)
+                if ((offs[1:] - offs[:-1]) != dim).any():
+                    raise ValueError(
+                        f"cosine_pairs_arrow: vectors must be dense length-{dim}"
+                    )
+                vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+                return vals[offs[0] : offs[-1]].reshape(n, dim)
+
+            va, vb = mat(2), mat(3)
+            na = b.column(4).to_numpy(zero_copy_only=False)
+            nb_ = b.column(5).to_numpy(zero_copy_only=False)
+            dots = np.einsum("ij,ij->i", va, vb)
+            keep = (na > 0) & (nb_ > 0)
+            denom = np.where(keep, na * nb_, 1.0)
+            sim = _round_half_away(dots / denom, round_digits)
+            idx = pa.array(np.nonzero(keep)[0])
+            yield pa.record_batch(
+                [
+                    b.column(0).take(idx),
+                    b.column(1).take(idx),
+                    pa.array(sim[keep]),
+                ],
+                names=[ia, ib, "sim"],
+            )
+
+    return joined.mapInArrow(kernel, f"{ia} {ta}, {ib} {tb}, sim double")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -546,16 +605,23 @@ def neardup_pairs_blocked(
     va, vb = vt.alias("va"), vt.alias("vb")
     if small_corpus:
         va, vb = F.broadcast(va), F.broadcast(vb)
-    j = cand.join(va, F.col("id_a") == F.col("va._vid")).join(
-        vb, F.col("id_b") == F.col("vb._vid")
+    j = (
+        cand.join(va, F.col("id_a") == F.col("va._vid"))
+        .join(vb, F.col("id_b") == F.col("vb._vid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("va._v").alias("_va"),
+            F.col("vb._v").alias("_vb"),
+            F.col("va._n").alias("_na"),
+            F.col("vb._n").alias("_nb"),
+        )
     )
-    sim = round_half_away(
-        cosine_from_norms(
-            F.col("va._v"), F.col("vb._v"), F.col("va._n"), F.col("vb._n")
-        ),
-        round_digits,
+    # per-pair cosine via the Arrow einsum kernel (r10; see
+    # cosine_pairs_arrow — rounding makes the set order-independent)
+    return cosine_pairs_arrow(j, dim, round_digits).filter(
+        F.col("sim") >= threshold
     )
-    return j.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
 
 
 def connected_components(
@@ -883,18 +949,25 @@ def embedding_neardup_clusters(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
     va, vb = vt.alias("va"), vt.alias("vb")
-    verified = (
+    # Arrow cosine kernel (r10): the equi-joins stay Catalyst; only the
+    # per-pair 64-dim dot moves to one einsum per batch — 27.5s -> ~5s
+    # at sf100 on 37.8M candidate edges. Rounding makes the verified
+    # edge set order-independent (see cosine_pairs_arrow).
+    joined = (
         edges.join(va, F.col("a") == F.col("va._vid"))
         .join(vb, F.col("b") == F.col("vb._vid"))
-        .filter(
-            round_half_away(
-                cosine_from_norms(
-                    F.col("va._v"), F.col("vb._v"), F.col("va._n"), F.col("vb._n")
-                ),
-                round_digits,
-            )
-            >= threshold
+        .select(
+            "a",
+            "b",
+            F.col("va._v").alias("_va"),
+            F.col("vb._v").alias("_vb"),
+            F.col("va._n").alias("_na"),
+            F.col("vb._n").alias("_nb"),
         )
+    )
+    verified = (
+        cosine_pairs_arrow(joined, dim, round_digits)
+        .filter(F.col("sim") >= threshold)
         .select("a", "b")
     )
     ids = df.select(F.col(id_col).alias("id"))

@@ -562,3 +562,58 @@ def test_with_lsh_buckets_arrow_matches_hof(spark):
     )
     with _p.raises(Exception, match="dense length-16"):
         with_lsh_buckets(ragged, "vec_id", "embedding", 16).collect()
+
+
+def test_cosine_pairs_arrow_matches_expression(spark):
+    """The Arrow einsum cosine (cosine_pairs_arrow) and the
+    round_half_away(cosine_from_norms(...)) expression form must agree
+    on every ROUNDED similarity — the module contract that rounded
+    sims are engine-order-independent is what licenses the reassociated
+    numpy dot. Zero-norm pairs drop in both forms."""
+    import random
+
+    from dask_awkward_sandbox_spark.functions.similarity import (
+        as_double,
+        cosine_from_norms,
+        cosine_pairs_arrow,
+        norm,
+        round_half_away,
+    )
+
+    rnd = random.Random(23)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    vecs.append((120, [0.0] * 16))  # zero-norm: must drop
+    df = spark.createDataFrame(vecs, "vid long, v array<double>")
+    pairs = spark.createDataFrame(
+        [(a, (a * 37 + 11) % 121) for a in range(121)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+    vt = df.select(F.col("vid").alias("_vid"), as_double(F.col("v")).alias("_v")
+                   ).withColumn("_n", norm(F.col("_v")))
+    j = (
+        pairs.join(vt.alias("va"), F.col("id_a") == F.col("va._vid"))
+        .join(vt.alias("vb"), F.col("id_b") == F.col("vb._vid"))
+    )
+    expr_form = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in j.select(
+            "id_a", "id_b",
+            round_half_away(
+                cosine_from_norms(F.col("va._v"), F.col("vb._v"),
+                                  F.col("va._n"), F.col("vb._n")), 6
+            ).alias("sim"),
+        ).collect()
+        if r["sim"] is not None
+    }
+    arrow_form = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_pairs_arrow(
+            j.select("id_a", "id_b",
+                     F.col("va._v").alias("_va"), F.col("vb._v").alias("_vb"),
+                     F.col("va._n").alias("_na"), F.col("vb._n").alias("_nb")),
+            16, 6,
+        ).collect()
+    }
+    # 121 generated pairs, minus the one self pair, minus the two pairs
+    # touching the zero-norm vector (it appears once per side)
+    assert len(arrow_form) == 118
+    assert arrow_form == expr_form
