@@ -295,10 +295,12 @@ def resize_bmp(
 # under the same no-PIL constraint as BMP/WAV. The DECODER handles all
 # five standard filter types (None/Sub/Up/Average/Paeth), so it reads
 # 8-bit RGB files real encoders wrote, not just this writer's output;
-# the ENCODER emits filter-0 rows (always valid PNG). Palette/gray/
-# alpha color types, 16-bit depth, and interlacing stay gated with
-# directed errors; JPEG remains DecodeUnavailable (DCT entropy coding
-# is a genuine external-lib boundary, unlike PNG's).
+# the ENCODER emits filter-0 rows (always valid PNG). r10: every
+# 8-BIT COLOR TYPE decodes (gray / RGB / palette+PLTE / gray-alpha /
+# RGBA — alpha dropped, output is always (H, W, 3) RGB); 16-bit depth
+# and Adam7 interlacing stay gated with directed errors; JPEG remains
+# DecodeUnavailable (DCT entropy coding is a genuine external-lib
+# boundary, unlike PNG's).
 # ---------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -388,16 +390,20 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
 
 
 def _decode_png_pixels(buf: bytes):
-    """(width, height, (H, W, 3) uint8) from 8-bit RGB PNG bytes —
+    """(width, height, (H, W, 3) uint8) from 8-bit PNG bytes of ANY
+    color type (r10: gray/RGB/palette/gray-alpha/RGBA — palette
+    indices resolve through PLTE, gray replicates, alpha drops) —
     chunk walk with CRC verification, multi-IDAT concatenation, full
-    filter reconstruction. Color types other than truecolor-8 raise
-    directed errors (palette/gray/alpha/16-bit/interlace)."""
+    filter reconstruction. 16-bit depth and interlace raise directed
+    errors."""
     import struct
     import zlib
 
     if buf[: len(PNG_MAGIC)] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = len(PNG_MAGIC), None, []
+    import numpy as np
+
+    pos, ihdr, idat, plte = len(PNG_MAGIC), None, [], None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4 : pos + 8]
@@ -409,22 +415,45 @@ def _decode_png_pixels(buf: bytes):
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IEND":
             break
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color != 2:
+    # r10: every 8-bit color type decodes (the r9 gate covered only
+    # truecolor). Channel counts per the spec; palette indices look up
+    # PLTE; alpha channels are DROPPED after unfiltering (the output
+    # contract is an (H, W, 3) RGB array — compositing policy belongs
+    # to the caller). 16-bit depth and Adam7 interlace stay gated.
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None:
         raise ValueError(
-            f"PNG color type {color}/depth {depth} unsupported — only "
-            "8-bit truecolor RGB decodes here (palette/gray/alpha need "
-            "the gated PIL path)"
+            f"PNG color type {color}/depth {depth} unsupported — every "
+            "8-bit color type (gray/RGB/palette/gray-alpha/RGBA) decodes "
+            "here; 16-bit needs the gated PIL path"
         )
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("PNG interlaced/nonstandard compression unsupported")
     raw = zlib.decompress(b"".join(idat))
-    return w, h, _png_unfilter(raw, w, h, 3)
+    px = _png_unfilter(raw, w, h, channels)
+    if color == 2:
+        return w, h, px
+    if color == 0:  # grayscale -> replicate
+        return w, h, np.repeat(px, 3, axis=2)
+    if color == 3:  # palette lookup
+        if plte is None or len(plte) % 3:
+            raise ValueError("PNG palette image missing a well-formed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return w, h, pal[idx]
+    if color == 4:  # gray + alpha -> replicate gray, drop alpha
+        return w, h, np.repeat(px[:, :, :1], 3, axis=2)
+    return w, h, px[:, :, :3]  # RGBA -> drop alpha
 
 
 def decode_jpeg(payload: bytes) -> "object":

@@ -351,7 +351,9 @@ def test_png_multi_idat_and_error_surface():
     bad[-5] ^= 0xFF  # inside IEND's CRC
     with pytest.raises(ValueError, match="CRC mismatch"):
         mm._decode_png_pixels(bytes(bad))
-    # non-RGB color types are directed errors
+    # r10: gray DECODES now — but a stream whose scanline bytes
+    # disagree with the declared color type (RGB-sized rows under a
+    # gray header) must fail loudly, not decode garbage
     gray_ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     gbuf = (
         mm.PNG_MAGIC
@@ -359,7 +361,7 @@ def test_png_multi_idat_and_error_surface():
         + mm._png_chunk(b"IDAT", z)
         + mm._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="color type 0"):
+    with pytest.raises(ValueError, match="scanline data"):
         mm._decode_png_pixels(gbuf)
     with pytest.raises(ValueError, match="not a PNG"):
         mm._decode_png_pixels(b"nope")
@@ -391,3 +393,79 @@ def test_png_spark_decode_and_resize(spark):
         [(x * 7 + i) % 256, (y * 11 + 2 * i) % 256, (x + y + 3 * i) % 256], -1
     ).astype(np.uint8)
     np.testing.assert_array_equal(got, mm._nn_resize(px3, 10, 7))
+
+
+def test_png_all_8bit_color_types_decode():
+    """r10: gray (0), palette (3, PLTE lookup), gray+alpha (4) and
+    RGBA (6) decode to the same (H, W, 3) RGB contract as truecolor;
+    alpha drops, gray replicates, palette resolves. Files are
+    hand-assembled with real chunk CRCs, filter-0 rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    w, h = 5, 4
+
+    def build(color, channels, scan_rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in scan_rows)
+        return (
+            mm.PNG_MAGIC
+            + mm._png_chunk(b"IHDR", ihdr)
+            + extra
+            + mm._png_chunk(b"IDAT", zlib.compress(raw))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    # grayscale
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 7
+    buf = build(0, 1, [gray[y].tobytes() for y in range(h)])
+    _, _, got = mm._decode_png_pixels(buf)
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # palette
+    pal = np.array([[250, 1, 2], [3, 250, 4], [5, 6, 250]], dtype=np.uint8)
+    idx = (np.arange(w * h, dtype=np.uint8).reshape(h, w)) % 3
+    buf = build(
+        3, 1, [idx[y].tobytes() for y in range(h)],
+        extra=mm._png_chunk(b"PLTE", pal.tobytes()),
+    )
+    _, _, got = mm._decode_png_pixels(buf)
+    np.testing.assert_array_equal(got, pal[idx])
+
+    # gray + alpha (alpha varies; must not affect output)
+    ga = np.stack([gray, 255 - gray], axis=2)
+    buf = build(4, 2, [ga[y].tobytes() for y in range(h)])
+    _, _, got = mm._decode_png_pixels(buf)
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # RGBA
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    rgba = np.concatenate([rgb, (rgb[:, :, :1] * 3 + 1)], axis=2)
+    buf = build(6, 4, [rgba[y].tobytes() for y in range(h)])
+    _, _, got = mm._decode_png_pixels(buf)
+    np.testing.assert_array_equal(got, rgb)
+
+    # directed gates: 16-bit depth; palette without PLTE; index overrun
+    import pytest
+
+    ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    buf16 = (
+        mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr16)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (h * (1 + w * 6))))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="16-bit"):
+        mm._decode_png_pixels(buf16)
+    no_plte = build(3, 1, [idx[y].tobytes() for y in range(h)])
+    with pytest.raises(ValueError, match="PLTE"):
+        mm._decode_png_pixels(no_plte)
+    bad_idx = build(
+        3, 1, [(idx[y] + 7).tobytes() for y in range(h)],
+        extra=mm._png_chunk(b"PLTE", pal.tobytes()),
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        mm._decode_png_pixels(bad_idx)
