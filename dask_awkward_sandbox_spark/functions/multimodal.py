@@ -389,6 +389,43 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     return out.reshape(h, w, bpp)
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the spec
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int):
+    """Reassemble an Adam7-interlaced image (r10): the stream is the
+    concatenation of 7 passes, each an independently-filtered
+    sub-image over its pass grid; unfilter each with the SAME
+    per-scanline machinery and scatter into place."""
+    import numpy as np
+
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * bpp)
+        sub = _png_unfilter(raw[off : off + nbytes], pw, ph, bpp)
+        out[y0::ys, x0::xs, :] = sub
+        off += nbytes
+    if off != len(raw):
+        raise ValueError(
+            f"PNG interlaced stream is {len(raw)} bytes, passes consumed {off}"
+        )
+    return out
+
+
 def _decode_png_pixels(buf: bytes):
     """(width, height, (H, W, 3) uint8) from 8-bit PNG bytes of ANY
     color type (r10: gray/RGB/palette/gray-alpha/RGBA — palette
@@ -424,21 +461,30 @@ def _decode_png_pixels(buf: bytes):
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
     # r10: every 8-bit color type decodes (the r9 gate covered only
-    # truecolor). Channel counts per the spec; palette indices look up
-    # PLTE; alpha channels are DROPPED after unfiltering (the output
-    # contract is an (H, W, 3) RGB array — compositing policy belongs
-    # to the caller). 16-bit depth and Adam7 interlace stay gated.
+    # truecolor), plus 16-bit gray/RGB/gray-alpha/RGBA (samples fold to
+    # their high byte — the standard 16->8 scale) and Adam7 interlace.
+    # Channel counts per the spec; palette indices look up PLTE; alpha
+    # channels are DROPPED after unfiltering (the output contract is an
+    # (H, W, 3) uint8 RGB array — compositing and 16-bit-precision
+    # policy belong to the caller). Sub-byte depths (1/2/4) stay gated.
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None:
+    if channels is None or depth not in (8, 16) or (color == 3 and depth != 8):
         raise ValueError(
-            f"PNG color type {color}/depth {depth} unsupported — every "
-            "8-bit color type (gray/RGB/palette/gray-alpha/RGBA) decodes "
-            "here; 16-bit needs the gated PIL path"
+            f"PNG color type {color}/depth {depth} unsupported — 8/16-bit "
+            "gray/RGB/gray-alpha/RGBA and 8-bit palette decode here; "
+            "sub-byte depths need the gated PIL path"
         )
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("PNG interlaced/nonstandard compression unsupported")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("PNG nonstandard compression/filter/interlace method")
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    px = _png_unfilter(raw, w, h, channels)
+    px = (
+        _png_deinterlace(raw, w, h, bpp)
+        if interlace == 1
+        else _png_unfilter(raw, w, h, bpp)
+    )
+    if depth == 16:
+        px = px[:, :, 0::2]  # big-endian sample pairs -> high byte
     if color == 2:
         return w, h, px
     if color == 0:  # grayscale -> replicate

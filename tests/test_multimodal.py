@@ -449,17 +449,33 @@ def test_png_all_8bit_color_types_decode():
     _, _, got = mm._decode_png_pixels(buf)
     np.testing.assert_array_equal(got, rgb)
 
-    # directed gates: 16-bit depth; palette without PLTE; index overrun
-    import pytest
-
+    # 16-bit RGB (r10): big-endian sample pairs fold to the high byte
+    rgb16 = (rgb.astype(np.uint16) * 257).astype(">u2")
     ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
     buf16 = (
         mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr16)
-        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * (h * (1 + w * 6))))
+        + mm._png_chunk(
+            b"IDAT",
+            zlib.compress(
+                b"".join(b"\x00" + rgb16[y].tobytes() for y in range(h))
+            ),
+        )
         + mm._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="16-bit"):
-        mm._decode_png_pixels(buf16)
+    _, _, got16 = mm._decode_png_pixels(buf16)
+    np.testing.assert_array_equal(got16, rgb)
+
+    # directed gates: sub-byte depth; palette without PLTE; index overrun
+    import pytest
+
+    ihdr4 = struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0)
+    buf4 = (
+        mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr4)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * h))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="sub-byte"):
+        mm._decode_png_pixels(buf4)
     no_plte = build(3, 1, [idx[y].tobytes() for y in range(h)])
     with pytest.raises(ValueError, match="PLTE"):
         mm._decode_png_pixels(no_plte)
@@ -469,3 +485,51 @@ def test_png_all_8bit_color_types_decode():
     )
     with pytest.raises(ValueError, match="palette index"):
         mm._decode_png_pixels(bad_idx)
+
+
+def test_png_adam7_interlace_decodes():
+    """r10: an Adam7-interlaced RGB file — seven independently
+    filtered sub-images — reassembles to exactly the source pixels.
+    Built against an independent implementation of the spec's pass
+    grid; one pass uses filter 2 (Up) so deinterlacing composes with
+    real filter reconstruction, and degenerate sizes (passes with zero
+    pixels) are covered by a 2x3 image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(7)
+
+    def interlaced_png(px):
+        h, w = px.shape[0], px.shape[1]
+        passes = []
+        for x0, y0, xs, ys in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)]:
+            sub = px[y0::ys, x0::xs, :]
+            if sub.size == 0:
+                continue
+            rows = []
+            for y in range(sub.shape[0]):
+                if y and sub.shape[0] > 2:  # filter 2 (Up) on later rows
+                    delta = (sub[y].astype(np.int16) - sub[y - 1]) % 256
+                    rows.append(b"\x02" + delta.astype(np.uint8).tobytes())
+                else:
+                    rows.append(b"\x00" + sub[y].tobytes())
+            passes.append(b"".join(rows))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        return (
+            mm.PNG_MAGIC
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"".join(passes)))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    for h, w in ((13, 11), (8, 8), (2, 3), (1, 1)):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got_w, got_h, got = mm._decode_png_pixels(interlaced_png(px))
+        assert (got_w, got_h) == (w, h)
+        np.testing.assert_array_equal(got, px)
