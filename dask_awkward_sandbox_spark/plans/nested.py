@@ -631,20 +631,136 @@ _PAIR_SUMS = f"""
     """,
 )
 def q_reduce_order_count(spark, sf_dir):
-    """Arithmetic + order statistics + counting + boolean + moment
-    reducers in one per-order pass: ak.sum/prod (prod oracle via
-    exp-sum-log of exact ints), ak.min/max/ptp, ak.argmin/argmax
-    (first index of the extremum), ak.count/count_nonzero, ak.any/all,
-    and ak.mean/var/std/moment n=2,3 (axis=1; r5 fusion — the moment
-    sums ride the SAME struct accumulator, so the former
-    q_reduce_stats slot collapsed into this single pass; both engines
-    apply identical one-pass formulas to exact integer power sums).
-    r8: the former q_fit_corr legs (ak.linear_fit / ak.covar /
-    ak.corr + weighted forms, semantics of operators/reducers.py:326)
-    are FUSED into the same accumulator as 8 more exact-integer pair
-    sums — no second build, no join; degenerate-denominator rows
-    carry NULL fit legs via F.when, mirroring the oracle's fi-CTE
-    WHERE + left join."""
+    """Arithmetic + order statistics + counting + boolean + moment +
+    fit reducers per order — ak.sum/prod, ak.min/max/ptp,
+    ak.argmin/argmax (first index of the extremum), ak.count/
+    count_nonzero, ak.any/all, ak.mean/var/std/moment n=2,3, and
+    ak.linear_fit/covar/corr with weighted forms.
+
+    r10 (late; the q_sort_argsort template): the registered form runs
+    every leg as whole-stage-codegen hash aggregates over the flat
+    scan — exact-integer power/pair sums, conditional counts, bool
+    or/and as max/min, prod via the oracle's own round(exp(sum(ln)))
+    (exact on these magnitudes: products <= 1e7, double error ~1e-9
+    around an integer), and argmin/argmax indices via ONE row_number
+    window in full ORD order feeding min(struct(q, i)) /
+    min(struct(-q, i)) — the window's sort replaces the nested
+    build's collect_list + array_sort, and the 24-field interpreted
+    struct fold disappears entirely. Fit legs replicate the oracle's
+    formula text from the flat sums (identical doubles). The fused
+    struct-accumulator HOF composition stays as
+    :func:`q_reduce_order_count_hof`, pinned row-identical in
+    tests/test_nested_fast_forms.py."""
+    from pyspark.sql import Window
+
+    li = read(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    pc = cents(F.col("l_extendedprice"))
+    dc = cents(F.col("l_discount"))
+    ordw = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus",
+    )
+    base = li.select(
+        "l_orderkey",
+        qc.alias("q"),
+        pc.alias("p"),
+        dc.alias("d"),
+        F.col("l_linenumber").cast("long").alias("w"),
+        (F.row_number().over(ordw) - 1).cast("long").alias("i"),
+    )
+    q, p, d, w = F.col("q"), F.col("p"), F.col("d"), F.col("w")
+    agg = base.groupBy("l_orderkey").agg(
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.round(
+            F.exp(F.sum(F.log(F.greatest(d, F.lit(1)).cast("double"))))
+        ).cast("long").alias("pd"),
+        F.min(q).alias("mnq"),
+        F.max(q).alias("mxq"),
+        F.max(p).alias("mxp"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(d != 0, 1)).alias("nd"),
+        F.max((d > 5).cast("int")).alias("anyb"),
+        F.min((q < 4500).cast("int")).alias("alls"),
+        # stable argmin/argmax: min over (value, index) / (-value, index)
+        F.min(F.struct(q.alias("v"), F.col("i").alias("i"))).alias("_amn"),
+        F.min(F.struct((-q).alias("v"), F.col("i").alias("i"))).alias("_amx"),
+        F.sum(q * q).alias("sq2"),
+        F.sum(q * q * q).alias("sq3"),
+        F.sum(p * p).alias("syy"),
+        F.sum(q * p).alias("sxy"),
+        F.sum(w).alias("sw"),
+        F.sum(w * q).alias("wsx"),
+        F.sum(w * p).alias("wsy"),
+        F.sum(w * q * q).alias("wsxx"),
+        F.sum(w * p * p).alias("wsyy"),
+        F.sum(w * q * p).alias("wsxy"),
+    )
+    # fit legs: the oracle casts each exact pair sum to double FIRST,
+    # then applies the formula text — replicated verbatim (IEEE double
+    # ops are deterministic, so identical inputs + identical op order
+    # = bit-exact agreement); all seven legs NULL together when any
+    # denominator degenerates, mirroring the fi-CTE WHERE + left join
+    nD = F.col("n").cast("double")
+    sx, sy = F.col("sq").cast("double"), F.col("sp").cast("double")
+    sxx = F.col("sq2").cast("double")
+    syy, sxy = F.col("syy").cast("double"), F.col("sxy").cast("double")
+    sw = F.col("sw").cast("double")
+    wsx, wsy = F.col("wsx").cast("double"), F.col("wsy").cast("double")
+    wsxx = F.col("wsxx").cast("double")
+    wsyy, wsxy = F.col("wsyy").cast("double"), F.col("wsxy").cast("double")
+    slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    var_xy = (sxx / nD - (sx / nD) * (sx / nD)) * (syy / nD - (sy / nD) * (sy / nD))
+    wvar_xy = (wsxx / sw - (wsx / sw) * (wsx / sw)) * (
+        wsyy / sw - (wsy / sw) * (wsy / sw)
+    )
+    ok = (
+        ((nD * sxx - sx * sx) != 0)
+        & (var_xy > 0)
+        & ((sw * wsxx - wsx * wsx) != 0)
+        & (wvar_xy > 0)
+    )
+
+    def leg(expr, name):
+        return F.when(ok, expr).alias(name)
+
+    return agg.select(
+        "l_orderkey",
+        F.col("sq").alias("sum_qty_c"),
+        F.col("sp").alias("sum_price_c"),
+        F.col("pd").alias("prod_disc_c"),
+        F.col("mnq").alias("min_qty_c"),
+        F.col("mxp").alias("max_price_c"),
+        (F.col("mxq") - F.col("mnq")).alias("ptp_qty_c"),
+        F.col("n").alias("n"),
+        F.col("nd").alias("n_discounted"),
+        F.col("anyb").alias("any_big_disc"),
+        F.col("alls").alias("all_small_qty"),
+        F.col("_amn")["i"].alias("argmin_qty"),
+        F.col("_amx")["i"].alias("argmax_qty"),
+        (sx / nD / 100).alias("mean_qty"),
+        ((sxx - sx * sx / nD) / nD / 10000).alias("var_qty"),
+        (F.sqrt((sxx - sx * sx / nD) / nD) / 100).alias("std_qty"),
+        (sxx / nD / 10000).alias("m2"),
+        (F.col("sq3").cast("double") / nD / 1000000).alias("m3"),
+        leg(slope, "slope"),
+        leg((sy - slope * sx) / nD, "intercept"),
+        leg(sxy / nD - (sx / nD) * (sy / nD), "covar_qp"),
+        leg((sxy / nD - (sx / nD) * (sy / nD)) / F.sqrt(var_xy), "corr_qp"),
+        leg((sw * wsxy - wsx * wsy) / (sw * wsxx - wsx * wsx), "wslope"),
+        leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
+        leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
+    )
+
+
+def q_reduce_order_count_hof(spark, sf_dir):
+    """The nested single-pass struct-accumulator form of
+    q_reduce_order_count — 24 reducer semantics fused into ONE
+    transform + ONE aggregate over the per-order list (the r4/r5/r8
+    fusion story). Retained as the operator-exercising reference after
+    the r10 flat-codegen rewrite of the registered slot; pinned
+    row-identical in tests/test_nested_fast_forms.py."""
     # Scale shape (r4 rewrite, VERDICT r3 "What's wrong #2"): higher-
     # order functions are interpreted (outside whole-stage codegen) and
     # Catalyst cannot CSE across lambda bodies, so 13 independent

@@ -43,3 +43,15 @@ def test_concatenate_axis_none_forms_agree(spark):
     cols = list(hof[0])
     fast = [{c: r[c] for c in cols} for r in fast_full]
     assert all(f == hof[0] for f in fast)
+
+
+def test_reduce_order_count_forms_agree(spark):
+    from dask_awkward_sandbox_spark.plans.nested import (
+        q_reduce_order_count,
+        q_reduce_order_count_hof,
+    )
+
+    fast = _rows(q_reduce_order_count(spark, SF), key="l_orderkey")
+    hof = _rows(q_reduce_order_count_hof(spark, SF), key="l_orderkey")
+    assert len(fast) == len(hof) > 0
+    assert fast == hof
