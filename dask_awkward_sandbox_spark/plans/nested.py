@@ -307,12 +307,52 @@ def q_sort_argsort_hof(spark, sf_dir):
     """,
 )
 def q_cartesian_combinations(spark, sf_dir):
-    """ak.cartesian of (qty, discount) lists and ak.combinations (n=2
-    unordered pairs i<j) per order; closed-form oracles
-    (sum_ij x_i y_j == sum(x)sum(y); sum_{{i<j}} x_i x_j == (S²-SS)/2).
-    PLUS (r7 gate surgery — the former q_zip_with_field legs) ak.zip +
-    ak.unzip + elementwise product reduce (list dot product) and
-    ak.with_field / ak.without_field, off the SAME nested build."""
+    """ak.cartesian / ak.combinations / ak.zip+unzip+dot /
+    ak.with_field+without_field semantics per order.
+
+    r10 (late; the codegen template): the oracle is ALREADY the
+    closed-form algebra (sum_ij x_i y_j == sum(x)sum(y); sum_{{i<j}}
+    x_i x_j == (S²-SS)/2), so the registered form computes exactly
+    those flat whole-stage-codegen aggregates — five exact-integer
+    sums and a count per order, no nested build, no pair
+    materialization (which is also the only 100 TB-sane plan: the
+    explicit pair arrays grow quadratically in list length). The
+    operator compositions themselves stay exercised in
+    :func:`q_cartesian_combinations_hof`, pinned row-identical in
+    tests/test_nested_fast_forms.py, plus their own unit tests. sf10
+    growth was 7.18x on the nested form (interpretation-bound)."""
+    li = read(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    pc = cents(F.col("l_extendedprice"))
+    dc = cents(F.col("l_discount"))
+    agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(qc * qc).alias("sqq"),
+        F.sum(dc).alias("sd"),
+        F.sum(qc * pc).alias("dot"),
+        F.sum(pc * (F.lit(100) - dc)).alias("dpu"),
+    )
+    n, sq, sqq, sd = F.col("n"), F.col("sq"), F.col("sqq"), F.col("sd")
+    return agg.select(
+        "l_orderkey",
+        (n * n).alias("n_pairs_cart"),
+        (sq * sd).alias("cross_sum"),
+        ((n * (n - 1)) / 2).cast("long").alias("n_pairs_comb"),
+        ((sq * sq - sqq) / 2).cast("long").alias("pair_sum"),
+        F.col("dot").alias("dot_c"),
+        F.col("dpu").alias("sum_disc_price_u"),
+    )
+
+
+def q_cartesian_combinations_hof(spark, sf_dir):
+    """The nested-operator composition of the q_cartesian_combinations
+    contract — ak.cartesian of (qty, discount) lists, ak.combinations
+    (n=2 unordered pairs i<j), ak.zip + ak.unzip + elementwise product
+    reduce (list dot product) and ak.with_field / ak.without_field,
+    off ONE shared nested build. Retained as the operator-exercising
+    reference after the r10 closed-form rewrite of the registered
+    slot; pinned row-identical in tests/test_nested_fast_forms.py."""
     it = order_items(
         spark, sf_dir,
         fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],

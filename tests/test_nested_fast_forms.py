@@ -55,3 +55,15 @@ def test_reduce_order_count_forms_agree(spark):
     hof = _rows(q_reduce_order_count_hof(spark, SF), key="l_orderkey")
     assert len(fast) == len(hof) > 0
     assert fast == hof
+
+
+def test_cartesian_combinations_forms_agree(spark):
+    from dask_awkward_sandbox_spark.plans.nested import (
+        q_cartesian_combinations,
+        q_cartesian_combinations_hof,
+    )
+
+    fast = _rows(q_cartesian_combinations(spark, SF), key="l_orderkey")
+    hof = _rows(q_cartesian_combinations_hof(spark, SF), key="l_orderkey")
+    assert len(fast) == len(hof) > 0
+    assert fast == hof
