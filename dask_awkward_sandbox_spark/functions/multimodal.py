@@ -297,10 +297,12 @@ def resize_bmp(
 # 8-bit RGB files real encoders wrote, not just this writer's output;
 # the ENCODER emits filter-0 rows (always valid PNG). r10: every
 # 8-BIT COLOR TYPE decodes (gray / RGB / palette+PLTE / gray-alpha /
-# RGBA — alpha dropped, output is always (H, W, 3) RGB); 16-bit depth
-# and Adam7 interlacing stay gated with directed errors; JPEG remains
-# DecodeUnavailable (DCT entropy coding is a genuine external-lib
-# boundary, unlike PNG's).
+# RGBA — alpha dropped, output is always (H, W, 3) RGB), 16-bit depth
+# decodes via the standard high-byte fold, and Adam7 interlacing
+# decodes via the pass-grid reassembly; only sub-byte depths (1/2/4)
+# stay gated with directed errors. JPEG remains DecodeUnavailable
+# (DCT entropy coding is a genuine external-lib boundary, unlike
+# PNG's).
 # ---------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -427,12 +429,13 @@ def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int):
 
 
 def _decode_png_pixels(buf: bytes):
-    """(width, height, (H, W, 3) uint8) from 8-bit PNG bytes of ANY
-    color type (r10: gray/RGB/palette/gray-alpha/RGBA — palette
-    indices resolve through PLTE, gray replicates, alpha drops) —
-    chunk walk with CRC verification, multi-IDAT concatenation, full
-    filter reconstruction. 16-bit depth and interlace raise directed
-    errors."""
+    """(width, height, (H, W, 3) uint8) from 8- or 16-bit PNG bytes of
+    ANY color type (r10: gray/RGB/palette/gray-alpha/RGBA — palette
+    indices resolve through PLTE, gray replicates, alpha drops; 16-bit
+    samples fold to their high byte; Adam7 interlace reassembles via
+    the pass grid) — chunk walk with CRC verification, multi-IDAT
+    concatenation, full filter reconstruction. Only sub-byte depths
+    (1/2/4) raise directed errors."""
     import struct
     import zlib
 

@@ -164,6 +164,8 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise ValueError("LZ4 block: truncated length extension")
                 b = src[i]
                 i += 1
                 lit += b
@@ -184,6 +186,8 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
         mlen = token & 0xF
         if mlen == 15:
             while True:
+                if i >= n:
+                    raise ValueError("LZ4 block: truncated length extension")
                 b = src[i]
                 i += 1
                 mlen += b

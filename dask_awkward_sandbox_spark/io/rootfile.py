@@ -75,11 +75,14 @@ LEAF_DTYPES = {
 }
 
 # simple STL containers a TBranchElement can hold that decode here
-# (r10): per-entry payload = 10-byte version header (fByteCount |
-# kByteCountMask, fVersion, int32 size) + size big-endian elements;
-# entry boundaries come from the basket's entry-offset table (fLast +
-# trailing int32 offsets — the public TBasket layout). Anything else
-# (vector<vector<..>>, objects, strings) stays gated.
+# (r10, layout corrected to real ROOT placement in r11): per-entry
+# payload = 10-byte version header (fByteCount | kByteCountMask,
+# fVersion, int32 size) + size big-endian elements; entry boundaries
+# come from the basket's entry-offset table at fLast - fKeylen behind
+# an int32 count word (keylen-absolute offsets), and the basket key
+# ends with the 19-byte TBasket trailer (fields + fHeaderOnly flag
+# byte) — the layout uproot reads. Anything else (objects, nested
+# beyond one level, non-basic elements) stays gated.
 VECTOR_CLASSES = {
     "vector<float>": "F",
     "vector<double>": "D",
@@ -480,41 +483,57 @@ class RootFlatFile:
         raw = self._buf[k.seek + k.keylen : k.seek + k.nbytes]
         return _decompress(raw, k.objlen) if k.compressed else raw
 
+    # real ROOT TBasket key trailer: the 18 bytes of fVersion
+    # fBufferSize fNevBufSize fNevBuf fLast, then ONE flag byte
+    # (fHeaderOnly encoding) — 19 bytes total inside fKeylen.
     _BASKET_TRAILER = ">HIIII"  # fVersion fBufferSize fNevBufSize fNevBuf fLast
+    _BASKET_TRAILER_LEN = 19
 
     def _decode_vector_baskets(self, name: str) -> None:
-        """Decode a simple-container (TBranchElement) branch: each
-        basket's key carries the public TBasket trailer (fNevBuf +
-        fLast), the payload holds per-entry [10-byte version header +
-        int32 size + big-endian elements] runs delimited by the
-        trailing int32 entry-offset table. Fully vectorized: headers
-        are gathered and validated with one fancy-index pass, values
-        with one boolean mask — no per-entry Python loop."""
+        """Decode a simple-container (TBranchElement) branch laid out
+        the way real ROOT places it (uproot-compatible): the basket
+        key ends with the 19-byte TBasket trailer (18 bytes of fields
+        + the fHeaderOnly flag byte), the payload holds per-entry
+        [10-byte version header + int32 size + big-endian elements]
+        runs, and the entry-offset table sits at ``fLast - fKeylen``
+        behind a leading int32 count word (TBuffer::WriteArray's
+        length prefix) with keylen-absolute offsets. Fully vectorized:
+        headers are gathered and validated with one fancy-index pass,
+        values with one boolean mask — no per-entry Python loop."""
         dt = np.dtype(LEAF_DTYPES[self.branches[name]])
         isz = dt.itemsize
         vals: list[np.ndarray] = []
         lens: list[np.ndarray] = []
         for k in self.baskets.get(name, []):
-            tr = self._buf[k.seek + k.keylen - 18 : k.seek + k.keylen]
-            if len(tr) != 18:
+            tl = self._BASKET_TRAILER_LEN
+            tr = self._buf[k.seek + k.keylen - tl : k.seek + k.keylen]
+            if len(tr) != tl:
                 raise ValueError(
                     f"vector basket {name!r}: key too short for the "
                     "entry-offset trailer"
                 )
             _ver, _bufsz, _nevsz, nev, flast = struct.unpack(
-                self._BASKET_TRAILER, tr
+                self._BASKET_TRAILER, tr[:18]
             )
             payload = self._payload(k)
-            data_len = flast - k.keylen
-            if not 0 <= data_len <= len(payload) or data_len + 4 * nev > len(
+            data_len = flast - k.keylen  # border: end of entry data
+            if not 0 <= data_len <= len(payload) or data_len + 4 + 4 * nev > len(
                 payload
             ):
                 raise ValueError(
                     f"vector basket {name!r}: entry-offset table overruns "
                     "the basket"
                 )
+            (count_word,) = struct.unpack_from(">i", payload, data_len)
+            if count_word != nev:
+                raise ValueError(
+                    f"vector basket {name!r}: offset-table count word "
+                    f"{count_word} disagrees with fNevBuf {nev}"
+                )
             offs = (
-                np.frombuffer(payload, dtype=">i4", count=nev, offset=data_len)
+                np.frombuffer(
+                    payload, dtype=">i4", count=nev, offset=data_len + 4
+                )
                 .astype(np.int64)
                 - k.keylen
             )
@@ -522,12 +541,18 @@ class RootFlatFile:
             if nev == 0:
                 lens.append(np.empty(0, dtype=np.int64))
                 continue
-            if offs[0] != 0 or (offs[1:] != ends[:-1]).any() or (
-                ends < offs + 10
-            ).any():
+            # entries are contiguous by construction (ends is offs
+            # shifted), so validate the table itself: starts at 0,
+            # strictly increasing with at least the 10-byte header
+            # per entry, and the last entry ends inside the border
+            if (
+                offs[0] != 0
+                or (np.diff(offs) < 10).any()
+                or data_len < offs[-1] + 10
+            ):
                 raise ValueError(
-                    f"vector basket {name!r}: non-contiguous or truncated "
-                    "entry runs"
+                    f"vector basket {name!r}: non-monotone or truncated "
+                    "entry-offset table"
                 )
             n = (ends - offs - 10) // isz
             if ((ends - offs - 10) % isz).any():
@@ -566,10 +591,11 @@ class RootFlatFile:
         """Entry count of a vector branch from the basket trailers
         alone — no decompression."""
         total = 0
+        tl = self._BASKET_TRAILER_LEN
         for k in self.baskets.get(name, []):
-            tr = self._buf[k.seek + k.keylen - 18 : k.seek + k.keylen]
-            if len(tr) == 18:
-                total += struct.unpack(self._BASKET_TRAILER, tr)[3]
+            tr = self._buf[k.seek + k.keylen - tl : k.seek + k.keylen]
+            if len(tr) == tl:
+                total += struct.unpack(self._BASKET_TRAILER, tr[:18])[3]
         return total
 
     def branch_array(self, name: str) -> np.ndarray:
@@ -847,7 +873,7 @@ def write_root_flat(
             seek += len(rec)
         if name in vectors:
             dt = np.dtype(LEAF_DTYPES[leaf])
-            kl = key_len("TBasket", name, tree, trailer_len=18)
+            kl = key_len("TBasket", name, tree, trailer_len=19)
             for start in range(0, max(len(values), 1), basket_entries):
                 ents = values[start : start + basket_entries]
                 if not ents:
@@ -865,12 +891,19 @@ def write_root_flat(
                     )
                     data_buf += a.tobytes()
                 flast = kl + len(data_buf)
-                raw = bytes(data_buf) + b"".join(
-                    struct.pack(">i", o) for o in offs
+                # real ROOT placement: entry data, then the offset
+                # table as TBuffer::WriteArray emits it — int32 count
+                # word + keylen-absolute offsets (uproot reads the
+                # offsets at border+4)
+                raw = (
+                    bytes(data_buf)
+                    + struct.pack(">i", len(ents))
+                    + b"".join(struct.pack(">i", o) for o in offs)
                 )
+                # 19-byte trailer: the five fields + fHeaderOnly flag
                 trailer = struct.pack(
                     ">HIIII", 3, len(raw), 4, len(ents), flast
-                )
+                ) + bytes([0])
                 rec = key_record(
                     "TBasket", name, tree, compress_payload(raw), len(raw),
                     seek, trailer=trailer,
