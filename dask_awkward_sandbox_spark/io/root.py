@@ -165,18 +165,18 @@ class RawRootBackend:
         # jagged branches surface as list<elem>: leaf-counter ("x[n]/D",
         # lengths from the counter branch) and simple-container
         # TBranchElement (r10: vector<float> etc., lengths from the
-        # basket entry-offset tables)
-        return pa.schema(
-            [
-                (
-                    n,
-                    pa.list_(cls._ARROW[f.branches[n]])
-                    if n in f.counters or n in f.vectors
-                    else cls._ARROW[f.branches[n]],
-                )
-                for n in names
-            ]
-        )
+        # basket entry-offset tables); r11 adds list<list<elem>>
+        # (vector<vector<basic>>) and list<string> (vector<string>)
+        def _typ(n):
+            if n in f.nested_vectors:
+                return pa.list_(pa.list_(cls._ARROW[f.branches[n]]))
+            if n in f.string_vectors:
+                return pa.list_(pa.string())
+            if n in f.counters or n in f.vectors:
+                return pa.list_(cls._ARROW[f.branches[n]])
+            return cls._ARROW[f.branches[n]]
+
+        return pa.schema([(n, _typ(n)) for n in names])
 
     def arrow_schema(self, path, tree, branches):
         return self._schema_of(self._open(path, tree), branches)
@@ -191,7 +191,36 @@ class RawRootBackend:
         cols = {}
         for n in schema.names:
             vals = f.branch_array(n)
-            if n in f.counters or n in f.vectors:
+            if n in f.nested_vectors:
+                # list<list<T>>: outer offsets over inner-vector counts,
+                # inner offsets over element counts — both off the
+                # decoded length tables, entry slice [start, stop)
+                outer = f.branch_lengths(n)
+                inner = f.branch_inner_lengths(n)
+                oout = np.zeros(f.num_entries() + 1, dtype=np.int64)
+                np.cumsum(outer, out=oout[1:])
+                oin = np.zeros(len(inner) + 1, dtype=np.int64)
+                np.cumsum(inner, out=oin[1:])
+                ilo, ihi = int(oout[start]), int(oout[stop])
+                vlo, vhi = int(oin[ilo]), int(oin[ihi])
+                inner_arr = pa.ListArray.from_arrays(
+                    pa.array(oin[ilo : ihi + 1] - vlo, type=pa.int32()),
+                    pa.array(vals[vlo:vhi]),
+                )
+                cols[n] = pa.ListArray.from_arrays(
+                    pa.array(oout[start : stop + 1] - ilo, type=pa.int32()),
+                    inner_arr,
+                )
+            elif n in f.string_vectors:
+                outer = f.branch_lengths(n)
+                oout = np.zeros(f.num_entries() + 1, dtype=np.int64)
+                np.cumsum(outer, out=oout[1:])
+                lo, hi = int(oout[start]), int(oout[stop])
+                cols[n] = pa.ListArray.from_arrays(
+                    pa.array(oout[start : stop + 1] - lo, type=pa.int32()),
+                    pa.array(list(vals[lo:hi]), type=pa.string()),
+                )
+            elif n in f.counters or n in f.vectors:
                 # offsets from the lengths' cumsum (counter branch or
                 # basket offset tables); entry slice [start, stop)
                 # maps to value slice via the offsets

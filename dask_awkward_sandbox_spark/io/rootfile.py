@@ -13,10 +13,13 @@ describe:
   freed-slot gap records (negative fNbytes),
 - TBasket payloads for flat (one value per entry) branches: raw
   big-endian arrays, either uncompressed (fObjlen == fNbytes-fKeylen)
-  or compressed blocks with the 9-byte header — zlib (``ZL``) and,
-  r10, LZ4 (``L4``: canonical XXH64 + LZ4 block, ROOT's default
+  or compressed blocks with the 9-byte header — zlib (``ZL``), r10
+  LZ4 (``L4``: canonical XXH64 + LZ4 block, ROOT's default
   compression since 6.14; io/lz4block.py implements both public
-  formats pure-Python),
+  formats pure-Python), and r11 ZSTD (``ZS``: a standard RFC 8878
+  frame, decoded by io/zstdframe.py's pure-Python decoder; the
+  writer encodes via pyarrow's bundled reference libzstd, so every
+  round-trip is a cross-implementation check),
 - the public TTree leaflist type letters (``B b S s I i L l F D O``)
   for element decode.
 
@@ -38,7 +41,7 @@ simplified placement; r8).
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
 variable-length branches WITHOUT a counter leaf (their per-entry
 offsets live in TBasket/TTree streamer metadata this module does not
-parse), ZSTD/LZMA baskets, TBranchElement/compound branches
+parse), LZMA (``XZ``) baskets, TBranchElement/compound branches
 (need streamer-info records), and class/object back-reference tags
 inside object arrays. The writer exists so tests can round-trip real
 bytes without uproot in the container (the BMP/WAV codec precedent);
@@ -90,6 +93,23 @@ VECTOR_CLASSES = {
     "vector<long>": "L",
     "vector<short>": "S",
 }
+
+# one-level nested containers (r11): per-entry payload = 10-byte outer
+# version header (fByteCount | kByteCountMask, fVersion, int32 outer
+# size) + outer-size HEADERLESS inner runs — uproot's AsVector(True,
+# AsVector(False, dtype)) model: each inner vector is int32 size +
+# big-endian elements, and each string is a TString (u8 length with
+# the 255 -> int32 escape + bytes). Entry boundaries still come from
+# the basket entry-offset tables. Deeper nesting / object elements
+# stay gated (full streamer-info territory).
+NESTED_VECTOR_CLASSES = {
+    "vector<vector<float>>": "F",
+    "vector<vector<double>>": "D",
+    "vector<vector<int>>": "I",
+    "vector<vector<long>>": "L",
+    "vector<vector<short>>": "S",
+}
+STRING_VECTOR_CLASS = "vector<string>"
 
 
 @dataclass
@@ -269,7 +289,11 @@ def _w_tree_payload(tree: str, branches: dict[str, str], entries: int) -> bytes:
     key the container decode on (r10)."""
     els = []
     for name, title in branches.items():
-        if title in VECTOR_CLASSES:
+        if (
+            title in VECTOR_CLASSES
+            or title in NESTED_VECTOR_CLASSES
+            or title == STRING_VECTOR_CLASS
+        ):
             be_body = _w_tnamed(name, "") + _wstring(title)
             els.append(("TBranchElement", _w_version(be_body, 10)))
             continue
@@ -353,11 +377,18 @@ def _decompress(payload: bytes, objlen: int) -> bytes:
                     "L4 block: XXH64 checksum mismatch (corrupt basket)"
                 )
             out += lz4_block_decompress(block, u_size)
-        elif tag in (b"ZS", b"XZ"):
+        elif tag == b"ZS":
+            # ROOT's kZSTD envelope wraps a standard zstd frame
+            # (RFC 8878); decoded by the pure-Python frame decoder
+            # (r11), content checksum verified when the frame has one
+            from dask_awkward_sandbox_spark.io.zstdframe import decompress
+
+            out += decompress(payload[off : off + c_size], u_size)
+        elif tag == b"XZ":
             raise DecodeUnavailable(
-                f"ROOT basket compressed with {tag.decode()} — zlib (ZL) and "
-                "LZ4 (L4) decode in this container; recompress with kZLIB/"
-                "kLZ4 or use the uproot backend"
+                "ROOT basket compressed with XZ (LZMA) — zlib (ZL), LZ4 "
+                "(L4) and ZSTD (ZS) decode in this container; recompress "
+                "with kZLIB/kLZ4/kZSTD or use the uproot backend"
             )
         else:
             raise ValueError(f"unknown ROOT compression tag {tag!r}")
@@ -407,6 +438,12 @@ class RootFlatFile:
         # simple-container TBranchElement branches (r10): lengths come
         # from each basket's entry-offset table, not a counter branch
         self.vectors: set[str] = set()
+        # r11: one-level nested containers — vector<vector<basic>>
+        # (inner lengths from the headerless inner runs) and
+        # vector<string> (TString elements)
+        self.nested_vectors: set[str] = set()
+        self.string_vectors: set[str] = set()
+        self._inner_lens: dict[str, np.ndarray] = {}
         self.baskets: dict[str, list[Key]] = {}
         self.trees: set[str] = set()
         self._embedded_entries: int | None = None
@@ -452,11 +489,20 @@ class RootFlatFile:
             self.branches[name] = VECTOR_CLASSES[title]
             self.vectors.add(name)
             return
+        if title in NESTED_VECTOR_CLASSES:
+            self.branches[name] = NESTED_VECTOR_CLASSES[title]
+            self.nested_vectors.add(name)
+            return
+        if title == STRING_VECTOR_CLASS:
+            self.branches[name] = "C"  # ROOT's character-string letter
+            self.string_vectors.add(name)
+            return
         if title.startswith("vector<") or title.startswith("std::"):
             raise DecodeUnavailable(
-                f"branch {name!r}: container class {title!r} — only "
-                f"{sorted(VECTOR_CLASSES)} decode here (nested/object "
-                "containers need full streamer-info; use uproot)"
+                f"branch {name!r}: container class {title!r} — "
+                f"{sorted(VECTOR_CLASSES)}, {sorted(NESTED_VECTOR_CLASSES)} "
+                f"and {STRING_VECTOR_CLASS!r} decode here (deeper nesting "
+                "and object elements need full streamer-info; use uproot)"
             )
         cls = type(self)
         if cls._LEAF_RE is None:
@@ -489,21 +535,13 @@ class RootFlatFile:
     _BASKET_TRAILER = ">HIIII"  # fVersion fBufferSize fNevBufSize fNevBuf fLast
     _BASKET_TRAILER_LEN = 19
 
-    def _decode_vector_baskets(self, name: str) -> None:
-        """Decode a simple-container (TBranchElement) branch laid out
-        the way real ROOT places it (uproot-compatible): the basket
-        key ends with the 19-byte TBasket trailer (18 bytes of fields
-        + the fHeaderOnly flag byte), the payload holds per-entry
-        [10-byte version header + int32 size + big-endian elements]
-        runs, and the entry-offset table sits at ``fLast - fKeylen``
-        behind a leading int32 count word (TBuffer::WriteArray's
-        length prefix) with keylen-absolute offsets. Fully vectorized:
-        headers are gathered and validated with one fancy-index pass,
-        values with one boolean mask — no per-entry Python loop."""
-        dt = np.dtype(LEAF_DTYPES[self.branches[name]])
-        isz = dt.itemsize
-        vals: list[np.ndarray] = []
-        lens: list[np.ndarray] = []
+    def _entry_spans(self, name: str):
+        """Yield (payload, offs, ends) per basket of a container
+        branch: the entry-offset table parse shared by the flat
+        (r10) and nested/string (r11) container decoders. ``offs``/
+        ``ends`` are keylen-relative byte spans of each entry's
+        serialized payload, validated monotone with at least the
+        10-byte outer header per entry."""
         for k in self.baskets.get(name, []):
             tl = self._BASKET_TRAILER_LEN
             tr = self._buf[k.seek + k.keylen - tl : k.seek + k.keylen]
@@ -538,14 +576,7 @@ class RootFlatFile:
                 - k.keylen
             )
             ends = np.append(offs[1:], data_len)
-            if nev == 0:
-                lens.append(np.empty(0, dtype=np.int64))
-                continue
-            # entries are contiguous by construction (ends is offs
-            # shifted), so validate the table itself: starts at 0,
-            # strictly increasing with at least the 10-byte header
-            # per entry, and the last entry ends inside the border
-            if (
+            if nev and (
                 offs[0] != 0
                 or (np.diff(offs) < 10).any()
                 or data_len < offs[-1] + 10
@@ -554,6 +585,117 @@ class RootFlatFile:
                     f"vector basket {name!r}: non-monotone or truncated "
                     "entry-offset table"
                 )
+            yield payload, offs, ends
+
+    def _decode_nested_vector_baskets(self, name: str) -> None:
+        """Decode a one-level nested container branch
+        (vector<vector<basic>>): per entry, the 10-byte outer version
+        header gives the outer size; each inner vector is a HEADERLESS
+        int32 size + big-endian elements run (uproot's
+        AsVector(True, AsVector(False, dtype)) model). The inner walk
+        is a data-dependent sequential scan, so this is a per-entry
+        loop — container branches are a per-file read path, and a
+        production 100 TB read of deeply nested HEP data should ride
+        a native uproot wheel anyway (same honesty note as
+        io/lz4block.py)."""
+        dt = np.dtype(LEAF_DTYPES[self.branches[name]])
+        isz = dt.itemsize
+        vals: list[np.ndarray] = []
+        outer: list[int] = []
+        inner: list[int] = []
+        for payload, offs, ends in self._entry_spans(name):
+            pay = payload
+            for o, e in zip(offs.tolist(), ends.tolist()):
+                bc, _ver, n_out = struct.unpack_from(">IHI", pay, o)
+                if not bc & _BYTECOUNT_MASK:
+                    raise ValueError(
+                        f"nested basket {name!r}: entry header missing "
+                        "kByteCountMask"
+                    )
+                if (bc & ~_BYTECOUNT_MASK) != e - o - 4:
+                    raise ValueError(
+                        f"nested basket {name!r}: entry byte count "
+                        "disagrees with the offset-table span"
+                    )
+                outer.append(n_out)
+                p = o + 10
+                for _ in range(n_out):
+                    (n_in,) = struct.unpack_from(">i", pay, p)
+                    p += 4
+                    if n_in < 0 or p + n_in * isz > e:
+                        raise ValueError(
+                            f"nested basket {name!r}: inner run overruns "
+                            "its entry span"
+                        )
+                    inner.append(n_in)
+                    vals.append(
+                        np.frombuffer(pay, dtype=dt, count=n_in, offset=p)
+                    )
+                    p += n_in * isz
+                if p != e:
+                    raise ValueError(
+                        f"nested basket {name!r}: entry has trailing bytes "
+                        "after its inner runs"
+                    )
+        arr = (
+            np.concatenate(vals) if vals else np.empty(0, dtype=dt)
+        ).astype(dt.newbyteorder("="), copy=False)
+        self._decoded[name] = arr
+        self._veclens[name] = np.asarray(outer, dtype=np.int64)
+        self._inner_lens[name] = np.asarray(inner, dtype=np.int64)
+
+    def _decode_string_vector_baskets(self, name: str) -> None:
+        """Decode a vector<string> branch: 10-byte outer header + n
+        TStrings (u8 length, 255 -> int32 escape, then bytes)."""
+        strings: list[str] = []
+        outer: list[int] = []
+        for payload, offs, ends in self._entry_spans(name):
+            for o, e in zip(offs.tolist(), ends.tolist()):
+                bc, _ver, n_out = struct.unpack_from(">IHI", payload, o)
+                if not bc & _BYTECOUNT_MASK:
+                    raise ValueError(
+                        f"string basket {name!r}: entry header missing "
+                        "kByteCountMask"
+                    )
+                outer.append(n_out)
+                p = o + 10
+                for _ in range(n_out):
+                    if p >= e:
+                        raise ValueError(
+                            f"string basket {name!r}: string run overruns "
+                            "its entry span"
+                        )
+                    s, p = _tstring(payload, p)
+                    strings.append(s)
+                if p != e:
+                    raise ValueError(
+                        f"string basket {name!r}: entry has trailing bytes "
+                        "after its strings"
+                    )
+        self._decoded[name] = np.asarray(strings, dtype=object)
+        self._veclens[name] = np.asarray(outer, dtype=np.int64)
+
+    def _decode_vector_baskets(self, name: str) -> None:
+        """Decode a simple-container (TBranchElement) branch laid out
+        the way real ROOT places it (uproot-compatible): the basket
+        key ends with the 19-byte TBasket trailer (18 bytes of fields
+        + the fHeaderOnly flag byte), the payload holds per-entry
+        [10-byte version header + int32 size + big-endian elements]
+        runs, and the entry-offset table sits at ``fLast - fKeylen``
+        behind a leading int32 count word (TBuffer::WriteArray's
+        length prefix) with keylen-absolute offsets. Fully vectorized:
+        headers are gathered and validated with one fancy-index pass,
+        values with one boolean mask — no per-entry Python loop."""
+        dt = np.dtype(LEAF_DTYPES[self.branches[name]])
+        isz = dt.itemsize
+        vals: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        for payload, offs, ends in self._entry_spans(name):
+            nev = len(offs)
+            data_len = int(ends[-1]) if nev else 0
+            if nev == 0:
+                lens.append(np.empty(0, dtype=np.int64))
+                continue
             n = (ends - offs - 10) // isz
             if ((ends - offs - 10) % isz).any():
                 raise ValueError(
@@ -610,6 +752,12 @@ class RootFlatFile:
         if name in self.vectors:
             self._decode_vector_baskets(name)
             return self._decoded[name]
+        if name in self.nested_vectors:
+            self._decode_nested_vector_baskets(name)
+            return self._decoded[name]
+        if name in self.string_vectors:
+            self._decode_string_vector_baskets(name)
+            return self._decoded[name]
         dt = np.dtype(LEAF_DTYPES[self.branches[name]])
         parts = [
             np.frombuffer(self._payload(k), dtype=dt)
@@ -635,8 +783,26 @@ class RootFlatFile:
             if name not in self._veclens:
                 self._decode_vector_baskets(name)
             return self._veclens[name]
+        if name in self.nested_vectors or name in self.string_vectors:
+            if name not in self._veclens:
+                self.branch_array(name)
+            return self._veclens[name]
         if name not in self.counters:
             raise KeyError(f"{name!r} is not a counter-jagged branch")
+        return self._counter_lengths(name)
+
+    def branch_inner_lengths(self, name: str) -> np.ndarray:
+        """Per-INNER-vector lengths of a vector<vector<basic>> branch
+        (r11): one entry per inner vector, in entry order; pairs with
+        :meth:`branch_lengths` (outer sizes) to rebuild the
+        list<list<T>> structure over the flat value stream."""
+        if name not in self.nested_vectors:
+            raise KeyError(f"{name!r} is not a nested-container branch")
+        if name not in self._inner_lens:
+            self.branch_array(name)
+        return self._inner_lens[name]
+
+    def _counter_lengths(self, name: str) -> np.ndarray:
         counter = self.counters[name]
         if counter not in self.branches:
             raise ValueError(
@@ -669,11 +835,15 @@ class RootFlatFile:
             if name in self.branches
             and name not in self.counters
             and name not in self.vectors
+            and name not in self.nested_vectors
+            and name not in self.string_vectors
         }
         counts.update(
             {
                 name: self._vector_entry_count(name)
-                for name in self.vectors
+                for name in (
+                    self.vectors | self.nested_vectors | self.string_vectors
+                )
                 if self.baskets.get(name)
             }
         )
@@ -745,12 +915,14 @@ def write_root_flat(
     :func:`parse_key` reads). The small form keeps its directed
     2 GiB guard; at 100 TB every production file should be big-form.
     """
-    if compress not in (False, True, "zlib", "lz4"):
+    if compress not in (False, True, "zlib", "lz4", "zstd"):
         raise ValueError(
-            f"compress must be False/True/'zlib'/'lz4', got {compress!r}"
+            f"compress must be False/True/'zlib'/'lz4'/'zstd', got {compress!r}"
         )
     parsed: dict[str, tuple[str, str | None, object]] = {}
     vectors: set[str] = set()
+    nested: set[str] = set()
+    strvecs: set[str] = set()
     titles: dict[str, str] = {}
     for name, (spec, values) in data.items():
         counter = None
@@ -760,6 +932,16 @@ def write_root_flat(
             # entry-offset tables, no counter branch
             vectors.add(name)
             leaf = VECTOR_CLASSES[spec]
+            titles[name] = spec
+        elif spec in NESTED_VECTOR_CLASSES:
+            # r11: values are a list (entries) of lists (inner
+            # vectors) of element lists; inner runs are headerless
+            nested.add(name)
+            leaf = NESTED_VECTOR_CLASSES[spec]
+            titles[name] = spec
+        elif spec == STRING_VECTOR_CLASS:
+            strvecs.add(name)
+            leaf = "C"
             titles[name] = spec
         elif spec.startswith("["):
             counter, _, leaf = spec[1:].partition("]")
@@ -815,14 +997,33 @@ def write_root_flat(
 
     seek = 100
     for name, (leaf, counter, _values) in parsed.items():
-        if leaf not in LEAF_DTYPES:
+        if leaf not in LEAF_DTYPES and name not in strvecs:
             raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
-        if name not in vectors:
+        if name not in vectors and name not in nested and name not in strvecs:
             titles[name] = (
                 f"{name}[{counter}]/{leaf}" if counter else f"{name}/{leaf}"
             )
 
     def compress_payload(raw: bytes) -> bytes:
+        if compress == "zstd":
+            # kZSTD: the envelope wraps a standard RFC 8878 frame.
+            # Encoding rides pyarrow's bundled reference libzstd (the
+            # container has no zstd wheel), which also makes every
+            # round-trip test a REAL cross-implementation check:
+            # reference C encoder -> this repo's pure-Python frame
+            # decoder (io/zstdframe.py).
+            import pyarrow as pa
+
+            frame = pa.Codec("zstd").compress(raw, asbytes=True)
+            if 9 + len(frame) < len(raw):
+                return (
+                    b"ZS"
+                    + bytes([1])
+                    + len(frame).to_bytes(3, "little")
+                    + len(raw).to_bytes(3, "little")
+                    + frame
+                )
+            return raw
         if compress == "lz4":
             from dask_awkward_sandbox_spark.io.lz4block import (
                 lz4_block_compress,
@@ -867,12 +1068,60 @@ def write_root_flat(
         seek += len(rec)
     for name, (leaf, counter, values) in parsed.items():
         if not embed_tree:
-            cls = "TBranchElement" if name in vectors else "TBranch"
+            cls = (
+                "TBranchElement"
+                if name in vectors or name in nested or name in strvecs
+                else "TBranch"
+            )
             rec = key_record(cls, name, titles[name], b"", 0, seek)
             records.append(rec)
             seek += len(rec)
-        if name in vectors:
-            dt = np.dtype(LEAF_DTYPES[leaf])
+        if name in vectors or name in nested or name in strvecs:
+            dt = np.dtype(LEAF_DTYPES[leaf]) if name not in strvecs else None
+
+            def _entry_payload(ent) -> bytes:
+                if name in vectors:
+                    a = np.asarray(ent).astype(dt)
+                    return (
+                        struct.pack(
+                            ">IHI",
+                            (6 + dt.itemsize * len(a)) | _BYTECOUNT_MASK,
+                            9,
+                            len(a),
+                        )
+                        + a.tobytes()
+                    )
+                if name in nested:
+                    # outer header + HEADERLESS inner runs (int32 size
+                    # + elements) — uproot's AsVector(True,
+                    # AsVector(False, dtype)) layout
+                    body = bytearray()
+                    for inner in ent:
+                        a = np.asarray(inner).astype(dt)
+                        body += struct.pack(">i", len(a)) + a.tobytes()
+                    return (
+                        struct.pack(
+                            ">IHI",
+                            (6 + len(body)) | _BYTECOUNT_MASK,
+                            9,
+                            len(ent),
+                        )
+                        + bytes(body)
+                    )
+                # vector<string>: outer header + TStrings
+                body = bytearray()
+                for s in ent:
+                    body += _wstring(s)
+                return (
+                    struct.pack(
+                        ">IHI",
+                        (6 + len(body)) | _BYTECOUNT_MASK,
+                        9,
+                        len(ent),
+                    )
+                    + bytes(body)
+                )
+
             kl = key_len("TBasket", name, tree, trailer_len=19)
             for start in range(0, max(len(values), 1), basket_entries):
                 ents = values[start : start + basket_entries]
@@ -882,14 +1131,7 @@ def write_root_flat(
                 offs: list[int] = []
                 for ent in ents:
                     offs.append(kl + len(data_buf))
-                    a = np.asarray(ent).astype(dt)
-                    data_buf += struct.pack(
-                        ">IHI",
-                        (6 + dt.itemsize * len(a)) | _BYTECOUNT_MASK,
-                        9,
-                        len(a),
-                    )
-                    data_buf += a.tobytes()
+                    data_buf += _entry_payload(ent)
                 flast = kl + len(data_buf)
                 # real ROOT placement: entry data, then the offset
                 # table as TBuffer::WriteArray emits it — int32 count
@@ -924,8 +1166,11 @@ def write_root_flat(
             seek += len(rec)
 
     end = seek
-    # public fCompress encoding: algorithm*100 + level (zlib=1xx, lz4=4xx)
-    fcompress = 0 if not compress else (404 if compress == "lz4" else 101)
+    # public fCompress encoding: algorithm*100 + level (zlib=1xx,
+    # lz4=4xx, zstd=5xx)
+    fcompress = 0 if not compress else {
+        "lz4": 404, "zstd": 503,
+    }.get(compress, 101)
     if big_file:
         header = struct.pack(
             ">4sii" + "qqiiiBiqi",

@@ -102,7 +102,12 @@ def cents(col: Column) -> Column:
     return F.round(col * 100).cast("long")
 
 
-def order_items(spark: SparkSession, sf_dir: str, fields: list[str] | None = None) -> DataFrame:
+def order_items(
+    spark: SparkSession,
+    sf_dir: str,
+    fields: list[str] | None = None,
+    where: Column | None = None,
+) -> DataFrame:
     """The awkward-style nested collection: one row per order with an
     ``items: array<struct>`` column, list-ordered by l_linenumber.
 
@@ -123,10 +128,18 @@ def order_items(spark: SparkSession, sf_dir: str, fields: list[str] | None = Non
     pipeline; every downstream axis=1 operator is shuffle-free. On a
     real cluster the lineitem table would be bucketed by l_orderkey
     (``bucketBy``) making even this build shuffle-free.
+
+    ``where`` filters lineitem BEFORE the groupBy (scan-side, so only
+    matching rows reach the shuffle) — the r11 bounded-HOF-leg hook:
+    gate slots run the retained HOF composition over a deterministic
+    subsample so the driver hash executes the operator code paths at
+    ~2% of the full-build cost.
     """
     fields = fields or ITEM_FIELDS
     assert fields[0] == "l_linenumber", "linenumber must lead for deterministic sort"
     li = read(spark, sf_dir, "lineitem")
+    if where is not None:
+        li = li.filter(where)
     return li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list(F.struct(*fields))).alias("items")
     )

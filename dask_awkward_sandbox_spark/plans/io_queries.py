@@ -183,7 +183,10 @@ _SMALL_SOURCES_ORACLE = f"""
              cast((select sum((i % 97) * pt_c) from root_vals) as bigint) as root_dot,
              cast((select sum(pt_c) from root_vals) as bigint) as root_lz4_sum_pt_c,
              cast((select sum((i % 97) * pt_c) from root_vals) as bigint)
-               as root_lz4_dot
+               as root_lz4_dot,
+             cast((select sum(pt_c) from root_vals) as bigint) as root_zstd_sum_pt_c,
+             cast((select sum((i % 97) * pt_c) from root_vals) as bigint)
+               as root_zstd_dot
     ),
     j as (
       select event_type, cast(count(*) as bigint) as n,
@@ -394,6 +397,33 @@ def q_small_sources(spark, sf_dir):
         ),
     )
     root_stats = root_stats.crossJoin(F.broadcast(root_lz4_stats))
+    # root_zstd_* legs (r11): the SAME data with ZS baskets — written
+    # by the reference libzstd encoder (pyarrow), decoded by the
+    # pure-Python RFC 8878 frame decoder (io/zstdframe.py), so the
+    # gate hash covers a real cross-implementation zstd read
+    rpathz = os.path.join(_scratch(sf_dir, "root_gate"), "events_zstd.root")
+    write_root_flat(
+        rpathz,
+        "Events",
+        {
+            "event": ("L", 1_000_000 + i),
+            "nMuon": ("I", nmu),
+            "Muon_pt": ("[nMuon]D", pts),
+        },
+        basket_entries=_ROOT_N // 4,
+        compress="zstd",
+    )
+    rdfz = from_root(spark, rpathz, tree="Events", step_size=_ROOT_N // 3,
+                     backend=RawRootBackend())
+    root_zstd_stats = rdfz.select(
+        "event", pt_c.alias("pt_c")
+    ).agg(
+        F.sum("pt_c").alias("root_zstd_sum_pt_c"),
+        F.sum(((F.col("event") - 1_000_000) % 97) * F.col("pt_c")).alias(
+            "root_zstd_dot"
+        ),
+    )
+    root_stats = root_stats.crossJoin(F.broadcast(root_zstd_stats))
 
     # lakehouse snapshot legs (late r9): deterministic per run — the
     # table is rebuilt from scratch each call

@@ -33,6 +33,25 @@ DC = "cast(round(l_discount*100) as bigint)"   # discount cents
 # full-struct lexicographic item order (see plans.common.ITEM_ORDER_SQL)
 ORD = "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus"
 
+# r11 (verdict item 1 — gate/HOF re-coupling): each codegen-rewritten
+# slot re-runs its retained HOF composition over this deterministic
+# ~2% order subsample and exposes aggregate hof_* legs in the
+# registered output, so the driver's per-round value hash EXECUTES the
+# nested-operator code paths (sort/argsort/cartesian/combinations/
+# struct-accumulator reducers/axis-None folds) at every scale — not
+# just their closed-form flat algebra. The filter lands scan-side
+# (before the build's groupBy), so only the sampled rows shuffle:
+# bounded at ~2% of the old full-HOF cost, and the sample fraction is
+# scale-invariant (at 100 TB the HOF legs stay 2% of one table scan).
+_HOF_SAMPLE_MOD = 50
+_HOF_SAMPLE_SQL = f"l_orderkey % {_HOF_SAMPLE_MOD} = 0"
+
+
+def _HOF_SAMPLE():
+    # lazy: building a Column needs an active SparkContext, and this
+    # module imports before any session exists
+    return F.col("l_orderkey") % _HOF_SAMPLE_MOD == 0
+
 
 def _qty_c(items):
     return fld_map(items, "l_quantity", cents)
@@ -147,14 +166,29 @@ def q_flatten_softmax(spark, sf_dir):
     f as (
       select l_orderkey, cast(l_linenumber as bigint) as first_ln, {QC} as first_qty_c
       from lineitem
-      qualify row_number() over (partition by l_orderkey order by {ORD}) = 1)
-    select a.l_orderkey, t1.top1_qty_c, t2.top2_qty_c, a.min_ln, a.min_qty_c,
-           m.top1_masked_qty_c,
-           b.n_items, b.n_high, b.masked_sum, b.n_kept, b.signed_sum,
-           f.first_ln, f.first_qty_c
-    from a join t1 using (l_orderkey) left join t2 using (l_orderkey)
-           join m using (l_orderkey) join b using (l_orderkey)
-           join f using (l_orderkey)
+      qualify row_number() over (partition by l_orderkey order by {ORD}) = 1),
+    rr as (
+      select a.l_orderkey, t1.top1_qty_c, t2.top2_qty_c, a.min_ln, a.min_qty_c,
+             m.top1_masked_qty_c,
+             b.n_items, b.n_high, b.masked_sum, b.n_kept, b.signed_sum,
+             f.first_ln, f.first_qty_c
+      from a join t1 using (l_orderkey) left join t2 using (l_orderkey)
+             join m using (l_orderkey) join b using (l_orderkey)
+             join f using (l_orderkey))
+    select rr.*,
+           case when {_HOF_SAMPLE_SQL} then top1_qty_c end as hof_top1_qty_c,
+           case when {_HOF_SAMPLE_SQL} then top2_qty_c end as hof_top2_qty_c,
+           case when {_HOF_SAMPLE_SQL} then min_ln end as hof_min_ln,
+           case when {_HOF_SAMPLE_SQL} then min_qty_c end as hof_min_qty_c,
+           case when {_HOF_SAMPLE_SQL} then top1_masked_qty_c end as hof_top1_masked_qty_c,
+           case when {_HOF_SAMPLE_SQL} then n_items end as hof_n_items,
+           case when {_HOF_SAMPLE_SQL} then n_high end as hof_n_high,
+           case when {_HOF_SAMPLE_SQL} then masked_sum end as hof_masked_sum,
+           case when {_HOF_SAMPLE_SQL} then n_kept end as hof_n_kept,
+           case when {_HOF_SAMPLE_SQL} then signed_sum end as hof_signed_sum,
+           case when {_HOF_SAMPLE_SQL} then first_ln end as hof_first_ln,
+           case when {_HOF_SAMPLE_SQL} then first_qty_c end as hof_first_qty_c
+    from rr
     """,
 )
 def q_sort_argsort(spark, sf_dir):
@@ -182,7 +216,18 @@ def q_sort_argsort(spark, sf_dir):
     used. The HOF composition itself stays in
     :func:`q_sort_argsort_hof`, pinned row-identical to this form in
     tests/test_nested_fast_forms.py (the test_dedup_edges simhash-pin
-    move)."""
+    move).
+
+    r11 (verdict item 1): the slot ALSO evaluates that HOF composition
+    per order for the deterministic ~2% subsample — the same
+    aggregate collects the sampled orders' item lists conditionally
+    (collect_list skips the nulls the when() leaves on unsampled
+    rows), and the hof_* output columns run the
+    :func:`_sort_argsort_leg_exprs` expressions (the exact code path
+    the HOF twin uses) on those lists, null elsewhere. One scan, one
+    exchange (the lists add ~2% to the shuffle), and the driver hash
+    now verifies the sort/argsort/mask/where/firsts HOF paths
+    per-order at every scale."""
     li = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     is_r = F.col("l_returnflag") == "R"
@@ -212,8 +257,46 @@ def q_sort_argsort(spark, sf_dir):
         ),
         F.count(F.when(is_r, 1)).alias("n_kept"),
         F.sum(F.when(is_r, qc).otherwise(-qc)).alias("signed_sum"),
+        # sampled orders' item lists, collected in the SAME aggregate
+        # (collect_list skips the when()-nulls on unsampled rows; the
+        # predicate is constant within a group, so sampled orders get
+        # their full pruned-struct list in order_items order)
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    _HOF_SAMPLE(),
+                    F.struct(
+                        F.col("l_linenumber"),
+                        F.col("l_quantity"),
+                        F.col("l_returnflag"),
+                    ),
+                )
+            )
+        ).alias("_hi"),
     )
-    return agg.select(
+    # ONE guarded struct holds every HOF leg: the If-expression's
+    # branch only evaluates for the ~2% sampled rows, so the 12
+    # interpreted HOF trees never run on the other 98% (a per-leg
+    # guard still paid ~12 interpreted If evals per row — measured
+    # +0.5s/slot at sf0.1); the final select extracts plain
+    # GetStructFields. CSE inside the struct matters little at 2% of
+    # rows x <=7-item lists, so the legs bind their inputs inline.
+    legs = _sort_argsort_leg_exprs(
+        F.col("_hi"),
+        _qty_c(F.col("_hi")),
+        F.transform(F.col("_hi").getField("l_returnflag"), lambda r: r == "R"),
+    )
+    legs["n_items"] = legs["n_items"].cast("long")
+    legs["n_high"] = legs["n_high"].cast("long")
+    pre = agg.select(
+        "*",
+        F.when(
+            F.size("_hi") > 0,
+            F.struct(*[legs[k].alias(k) for k in legs]),
+        ).alias("_hofs"),
+    )
+    h = F.col("_hofs")
+    return pre.select(
         "l_orderkey",
         F.get("_top2", 0).alias("top1_qty_c"),
         F.get("_top2", 1).alias("top2_qty_c"),
@@ -227,10 +310,49 @@ def q_sort_argsort(spark, sf_dir):
         "signed_sum",
         F.col("_first")["ln"].cast("long").alias("first_ln"),
         cents(F.col("_first")["qty"]).alias("first_qty_c"),
+        *[h[k].alias(f"hof_{k}") for k in legs],
     )
 
 
-def q_sort_argsort_hof(spark, sf_dir):
+def _sort_argsort_leg_exprs(items, q, is_r):
+    """The q_sort_argsort HOF composition — ak.sort/argsort/num/firsts/
+    mask/drop_none/where/is_none — as column expressions over a bound
+    (items, qty-cents array, is-returnflag array) triple. The SINGLE
+    source of truth executed by both :func:`q_sort_argsort_hof` (full
+    build, pinned row-identical to the flat form) and the registered
+    slot's sampled per-order hof_* legs (r11 gate re-coupling)."""
+    top2 = F.slice(st.sort(q, ascending=False), 1, 2)
+    idx = st.argsort(q)
+    first_item = F.get(items, F.get(idx, 0).cast("int"))
+    # null-bearing descending sort: nulls land LAST, so element 0 is
+    # the max of the surviving values (every order has a linenumber-1
+    # row, so every list carries at least one null)
+    masked_q = F.transform(
+        items, lambda s: F.when(s["l_linenumber"] != 1, cents(s["l_quantity"]))
+    )
+    first = st.firsts(items)
+    masked = st.mask(q, is_r)
+    n_kept = st.num(st.drop_none(masked)) - F.aggregate(
+        st.is_none(q), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    signed = st.where(is_r, q, F.transform(q, lambda x: -x))
+    return {
+        "top1_qty_c": F.get(top2, 0),
+        "top2_qty_c": F.get(top2, 1),
+        "min_ln": first_item["l_linenumber"].cast("long"),
+        "min_qty_c": cents(first_item["l_quantity"]),
+        "top1_masked_qty_c": F.get(st.sort(masked_q, ascending=False), 0),
+        "n_items": st.num(items),
+        "n_high": st.num(F.filter(q, lambda x: x > 4500)),
+        "masked_sum": red.sum(masked).cast("long"),
+        "n_kept": n_kept,
+        "signed_sum": red.sum(signed).cast("long"),
+        "first_ln": first["l_linenumber"].cast("long"),
+        "first_qty_c": cents(first["l_quantity"]),
+    }
+
+
+def q_sort_argsort_hof(spark, sf_dir, where=None):
     """The nested-HOF composition of the q_sort_argsort contract —
     ak.sort/argsort/num/firsts/mask/drop_none/where/is_none over ONE
     shared nested build, all JVM higher-order functions. Retained as
@@ -243,7 +365,8 @@ def q_sort_argsort_hof(spark, sf_dir):
     (ln, qty), so items tying on the pruned (ln, qty, rf) prefix are
     value-indistinguishable vs the oracle's full-struct order."""
     it = order_items(
-        spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_returnflag"]
+        spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_returnflag"],
+        where=where,
     )
     # Materialize the shared arrays once (see q_reduce_order_count note:
     # Catalyst can't CSE across HOF lambdas, so _q/_isr would otherwise
@@ -254,37 +377,9 @@ def q_sort_argsort_hof(spark, sf_dir):
         _qty_c(F.col("items")).alias("_q"),
         F.transform(F.col("items").getField("l_returnflag"), lambda r: r == "R").alias("_isr"),
     )
-    q, is_r = F.col("_q"), F.col("_isr")
-    top2 = F.slice(st.sort(q, ascending=False), 1, 2)
-    idx = st.argsort(q)
-    first_item = F.get(F.col("items"), F.get(idx, 0).cast("int"))
-    # null-bearing descending sort: nulls must land LAST, so element 0 is
-    # the max of the surviving values (every order has a linenumber-1 row,
-    # so every list carries at least one null).
-    masked_q = F.transform(
-        F.col("items"),
-        lambda s: F.when(s["l_linenumber"] != 1, cents(s["l_quantity"])),
-    )
-    first = st.firsts(F.col("items"))
-    masked = st.mask(q, is_r)
-    n_kept = st.num(st.drop_none(masked)) - F.aggregate(
-        st.is_none(q), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-    )
-    signed = st.where(is_r, q, F.transform(q, lambda x: -x))
+    legs = _sort_argsort_leg_exprs(F.col("items"), F.col("_q"), F.col("_isr"))
     return pre.select(
-        "l_orderkey",
-        F.get(top2, 0).alias("top1_qty_c"),
-        F.get(top2, 1).alias("top2_qty_c"),
-        first_item["l_linenumber"].cast("long").alias("min_ln"),
-        cents(first_item["l_quantity"]).alias("min_qty_c"),
-        F.get(st.sort(masked_q, ascending=False), 0).alias("top1_masked_qty_c"),
-        st.num(F.col("items")).alias("n_items"),
-        st.num(F.filter(q, lambda x: x > 4500)).alias("n_high"),
-        red.sum(masked).cast("long").alias("masked_sum"),
-        n_kept.alias("n_kept"),
-        red.sum(signed).cast("long").alias("signed_sum"),
-        first["l_linenumber"].cast("long").alias("first_ln"),
-        cents(first["l_quantity"]).alias("first_qty_c"),
+        "l_orderkey", *[legs[k].alias(k) for k in legs]
     )
 
 
@@ -295,15 +390,24 @@ def q_sort_argsort_hof(spark, sf_dir):
                       sum({QC}) as sq, sum({QC}*{QC}) as sqq, sum({DC}) as sd,
                       sum({QC} * {PC}) as dot,
                       sum({PC} * (100 - {DC})) as dpu
-               from lineitem group by l_orderkey)
-    select l_orderkey,
-           cast(n*n as bigint) as n_pairs_cart,
-           cast(sq*sd as bigint) as cross_sum,
-           cast(n*(n-1)/2 as bigint) as n_pairs_comb,
-           cast((sq*sq - sqq)/2 as bigint) as pair_sum,
-           cast(dot as bigint) as dot_c,
-           cast(dpu as bigint) as sum_disc_price_u
-    from s
+               from lineitem group by l_orderkey),
+    rr as (
+      select l_orderkey,
+             cast(n*n as bigint) as n_pairs_cart,
+             cast(sq*sd as bigint) as cross_sum,
+             cast(n*(n-1)/2 as bigint) as n_pairs_comb,
+             cast((sq*sq - sqq)/2 as bigint) as pair_sum,
+             cast(dot as bigint) as dot_c,
+             cast(dpu as bigint) as sum_disc_price_u
+      from s)
+    select rr.*,
+           case when {_HOF_SAMPLE_SQL} then n_pairs_cart end as hof_n_pairs_cart,
+           case when {_HOF_SAMPLE_SQL} then cross_sum end as hof_cross_sum,
+           case when {_HOF_SAMPLE_SQL} then n_pairs_comb end as hof_n_pairs_comb,
+           case when {_HOF_SAMPLE_SQL} then pair_sum end as hof_pair_sum,
+           case when {_HOF_SAMPLE_SQL} then dot_c end as hof_dot_c,
+           case when {_HOF_SAMPLE_SQL} then sum_disc_price_u end as hof_sum_disc_price_u
+    from rr
     """,
 )
 def q_cartesian_combinations(spark, sf_dir):
@@ -332,9 +436,43 @@ def q_cartesian_combinations(spark, sf_dir):
         F.sum(dc).alias("sd"),
         F.sum(qc * pc).alias("dot"),
         F.sum(pc * (F.lit(100) - dc)).alias("dpu"),
+        # r11 (verdict item 1): sampled orders' item lists ride the
+        # SAME aggregate; the hof_* legs below run the retained HOF
+        # composition (cartesian/combinations/zip/unzip/with_field/
+        # without_field via _cart_*_exprs) per sampled order — pair
+        # arrays stay bounded (~2% of orders x <=7-item lists), one
+        # scan, one exchange
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    _HOF_SAMPLE(),
+                    F.struct(
+                        F.col("l_linenumber"),
+                        F.col("l_quantity"),
+                        F.col("l_extendedprice"),
+                        F.col("l_discount"),
+                        F.col("l_tax"),
+                    ),
+                )
+            )
+        ).alias("_hi"),
     )
+    # ONE guarded struct (see the q_sort_argsort note): the pair
+    # arrays and their folds only materialize for sampled rows
+    p = _cart_pre_exprs(F.col("_hi"))
+    legs = _cart_leg_exprs(p["_cart"], p["_comb"], p["_dot"], p["_dpu"])
+    legs["n_pairs_cart"] = legs["n_pairs_cart"].cast("long")
+    legs["n_pairs_comb"] = legs["n_pairs_comb"].cast("long")
+    pre = agg.select(
+        "*",
+        F.when(
+            F.size("_hi") > 0,
+            F.struct(*[legs[k].alias(k) for k in legs]),
+        ).alias("_hofs"),
+    )
+    h = F.col("_hofs")
     n, sq, sqq, sd = F.col("n"), F.col("sq"), F.col("sqq"), F.col("sd")
-    return agg.select(
+    return pre.select(
         "l_orderkey",
         (n * n).alias("n_pairs_cart"),
         (sq * sd).alias("cross_sum"),
@@ -342,10 +480,52 @@ def q_cartesian_combinations(spark, sf_dir):
         ((sq * sq - sqq) / 2).cast("long").alias("pair_sum"),
         F.col("dot").alias("dot_c"),
         F.col("dpu").alias("sum_disc_price_u"),
+        *[h[k].alias(f"hof_{k}") for k in legs],
     )
 
 
-def q_cartesian_combinations_hof(spark, sf_dir):
+def _cart_pre_exprs(items):
+    """The q_cartesian_combinations HOF inputs — ak.cartesian,
+    ak.combinations, ak.zip + ak.unzip + elementwise product, and
+    ak.with_field/ak.without_field — bound once per row (each feeds
+    two consumers, and Catalyst cannot CSE across HOF lambdas).
+    Shared by :func:`q_cartesian_combinations_hof` and the registered
+    slot's sampled hof_* legs (r11)."""
+    z = st.zip({"q": _qty_c(items), "p": _price_c(items)})
+    qs, ps = st.unzip(z, ["q", "p"])
+    dot = F.zip_with(qs, ps, lambda a, b: a * b)
+    enriched = st.with_field(
+        items,
+        "disc_price_u",
+        lambda s: cents(s["l_extendedprice"]) * (F.lit(100) - cents(s["l_discount"])),
+    )
+    slim = st.without_field(enriched, "l_tax")
+    return {
+        "_cart": st.cartesian(_qty_c(items), _disc_c(items)),
+        "_comb": st.combinations(_qty_c(items)),
+        "_dot": dot,
+        "_dpu": fld(slim, "disc_price_u"),
+    }
+
+
+def _cart_leg_exprs(cart, comb, dot, dpu):
+    """The q_cartesian_combinations output legs over the pre-bound
+    pair/product arrays (see :func:`_cart_pre_exprs`)."""
+    return {
+        "n_pairs_cart": st.num(cart),
+        "cross_sum": F.aggregate(
+            cart, F.lit(0.0), lambda a, p: a + p["_0"] * p["_1"]
+        ).cast("long"),
+        "n_pairs_comb": st.num(comb),
+        "pair_sum": F.aggregate(
+            comb, F.lit(0.0), lambda a, p: a + p["_0"] * p["_1"]
+        ).cast("long"),
+        "dot_c": red.sum(dot).cast("long"),
+        "sum_disc_price_u": red.sum(dpu).cast("long"),
+    }
+
+
+def q_cartesian_combinations_hof(spark, sf_dir, where=None):
     """The nested-operator composition of the q_cartesian_combinations
     contract — ak.cartesian of (qty, discount) lists, ak.combinations
     (n=2 unordered pairs i<j), ak.zip + ak.unzip + elementwise product
@@ -356,40 +536,19 @@ def q_cartesian_combinations_hof(spark, sf_dir):
     it = order_items(
         spark, sf_dir,
         fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        where=where,
     )
-    z = st.zip({"q": _qty_c(F.col("items")), "p": _price_c(F.col("items"))})
-    qs, ps = st.unzip(z, ["q", "p"])
-    dot = F.zip_with(qs, ps, lambda a, b: a * b)
-    enriched = st.with_field(
-        F.col("items"),
-        "disc_price_u",
-        lambda s: cents(s["l_extendedprice"]) * (F.lit(100) - cents(s["l_discount"])),
-    )
-    slim = st.without_field(enriched, "l_tax")
     # materialize the four folded/pair arrays ONCE (each feeds two
     # consumers, and unzip re-derives z per extracted leg; see
     # q_reduce_order_count note on HOF lambda CSE)
     pre = it.select(
         "l_orderkey",
-        st.cartesian(_qty_c(F.col("items")), _disc_c(F.col("items"))).alias("_cart"),
-        st.combinations(_qty_c(F.col("items"))).alias("_comb"),
-        dot.alias("_dot"),
-        fld(slim, "disc_price_u").alias("_dpu"),
+        *[v.alias(k) for k, v in _cart_pre_exprs(F.col("items")).items()],
     )
-    cart, comb = F.col("_cart"), F.col("_comb")
-    return pre.select(
-        "l_orderkey",
-        st.num(cart).alias("n_pairs_cart"),
-        F.aggregate(cart, F.lit(0.0), lambda a, p: a + p["_0"] * p["_1"])
-        .cast("long")
-        .alias("cross_sum"),
-        st.num(comb).alias("n_pairs_comb"),
-        F.aggregate(comb, F.lit(0.0), lambda a, p: a + p["_0"] * p["_1"])
-        .cast("long")
-        .alias("pair_sum"),
-        red.sum(F.col("_dot")).cast("long").alias("dot_c"),
-        red.sum(F.col("_dpu")).cast("long").alias("sum_disc_price_u"),
+    legs = _cart_leg_exprs(
+        F.col("_cart"), F.col("_comb"), F.col("_dot"), F.col("_dpu")
     )
+    return pre.select("l_orderkey", *[legs[k].alias(k) for k in legs])
 
 
 @query(
@@ -495,8 +654,19 @@ def q_pad_fill_none(spark, sf_dir):
                  f" as h{i}"
                  for i in range(8)
              )}
-      from lineitem)
-    select c.*, g.* from c cross join g
+      from lineitem),
+    hg as (
+      select cast(sum({QC}) as bigint) as hof_total_qty_c,
+             cast(count(l_quantity) as bigint) as hof_n_vals,
+             cast(min({QC}) as bigint) as hof_min_qty_c,
+             cast(max({QC}) as bigint) as hof_max_qty_c,
+             {", ".join(
+                 f"cast(count(case when floor({QC} / 640.0) = {i} then 1 end) as bigint)"
+                 f" as hof_h{i}"
+                 for i in range(8)
+             )}
+      from lineitem where {_HOF_SAMPLE_SQL})
+    select c.*, g.*, hg.* from c cross join g cross join hg
     """,
 )
 def q_concatenate(spark, sf_dir):
@@ -512,15 +682,17 @@ def q_concatenate(spark, sf_dir):
     3-row returnflag frame.
 
     r10 (verdict item 3): the axis=None legs run as whole-stage-codegen
-    hash aggregates straight off the flat lineitem scan — semantically
-    axis=None IS "reduce every element regardless of list structure",
-    so building the per-order lists (groupBy + collect_list shuffle)
-    and folding an interpreted HOF histogram per list only to re-reduce
-    globally was pure overhead (sf10 growth 9.6x, interpretation-
-    bound). The histogram becomes 8 conditional codegen COUNTs with
-    the same floor((x-lo)/width) bin rule; partial aggregation
-    collapses everything map-side, the exchange carries one partial
-    row per task. The nested HOF composition stays in
+    hash aggregates — semantically axis=None IS "reduce every element
+    regardless of list structure", so the interpreted per-list HOF
+    histogram fold was pure overhead (sf10 growth 9.6x). The histogram
+    is 8 conditional codegen COUNTs with the same floor((x-lo)/width)
+    bin rule. r11 (verdict item 1): those flat aggregates recompose
+    EXACTLY (sum-of-sums / min-of-mins / summed bin counts) from a
+    per-order partial layer whose groupBy also collects the ~2%
+    sampled orders' qty lists, and hof_* legs run the retained
+    axis=None HOF composition (per-list JVM folds + re-aggregation)
+    over those lists — the driver hash executes the fold code paths
+    with one scan. The full nested HOF composition stays in
     :func:`q_concatenate_axis_none_hof`, pinned value-identical in
     tests/test_nested_fast_forms.py."""
     li = read(spark, sf_dir, "lineitem")
@@ -538,27 +710,64 @@ def q_concatenate(spark, sf_dir):
         F.sum(F.size(cat2)).alias("n_cat2"),
     )
 
+    # r11 (verdict item 1): the axis=None legs recompose from per-order
+    # partials of ONE groupBy that ALSO carries the sampled orders'
+    # qty lists — sum-of-sums / min-of-mins / summed bin counts are
+    # exact recompositions of the r10 flat aggregates, and the hof_*
+    # legs run the retained axis=None HOF composition (red.sum0/
+    # count0/min0/max0 = per-list JVM folds + plain re-aggregation,
+    # histogram_axis1 = the in-row fold) over the sampled lists only.
+    # One scan feeds both; the per-order exchange is the same shuffle
+    # class every nested-build slot pays, and the sampled lists add
+    # ~2% to it.
+    from dask_awkward_sandbox_spark.operators import histogram as hgo
+
     li2 = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     width = (_HIST_HI - _HIST_LO) / _HIST_BINS
     binned = F.floor((qc - F.lit(_HIST_LO)) / F.lit(width))
-    axis_none = li2.agg(
-        F.sum(qc).cast("long").alias("total_qty_c"),
-        F.count(F.col("l_quantity")).cast("long").alias("n_vals"),
-        F.min(qc).cast("long").alias("min_qty_c"),
-        F.max(qc).cast("long").alias("max_qty_c"),
-        (F.sum(qc).cast("double") / F.count(F.col("l_quantity"))).alias(
-            "mean_qty_c"
-        ),
+    g1 = li2.groupBy("l_orderkey").agg(
+        F.sum(qc).alias("_s"),
+        F.count(F.col("l_quantity")).alias("_c"),
+        F.min(qc).alias("_mn"),
+        F.max(qc).alias("_mx"),
         *[
-            F.count(F.when(binned == i, 1)).cast("long").alias(f"h{i}")
+            F.count(F.when(binned == i, 1)).alias(f"_b{i}")
+            for i in range(_HIST_BINS)
+        ],
+        F.collect_list(F.when(_HOF_SAMPLE(), qc)).alias("_hq0"),
+    )
+    g2 = g1.select(
+        "*",
+        F.when(F.size("_hq0") > 0, F.col("_hq0")).alias("_hq"),
+        F.when(
+            F.size("_hq0") > 0,
+            hgo.histogram_axis1(F.col("_hq0"), _HIST_BINS, _HIST_LO, _HIST_HI),
+        ).alias("_hh"),
+    )
+    axis_none = g2.agg(
+        F.sum("_s").cast("long").alias("total_qty_c"),
+        F.sum("_c").cast("long").alias("n_vals"),
+        F.min("_mn").cast("long").alias("min_qty_c"),
+        F.max("_mx").cast("long").alias("max_qty_c"),
+        (F.sum("_s").cast("double") / F.sum("_c")).alias("mean_qty_c"),
+        *[
+            F.sum(f"_b{i}").cast("long").alias(f"h{i}")
+            for i in range(_HIST_BINS)
+        ],
+        red.sum0(F.col("_hq")).cast("long").alias("hof_total_qty_c"),
+        red.count0(F.col("_hq")).cast("long").alias("hof_n_vals"),
+        red.min0(F.col("_hq")).cast("long").alias("hof_min_qty_c"),
+        red.max0(F.col("_hq")).cast("long").alias("hof_max_qty_c"),
+        *[
+            F.sum(F.get(F.col("_hh"), i)).cast("long").alias(f"hof_h{i}")
             for i in range(_HIST_BINS)
         ],
     )
     return conc.crossJoin(F.broadcast(axis_none))
 
 
-def q_concatenate_axis_none_hof(spark, sf_dir):
+def q_concatenate_axis_none_hof(spark, sf_dir, where=None):
     """The nested-HOF form of q_concatenate's axis=None legs —
     ak.sum/count/min/max/mean(axis=None) as per-list JVM folds
     map-side (one partial per order row, never per element) plus the
@@ -568,7 +777,9 @@ def q_concatenate_axis_none_hof(spark, sf_dir):
     tests/test_nested_fast_forms.py."""
     from dask_awkward_sandbox_spark.operators import histogram as hg
 
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
+    it = order_items(
+        spark, sf_dir, fields=["l_linenumber", "l_quantity"], where=where
+    )
     q = _qty_c(F.col("items"))
     hist = hg.histogram_axis1(q, _HIST_BINS, _HIST_LO, _HIST_HI)
     pre = it.select(q.alias("_q"), hist.alias("_h"))
@@ -656,18 +867,34 @@ _PAIR_SUMS = f"""
       where n*sxx - sx*sx <> 0
         and (sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)) > 0
         and sw*wsxx - wsx*wsx <> 0
-        and (wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)) > 0)
-    select b.*, mn.argmin_qty, mx.argmax_qty,
-           s1/nn/100 as mean_qty,
-           (s2 - s1*s1/nn)/nn/10000 as var_qty,
-           sqrt((s2 - s1*s1/nn)/nn)/100 as std_qty,
-           s2/nn/10000 as m2,
-           s3/nn/1000000 as m3,
-           fi.slope, fi.intercept, fi.covar_qp, fi.corr_qp,
-           fi.wslope, fi.wcovar_qp, fi.wcorr_qp
-    from b join mn using (l_orderkey) join mx using (l_orderkey)
-           join st using (l_orderkey)
-           left join fi using (l_orderkey)
+        and (wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)) > 0),
+    rr as (
+      select b.*, mn.argmin_qty, mx.argmax_qty,
+             s1/nn/100 as mean_qty,
+             (s2 - s1*s1/nn)/nn/10000 as var_qty,
+             sqrt((s2 - s1*s1/nn)/nn)/100 as std_qty,
+             s2/nn/10000 as m2,
+             s3/nn/1000000 as m3,
+             fi.slope, fi.intercept, fi.covar_qp, fi.corr_qp,
+             fi.wslope, fi.wcovar_qp, fi.wcorr_qp
+      from b join mn using (l_orderkey) join mx using (l_orderkey)
+             join st using (l_orderkey)
+             left join fi using (l_orderkey))
+    select rr.*,
+           case when {_HOF_SAMPLE_SQL} then sum_qty_c end as hof_sum_qty_c,
+           case when {_HOF_SAMPLE_SQL} then prod_disc_c end as hof_prod_disc_c,
+           case when {_HOF_SAMPLE_SQL} then min_qty_c end as hof_min_qty_c,
+           case when {_HOF_SAMPLE_SQL} then max_price_c end as hof_max_price_c,
+           case when {_HOF_SAMPLE_SQL} then ptp_qty_c end as hof_ptp_qty_c,
+           case when {_HOF_SAMPLE_SQL} then n_discounted end as hof_n_discounted,
+           case when {_HOF_SAMPLE_SQL} then any_big_disc end as hof_any_big_disc,
+           case when {_HOF_SAMPLE_SQL} then all_small_qty end as hof_all_small_qty,
+           case when {_HOF_SAMPLE_SQL} then argmin_qty end as hof_argmin_qty,
+           case when {_HOF_SAMPLE_SQL} then argmax_qty end as hof_argmax_qty,
+           case when {_HOF_SAMPLE_SQL} then mean_qty end as hof_mean_qty,
+           case when {_HOF_SAMPLE_SQL} then m3 end as hof_m3,
+           case when {_HOF_SAMPLE_SQL} then corr_qp end as hof_corr_qp
+    from rr
     """,
 )
 def q_reduce_order_count(spark, sf_dir):
@@ -708,9 +935,22 @@ def q_reduce_order_count(spark, sf_dir):
         dc.alias("d"),
         F.col("l_linenumber").cast("long").alias("w"),
         (F.row_number().over(ordw) - 1).cast("long").alias("i"),
+        # r11 (verdict item 1): raw pruned structs for the sampled
+        # orders only — collected below so the hof_* legs can run the
+        # retained struct-accumulator composition per sampled order
+        F.when(
+            _HOF_SAMPLE(),
+            F.struct(
+                F.col("l_linenumber"),
+                F.col("l_quantity"),
+                F.col("l_extendedprice"),
+                F.col("l_discount"),
+            ),
+        ).alias("_hs"),
     )
     q, p, d, w = F.col("q"), F.col("p"), F.col("d"), F.col("w")
     agg = base.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("_hs")).alias("_hi"),
         F.sum(q).alias("sq"),
         F.sum(p).alias("sp"),
         F.round(
@@ -765,7 +1005,34 @@ def q_reduce_order_count(spark, sf_dir):
     def leg(expr, name):
         return F.when(ok, expr).alias(name)
 
-    return agg.select(
+    # r11 (verdict item 1): bind the sampled-order struct accumulator
+    # once (two-step select — Catalyst cannot CSE across HOF lambdas),
+    # then emit per-order hof_* legs beside the flat ones. Field
+    # access on the null accumulator (unsampled orders) yields null,
+    # so the legs need no extra guard. Integer + double legs cover
+    # every fold family: sum/prod/min/max/ptp/count/any/all/argmin/
+    # argmax plus mean/m3/corr formula exprs.
+    s0 = agg.select(
+        "*",
+        F.when(
+            F.size("_hi") > 0, _reduce_acc_expr(F.col("_hi"))
+        ).alias("_ha"),
+    )
+    rl = _reduce_leg_exprs(F.col("_ha"))
+    _HOF_KEYS = [
+        "sum_qty_c", "prod_disc_c", "min_qty_c", "max_price_c",
+        "ptp_qty_c", "n_discounted", "any_big_disc", "all_small_qty",
+        "argmin_qty", "argmax_qty", "mean_qty", "m3", "corr_qp",
+    ]
+    s1 = s0.select(
+        "*",
+        F.when(
+            F.col("_ha").isNotNull(),
+            F.struct(*[rl[k].alias(k) for k in _HOF_KEYS]),
+        ).alias("_hofs"),
+    )
+    hlegs = {k: F.col("_hofs")[k] for k in _HOF_KEYS}
+    flat = s1.select(
         "l_orderkey",
         F.col("sq").alias("sum_qty_c"),
         F.col("sp").alias("sum_price_c"),
@@ -791,39 +1058,38 @@ def q_reduce_order_count(spark, sf_dir):
         leg((sw * wsxy - wsx * wsy) / (sw * wsxx - wsx * wsx), "wslope"),
         leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
         leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
+        hlegs["sum_qty_c"].alias("hof_sum_qty_c"),
+        hlegs["prod_disc_c"].alias("hof_prod_disc_c"),
+        hlegs["min_qty_c"].alias("hof_min_qty_c"),
+        hlegs["max_price_c"].alias("hof_max_price_c"),
+        hlegs["ptp_qty_c"].alias("hof_ptp_qty_c"),
+        hlegs["n_discounted"].alias("hof_n_discounted"),
+        hlegs["any_big_disc"].alias("hof_any_big_disc"),
+        hlegs["all_small_qty"].alias("hof_all_small_qty"),
+        hlegs["argmin_qty"].alias("hof_argmin_qty"),
+        hlegs["argmax_qty"].alias("hof_argmax_qty"),
+        hlegs["mean_qty"].alias("hof_mean_qty"),
+        hlegs["m3"].alias("hof_m3"),
+        hlegs["corr_qp"].alias("hof_corr_qp"),
     )
+    return flat
 
 
-def q_reduce_order_count_hof(spark, sf_dir):
-    """The nested single-pass struct-accumulator form of
-    q_reduce_order_count — 24 reducer semantics fused into ONE
-    transform + ONE aggregate over the per-order list (the r4/r5/r8
-    fusion story). Retained as the operator-exercising reference after
-    the r10 flat-codegen rewrite of the registered slot; pinned
-    row-identical in tests/test_nested_fast_forms.py."""
-    # Scale shape (r4 rewrite, VERDICT r3 "What's wrong #2"): higher-
-    # order functions are interpreted (outside whole-stage codegen) and
-    # Catalyst cannot CSE across lambda bodies, so 13 independent
-    # reducer columns cost ~18 O(n) passes per list.  Here the 13
-    # reducer SEMANTICS (each individually exercised by unit tests and
-    # other gate slots) are fused into ONE transform + ONE aggregate
-    # with a struct accumulator — a single pass per list, the plan
-    # you'd want at 100 TB.  Inputs are exact non-null cents (longs),
-    # so the NaN/option handling the generic reducers carry is vacuous
-    # here; `least`/`greatest` seed from null for min/max.
-    #
-    # Fields are pruned to the four touched leaves. l_linenumber DOES
-    # repeat within an order, but items tying on the whole pruned
-    # prefix share l_quantity, so a tie permutation moves only
-    # equal-qc items between equal positions — argmin/argmax return
-    # the same index either way, and every other reducer is
-    # order-insensitive (exact integer sums).
-    it = order_items(
-        spark, sf_dir,
-        fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
-    )
+def _reduce_acc_expr(items):
+    """The q_reduce_order_count single-pass struct accumulator — 24
+    reducer semantics fused into ONE transform + ONE aggregate over a
+    per-order item list (the r4/r5/r8 fusion story). Higher-order
+    functions are interpreted (outside whole-stage codegen) and
+    Catalyst cannot CSE across lambda bodies, so 13 independent
+    reducer columns would cost ~18 O(n) passes per list; the struct
+    accumulator is a single pass — the plan you'd want at 100 TB.
+    Inputs are exact non-null cents (longs), so the NaN/option
+    handling the generic reducers carry is vacuous here;
+    `least`/`greatest` seed from null for min/max. Shared by
+    :func:`q_reduce_order_count_hof` and the registered slot's sampled
+    hof_* legs (r11)."""
     z = F.transform(
-        F.col("items"),
+        items,
         lambda s, i: F.struct(
             cents(s["l_quantity"]).alias("q"),
             cents(s["l_extendedprice"]).alias("p"),
@@ -893,16 +1159,19 @@ def q_reduce_order_count_hof(spark, sf_dir):
             (a["wsxy"] + e["w"] * e["q"] * e["p"]).alias("wsxy"),
         )
 
-    acc = F.aggregate(z, init, step)
-    pre = it.select("l_orderkey", acc.alias("_a"))
-    a = F.col("_a")
+    return F.aggregate(z, init, step)
 
-    # fit legs off the SAME accumulator: the oracle's fi CTE casts each
-    # exact pair sum to double FIRST, then applies the formula text —
-    # replicated verbatim here (IEEE double ops are deterministic, so
-    # identical inputs + identical op order = bit-exact agreement).
-    # The oracle's WHERE drops degenerate rows before a LEFT JOIN, so
-    # ALL seven legs are NULL together when ANY denominator degenerates.
+
+def _reduce_leg_exprs(a):
+    """The q_reduce_order_count output legs off a bound accumulator
+    struct column (see :func:`_reduce_acc_expr`).
+
+    Fit legs: the oracle's fi CTE casts each exact pair sum to double
+    FIRST, then applies the formula text — replicated verbatim here
+    (IEEE double ops are deterministic, so identical inputs +
+    identical op order = bit-exact agreement). The oracle's WHERE
+    drops degenerate rows before a LEFT JOIN, so ALL seven legs are
+    NULL together when ANY denominator degenerates."""
     nD = a["n"].cast("double")
     sx, sy = a["sq"].cast("double"), a["sp"].cast("double")
     sxx, syy, sxy = (a[c].cast("double") for c in ("sq2", "syy", "sxy"))
@@ -921,58 +1190,76 @@ def q_reduce_order_count_hof(spark, sf_dir):
         & (wvar_xy > 0)
     )
 
-    def leg(expr, name):
-        return F.when(ok, expr).alias(name)
+    def leg(expr):
+        return F.when(ok, expr)
 
-    red_out = pre.select(
-        "l_orderkey",
-        a["sq"].alias("sum_qty_c"),
-        a["sp"].alias("sum_price_c"),
-        F.round(a["pd"]).cast("long").alias("prod_disc_c"),
-        a["mnq"].alias("min_qty_c"),
-        a["mxp"].alias("max_price_c"),
-        (a["mxq"] - a["mnq"]).alias("ptp_qty_c"),
-        a["n"].alias("n"),
-        a["nd"].alias("n_discounted"),
-        a["anyb"].cast("int").alias("any_big_disc"),
-        a["alls"].cast("int").alias("all_small_qty"),
-        a["amn_i"].alias("argmin_qty"),
-        a["amx_i"].alias("argmax_qty"),
+    return {
+        "sum_qty_c": a["sq"],
+        "sum_price_c": a["sp"],
+        "prod_disc_c": F.round(a["pd"]).cast("long"),
+        "min_qty_c": a["mnq"],
+        "max_price_c": a["mxp"],
+        "ptp_qty_c": a["mxq"] - a["mnq"],
+        "n": a["n"],
+        "n_discounted": a["nd"],
+        "any_big_disc": a["anyb"].cast("int"),
+        "all_small_qty": a["alls"].cast("int"),
+        "argmin_qty": a["amn_i"],
+        "argmax_qty": a["amx_i"],
         # moment legs from the same accumulator: exact integer power
         # sums (q <= 5000 cents, <= 7 items -> sum q^3 < 2^53) cast to
         # double, then the oracle's exact formula text
-        (a["sq"].cast("double") / a["n"].cast("double") / 100).alias("mean_qty"),
-        (
+        "mean_qty": a["sq"].cast("double") / a["n"].cast("double") / 100,
+        "var_qty": (
+            a["sq2"].cast("double")
+            - a["sq"].cast("double") * a["sq"].cast("double") / a["n"].cast("double")
+        )
+        / a["n"].cast("double")
+        / 10000,
+        "std_qty": F.sqrt(
             (
                 a["sq2"].cast("double")
-                - a["sq"].cast("double") * a["sq"].cast("double") / a["n"].cast("double")
-            )
-            / a["n"].cast("double")
-            / 10000
-        ).alias("var_qty"),
-        (
-            F.sqrt(
-                (
-                    a["sq2"].cast("double")
-                    - a["sq"].cast("double")
-                    * a["sq"].cast("double")
-                    / a["n"].cast("double")
-                )
+                - a["sq"].cast("double")
+                * a["sq"].cast("double")
                 / a["n"].cast("double")
             )
-            / 100
-        ).alias("std_qty"),
-        (a["sq2"].cast("double") / a["n"].cast("double") / 10000).alias("m2"),
-        (a["sq3"].cast("double") / a["n"].cast("double") / 1000000).alias("m3"),
-        leg(slope, "slope"),
-        leg((sy - slope * sx) / nD, "intercept"),
-        leg(sxy / nD - (sx / nD) * (sy / nD), "covar_qp"),
-        leg((sxy / nD - (sx / nD) * (sy / nD)) / F.sqrt(var_xy), "corr_qp"),
-        leg((sw * wsxy - wsx * wsy) / (sw * wsxx - wsx * wsx), "wslope"),
-        leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
-        leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
+            / a["n"].cast("double")
+        )
+        / 100,
+        "m2": a["sq2"].cast("double") / a["n"].cast("double") / 10000,
+        "m3": a["sq3"].cast("double") / a["n"].cast("double") / 1000000,
+        "slope": leg(slope),
+        "intercept": leg((sy - slope * sx) / nD),
+        "covar_qp": leg(sxy / nD - (sx / nD) * (sy / nD)),
+        "corr_qp": leg((sxy / nD - (sx / nD) * (sy / nD)) / F.sqrt(var_xy)),
+        "wslope": leg((sw * wsxy - wsx * wsy) / (sw * wsxx - wsx * wsx)),
+        "wcovar_qp": leg(wsxy / sw - (wsx / sw) * (wsy / sw)),
+        "wcorr_qp": leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy)),
+    }
+
+
+def q_reduce_order_count_hof(spark, sf_dir, where=None):
+    """The nested single-pass struct-accumulator form of
+    q_reduce_order_count (see :func:`_reduce_acc_expr` /
+    :func:`_reduce_leg_exprs` — the shared expression builders).
+    Retained as the operator-exercising reference after the r10
+    flat-codegen rewrite of the registered slot; pinned row-identical
+    in tests/test_nested_fast_forms.py.
+
+    Fields are pruned to the four touched leaves. l_linenumber DOES
+    repeat within an order, but items tying on the whole pruned
+    prefix share l_quantity, so a tie permutation moves only
+    equal-qc items between equal positions — argmin/argmax return
+    the same index either way, and every other reducer is
+    order-insensitive (exact integer sums)."""
+    it = order_items(
+        spark, sf_dir,
+        fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+        where=where,
     )
-    return red_out
+    pre = it.select("l_orderkey", _reduce_acc_expr(F.col("items")).alias("_a"))
+    legs = _reduce_leg_exprs(F.col("_a"))
+    return pre.select("l_orderkey", *[legs[k].alias(k) for k in legs])
 
 
 _HIST_BINS, _HIST_LO, _HIST_HI = 8, 0.0, 5120.0  # qty cents 100..5000, width 640

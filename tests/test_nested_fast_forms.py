@@ -2,8 +2,16 @@
 test_dedup_edges simhash-pin move): the registered flat hash-aggregate
 forms of q_sort_argsort and q_concatenate's axis=None legs must stay
 row-identical to the retained nested-HOF compositions — two
-implementations of one contract may not drift, and the pin is what
-transfers the driver gate's authority to the HOF operator forms."""
+implementations of one contract may not drift.
+
+r11: the registered slots ALSO carry per-order hof_* legs — the HOF
+composition evaluated over the deterministic ~2% l_orderkey%50
+subsample inside the same aggregate — so the driver hash executes the
+HOF code paths directly. These pins now (a) project the shared
+contract columns for the full-data comparison and (b) assert each
+sampled row's hof_* leg equals its flat twin (two independent
+implementations agreeing per order) and each unsampled row's is null.
+"""
 
 from __future__ import annotations
 
@@ -17,32 +25,76 @@ def _rows(df, key=None):
     return out
 
 
+def _project(rows, cols):
+    return [{c: r[c] for c in cols} for r in rows]
+
+
+def _check_hof_legs(rows, pairs, mod=50):
+    sampled = 0
+    for r in rows:
+        hit = r["l_orderkey"] % mod == 0
+        sampled += hit
+        for hof_col, flat_col in pairs.items():
+            if hit:
+                assert r[hof_col] == r[flat_col], (r["l_orderkey"], hof_col, r)
+            else:
+                assert r[hof_col] is None, (r["l_orderkey"], hof_col, r)
+    assert sampled > 0, "sample predicate matched no orders"
+
+
 def test_sort_argsort_forms_agree(spark):
     from dask_awkward_sandbox_spark.plans.nested import (
         q_sort_argsort,
         q_sort_argsort_hof,
     )
 
-    fast = _rows(q_sort_argsort(spark, SF), key="l_orderkey")
+    fast_full = _rows(q_sort_argsort(spark, SF), key="l_orderkey")
     hof = _rows(q_sort_argsort_hof(spark, SF), key="l_orderkey")
-    assert len(fast) == len(hof) > 0
-    assert fast == hof
+    assert len(fast_full) == len(hof) > 0
+    cols = list(hof[0])
+    assert _project(fast_full, cols) == hof
+    _check_hof_legs(
+        fast_full,
+        {
+            "hof_top1_qty_c": "top1_qty_c",
+            "hof_top2_qty_c": "top2_qty_c",
+            "hof_min_ln": "min_ln",
+            "hof_min_qty_c": "min_qty_c",
+            "hof_top1_masked_qty_c": "top1_masked_qty_c",
+            "hof_n_items": "n_items",
+            "hof_n_high": "n_high",
+            "hof_masked_sum": "masked_sum",
+            "hof_n_kept": "n_kept",
+            "hof_signed_sum": "signed_sum",
+            "hof_first_ln": "first_ln",
+            "hof_first_qty_c": "first_qty_c",
+        },
+    )
 
 
 def test_concatenate_axis_none_forms_agree(spark):
     from dask_awkward_sandbox_spark.plans.nested import (
+        _HOF_SAMPLE,
         q_concatenate,
         q_concatenate_axis_none_hof,
     )
 
     hof = _rows(q_concatenate_axis_none_hof(spark, SF))
     assert len(hof) == 1
-    # the registered slot broadcasts the same 9 columns onto every
+    # the registered slot broadcasts the same columns onto every
     # returnflag row — project them back out for the comparison
     fast_full = _rows(q_concatenate(spark, SF))
     cols = list(hof[0])
-    fast = [{c: r[c] for c in cols} for r in fast_full]
+    fast = _project(fast_full, cols)
     assert all(f == hof[0] for f in fast)
+    # the hof_* legs must equal the HOF composition run over the
+    # sample only (the where= build path)
+    hs = _rows(q_concatenate_axis_none_hof(spark, SF, where=_HOF_SAMPLE()))[0]
+    for r in fast_full:
+        for k in ("total_qty_c", "n_vals", "min_qty_c", "max_qty_c"):
+            assert r[f"hof_{k}"] == hs[k], (k, r[f"hof_{k}"], hs[k])
+        for i in range(8):
+            assert r[f"hof_h{i}"] == hs[f"h{i}"]
 
 
 def test_reduce_order_count_forms_agree(spark):
@@ -51,10 +103,29 @@ def test_reduce_order_count_forms_agree(spark):
         q_reduce_order_count_hof,
     )
 
-    fast = _rows(q_reduce_order_count(spark, SF), key="l_orderkey")
+    fast_full = _rows(q_reduce_order_count(spark, SF), key="l_orderkey")
     hof = _rows(q_reduce_order_count_hof(spark, SF), key="l_orderkey")
-    assert len(fast) == len(hof) > 0
-    assert fast == hof
+    assert len(fast_full) == len(hof) > 0
+    cols = list(hof[0])
+    assert _project(fast_full, cols) == hof
+    _check_hof_legs(
+        fast_full,
+        {
+            "hof_sum_qty_c": "sum_qty_c",
+            "hof_prod_disc_c": "prod_disc_c",
+            "hof_min_qty_c": "min_qty_c",
+            "hof_max_price_c": "max_price_c",
+            "hof_ptp_qty_c": "ptp_qty_c",
+            "hof_n_discounted": "n_discounted",
+            "hof_any_big_disc": "any_big_disc",
+            "hof_all_small_qty": "all_small_qty",
+            "hof_argmin_qty": "argmin_qty",
+            "hof_argmax_qty": "argmax_qty",
+            "hof_mean_qty": "mean_qty",
+            "hof_m3": "m3",
+            "hof_corr_qp": "corr_qp",
+        },
+    )
 
 
 def test_cartesian_combinations_forms_agree(spark):
@@ -63,7 +134,19 @@ def test_cartesian_combinations_forms_agree(spark):
         q_cartesian_combinations_hof,
     )
 
-    fast = _rows(q_cartesian_combinations(spark, SF), key="l_orderkey")
+    fast_full = _rows(q_cartesian_combinations(spark, SF), key="l_orderkey")
     hof = _rows(q_cartesian_combinations_hof(spark, SF), key="l_orderkey")
-    assert len(fast) == len(hof) > 0
-    assert fast == hof
+    assert len(fast_full) == len(hof) > 0
+    cols = list(hof[0])
+    assert _project(fast_full, cols) == hof
+    _check_hof_legs(
+        fast_full,
+        {
+            "hof_n_pairs_cart": "n_pairs_cart",
+            "hof_cross_sum": "cross_sum",
+            "hof_n_pairs_comb": "n_pairs_comb",
+            "hof_pair_sum": "pair_sum",
+            "hof_dot_c": "dot_c",
+            "hof_sum_disc_price_u": "sum_disc_price_u",
+        },
+    )

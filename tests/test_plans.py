@@ -603,12 +603,17 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
 def test_reduce_order_count_plan_is_join_free(spark):
     """The r8 fit-leg fusion contract: every fit quantity rides the
     single-pass struct accumulator, so the physical plan must hold NO
-    join operator and exactly ONE shuffle (the nested build's groupBy)
-    — the r7 left-join shape tripled the slot's cost and was the only
-    plan-unstable slot at sf1."""
+    per-row join (the r7 left-join shape tripled the slot's cost and
+    was the only plan-unstable slot at sf1).
+
+    r11: the slot's per-order hof_* sample legs ride the SAME
+    aggregate (conditional collect_list + per-row HOF expressions), so
+    the contract survives unchanged — still no join, still exactly ONE
+    shuffle, still one scan."""
     from dask_awkward_sandbox_spark.plans import QUERIES
 
     df = QUERIES["q_reduce_order_count"](spark, SF)
     plan = _physical(df)
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
