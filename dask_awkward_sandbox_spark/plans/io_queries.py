@@ -53,7 +53,14 @@ def _scratch(sf_dir: str, name: str) -> str:
            cast(sum(cast(round(l_quantity*100) as bigint) * 2 + 1) as bigint)
              as mp_sum_qty2,
            cast(sum(l_linenumber * (cast(round(l_quantity*100) as bigint) * 2 + 1))
-                as bigint) as mp_dot
+                as bigint) as mp_dot,
+           case when l_orderkey % 50 = 0
+                then cast(sum(cast(round(l_quantity*100) as bigint)) as bigint)
+           end as hof_sum_qty_c,
+           case when l_orderkey % 50 = 0 then cast(sum(l_linenumber) as bigint)
+           end as hof_enf_sum_ln,
+           case when l_orderkey % 50 = 0 then cast(count(*) as bigint)
+           end as hof_enf_n_bogus_null
     from lineitem group by l_orderkey
     """,
 )
@@ -76,36 +83,68 @@ def q_parquet_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
     back = from_parquet(spark, path, columns=["l_orderkey", "items"])
+    # r11 (verdict item 3): full-data reductions run CODEGEN — n_items
+    # is size(), and sum_qty_c rides the to_dataframe explode below
+    # (same nested parquet column, flat hash aggregate) instead of an
+    # interpreted per-list fold; the fold itself stays under the gate
+    # as the sampled hof_sum_qty_c leg (per-order, ~2% of rows)
+    samp = F.col("l_orderkey") % 50 == 0
     q = fld_map(F.col("items"), "l_quantity", cents)
     nested_side = back.select(
         "l_orderkey",
         st.num(F.col("items")).alias("n_items"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_qty_c"),
+        F.when(
+            samp,
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x),
+        ).alias("hof_sum_qty_c"),
     )
     flat = to_dataframe(back, explode_col="items")
     flat_side = flat.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("flat_n"),
         F.sum(F.col("items_l_linenumber").cast("long")).alias("flat_sum_ln"),
+        F.sum(cents(F.col("items_l_quantity"))).alias("sum_qty_c"),
     )
     # enforce_type leg: coerce the read-back frame to a target schema
     # (narrow linenumber, stringify quantity, add an all-null field) and
     # prove the coercion is lossless where it should be: the narrowed
     # linenumbers still sum to the oracle's, and the NEW field is null
-    # for every element (counted per order).
+    # for every element (counted per order). r11: the reductions run
+    # over a codegen explode; the fold/filter HOF forms stay under the
+    # gate as sampled hof_enf_* legs carried through first()
     enf = st.enforce_type(
         back,
         "l_orderkey bigint, "
         "items array<struct<l_linenumber: smallint, l_quantity: string, l_bogus: double>>",
     )
-    enf_side = enf.select(
+    enf2 = enf.select(
         "l_orderkey",
-        F.aggregate(
-            F.col("items"), F.lit(0).cast("long"),
-            lambda a, s: a + s["l_linenumber"].cast("long"),
-        ).alias("enf_sum_ln"),
-        F.size(F.filter(F.col("items"), lambda s: s["l_bogus"].isNull()))
-        .cast("long")
-        .alias("enf_n_bogus_null"),
+        "items",
+        F.when(
+            samp,
+            F.struct(
+                F.aggregate(
+                    F.col("items"), F.lit(0).cast("long"),
+                    lambda a, s: a + s["l_linenumber"].cast("long"),
+                ).alias("sum_ln"),
+                F.size(
+                    F.filter(F.col("items"), lambda s: s["l_bogus"].isNull())
+                ).cast("long").alias("nb"),
+            ),
+        ).alias("_ehofs"),
+    )
+    enf_ex = enf2.select("l_orderkey", "_ehofs", F.explode("items").alias("it"))
+    enf_side = enf_ex.groupBy("l_orderkey").agg(
+        F.sum(F.col("it")["l_linenumber"].cast("long")).alias("enf_sum_ln"),
+        F.count(F.when(F.col("it")["l_bogus"].isNull(), 1)).alias(
+            "enf_n_bogus_null"
+        ),
+        F.first("_ehofs").alias("_eh"),
+    ).select(
+        "l_orderkey",
+        "enf_sum_ln",
+        "enf_n_bogus_null",
+        F.col("_eh")["sum_ln"].alias("hof_enf_sum_ln"),
+        F.col("_eh")["nb"].alias("hof_enf_n_bogus_null"),
     )
     # mp_* legs: map_partitions over the flat lineitem scan
     import pyarrow as pa

@@ -150,3 +150,30 @@ def test_cartesian_combinations_forms_agree(spark):
             "hof_sum_disc_price_u": "sum_disc_price_u",
         },
     )
+
+
+def test_flatten_softmax_forms_agree(spark):
+    """r11: the registered flat-window form (ONE exchange, no joins,
+    no interpreted per-element folds) vs the retained nested-HOF
+    composition — row-identical on the shared contract columns, and
+    the per-element hof_* legs equal their flat twins on sampled
+    orders, null elsewhere."""
+    from dask_awkward_sandbox_spark.plans.nested import (
+        q_flatten_softmax,
+        q_flatten_softmax_hof,
+    )
+
+    fast_full = _rows(q_flatten_softmax(spark, SF))
+    hof = _rows(q_flatten_softmax_hof(spark, SF))
+    assert len(fast_full) == len(hof) > 0
+    cols = list(hof[0])
+    k = lambda d: (d["l_orderkey"], d["idx"])  # noqa: E731
+    assert sorted(_project(fast_full, cols), key=k) == sorted(hof, key=k)
+    _check_hof_legs(
+        fast_full,
+        {
+            "hof_idx": "idx",
+            "hof_softmax": "softmax",
+            "hof_run_len": "run_len",
+        },
+    )
