@@ -334,11 +334,16 @@ def main() -> None:
     # graded, and the max is emitted alongside so noise is visible in
     # the record instead of silently polluting round-over-round deltas.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # r11 (verdict item 7): three slots drifted +-0.1s across r8-r10
+    # with unchanged plans — box variance, visible in their spread.
+    # They are cheap; min-of-5 stops the artifact reading noise as
+    # regression.
+    extra_reps = {"q_lm_perplexity": 5, "q_dedup_exact": 5, "q_text_metrics": 5}
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINERS:
         samples = []
-        for _ in range(reps):
+        for _ in range(max(reps, extra_reps.get(name, 0))):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)

@@ -1077,6 +1077,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
                                  order by s desc, ra.vec_id desc) = 1)
     select a.vec_id, a.list_id,
            cast(nn.rid as bigint) as nn_id, nn.s as nn_sim,
+           case when a.vec_id % 50 = 0 then a.list_id end as stream_list_id,
            cast(max(case when m = 0 then j end) as int) as code_m0,
            cast(max(case when m = 1 then j end) as int) as code_m1,
            cast(max(case when m = 2 then j end) as int) as code_m2,
@@ -1156,12 +1157,70 @@ def q_ann_ivf_assign(spark, sf_dir):
         F.col("nn_id").cast("long").alias("nn_id"),
         F.col("cos_sim").alias("nn_sim"),
     )
+    # r11 (verdict item 6 — the r7 q_stream_dedup merge pattern):
+    # streaming IVF maintenance under the gate. The ~2% sampled
+    # vectors stream in TWO batches through streaming.stream_ivf_append
+    # under the SAME frozen 16-seed centroids the batch index used, so
+    # the stream-built index must assign every vector to the same list
+    # the batch path did (stream_list_id leg, null for unsampled
+    # vectors); a full REPLAY from a fresh checkpoint must leave the
+    # index row count unchanged (dynamic-partition-overwrite
+    # exactly-once) or the poison breaks every row's hash.
+    import os
+    import shutil
+    import time
+
+    from dask_awkward_sandbox_spark.streaming.similarity import (
+        stream_ivf_append,
+    )
+
+    c16 = similarity.kmeans_train(
+        e, "embedding", "vec_id", nlist=16, iters=0, X=X
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    sbase = os.path.join("/root/repo/.scratch", tag, "stream_ivf")
+    shutil.rmtree(sbase, ignore_errors=True)
+    in_path = os.path.join(sbase, "in")
+    spath = os.path.join(sbase, "index")
+    samp = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    samp.filter(F.col("vec_id") % 100 == 0).repartition(1).write.mode(
+        "overwrite"
+    ).json(in_path)
+    time.sleep(1.2)  # file source orders by mtime: batch 2 strictly second
+    samp.filter(F.col("vec_id") % 100 != 0).repartition(1).write.mode(
+        "append"
+    ).json(in_path)
+
+    def _run(ckpt: str) -> None:
+        stream_ivf_append(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_path),
+            centroids=c16,
+            path=spath,
+            checkpoint=os.path.join(sbase, ckpt),
+            id_col="vec_id",
+            vec_col="embedding",
+            round_digits=6,
+        )
+
+    _run("ckpt")
+    n_first = spark.read.parquet(spath).count()
+    _run("ckpt_replay")  # fresh checkpoint: every batch re-delivered
+    n_replayed = spark.read.parquet(spath).count()
+    poison = 0 if n_first == n_replayed else 10**9
+    stream_leg = spark.read.parquet(spath).select(
+        F.col("nb_id").alias("vec_id"),
+        (F.col("list_id").cast("long") + F.lit(poison)).alias(
+            "stream_list_id"
+        ),
+    )
     return back.select(
         F.col("nb_id").alias("vec_id"),
         F.col("list_id").cast("long").alias("list_id"),
         *[F.get(codes, i).alias(f"code_m{i}") for i in range(8)],
-    ).join(knn, "vec_id", "left").select(
-        "vec_id", "list_id", "nn_id", "nn_sim",
+    ).join(knn, "vec_id", "left").join(stream_leg, "vec_id", "left").select(
+        "vec_id", "list_id", "nn_id", "nn_sim", "stream_list_id",
         *[f"code_m{i}" for i in range(8)],
     )
 

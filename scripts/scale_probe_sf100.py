@@ -134,6 +134,60 @@ def main() -> None:
         }
     out["clusters"] = clusters
 
+    # --- r11 (verdict item 2): stage decomposition of the embedding
+    # collapse — bucketing / edge build / verify / CC walls at every
+    # scale (profiled runs add materialization barriers, so these
+    # walls are for ATTRIBUTION; the unprofiled walls above grade) ---
+    stage_prof = {}
+    for sf_name, d in (("sf1", SF1_DIR), ("sf10", SF10_DIR),
+                       ("sf100", SF100_DIR)):
+        prof: dict = {}
+        stats: dict = {}
+        t0 = time.perf_counter()
+        _noop(similarity.embedding_neardup_clusters(
+            _emb(spark, d), dim=EMB_DIM, threshold=0.4, tables=LSH_TABLES,
+            stats=stats, profile=prof,
+        ))
+        prof["wall_profiled"] = round(time.perf_counter() - t0, 3)
+        prof["iterations"] = stats.get("iterations")
+        stage_prof[sf_name] = prof
+        print(f"# embedding stages @ {sf_name}: {prof}", file=sys.stderr)
+    out["embedding_stage_profile"] = stage_prof
+
+    # plane-cap CONTROL at sf100: re-run with sf10's plane count (the
+    # occupancy-capped alternative the r10 verdict proposed) and
+    # record wall + how many vectors land in a DIFFERENT cluster —
+    # fewer planes = coarser buckets = more candidates verified, so
+    # this measures whether plane growth is the superlinearity or a
+    # recall-neutral constant
+    capped = stage_prof["sf10"].get("planes")
+    if capped and capped < stage_prof["sf100"].get("planes", 0):
+        base_df = similarity.embedding_neardup_clusters(
+            _emb(spark, SF100_DIR), dim=EMB_DIM, threshold=0.4,
+            tables=LSH_TABLES,
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        cap_df = similarity.embedding_neardup_clusters(
+            _emb(spark, SF100_DIR), dim=EMB_DIM, threshold=0.4,
+            tables=LSH_TABLES, planes=capped,
+        ).localCheckpoint(eager=True)
+        cap_wall = round(time.perf_counter() - t0, 3)
+        from pyspark.sql import functions as F
+
+        diff = (
+            base_df.select("id", F.col("cluster").alias("c1"))
+            .join(cap_df.select("id", F.col("cluster").alias("c2")), "id")
+            .filter(F.col("c1") != F.col("c2"))
+            .count()
+        )
+        out["plane_cap_control_sf100"] = {
+            "planes": capped,
+            "wall": cap_wall,
+            "cluster_label_diffs": diff,
+        }
+        print(f"# plane-cap control @ sf100: planes={capped} "
+              f"wall={cap_wall}s diffs={diff}", file=sys.stderr)
+
     # --- scan/shuffle controls at sf100, min-of-2 ---
     controls = {}
     for name in ("q1_pricing_summary", "q18_large_orders"):
