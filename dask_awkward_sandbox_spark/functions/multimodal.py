@@ -299,10 +299,10 @@ def resize_bmp(
 # 8-BIT COLOR TYPE decodes (gray / RGB / palette+PLTE / gray-alpha /
 # RGBA — alpha dropped, output is always (H, W, 3) RGB), 16-bit depth
 # decodes via the standard high-byte fold, and Adam7 interlacing
-# decodes via the pass-grid reassembly; only sub-byte depths (1/2/4)
-# stay gated with directed errors. JPEG remains DecodeUnavailable
-# (DCT entropy coding is a genuine external-lib boundary, unlike
-# PNG's).
+# decodes via the pass-grid reassembly; r11 adds sub-byte depths
+# (1/2/4 gray + palette, MSB-first packed scanlines, incl. Adam7) —
+# every spec-legal PNG decodes. JPEG remains DecodeUnavailable (DCT
+# entropy coding is a genuine external-lib boundary, unlike PNG's).
 # ---------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -428,14 +428,65 @@ def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int):
     return out
 
 
+def _png_subbyte_samples(raw: bytes, w: int, h: int, depth: int, interlace: int):
+    """Per-pixel sample plane for sub-byte depths (1/2/4, r11): the
+    spec packs samples MSB-first into scanlines padded to a byte
+    boundary, and FILTERING operates on the packed BYTES with a
+    left-distance of one byte — so unfiltering reuses the byte-level
+    machinery with w=row_bytes, bpp=1, then np.unpackbits recovers the
+    samples. Adam7 passes are independently packed/padded."""
+    import numpy as np
+
+    def unpack(chunk: bytes, pw: int, ph: int):
+        rb = (pw * depth + 7) // 8
+        rows = _png_unfilter(chunk, rb, ph, 1).reshape(ph, rb)
+        bits = np.unpackbits(rows, axis=1)
+        if depth == 1:
+            return bits[:, :pw]
+        if depth == 2:
+            b = bits.reshape(ph, -1, 2)
+            return ((b[:, :, 0] << 1) | b[:, :, 1])[:, :pw]
+        b = bits.reshape(ph, -1, 4)
+        return (
+            (b[:, :, 0] << 3) | (b[:, :, 1] << 2) | (b[:, :, 2] << 1) | b[:, :, 3]
+        )[:, :pw]
+
+    if interlace == 0:
+        rb = (w * depth + 7) // 8
+        if len(raw) != h * (rb + 1):
+            raise ValueError(
+                f"PNG sub-byte scanline data is {len(raw)} bytes, "
+                f"expected {h * (rb + 1)}"
+            )
+        return unpack(raw, w, h)
+    out = np.zeros((h, w), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        rb = (pw * depth + 7) // 8
+        nbytes = ph * (1 + rb)
+        out[y0::ys, x0::xs] = unpack(raw[off : off + nbytes], pw, ph)
+        off += nbytes
+    if off != len(raw):
+        raise ValueError(
+            f"PNG interlaced sub-byte stream is {len(raw)} bytes, "
+            f"passes consumed {off}"
+        )
+    return out
+
+
 def _decode_png_pixels(buf: bytes):
     """(width, height, (H, W, 3) uint8) from 8- or 16-bit PNG bytes of
     ANY color type (r10: gray/RGB/palette/gray-alpha/RGBA — palette
     indices resolve through PLTE, gray replicates, alpha drops; 16-bit
     samples fold to their high byte; Adam7 interlace reassembles via
     the pass grid) — chunk walk with CRC verification, multi-IDAT
-    concatenation, full filter reconstruction. Only sub-byte depths
-    (1/2/4) raise directed errors."""
+    concatenation, full filter reconstruction. r11: sub-byte depths
+    (1/2/4 gray + palette, incl. Adam7) decode too — every spec-legal
+    PNG decodes here."""
     import struct
     import zlib
 
@@ -469,18 +520,34 @@ def _decode_png_pixels(buf: bytes):
     # Channel counts per the spec; palette indices look up PLTE; alpha
     # channels are DROPPED after unfiltering (the output contract is an
     # (H, W, 3) uint8 RGB array — compositing and 16-bit-precision
-    # policy belong to the caller). Sub-byte depths (1/2/4) stay gated.
+    # policy belong to the caller). r11: sub-byte depths decode below.
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None or depth not in (8, 16) or (color == 3 and depth != 8):
+    subbyte_ok = depth in (1, 2, 4) and color in (0, 3)
+    if channels is None or not (
+        subbyte_ok or (depth == 8) or (depth == 16 and color != 3)
+    ):
         raise ValueError(
-            f"PNG color type {color}/depth {depth} unsupported — 8/16-bit "
-            "gray/RGB/gray-alpha/RGBA and 8-bit palette decode here; "
-            "sub-byte depths need the gated PIL path"
+            f"PNG color type {color}/depth {depth} unsupported — every "
+            "spec-legal depth/type combination decodes here except 16-bit "
+            "palette (not spec-legal anyway)"
         )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("PNG nonstandard compression/filter/interlace method")
-    bpp = channels * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
+    if depth in (1, 2, 4):
+        # r11: sub-byte gray/palette — the last PNG gate removed
+        s = _png_subbyte_samples(raw, w, h, depth, interlace)
+        if color == 0:
+            scale = {1: 255, 2: 85, 4: 17}[depth]  # spec sample scaling
+            g = (s.astype(np.uint16) * scale).astype(np.uint8)
+            return w, h, np.repeat(g[:, :, None], 3, axis=2)
+        if plte is None or len(plte) % 3:
+            raise ValueError("PNG palette image missing a well-formed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(s.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return w, h, pal[s]
+    bpp = channels * (depth // 8)
     px = (
         _png_deinterlace(raw, w, h, bpp)
         if interlace == 1

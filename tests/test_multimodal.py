@@ -533,3 +533,114 @@ def test_png_adam7_interlace_decodes():
         got_w, got_h, got = mm._decode_png_pixels(interlaced_png(px))
         assert (got_w, got_h) == (w, h)
         np.testing.assert_array_equal(got, px)
+
+
+# ---------------------------------------------------------------------------
+# r11: sub-byte PNG depths (1/2/4 gray + palette, incl. Adam7)
+# ---------------------------------------------------------------------------
+
+
+def _make_subbyte_png(w, h, depth, color, pixels, palette=None, interlace=0):
+    import struct
+    import zlib
+
+    from dask_awkward_sandbox_spark.functions.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+    )
+
+    def pack_rows(px, pw, ph):
+        out = b""
+        for y in range(ph):
+            bits = []
+            for x in range(pw):
+                v = int(px[y][x])
+                for k in reversed(range(depth)):
+                    bits.append((v >> k) & 1)
+            while len(bits) % 8:
+                bits.append(0)
+            row = bytes(
+                int("".join(map(str, bits[i : i + 8])), 2)
+                for i in range(0, len(bits), 8)
+            )
+            out += bytes([0]) + row
+        return out
+
+    if interlace == 0:
+        raw = pack_rows(pixels, w, h)
+    else:
+        grid = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = b""
+        for x0, y0, xs, ys in grid:
+            sub = [[pixels[y][x] for x in range(x0, w, xs)]
+                   for y in range(y0, h, ys)]
+            if sub and sub[0]:
+                raw += pack_rows(sub, len(sub[0]), len(sub))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    png = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", bytes(palette))
+    return png + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def test_png_subbyte_gray_depths():
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.multimodal import (
+        _decode_png_pixels,
+    )
+
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        mx = (1 << depth) - 1
+        px = [[(x + 2 * y) % (mx + 1) for x in range(11)] for y in range(6)]
+        w, h, rgb = _decode_png_pixels(_make_subbyte_png(11, 6, depth, 0, px))
+        assert (w, h) == (11, 6)
+        want = np.array(px, dtype=np.uint16) * scale
+        assert (rgb[:, :, 0] == want).all()
+        assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
+
+
+def test_png_subbyte_palette_and_interlace():
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.multimodal import (
+        _decode_png_pixels,
+    )
+
+    pal = []
+    for i in range(16):
+        pal += [i * 16, (i * 7) % 256, 255 - i * 16]
+    px = [[(x * 3 + y) % 16 for x in range(7)] for y in range(6)]
+    w, h, rgb = _decode_png_pixels(
+        _make_subbyte_png(7, 6, 4, 3, px, palette=pal)
+    )
+    want = np.array(pal, dtype=np.uint8).reshape(16, 3)[np.array(px)]
+    assert (rgb == want).all()
+    # Adam7-interlaced 1-bit gray: per-pass packing/padding
+    px1 = [[(x * y + x) % 2 for x in range(12)] for y in range(9)]
+    w, h, rgbi = _decode_png_pixels(
+        _make_subbyte_png(12, 9, 1, 0, px1, interlace=1)
+    )
+    assert (rgbi[:, :, 0] == np.array(px1) * 255).all()
+
+
+def test_png_subbyte_error_surfaces():
+    import pytest
+
+    from dask_awkward_sandbox_spark.functions.multimodal import (
+        _decode_png_pixels,
+    )
+
+    # sub-byte truecolor is not spec-legal and must raise directed
+    px = [[0] * 4] * 4
+    with pytest.raises(ValueError, match="unsupported"):
+        _decode_png_pixels(_make_subbyte_png(4, 4, 4, 2, px))
+    # palette index out of range: 2-bit indices into a 2-entry palette
+    bad = _make_subbyte_png(
+        4, 4, 2, 3, [[3] * 4] * 4, palette=[0, 0, 0, 255, 255, 255]
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png_pixels(bad)
