@@ -87,16 +87,21 @@ def q_parquet_roundtrip(spark, sf_dir):
     # is size(), and sum_qty_c rides the to_dataframe explode below
     # (same nested parquet column, flat hash aggregate) instead of an
     # interpreted per-list fold; the fold itself stays under the gate
-    # as the sampled hof_sum_qty_c leg (per-order, ~2% of rows)
+    # as the sampled hof_sum_qty_c leg, computed on a FILTERED pass
+    # over the read-back frame and broadcast-left-joined (a per-row
+    # guarded fold still pays one interpreted expression per order —
+    # the q_sort_argsort second-scan note)
     samp = F.col("l_orderkey") % 50 == 0
     q = fld_map(F.col("items"), "l_quantity", cents)
     nested_side = back.select(
         "l_orderkey",
         st.num(F.col("items")).alias("n_items"),
-        F.when(
-            samp,
-            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x),
-        ).alias("hof_sum_qty_c"),
+    )
+    hof_nested = back.filter(samp).select(
+        "l_orderkey",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "hof_sum_qty_c"
+        ),
     )
     flat = to_dataframe(back, explode_col="items")
     flat_side = flat.groupBy("l_orderkey").agg(
@@ -110,41 +115,28 @@ def q_parquet_roundtrip(spark, sf_dir):
     # linenumbers still sum to the oracle's, and the NEW field is null
     # for every element (counted per order). r11: the reductions run
     # over a codegen explode; the fold/filter HOF forms stay under the
-    # gate as sampled hof_enf_* legs carried through first()
+    # gate as sampled hof_enf_* legs off a filtered pass
     enf = st.enforce_type(
         back,
         "l_orderkey bigint, "
         "items array<struct<l_linenumber: smallint, l_quantity: string, l_bogus: double>>",
     )
-    enf2 = enf.select(
-        "l_orderkey",
-        "items",
-        F.when(
-            samp,
-            F.struct(
-                F.aggregate(
-                    F.col("items"), F.lit(0).cast("long"),
-                    lambda a, s: a + s["l_linenumber"].cast("long"),
-                ).alias("sum_ln"),
-                F.size(
-                    F.filter(F.col("items"), lambda s: s["l_bogus"].isNull())
-                ).cast("long").alias("nb"),
-            ),
-        ).alias("_ehofs"),
-    )
-    enf_ex = enf2.select("l_orderkey", "_ehofs", F.explode("items").alias("it"))
+    enf_ex = enf.select("l_orderkey", F.explode("items").alias("it"))
     enf_side = enf_ex.groupBy("l_orderkey").agg(
         F.sum(F.col("it")["l_linenumber"].cast("long")).alias("enf_sum_ln"),
         F.count(F.when(F.col("it")["l_bogus"].isNull(), 1)).alias(
             "enf_n_bogus_null"
         ),
-        F.first("_ehofs").alias("_eh"),
-    ).select(
+    )
+    hof_enf = enf.filter(samp).select(
         "l_orderkey",
-        "enf_sum_ln",
-        "enf_n_bogus_null",
-        F.col("_eh")["sum_ln"].alias("hof_enf_sum_ln"),
-        F.col("_eh")["nb"].alias("hof_enf_n_bogus_null"),
+        F.aggregate(
+            F.col("items"), F.lit(0).cast("long"),
+            lambda a, s: a + s["l_linenumber"].cast("long"),
+        ).alias("hof_enf_sum_ln"),
+        F.size(
+            F.filter(F.col("items"), lambda s: s["l_bogus"].isNull())
+        ).cast("long").alias("hof_enf_n_bogus_null"),
     )
     # mp_* legs: map_partitions over the flat lineitem scan
     import pyarrow as pa
@@ -183,6 +175,8 @@ def q_parquet_roundtrip(spark, sf_dir):
         nested_side.join(flat_side, "l_orderkey")
         .join(enf_side, "l_orderkey")
         .join(mp_side, "l_orderkey")
+        .join(F.broadcast(hof_nested), "l_orderkey", "left")
+        .join(F.broadcast(hof_enf), "l_orderkey", "left")
     )
 
 

@@ -122,11 +122,10 @@ def q_flatten_softmax(spark, sf_dir):
     collect_list structs and folded four interpreted HOF passes per
     list (sf10 37.7s, growth 7.51x). The HOF composition stays in
     :func:`q_flatten_softmax_hof`, pinned row-identical, AND runs
-    under the driver hash per-element for the ~2% sampled orders: a
-    full-frame window collect_list (nulls skipped, so unsampled rows
-    carry empty lists at O(1)) rebuilds each sampled order's items
-    ON the same exchange, and hof_* columns extract THIS row's
-    element from the HOF-computed softmax/run_lengths arrays."""
+    under the driver hash per-element for the ~2% sampled orders via
+    the second-scan broadcast join (the q_sort_argsort note): the
+    twin's (order, idx) rows carry hof_idx/hof_softmax/hof_run_len
+    beside their flat twins, null for unsampled elements."""
     from pyspark.sql import Window
 
     li = read(spark, sf_dir, "lineitem")
@@ -165,11 +164,6 @@ def q_flatten_softmax(spark, sf_dir):
                 | (F.lag("l_returnflag").over(wi) != F.col("l_returnflag"))
             ).cast("int")
         ).over(wi).alias("_run_id"),
-        # sampled orders' full-struct items (run boundaries depend on
-        # the full tie order — NOT prunable, same note as the oracle)
-        F.collect_list(
-            F.when(_HOF_SAMPLE(), F.struct(*ord_cols))
-        ).over(wif).alias("_hi0"),
     )
     wrun = Window.partitionBy("l_orderkey", "_run_id").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -192,25 +186,7 @@ def q_flatten_softmax(spark, sf_dir):
             F.get("_runs", F.col("idx").cast("int")),
         ).alias("run_len"),
     )
-    # per-element HOF legs (guarded single struct, the r11 pattern):
-    # the retained composition evaluates on the window-collected items
-    # and THIS row's idx extracts its own element
-    hi = F.array_sort(F.col("_hi0"))
-    sm_arr = red.softmax(fld(hi, "l_quantity"))
-    runs_arr = st.run_lengths(fld(hi, "l_returnflag"))
-    i32 = F.col("idx").cast("int")
-    hof = F.when(
-        F.size("_hi0") > 0,
-        F.struct(
-            F.get(st.local_index(hi), i32).cast("long").alias("idx"),
-            F.round(F.get(sm_arr, i32), 6).alias("softmax"),
-            F.when(F.col("idx") < F.size(runs_arr), F.get(runs_arr, i32))
-            .alias("run_len"),
-        ),
-    )
-    pre = joined.select("*", hof.alias("_hofs"))
-    h = F.col("_hofs")
-    return pre.select(
+    flat = joined.select(
         "l_orderkey",
         F.col("idx"),
         F.col("l_linenumber").cast("long").alias("ln"),
@@ -218,10 +194,16 @@ def q_flatten_softmax(spark, sf_dir):
         cents(F.col("l_extendedprice")).alias("price_c"),
         F.round(F.col("_ex") / F.col("_sm"), 6).alias("softmax"),
         "run_len",
-        h["idx"].alias("hof_idx"),
-        h["softmax"].alias("hof_softmax"),
-        h["run_len"].alias("hof_run_len"),
     )
+    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof_legs = hof.select(
+        "l_orderkey",
+        "idx",
+        F.col("idx").alias("hof_idx"),
+        F.col("softmax").alias("hof_softmax"),
+        F.col("run_len").alias("hof_run_len"),
+    )
+    return flat.join(F.broadcast(hof_legs), ["l_orderkey", "idx"], "left")
 
 
 def q_flatten_softmax_hof(spark, sf_dir, where=None):
@@ -330,16 +312,19 @@ def q_sort_argsort(spark, sf_dir):
     tests/test_nested_fast_forms.py (the test_dedup_edges simhash-pin
     move).
 
-    r11 (verdict item 1): the slot ALSO evaluates that HOF composition
-    per order for the deterministic ~2% subsample — the same
-    aggregate collects the sampled orders' item lists conditionally
-    (collect_list skips the nulls the when() leaves on unsampled
-    rows), and the hof_* output columns run the
-    :func:`_sort_argsort_leg_exprs` expressions (the exact code path
-    the HOF twin uses) on those lists, null elsewhere. One scan, one
-    exchange (the lists add ~2% to the shuffle), and the driver hash
-    now verifies the sort/argsort/mask/where/firsts HOF paths
-    per-order at every scale."""
+    r11 (verdict item 1): the slot ALSO runs the HOF twin itself over
+    the deterministic ~2% subsample and broadcast-left-joins its legs
+    (hof_*) onto the flat output by l_orderkey — null for unsampled
+    orders, per-order equality with the flat twin for sampled ones,
+    all under the driver hash. The twin's build scans lineitem a
+    second time with the sample filter evaluated scan-side, so the
+    extra cost is one pruned scan + a 2%-of-orders build; the first
+    r11 shape (conditional collect_list inside the main aggregate)
+    taxed EVERY input row through the ObjectHashAggregate and
+    measured 7.63x sf10 growth vs this form's second-scan constant.
+    The broadcast side is 2% of orders — tiny at every probed scale;
+    at true 100 TB tune the sample modulus or co-partition the
+    join."""
     li = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     is_r = F.col("l_returnflag") == "R"
@@ -369,46 +354,8 @@ def q_sort_argsort(spark, sf_dir):
         ),
         F.count(F.when(is_r, 1)).alias("n_kept"),
         F.sum(F.when(is_r, qc).otherwise(-qc)).alias("signed_sum"),
-        # sampled orders' item lists, collected in the SAME aggregate
-        # (collect_list skips the when()-nulls on unsampled rows; the
-        # predicate is constant within a group, so sampled orders get
-        # their full pruned-struct list in order_items order)
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    _HOF_SAMPLE(),
-                    F.struct(
-                        F.col("l_linenumber"),
-                        F.col("l_quantity"),
-                        F.col("l_returnflag"),
-                    ),
-                )
-            )
-        ).alias("_hi"),
     )
-    # ONE guarded struct holds every HOF leg: the If-expression's
-    # branch only evaluates for the ~2% sampled rows, so the 12
-    # interpreted HOF trees never run on the other 98% (a per-leg
-    # guard still paid ~12 interpreted If evals per row — measured
-    # +0.5s/slot at sf0.1); the final select extracts plain
-    # GetStructFields. CSE inside the struct matters little at 2% of
-    # rows x <=7-item lists, so the legs bind their inputs inline.
-    legs = _sort_argsort_leg_exprs(
-        F.col("_hi"),
-        _qty_c(F.col("_hi")),
-        F.transform(F.col("_hi").getField("l_returnflag"), lambda r: r == "R"),
-    )
-    legs["n_items"] = legs["n_items"].cast("long")
-    legs["n_high"] = legs["n_high"].cast("long")
-    pre = agg.select(
-        "*",
-        F.when(
-            F.size("_hi") > 0,
-            F.struct(*[legs[k].alias(k) for k in legs]),
-        ).alias("_hofs"),
-    )
-    h = F.col("_hofs")
-    return pre.select(
+    flat = agg.select(
         "l_orderkey",
         F.get("_top2", 0).alias("top1_qty_c"),
         F.get("_top2", 1).alias("top2_qty_c"),
@@ -422,8 +369,24 @@ def q_sort_argsort(spark, sf_dir):
         "signed_sum",
         F.col("_first")["ln"].cast("long").alias("first_ln"),
         cents(F.col("_first")["qty"]).alias("first_qty_c"),
-        *[h[k].alias(f"hof_{k}") for k in legs],
     )
+    hof = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof_legs = hof.select(
+        "l_orderkey",
+        F.col("top1_qty_c").alias("hof_top1_qty_c"),
+        F.col("top2_qty_c").alias("hof_top2_qty_c"),
+        F.col("min_ln").alias("hof_min_ln"),
+        F.col("min_qty_c").alias("hof_min_qty_c"),
+        F.col("top1_masked_qty_c").alias("hof_top1_masked_qty_c"),
+        F.col("n_items").cast("long").alias("hof_n_items"),
+        F.col("n_high").cast("long").alias("hof_n_high"),
+        F.col("masked_sum").alias("hof_masked_sum"),
+        F.col("n_kept").alias("hof_n_kept"),
+        F.col("signed_sum").alias("hof_signed_sum"),
+        F.col("first_ln").alias("hof_first_ln"),
+        F.col("first_qty_c").alias("hof_first_qty_c"),
+    )
+    return flat.join(F.broadcast(hof_legs), "l_orderkey", "left")
 
 
 def _sort_argsort_leg_exprs(items, q, is_r):
@@ -548,43 +511,9 @@ def q_cartesian_combinations(spark, sf_dir):
         F.sum(dc).alias("sd"),
         F.sum(qc * pc).alias("dot"),
         F.sum(pc * (F.lit(100) - dc)).alias("dpu"),
-        # r11 (verdict item 1): sampled orders' item lists ride the
-        # SAME aggregate; the hof_* legs below run the retained HOF
-        # composition (cartesian/combinations/zip/unzip/with_field/
-        # without_field via _cart_*_exprs) per sampled order — pair
-        # arrays stay bounded (~2% of orders x <=7-item lists), one
-        # scan, one exchange
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    _HOF_SAMPLE(),
-                    F.struct(
-                        F.col("l_linenumber"),
-                        F.col("l_quantity"),
-                        F.col("l_extendedprice"),
-                        F.col("l_discount"),
-                        F.col("l_tax"),
-                    ),
-                )
-            )
-        ).alias("_hi"),
     )
-    # ONE guarded struct (see the q_sort_argsort note): the pair
-    # arrays and their folds only materialize for sampled rows
-    p = _cart_pre_exprs(F.col("_hi"))
-    legs = _cart_leg_exprs(p["_cart"], p["_comb"], p["_dot"], p["_dpu"])
-    legs["n_pairs_cart"] = legs["n_pairs_cart"].cast("long")
-    legs["n_pairs_comb"] = legs["n_pairs_comb"].cast("long")
-    pre = agg.select(
-        "*",
-        F.when(
-            F.size("_hi") > 0,
-            F.struct(*[legs[k].alias(k) for k in legs]),
-        ).alias("_hofs"),
-    )
-    h = F.col("_hofs")
     n, sq, sqq, sd = F.col("n"), F.col("sq"), F.col("sqq"), F.col("sd")
-    return pre.select(
+    flat = agg.select(
         "l_orderkey",
         (n * n).alias("n_pairs_cart"),
         (sq * sd).alias("cross_sum"),
@@ -592,8 +521,22 @@ def q_cartesian_combinations(spark, sf_dir):
         ((sq * sq - sqq) / 2).cast("long").alias("pair_sum"),
         F.col("dot").alias("dot_c"),
         F.col("dpu").alias("sum_disc_price_u"),
-        *[h[k].alias(f"hof_{k}") for k in legs],
     )
+    # r11 (verdict item 1, the q_sort_argsort second-scan note): the
+    # HOF twin runs over the ~2% subsample — pair arrays stay bounded
+    # (2% of orders x <=7-item lists) — and broadcast-left-joins its
+    # legs onto the flat output
+    hof = q_cartesian_combinations_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof_legs = hof.select(
+        "l_orderkey",
+        F.col("n_pairs_cart").cast("long").alias("hof_n_pairs_cart"),
+        F.col("cross_sum").alias("hof_cross_sum"),
+        F.col("n_pairs_comb").cast("long").alias("hof_n_pairs_comb"),
+        F.col("pair_sum").alias("hof_pair_sum"),
+        F.col("dot_c").alias("hof_dot_c"),
+        F.col("sum_disc_price_u").alias("hof_sum_disc_price_u"),
+    )
+    return flat.join(F.broadcast(hof_legs), "l_orderkey", "left")
 
 
 def _cart_pre_exprs(items):
@@ -716,15 +659,11 @@ def q_pad_fill_none(spark, sf_dir):
     One exchange; the r10 nested form was interpretation-bound at
     sf10 30.8s / 7.00x. The HOF composition stays in
     :func:`q_pad_fill_none_hof`, pinned row-identical, AND runs under
-    the driver hash for the ~2% sampled orders via the same
-    conditional-collect pattern — hof_qty_c/hof_qty_f extract THIS
-    row's element from the HOF-computed pad_none/fill_none arrays,
-    and the scalar hof_* legs run the genuine
-    ones_like/full_like/zeros_like/isclose/nan_to_num/NestedArray
-    operators per sampled order."""
+    the driver hash for the ~2% sampled orders via the second-scan
+    broadcast join (the q_sort_argsort note): hof_qty_c/hof_qty_f
+    carry the HOF pad_none/fill_none elements and the scalar hof_*
+    legs the genuine like/isclose/nan_to_num/NestedArray ops."""
     from pyspark.sql import Window
-
-    from dask_awkward_sandbox_spark.operators.elementwise import NestedArray
 
     li = read(spark, sf_dir, "lineitem")
     # rank by the PRUNED (l_linenumber, l_quantity) prefix, not the
@@ -740,10 +679,6 @@ def q_pad_fill_none(spark, sf_dir):
         "l_orderkey",
         qc.alias("_qc"),
         (F.row_number().over(w) - 1).cast("long").alias("_idx"),
-        F.when(
-            _HOF_SAMPLE(),
-            F.struct(F.col("l_linenumber"), F.col("l_quantity")),
-        ).alias("_hs"),
     )
     g1 = base.groupBy("l_orderkey").agg(
         F.map_from_entries(
@@ -757,43 +692,12 @@ def q_pad_fill_none(spark, sf_dir):
         F.count(F.lit(1)).alias("_n"),
         F.sum("_qc").alias("_s"),
         F.sum(F.lit(2) * F.col("_qc") + F.col("_qc") * F.col("_qc")).alias("_ew"),
-        F.array_sort(F.collect_list("_hs")).alias("_hi"),
     )
-    # the retained HOF composition over the sampled lists (guarded
-    # single struct — the r11 pattern)
-    q = _qty_c(F.col("_hi"))
-    qd = F.transform(q, lambda x: x.cast("double"))
-    padded = st.pad_none(q, 4, clip=True)
-    filled = st.fill_none(padded, F.lit(-1).cast("long"))
-    shifted = F.transform(qd, lambda x: x + 0.5)
-    n_true = lambda bools: F.size(F.filter(bools, lambda b: b))  # noqa: E731
-    with_nan = F.concat(qd, F.array(F.sqrt(F.lit(-1.0))))
-    nq = NestedArray(q)
-    ew = (2 * nq + nq**2).col  # int64 cents: exact, order-free
-    hof = F.when(
-        F.size("_hi") > 0,
-        F.struct(
-            padded.alias("p"),
-            filled.alias("f"),
-            red.sum(st.ones_like(q)).cast("long").alias("ones_n"),
-            red.sum(st.full_like(q, 7.0)).cast("long").alias("full7_sum"),
-            red.sum(st.zeros_like(q)).cast("long").alias("zeros_sum"),
-            n_true(st.isclose(qd, shifted, rtol=0.0, atol=0.6))
-            .cast("long").alias("n_close"),
-            n_true(st.isclose(qd, shifted, rtol=0.0, atol=0.4))
-            .cast("long").alias("n_far"),
-            red.sum(st.nan_to_num(with_nan, nan=-5.0)).cast("long")
-            .alias("nanfix_sum"),
-            red.sum(ew).cast("long").alias("ew_sum"),
-        ),
-    )
-    g2 = g1.select("*", hof.alias("_hofs"))
-    ex = g2.select(
+    ex = g1.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i")
     )
-    h = F.col("_hofs")
     idx = F.col("_i").cast("long")
-    return ex.select(
+    flat = ex.select(
         "l_orderkey",
         idx.alias("idx"),
         F.element_at(F.col("_pad"), idx).alias("qty_c"),
@@ -807,16 +711,26 @@ def q_pad_fill_none(spark, sf_dir):
         F.lit(0).cast("long").alias("n_far"),
         (F.col("_s") - 5).alias("nanfix_sum"),
         F.col("_ew").alias("ew_sum"),
-        F.get(h["p"], F.col("_i").cast("int")).alias("hof_qty_c"),
-        F.get(h["f"], F.col("_i").cast("int")).alias("hof_qty_f"),
-        h["ones_n"].alias("hof_ones_n"),
-        h["full7_sum"].alias("hof_full7_sum"),
-        h["zeros_sum"].alias("hof_zeros_sum"),
-        h["n_close"].alias("hof_n_close"),
-        h["n_far"].alias("hof_n_far"),
-        h["nanfix_sum"].alias("hof_nanfix_sum"),
-        h["ew_sum"].alias("hof_ew_sum"),
     )
+    # r11 (the q_sort_argsort second-scan note): the HOF twin runs the
+    # genuine pad_none/fill_none/ones_like/isclose/nan_to_num/
+    # NestedArray composition over the ~2% subsample; its per-(order,
+    # idx) rows broadcast-left-join onto the flat explode
+    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof_legs = hof.select(
+        "l_orderkey",
+        "idx",
+        F.col("qty_c").alias("hof_qty_c"),
+        F.col("qty_f").alias("hof_qty_f"),
+        F.col("ones_n").alias("hof_ones_n"),
+        F.col("full7_sum").alias("hof_full7_sum"),
+        F.col("zeros_sum").alias("hof_zeros_sum"),
+        F.col("n_close").alias("hof_n_close"),
+        F.col("n_far").alias("hof_n_far"),
+        F.col("nanfix_sum").alias("hof_nanfix_sum"),
+        F.col("ew_sum").alias("hof_ew_sum"),
+    )
+    return flat.join(F.broadcast(hof_legs), ["l_orderkey", "idx"], "left")
 
 
 def q_pad_fill_none_hof(spark, sf_dir, where=None):
@@ -924,13 +838,14 @@ def q_concatenate(spark, sf_dir):
     regardless of list structure", so the interpreted per-list HOF
     histogram fold was pure overhead (sf10 growth 9.6x). The histogram
     is 8 conditional codegen COUNTs with the same floor((x-lo)/width)
-    bin rule. r11 (verdict item 1): those flat aggregates recompose
-    EXACTLY (sum-of-sums / min-of-mins / summed bin counts) from a
-    per-order partial layer whose groupBy also collects the ~2%
-    sampled orders' qty lists, and hof_* legs run the retained
-    axis=None HOF composition (per-list JVM folds + re-aggregation)
-    over those lists — the driver hash executes the fold code paths
-    with one scan. The full nested HOF composition stays in
+    bin rule. r11 (verdict item 1): hof_* legs run the retained
+    axis=None HOF composition (per-list JVM folds + re-aggregation,
+    histogram_axis1 in-row folds) over the ~2% sampled orders through
+    its own filtered build, broadcast onto every row like the flat
+    global legs — so the driver hash executes the fold code paths at
+    a second-scan constant (the in-aggregate conditional-collect
+    variant taxed every input row: 8.49x sf10 growth vs ~3.4x). The
+    full nested HOF composition stays in
     :func:`q_concatenate_axis_none_hof`, pinned value-identical in
     tests/test_nested_fast_forms.py."""
     li = read(spark, sf_dir, "lineitem")
@@ -948,61 +863,36 @@ def q_concatenate(spark, sf_dir):
         F.sum(F.size(cat2)).alias("n_cat2"),
     )
 
-    # r11 (verdict item 1): the axis=None legs recompose from per-order
-    # partials of ONE groupBy that ALSO carries the sampled orders'
-    # qty lists — sum-of-sums / min-of-mins / summed bin counts are
-    # exact recompositions of the r10 flat aggregates, and the hof_*
-    # legs run the retained axis=None HOF composition (red.sum0/
-    # count0/min0/max0 = per-list JVM folds + plain re-aggregation,
-    # histogram_axis1 = the in-row fold) over the sampled lists only.
-    # One scan feeds both; the per-order exchange is the same shuffle
-    # class every nested-build slot pays, and the sampled lists add
-    # ~2% to it.
-    from dask_awkward_sandbox_spark.operators import histogram as hgo
-
+    # flat axis=None legs (the r10 codegen form: partial aggregation
+    # collapses everything map-side, one partial row per task)
     li2 = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     width = (_HIST_HI - _HIST_LO) / _HIST_BINS
     binned = F.floor((qc - F.lit(_HIST_LO)) / F.lit(width))
-    g1 = li2.groupBy("l_orderkey").agg(
-        F.sum(qc).alias("_s"),
-        F.count(F.col("l_quantity")).alias("_c"),
-        F.min(qc).alias("_mn"),
-        F.max(qc).alias("_mx"),
+    axis_none = li2.agg(
+        F.sum(qc).cast("long").alias("total_qty_c"),
+        F.count(F.col("l_quantity")).cast("long").alias("n_vals"),
+        F.min(qc).cast("long").alias("min_qty_c"),
+        F.max(qc).cast("long").alias("max_qty_c"),
+        (F.sum(qc).cast("double") / F.count(F.col("l_quantity"))).alias(
+            "mean_qty_c"
+        ),
         *[
-            F.count(F.when(binned == i, 1)).alias(f"_b{i}")
-            for i in range(_HIST_BINS)
-        ],
-        F.collect_list(F.when(_HOF_SAMPLE(), qc)).alias("_hq0"),
-    )
-    g2 = g1.select(
-        "*",
-        F.when(F.size("_hq0") > 0, F.col("_hq0")).alias("_hq"),
-        F.when(
-            F.size("_hq0") > 0,
-            hgo.histogram_axis1(F.col("_hq0"), _HIST_BINS, _HIST_LO, _HIST_HI),
-        ).alias("_hh"),
-    )
-    axis_none = g2.agg(
-        F.sum("_s").cast("long").alias("total_qty_c"),
-        F.sum("_c").cast("long").alias("n_vals"),
-        F.min("_mn").cast("long").alias("min_qty_c"),
-        F.max("_mx").cast("long").alias("max_qty_c"),
-        (F.sum("_s").cast("double") / F.sum("_c")).alias("mean_qty_c"),
-        *[
-            F.sum(f"_b{i}").cast("long").alias(f"h{i}")
-            for i in range(_HIST_BINS)
-        ],
-        red.sum0(F.col("_hq")).cast("long").alias("hof_total_qty_c"),
-        red.count0(F.col("_hq")).cast("long").alias("hof_n_vals"),
-        red.min0(F.col("_hq")).cast("long").alias("hof_min_qty_c"),
-        red.max0(F.col("_hq")).cast("long").alias("hof_max_qty_c"),
-        *[
-            F.sum(F.get(F.col("_hh"), i)).cast("long").alias(f"hof_h{i}")
+            F.count(F.when(binned == i, 1)).cast("long").alias(f"h{i}")
             for i in range(_HIST_BINS)
         ],
     )
-    return conc.crossJoin(F.broadcast(axis_none))
+    # r11 (the q_sort_argsort second-scan note): the retained axis=None
+    # HOF composition runs over the ~2% subsample through its own
+    # filtered build and broadcasts its 1-row legs like the flat ones
+    hof = q_concatenate_axis_none_hof(spark, sf_dir, where=_HOF_SAMPLE()).select(
+        F.col("total_qty_c").alias("hof_total_qty_c"),
+        F.col("n_vals").alias("hof_n_vals"),
+        F.col("min_qty_c").alias("hof_min_qty_c"),
+        F.col("max_qty_c").alias("hof_max_qty_c"),
+        *[F.col(f"h{i}").alias(f"hof_h{i}") for i in range(_HIST_BINS)],
+    )
+    return conc.crossJoin(F.broadcast(axis_none)).crossJoin(F.broadcast(hof))
 
 
 def q_concatenate_axis_none_hof(spark, sf_dir, where=None):
@@ -1173,22 +1063,9 @@ def q_reduce_order_count(spark, sf_dir):
         dc.alias("d"),
         F.col("l_linenumber").cast("long").alias("w"),
         (F.row_number().over(ordw) - 1).cast("long").alias("i"),
-        # r11 (verdict item 1): raw pruned structs for the sampled
-        # orders only — collected below so the hof_* legs can run the
-        # retained struct-accumulator composition per sampled order
-        F.when(
-            _HOF_SAMPLE(),
-            F.struct(
-                F.col("l_linenumber"),
-                F.col("l_quantity"),
-                F.col("l_extendedprice"),
-                F.col("l_discount"),
-            ),
-        ).alias("_hs"),
     )
     q, p, d, w = F.col("q"), F.col("p"), F.col("d"), F.col("w")
     agg = base.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("_hs")).alias("_hi"),
         F.sum(q).alias("sq"),
         F.sum(p).alias("sp"),
         F.round(
@@ -1243,34 +1120,7 @@ def q_reduce_order_count(spark, sf_dir):
     def leg(expr, name):
         return F.when(ok, expr).alias(name)
 
-    # r11 (verdict item 1): bind the sampled-order struct accumulator
-    # once (two-step select — Catalyst cannot CSE across HOF lambdas),
-    # then emit per-order hof_* legs beside the flat ones. Field
-    # access on the null accumulator (unsampled orders) yields null,
-    # so the legs need no extra guard. Integer + double legs cover
-    # every fold family: sum/prod/min/max/ptp/count/any/all/argmin/
-    # argmax plus mean/m3/corr formula exprs.
-    s0 = agg.select(
-        "*",
-        F.when(
-            F.size("_hi") > 0, _reduce_acc_expr(F.col("_hi"))
-        ).alias("_ha"),
-    )
-    rl = _reduce_leg_exprs(F.col("_ha"))
-    _HOF_KEYS = [
-        "sum_qty_c", "prod_disc_c", "min_qty_c", "max_price_c",
-        "ptp_qty_c", "n_discounted", "any_big_disc", "all_small_qty",
-        "argmin_qty", "argmax_qty", "mean_qty", "m3", "corr_qp",
-    ]
-    s1 = s0.select(
-        "*",
-        F.when(
-            F.col("_ha").isNotNull(),
-            F.struct(*[rl[k].alias(k) for k in _HOF_KEYS]),
-        ).alias("_hofs"),
-    )
-    hlegs = {k: F.col("_hofs")[k] for k in _HOF_KEYS}
-    flat = s1.select(
+    flat = agg.select(
         "l_orderkey",
         F.col("sq").alias("sum_qty_c"),
         F.col("sp").alias("sum_price_c"),
@@ -1296,21 +1146,26 @@ def q_reduce_order_count(spark, sf_dir):
         leg((sw * wsxy - wsx * wsy) / (sw * wsxx - wsx * wsx), "wslope"),
         leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
         leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
-        hlegs["sum_qty_c"].alias("hof_sum_qty_c"),
-        hlegs["prod_disc_c"].alias("hof_prod_disc_c"),
-        hlegs["min_qty_c"].alias("hof_min_qty_c"),
-        hlegs["max_price_c"].alias("hof_max_price_c"),
-        hlegs["ptp_qty_c"].alias("hof_ptp_qty_c"),
-        hlegs["n_discounted"].alias("hof_n_discounted"),
-        hlegs["any_big_disc"].alias("hof_any_big_disc"),
-        hlegs["all_small_qty"].alias("hof_all_small_qty"),
-        hlegs["argmin_qty"].alias("hof_argmin_qty"),
-        hlegs["argmax_qty"].alias("hof_argmax_qty"),
-        hlegs["mean_qty"].alias("hof_mean_qty"),
-        hlegs["m3"].alias("hof_m3"),
-        hlegs["corr_qp"].alias("hof_corr_qp"),
     )
-    return flat
+    # r11 (verdict item 1, the q_sort_argsort second-scan note): the
+    # fused struct-accumulator HOF twin runs over the ~2% subsample
+    # and broadcast-left-joins 13 legs covering every fold family —
+    # sum/prod/min/max/ptp/count/any/all/argmin/argmax plus the
+    # mean/m3/corr formula exprs off the accumulator
+    hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof_legs = hof.select(
+        "l_orderkey",
+        *[
+            F.col(k).alias(f"hof_{k}")
+            for k in (
+                "sum_qty_c", "prod_disc_c", "min_qty_c", "max_price_c",
+                "ptp_qty_c", "n_discounted", "any_big_disc",
+                "all_small_qty", "argmin_qty", "argmax_qty", "mean_qty",
+                "m3", "corr_qp",
+            )
+        ],
+    )
+    return flat.join(F.broadcast(hof_legs), "l_orderkey", "left")
 
 
 def _reduce_acc_expr(items):

@@ -606,14 +606,20 @@ def test_reduce_order_count_plan_is_join_free(spark):
     per-row join (the r7 left-join shape tripled the slot's cost and
     was the only plan-unstable slot at sf1).
 
-    r11: the slot's per-order hof_* sample legs ride the SAME
-    aggregate (conditional collect_list + per-row HOF expressions), so
-    the contract survives unchanged — still no join, still exactly ONE
-    shuffle, still one scan."""
+    r11: the per-order hof_* sample legs come from the HOF twin over a
+    SECOND filtered scan, broadcast-left-joined by l_orderkey (the
+    in-aggregate conditional-collect variant taxed every input row
+    through the ObjectHashAggregate: 5.29x sf10 growth vs ~3.8x). The
+    contract becomes: the flat path still has no shuffle join — the
+    ONLY join is the single broadcast of the ~2% sampled legs — and
+    the exchange count is bounded (main groupBy + twin build +
+    broadcast)."""
     from dask_awkward_sandbox_spark.plans import QUERIES
 
     df = QUERIES["q_reduce_order_count"](spark, SF)
     plan = _physical(df)
-    assert "Join" not in plan, plan
-    assert plan.count("Exchange") == 1, plan
-    assert plan.count("Scan parquet") == 1, plan
+    for op in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert op not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("Scan parquet") == 2, plan
