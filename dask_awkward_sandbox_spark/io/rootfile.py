@@ -19,7 +19,11 @@ describe:
   formats pure-Python), and r11 ZSTD (``ZS``: a standard RFC 8878
   frame, decoded by io/zstdframe.py's pure-Python decoder; the
   writer encodes via pyarrow's bundled reference libzstd, so every
-  round-trip is a cross-implementation check),
+  round-trip is a cross-implementation check), and r11 LZMA
+  (``XZ``: ROOT's kLZMA envelope wraps a standard ``.xz`` container
+  stream — decoded/encoded by the stdlib ``lzma`` module, which is
+  liblzma itself, so this too is a reference-implementation
+  round-trip),
 - the public TTree leaflist type letters (``B b S s I i L l F D O``)
   for element decode.
 
@@ -41,9 +45,11 @@ simplified placement; r8).
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
 variable-length branches WITHOUT a counter leaf (their per-entry
 offsets live in TBasket/TTree streamer metadata this module does not
-parse), LZMA (``XZ``) baskets, TBranchElement/compound branches
-(need streamer-info records), and class/object back-reference tags
-inside object arrays. The writer exists so tests can round-trip real
+parse), TBranchElement OBJECT/compound branches beyond
+vector<basic> / vector<vector<basic>> / vector<string> (need
+streamer-info records), and class/object back-reference tags inside
+object arrays. All four ROOT compression algorithms (ZL/L4/ZS/XZ)
+decode. The writer exists so tests can round-trip real
 bytes without uproot in the container (the BMP/WAV codec precedent);
 ``embed_tree=True`` writes the embedded layout.
 """
@@ -347,8 +353,10 @@ def _decompress(payload: bytes, objlen: int) -> bytes:
     header (2-byte algo tag, 1 method byte, 3-byte LE compressed size,
     3-byte LE uncompressed size) + the stream. zlib (``ZL``) and LZ4
     (``L4`` — ROOT's default since 6.14; 8-byte canonical XXH64 of the
-    compressed block, verified, then the LZ4 block; r10) decode here;
-    ZSTD/LZMA ("ZS"/"XZ") stay gated."""
+    compressed block, verified, then the LZ4 block; r10), ZSTD
+    (``ZS`` — RFC 8878 frame via io/zstdframe.py; r11) and LZMA
+    (``XZ`` — a standard ``.xz`` container stream via the stdlib
+    ``lzma`` module; r11) all decode."""
     from dask_awkward_sandbox_spark.io.lz4block import (
         lz4_block_decompress,
         xxh64,
@@ -385,11 +393,22 @@ def _decompress(payload: bytes, objlen: int) -> bytes:
 
             out += decompress(payload[off : off + c_size], u_size)
         elif tag == b"XZ":
-            raise DecodeUnavailable(
-                "ROOT basket compressed with XZ (LZMA) — zlib (ZL), LZ4 "
-                "(L4) and ZSTD (ZS) decode in this container; recompress "
-                "with kZLIB/kLZ4/kZSTD or use the uproot backend"
-            )
+            # ROOT's kLZMA envelope wraps a standard .xz container
+            # stream; the stdlib lzma module IS liblzma, so this is a
+            # reference decode. Non-xz bytes fail the 6-byte stream
+            # magic / CRC checks loudly — never decode garbage.
+            import lzma
+
+            try:
+                piece = lzma.decompress(payload[off : off + c_size])
+            except lzma.LZMAError as exc:
+                raise ValueError(f"XZ block: invalid xz stream ({exc})")
+            if len(piece) != u_size:
+                raise ValueError(
+                    "XZ block: decompressed size mismatch "
+                    f"({len(piece)} != header {u_size})"
+                )
+            out += piece
         else:
             raise ValueError(f"unknown ROOT compression tag {tag!r}")
         off += c_size
@@ -915,9 +934,10 @@ def write_root_flat(
     :func:`parse_key` reads). The small form keeps its directed
     2 GiB guard; at 100 TB every production file should be big-form.
     """
-    if compress not in (False, True, "zlib", "lz4", "zstd"):
+    if compress not in (False, True, "zlib", "lz4", "zstd", "lzma"):
         raise ValueError(
-            f"compress must be False/True/'zlib'/'lz4'/'zstd', got {compress!r}"
+            "compress must be False/True/'zlib'/'lz4'/'zstd'/'lzma', "
+            f"got {compress!r}"
         )
     parsed: dict[str, tuple[str, str | None, object]] = {}
     vectors: set[str] = set()
@@ -1022,6 +1042,21 @@ def write_root_flat(
                     + len(frame).to_bytes(3, "little")
                     + len(raw).to_bytes(3, "little")
                     + frame
+                )
+            return raw
+        if compress == "lzma":
+            # kLZMA: the envelope wraps a standard .xz container
+            # stream (stdlib lzma == liblzma, the reference encoder).
+            import lzma
+
+            stream = lzma.compress(raw, format=lzma.FORMAT_XZ, preset=6)
+            if 9 + len(stream) < len(raw):
+                return (
+                    b"XZ"
+                    + bytes([1])
+                    + len(stream).to_bytes(3, "little")
+                    + len(raw).to_bytes(3, "little")
+                    + stream
                 )
             return raw
         if compress == "lz4":
@@ -1167,9 +1202,9 @@ def write_root_flat(
 
     end = seek
     # public fCompress encoding: algorithm*100 + level (zlib=1xx,
-    # lz4=4xx, zstd=5xx)
+    # lzma=2xx, lz4=4xx, zstd=5xx)
     fcompress = 0 if not compress else {
-        "lz4": 404, "zstd": 503,
+        "lz4": 404, "zstd": 503, "lzma": 206,
     }.get(compress, 101)
     if big_file:
         header = struct.pack(

@@ -219,7 +219,10 @@ _SMALL_SOURCES_ORACLE = f"""
                as root_lz4_dot,
              cast((select sum(pt_c) from root_vals) as bigint) as root_zstd_sum_pt_c,
              cast((select sum((i % 97) * pt_c) from root_vals) as bigint)
-               as root_zstd_dot
+               as root_zstd_dot,
+             cast((select sum(pt_c) from root_vals) as bigint) as root_lzma_sum_pt_c,
+             cast((select sum((i % 97) * pt_c) from root_vals) as bigint)
+               as root_lzma_dot
     ),
     j as (
       select event_type, cast(count(*) as bigint) as n,
@@ -457,6 +460,33 @@ def q_small_sources(spark, sf_dir):
         ),
     )
     root_stats = root_stats.crossJoin(F.broadcast(root_zstd_stats))
+    # root_lzma_* legs (r11): the SAME data with XZ baskets — ROOT's
+    # kLZMA envelope is a standard .xz container stream; both sides
+    # ride the stdlib lzma module (liblzma itself), closing the last
+    # ROOT compression gate under the driver hash
+    rpathx = os.path.join(_scratch(sf_dir, "root_gate"), "events_lzma.root")
+    write_root_flat(
+        rpathx,
+        "Events",
+        {
+            "event": ("L", 1_000_000 + i),
+            "nMuon": ("I", nmu),
+            "Muon_pt": ("[nMuon]D", pts),
+        },
+        basket_entries=_ROOT_N // 4,
+        compress="lzma",
+    )
+    rdfx = from_root(spark, rpathx, tree="Events", step_size=_ROOT_N // 3,
+                     backend=RawRootBackend())
+    root_lzma_stats = rdfx.select(
+        "event", pt_c.alias("pt_c")
+    ).agg(
+        F.sum("pt_c").alias("root_lzma_sum_pt_c"),
+        F.sum(((F.col("event") - 1_000_000) % 97) * F.col("pt_c")).alias(
+            "root_lzma_dot"
+        ),
+    )
+    root_stats = root_stats.crossJoin(F.broadcast(root_lzma_stats))
 
     # lakehouse snapshot legs (late r9): deterministic per run — the
     # table is rebuilt from scratch each call

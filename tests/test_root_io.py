@@ -189,7 +189,7 @@ def _write_flat(tmp_path, name="events.root", n=2500, compress=False,
     return path, data
 
 
-@pytest.mark.parametrize("compress", [False, True, "lz4", "zstd"])
+@pytest.mark.parametrize("compress", [False, True, "lz4", "zstd", "lzma"])
 def test_rawroot_roundtrip_values(spark, tmp_path, compress):
     """A generated flat-branch ROOT file (real TFile header + TKey
     chain + big-endian baskets, optionally zlib ZL or LZ4 L4 blocks)
@@ -259,12 +259,13 @@ def test_rawroot_error_surface(spark, tmp_path):
 
 
 def test_rawroot_foreign_compression_gated(tmp_path):
-    """An LZMA-tagged basket must raise DecodeUnavailable, not decode
-    garbage — patch a compressed file's ZL tag to XZ. A ZS tag over
-    non-zstd bytes (r11: ZS now DECODES) must fail the frame-magic
-    check, and an L4 tag over non-LZ4 bytes (r10: L4 DECODES) must
-    fail the XXH64 checksum — both directed ValueErrors instead of
-    emitting garbage."""
+    """A mistagged basket must fail loudly, never decode garbage —
+    patch a compressed file's ZL tag to each other algorithm's tag.
+    XZ over non-xz bytes (r11: XZ now DECODES) must fail the .xz
+    stream-magic check, a ZS tag over non-zstd bytes (r11: ZS
+    DECODES) must fail the frame-magic check, and an L4 tag over
+    non-LZ4 bytes (r10: L4 DECODES) must fail the XXH64 checksum —
+    all directed ValueErrors instead of emitting garbage."""
     path, _ = _write_flat(tmp_path, n=100, compress=True)
     raw = bytearray(open(path, "rb").read())
     i = raw.find(b"ZL")
@@ -275,7 +276,7 @@ def test_rawroot_foreign_compression_gated(tmp_path):
     xz[i : i + 2] = b"XZ"
     open(path, "wb").write(bytes(xz))
     f = RootFlatFile(path)
-    with pytest.raises(DecodeUnavailable, match="XZ"):
+    with pytest.raises(ValueError, match="invalid xz stream"):
         f.branch_array("event")
 
     zs = bytearray(raw)
@@ -700,7 +701,7 @@ def _write_vector(tmp_path, name="vec.root", n=500, compress=False,
 
 
 @pytest.mark.parametrize("embed_tree", [True, False])
-@pytest.mark.parametrize("compress", [False, "lz4", "zstd"])
+@pytest.mark.parametrize("compress", [False, "lz4", "zstd", "lzma"])
 def test_vector_branch_roundtrip_bytes(tmp_path, embed_tree, compress):
     """Simple-container TBranchElement branches (r10, verdict item 6):
     vector<float>/vector<int> write as per-entry version-header runs +
@@ -832,7 +833,7 @@ def _write_nested(tmp_path, name="nested.root", n=300, compress=False,
 
 
 @pytest.mark.parametrize("embed_tree", [True, False])
-@pytest.mark.parametrize("compress", [False, "zlib", "lz4", "zstd"])
+@pytest.mark.parametrize("compress", [False, "zlib", "lz4", "zstd", "lzma"])
 def test_nested_vector_roundtrip_bytes(tmp_path, embed_tree, compress):
     """vector<vector<float>> and vector<string> branches (r11, verdict
     item 5) round-trip byte-exactly through the RootFlatFile walk —
