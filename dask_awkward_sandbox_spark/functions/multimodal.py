@@ -301,8 +301,10 @@ def resize_bmp(
 # decodes via the standard high-byte fold, and Adam7 interlacing
 # decodes via the pass-grid reassembly; r11 adds sub-byte depths
 # (1/2/4 gray + palette, MSB-first packed scanlines, incl. Adam7) —
-# every spec-legal PNG decodes. JPEG remains DecodeUnavailable (DCT
-# entropy coding is a genuine external-lib boundary, unlike PNG's).
+# every spec-legal PNG decodes. JPEG decodes too (r11, late):
+# functions/jpegcodec.py implements baseline sequential T.81
+# (Huffman + DCT) pure-Python; only progressive/arithmetic/12-bit
+# scans stay gated there with directed errors.
 # ---------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -572,10 +574,107 @@ def _decode_png_pixels(buf: bytes):
     return w, h, px[:, :, :3]  # RGBA -> drop alpha
 
 
-def decode_jpeg(payload: bytes) -> "object":
-    raise DecodeUnavailable(
-        "JPEG decode requires PIL/libjpeg (DCT + entropy coding); not in "
-        "container — PNG and BMP decode for real here"
+def decode_jpeg(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInArrow baseline-JPEG decode to per-image stats — the same
+    shape as :func:`decode_png`: (media_id, width, height,
+    mean_pixel). r11: REAL decode via the pure-Python ITU T.81
+    baseline codec (functions/jpegcodec.py — marker walk, canonical
+    Huffman entropy decode, batched numpy IDCT, 4:2:0 upsampling);
+    progressive/arithmetic/12-bit scans stay gated inside the codec
+    with directed DecodeUnavailable errors."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import jpeg_decode
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            ws, hs, means = [], [], []
+            for buf in b.column(payload_col).to_pylist():
+                w, h, px = jpeg_decode(bytes(buf))
+                ws.append(w)
+                hs.append(h)
+                means.append(float(np.mean(px)))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(ws, pa.int64()),
+                    pa.array(hs, pa.int64()),
+                    pa.array(means, pa.float64()),
+                ],
+                names=["media_id", "width", "height", "mean_pixel"],
+            )
+
+    return df.mapInArrow(
+        fn, "media_id long, width long, height long, mean_pixel double"
+    )
+
+
+def synthetic_jpeg_media(
+    spark, n: int = 32, blocks_x: int = 2, blocks_y: int = 2
+) -> DataFrame:
+    """Deterministic REAL-JPEG media table: row i is a grayscale image
+    of constant 8x8 blocks (block b's value = 128 + 2*(((i+b)*13) %
+    50 - 25)), which round-trips EXACTLY at quality 50 (DC-only
+    blocks, even level-shifted values — see jpegcodec's exactness
+    contract), so tests and oracles can predict decoded pixels in
+    closed form despite JPEG being lossy in general."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import jpeg_encode
+
+    w, h = blocks_x * 8, blocks_y * 8
+    rows = []
+    for i in range(n):
+        px = np.zeros((h, w), dtype=np.uint8)
+        for by in range(blocks_y):
+            for bx in range(blocks_x):
+                b = by * blocks_x + bx
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    128 + 2 * (((i + b) * 13) % 50 - 25)
+                )
+        rows.append(
+            (i, bytearray(jpeg_encode(px, quality=50)),
+             ("image", w, h, None, None))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_jpeg(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload",
+    quality: int = 90,
+) -> DataFrame:
+    """decode -> nearest-neighbor resize (the shared :func:`_nn_resize`
+    kernel) -> re-encode, JPEG edition."""
+    import pyarrow as pa
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            outs = []
+            for buf in b.column(payload_col).to_pylist():
+                _w, _h, px = jpeg_decode(bytes(buf))
+                outs.append(
+                    jpeg_encode(_nn_resize(px, out_w, out_h), quality=quality)
+                )
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([out_w] * len(ids), pa.int64()),
+                    pa.array([out_h] * len(ids), pa.int64()),
+                    pa.array(outs, pa.binary()),
+                ],
+                names=["media_id", "width", "height", "payload"],
+            )
+
+    return df.mapInArrow(
+        fn, "media_id long, width long, height long, payload binary"
     )
 
 

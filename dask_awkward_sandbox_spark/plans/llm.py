@@ -1245,6 +1245,12 @@ _PNG_W, _PNG_H = 12, 8
              cast(sum((x.x*7 + d.doc_id) % 256 + (y.y*11 + 2*d.doc_id) % 256
                       + (x.x + y.y + 3*d.doc_id) % 256) as bigint) as png_pixsum
       from documents d, range({_PNG_W}) x(x), range({_PNG_H}) y(y)
+      group by d.doc_id),
+    jpg as (
+      select d.doc_id,
+             cast(sum(192 * (128 + 2*((((d.doc_id + b.b) * 13) % 50) - 25)))
+                  as bigint) as jpeg_pixsum
+      from documents d, range(4) b(b)
       group by d.doc_id)
     select d.doc_id,
            cast(d.n_chars % 256 + 1 as bigint) as width,
@@ -1252,8 +1258,9 @@ _PNG_W, _PNG_H = 12, 8
            cast(octet_length(encode(d.text)) as bigint) as n_bytes,
            cast({_PNG_W} as bigint) as png_w,
            cast({_PNG_H} as bigint) as png_h,
-           png.png_pixsum
-    from documents d join png using (doc_id)
+           png.png_pixsum,
+           jpg.jpeg_pixsum
+    from documents d join png using (doc_id) join jpg using (doc_id)
     """,
 )
 def q_multimodal_features(spark, sf_dir):
@@ -1274,15 +1281,26 @@ def q_multimodal_features(spark, sf_dir):
       anywhere in the zlib round-trip or filter reconstruction breaks
       the hash. The same write-real-bytes-then-decode pattern as the
       root_* legs in q_small_sources.
+    - JPEG (r11): a 16x16 grayscale image of CONSTANT 8x8 blocks
+      (block b of doc i = 128 + 2*(((i+b)*13) % 50 - 25)) is ENCODED
+      to real baseline-JPEG bytes executor-side (jpegcodec: FDCT,
+      Annex K quant/Huffman tables, byte stuffing) and DECODED back
+      (marker walk, canonical Huffman, batched IDCT); constant even-
+      offset blocks round-trip EXACTLY at quality 50 (DC-only
+      spectra), so jpeg_pixsum = round(mean * 768) is the exact
+      integer pixel sum the oracle recomputes in closed form — the
+      one JPEG geometry where a lossy codec admits a value oracle.
 
     A construction or parsing bug on either side breaks the match."""
     import numpy as np
     import pyarrow as pa
 
+    from dask_awkward_sandbox_spark.functions.jpegcodec import jpeg_encode
     from dask_awkward_sandbox_spark.functions.multimodal import (
         _encode_png_py,
         bmp_column,
         decode_bmp,
+        decode_jpeg,
         decode_png,
     )
 
@@ -1326,9 +1344,36 @@ def q_multimodal_features(spark, sf_dir):
         F.col("height").alias("png_h"),
         F.round(F.col("mean_pixel") * (3 * w * h)).cast("long").alias("png_pixsum"),
     )
-    return out.join(png_side, "media_id").select(
+
+    def make_jpeg(batches):
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            payloads = []
+            for i in ids:
+                px = np.zeros((16, 16), dtype=np.uint8)
+                for blk in range(4):
+                    by, bx = blk // 2, blk % 2
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        128 + 2 * (((i + blk) * 13) % 50 - 25)
+                    )
+                payloads.append(jpeg_encode(px, quality=50))
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    jpgs = _docs(spark, sf_dir).select("doc_id").mapInArrow(
+        make_jpeg, "media_id long, payload binary"
+    )
+    jpeg_side = decode_jpeg(jpgs).select(
+        F.col("media_id"),
+        F.round(F.col("mean_pixel") * (3 * 16 * 16)).cast("long").alias(
+            "jpeg_pixsum"
+        ),
+    )
+    return out.join(png_side, "media_id").join(jpeg_side, "media_id").select(
         F.col("media_id").alias("doc_id"), "width", "height", "n_bytes",
-        "png_w", "png_h", "png_pixsum",
+        "png_w", "png_h", "png_pixsum", "jpeg_pixsum",
     )
 
 

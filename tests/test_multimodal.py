@@ -1,7 +1,8 @@
-"""Multimodal plumbing tests: binary payload columns, Arrow-batch
-feature extraction, frame-sample fan-out, and the stubbed decode
-contract. The codecs are stubbed (none in this container); everything
-Spark-side — schema, batching, pruning, fan-out — is real."""
+"""Multimodal tests: binary payload columns, Arrow-batch feature
+extraction, frame-sample fan-out, and the REAL pure-Python codecs —
+BMP, PNG (all color types/depths/interlace), WAV/PCM16, the MJPEG-ish
+video stack, and (r11) baseline JPEG. Only the generic decode_image
+PIL gate remains a stub."""
 
 from __future__ import annotations
 
@@ -365,8 +366,6 @@ def test_png_multi_idat_and_error_surface():
         mm._decode_png_pixels(gbuf)
     with pytest.raises(ValueError, match="not a PNG"):
         mm._decode_png_pixels(b"nope")
-    with pytest.raises(mm.DecodeUnavailable, match="JPEG"):
-        mm.decode_jpeg(b"\xff\xd8\xff")
 
 
 def test_png_spark_decode_and_resize(spark):
@@ -644,3 +643,143 @@ def test_png_subbyte_error_surfaces():
     )
     with pytest.raises(ValueError, match="palette index"):
         _decode_png_pixels(bad)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: real baseline T.81 codec (functions/jpegcodec.py) — r11
+# ---------------------------------------------------------------------------
+
+
+def _const_block_gray(h, w, seed=0):
+    import numpy as np
+
+    px = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                128 + 2 * (((seed + by * (w // 8) + bx) * 13) % 50 - 25)
+            )
+    return px
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """The exactness contract the gate legs ride on: grayscale images
+    of constant 8x8 blocks with even level-shifted values round-trip
+    EXACTLY at quality 50 (DC-only spectra, luminance DC step 16)."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    for seed in (0, 7, 31):
+        px = _const_block_gray(24, 40, seed)
+        w, h, out = jpeg_decode(jpeg_encode(px, quality=50))
+        assert (w, h) == (40, 24)
+        assert out.shape == (24, 40, 3)
+        assert np.array_equal(out[..., 0], px)  # gray replicated to RGB
+        assert np.array_equal(out[..., 1], px)
+
+
+def test_jpeg_rgb_roundtrip_psnr():
+    """Lossy general case: 4:4:4 and 4:2:0 color round-trips stay
+    within sane PSNR at high quality; restart markers decode to the
+    IDENTICAL pixels as the restart-free stream; odd (non-multiple-
+    of-8/16) dimensions crop correctly."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+    _w, _h, out444 = jpeg_decode(jpeg_encode(rgb, quality=95))
+    assert psnr(out444, rgb) > 45.0
+    _w, _h, out420 = jpeg_decode(jpeg_encode(rgb, quality=95, subsample=True))
+    assert psnr(out420, rgb) > 38.0
+
+    _w, _h, out_rst = jpeg_decode(
+        jpeg_encode(rgb, quality=95, restart_interval=3)
+    )
+    assert np.array_equal(out_rst, out444)
+
+    odd = rgb[:37, :51]
+    w, h, out_odd = jpeg_decode(jpeg_encode(odd, quality=90))
+    assert (w, h) == (51, 37)
+    assert psnr(out_odd, odd) > 40.0
+
+
+def test_jpeg_gates_and_error_surfaces():
+    """Progressive/arithmetic/12-bit scans raise directed
+    DecodeUnavailable; malformed streams raise directed ValueError —
+    never decode garbage."""
+    import pytest
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from dask_awkward_sandbox_spark.functions.multimodal import (
+        DecodeUnavailable,
+    )
+
+    base = bytearray(jpeg_encode(_const_block_gray(16, 16), quality=50))
+    i = base.find(b"\xff\xc0")
+    assert i > 0
+
+    prog = bytearray(base)
+    prog[i + 1] = 0xC2
+    with pytest.raises(DecodeUnavailable, match="progressive"):
+        jpeg_decode(bytes(prog))
+
+    arith = bytearray(base)
+    arith[i + 1] = 0xC9
+    with pytest.raises(DecodeUnavailable, match="arithmetic"):
+        jpeg_decode(bytes(arith))
+
+    deep = bytearray(base)
+    deep[i + 4] = 12  # precision byte inside SOF0
+    with pytest.raises(DecodeUnavailable, match="12-bit"):
+        jpeg_decode(bytes(deep))
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"nope")
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_decode(bytes(base[:40]))
+    # truncated entropy data: chop mid-scan
+    with pytest.raises(ValueError, match="truncated|Huffman"):
+        jpeg_decode(bytes(base[:-8]))
+
+
+def test_jpeg_spark_decode_and_resize(spark):
+    """The DataFrame surface: synthetic_jpeg_media -> decode_jpeg
+    means match the closed-form generator exactly; resize_jpeg
+    re-encodes to valid JPEG at the target size."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions import multimodal as mm
+    from dask_awkward_sandbox_spark.functions.jpegcodec import jpeg_decode
+
+    df = mm.synthetic_jpeg_media(spark, n=12, blocks_x=3, blocks_y=2).repartition(4)
+    stats = {r["media_id"]: r for r in mm.decode_jpeg(df).collect()}
+    assert len(stats) == 12
+    for i, r in stats.items():
+        assert (r["width"], r["height"]) == (24, 16)
+        px = _const_block_gray(16, 24, i)
+        assert r["mean_pixel"] == pytest.approx(float(np.mean(px)), abs=1e-9)
+
+    resized = mm.resize_jpeg(df, 12, 8).collect()
+    for r in resized:
+        w, h, px = jpeg_decode(bytes(r["payload"]))
+        assert (w, h) == (12, 8)
+        assert px.shape == (8, 12, 3)
