@@ -172,7 +172,10 @@ class RawRootBackend:
                 return pa.list_(pa.list_(cls._ARROW[f.branches[n]]))
             if n in f.string_vectors:
                 return pa.list_(pa.string())
-            if n in f.counters or n in f.vectors:
+            if n in f.counters or n in f.vectors or n in f.fixed_lens:
+                # fixed-size ("pos[3]/D") branches surface as lists of
+                # constant length k (r11) — uproot's regular-array
+                # analogue
                 return pa.list_(cls._ARROW[f.branches[n]])
             return cls._ARROW[f.branches[n]]
 
@@ -220,10 +223,10 @@ class RawRootBackend:
                     pa.array(oout[start : stop + 1] - lo, type=pa.int32()),
                     pa.array(list(vals[lo:hi]), type=pa.string()),
                 )
-            elif n in f.counters or n in f.vectors:
-                # offsets from the lengths' cumsum (counter branch or
-                # basket offset tables); entry slice [start, stop)
-                # maps to value slice via the offsets
+            elif n in f.counters or n in f.vectors or n in f.fixed_lens:
+                # offsets from the lengths' cumsum (counter branch,
+                # basket offset tables, or constant fixed size); entry
+                # slice [start, stop) maps to value slice via the offsets
                 off = np.zeros(f.num_entries() + 1, dtype=np.int64)
                 np.cumsum(f.branch_lengths(n), out=off[1:])
                 lo, hi = int(off[start]), int(off[stop])

@@ -32,6 +32,10 @@ Jagged branches decode via the public LEAF-COUNTER convention
 stores only the concatenated values and per-entry lengths come from
 the named counter branch, so list boundaries derive from data this
 module already reads — no basket-internal offset tables needed.
+FIXED-SIZE array branches (``"pos[3]/D"`` — a numeric repeat count,
+uproot's regular-array shape; r11) decode as constant-length lists:
+the value stream is sliced every k elements, with a directed error
+when the stream is not a multiple of the declared size.
 
 Branch metadata decodes from BOTH layouts (r9): the embedded-streamer
 layout real ROOT uses — a ``TTree`` key whose payload streams the
@@ -454,6 +458,11 @@ class RootFlatFile:
         self.branches: dict[str, str] = {}
         # jagged (leaf-counter) branches: {name: counter_branch_name}
         self.counters: dict[str, str] = {}
+        # fixed-size array branches ("pos[3]/D" — the public leaflist
+        # contract with a NUMERIC repeat count; r11): {name: k}.
+        # uproot surfaces these as regular arrays; here they read as
+        # lists of constant length k
+        self.fixed_lens: dict[str, int] = {}
         # simple-container TBranchElement branches (r10): lengths come
         # from each basket's entry-offset table, not a counter branch
         self.vectors: set[str] = set()
@@ -542,7 +551,16 @@ class RootFlatFile:
             )
         self.branches[name] = leaf
         if counter is not None:
-            self.counters[name] = counter
+            if counter.isdigit():
+                k = int(counter)
+                if k < 1:
+                    raise ValueError(
+                        f"branch {name!r}: fixed array size must be >= 1, "
+                        f"got {title!r}"
+                    )
+                self.fixed_lens[name] = k
+            else:
+                self.counters[name] = counter
 
     def _payload(self, k: Key) -> bytes:
         raw = self._buf[k.seek + k.keylen : k.seek + k.nbytes]
@@ -806,6 +824,16 @@ class RootFlatFile:
             if name not in self._veclens:
                 self.branch_array(name)
             return self._veclens[name]
+        if name in self.fixed_lens:
+            k = self.fixed_lens[name]
+            total = len(self.branch_array(name))
+            if total % k:
+                raise ValueError(
+                    f"fixed-size branch {name!r}: value stream holds "
+                    f"{total} elements, not a multiple of the declared "
+                    f"size {k}"
+                )
+            return np.full(total // k, k, dtype=np.int64)
         if name not in self.counters:
             raise KeyError(f"{name!r} is not a counter-jagged branch")
         return self._counter_lengths(name)
@@ -850,6 +878,9 @@ class RootFlatFile:
                 k.objlen // np.dtype(LEAF_DTYPES[self.branches[name]]).itemsize
                 for k in ks
             )
+            # fixed-size array branches hold k values per entry — their
+            # basket bytes witness the entry count after dividing by k
+            // self.fixed_lens.get(name, 1)
             for name, ks in self.baskets.items()
             if name in self.branches
             and name not in self.counters
@@ -978,6 +1009,23 @@ def write_root_flat(
     for name, (_, counter, v) in parsed.items():
         if counter is None:
             continue
+        if counter.isdigit():
+            # fixed-size array branch ("pos[3]/D"): every entry must
+            # hold exactly k values; entry count joins the alignment
+            # check with the flat branches
+            k = int(counter)
+            if k < 1:
+                raise ValueError(
+                    f"fixed-size branch {name!r}: size must be >= 1"
+                )
+            bad = [i for i, x in enumerate(v) if len(x) != k]
+            if bad:
+                raise ValueError(
+                    f"fixed-size branch {name!r}: entry {bad[0]} holds "
+                    f"{len(v[bad[0]])} values, declared size is {k}"
+                )
+            lens[name] = len(v)
+            continue
         if counter not in parsed or parsed[counter][1] is not None:
             raise ValueError(
                 f"jagged branch {name!r} needs flat counter branch "
@@ -990,6 +1038,9 @@ def write_root_flat(
                 f"jagged branch {name!r}: per-entry lengths disagree with "
                 f"counter {counter!r}"
             )
+    # re-check alignment: fixed-size branches joined lens above
+    if len(set(lens.values())) > 1:
+        raise ValueError(f"flat branches must align: {lens}")
 
     records: list[bytes] = []
 

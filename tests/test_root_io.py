@@ -921,3 +921,80 @@ def test_nested_vector_error_surfaces(tmp_path):
     f2 = RootFlatFile(path)
     with pytest.raises(ValueError, match="overruns"):
         f2.branch_array("Jet_pts")
+
+
+@pytest.mark.parametrize("compress", [False, True, "lzma"])
+def test_rawroot_fixed_size_array_branch(spark, tmp_path, compress):
+    """Fixed-size leaflist branches ("pos[3]/D" — a NUMERIC repeat
+    count, the regular-array shape uproot reads as ak regular) decode
+    as constant-length lists with exact boundaries across basket and
+    entry-range cuts; a declared-size mismatch at write time is a
+    directed error."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend, from_root
+    from dask_awkward_sandbox_spark.io.rootfile import write_root_flat
+
+    n = 700
+    path = str(tmp_path / "fixed.root")
+    pos = [[i * 3.0 + j for j in range(3)] for i in range(n)]
+    write_root_flat(
+        path, "Events",
+        {
+            "event": ("L", np.arange(n, dtype=np.int64)),
+            "pos": ("[3]D", pos),
+        },
+        basket_entries=256, compress=compress,
+    )
+    df = from_root(spark, path, tree="Events", step_size=300,
+                   backend=RawRootBackend())
+    got = df.orderBy("event").toPandas()
+    assert len(got) == n
+    assert [list(v) for v in got["pos"]] == pos
+
+    # write-side validation: an entry of the wrong length is directed
+    bad = [p[:] for p in pos]
+    bad[5] = [1.0, 2.0]
+    with pytest.raises(ValueError, match="declared size"):
+        write_root_flat(
+            str(tmp_path / "bad.root"), "Events",
+            {"event": ("L", np.arange(n, dtype=np.int64)),
+             "pos": ("[3]D", bad)},
+        )
+
+    # misaligned entry counts vs flat branches are directed too
+    with pytest.raises(ValueError, match="align"):
+        write_root_flat(
+            str(tmp_path / "bad2.root"), "Events",
+            {"event": ("L", np.arange(n, dtype=np.int64)),
+             "pos": ("[3]D", pos[: n - 1])},
+        )
+
+
+def test_rawroot_fixed_size_embedded_layout(tmp_path):
+    """The embedded-TTree metadata layout carries the same numeric
+    leaflist; byte-level reader agrees with the writer's data and
+    branch_lengths reports the constant size."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.io.rootfile import (
+        RootFlatFile,
+        write_root_flat,
+    )
+
+    n = 90
+    path = str(tmp_path / "fixed_emb.root")
+    vals = [[(i * 5 + j) % 97 for j in range(4)] for i in range(n)]
+    write_root_flat(
+        path, "T",
+        {"hits": ("[4]I", vals),
+         "run": ("I", np.arange(n, dtype=np.int32))},
+        basket_entries=40, compress=True, embed_tree=True,
+    )
+    f = RootFlatFile(path)
+    assert f.fixed_lens == {"hits": 4}
+    assert f.num_entries() == n
+    lens = f.branch_lengths("hits")
+    assert (lens == 4).all() and len(lens) == n
+    flat = f.branch_array("hits")
+    assert flat.tolist() == [x for sub in vals for x in sub]
