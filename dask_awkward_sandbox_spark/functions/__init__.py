@@ -1,6 +1,7 @@
 from dask_awkward_sandbox_spark.functions import (
     bpe,
     dedup,
+    jpegcodec,
     lm,
     multimodal,
     quality_filters,
@@ -13,6 +14,7 @@ from dask_awkward_sandbox_spark.functions import (
 __all__ = [
     "bpe",
     "dedup",
+    "jpegcodec",
     "lm",
     "similarity",
     "rollup",

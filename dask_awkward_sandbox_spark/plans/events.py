@@ -407,17 +407,43 @@ def _stream_dedup_oracle() -> str:
     nd as (select 'neardup' as leg, cast(d.doc as varchar) as key,
                   cast(case when m.doc is not null then 1 else 0 end as bigint) as n,
                   m.dup_of as n_users,
-                  cast(null as bigint) as sum_value_c
+                  cast(null as bigint) as sum_value_c,
+                  cast(null as double) as score
            from alldocs d
            left join (select * from m1 union all select * from m2) m
                   on m.doc = d.doc),
+    curq as (select doc,
+                    cast(len({TOKENS}) as bigint) as n_ws,
+                    cast(len({TOKENS}) as double) as qn,
+                    cast(len(list_distinct({TOKENS})) as double) as qd,
+                    cast(length(text) as double) as qln,
+                    cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                         as double) as qnp
+             from alldocs),
+    curfp as (select doc,
+                     cast(sum({H9} * i) % 1000000007 as bigint) as fp
+              from (select doc, unnest({TOKENS}) as w,
+                           generate_subscripts({TOKENS}, 1) as i
+                    from alldocs)
+              group by doc),
+    cur as (select 'curation' as leg, cast(curq.doc as varchar) as key,
+                   curq.n_ws as n,
+                   coalesce(curfp.fp, 0) as n_users,
+                   cast(null as bigint) as sum_value_c,
+                   case when curq.qn > 0 and curq.qln > 0
+                        then 0.3 * least(curq.qn / 200.0, 1.0)
+                             + 0.3 * (curq.qd / curq.qn)
+                             + 0.4 * (1.0 - curq.qnp / curq.qln)
+                        else 0.0 end as score
+            from curq left join curfp on curfp.doc = curq.doc),
     ex as (select 'exact' as leg, event_type as key,
                   cast(count(*) as bigint) as n,
                   cast(count(distinct user_id) as bigint) as n_users,
                   cast(sum(cast(round(value * 100) as bigint)) as bigint)
-                    as sum_value_c
+                    as sum_value_c,
+                  cast(null as double) as score
            from events group by event_type)
-    select * from ex union all select * from nd
+    select * from ex union all select * from nd union all select * from cur
     """
 
 
@@ -448,7 +474,16 @@ def q_stream_dedup(spark, sf_dir):
     full two-batch contract relationally: batch-1 within-dups, the
     kept-1 store, then batch-2 decisions against store + batchmates.
     A broken store filter, replay leak, or banding drift flips
-    decision bits and breaks the hash."""
+    decision bits and breaks the hash.
+
+    'curation' (late r11, streaming/curation.py promoted from
+    pytest-only): the SAME two-batch document stream scored by the
+    batch curation expressions (whitespace tokens, lang-id, quality
+    double compared EXACTLY, position-weighted fingerprint) through
+    the idempotent batch_id-partitioned sink, then REPLAYED from a
+    fresh checkpoint — dynamic partition overwrite must leave the
+    sink row count unchanged (the exactly-once contract) or a poison
+    breaks every curation row's hash."""
     import os
     import shutil
     import time
@@ -501,6 +536,7 @@ def q_stream_dedup(spark, sf_dir):
             "n",
             "n_users",
             "sum_value_c",
+            F.lit(None).cast("double").alias("score"),
         )
     )
 
@@ -536,8 +572,45 @@ def q_stream_dedup(spark, sf_dir):
         F.col("is_dup").cast("long").alias("n"),
         F.col("dup_of").alias("n_users"),
         F.lit(None).cast("long").alias("sum_value_c"),
+        F.lit(None).cast("double").alias("score"),
     )
-    return exact_leg.unionByName(nd_leg)
+
+    # curation leg (late r11): the SAME two-batch document stream
+    # through stream_curation_scores — stateless scan-side scoring
+    # with the idempotent batch_id-partitioned sink, REPLAYED from a
+    # fresh checkpoint (both batches re-delivered): dynamic partition
+    # overwrite must leave the sink row count unchanged or the poison
+    # breaks every curation row's hash. Scores (whitespace tokens,
+    # lang-id, quality double, position-weighted fingerprint) are the
+    # exact batch expressions, replayed by the oracle per document.
+    from dask_awkward_sandbox_spark.streaming import stream_curation_scores
+
+    cur_base = os.path.join(nd_base, "curation")
+    cur_out = os.path.join(cur_base, "out")
+
+    def _run_curation(ckpt: str) -> None:
+        stream_curation_scores(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_path),
+            out_path=cur_out,
+            checkpoint=os.path.join(cur_base, ckpt),
+        )
+
+    _run_curation("ckpt")
+    n_first = spark.read.parquet(cur_out).count()
+    _run_curation("ckpt_replay")  # fresh checkpoint: both batches again
+    n_replayed = spark.read.parquet(cur_out).count()
+    poison = 0 if n_first == n_replayed else 10**9
+    cur_leg = spark.read.parquet(cur_out).select(
+        F.lit("curation").alias("leg"),
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("n_ws") + F.lit(poison)).alias("n"),
+        F.col("fp").alias("n_users"),
+        F.lit(None).cast("long").alias("sum_value_c"),
+        F.col("quality").alias("score"),
+    )
+    return exact_leg.unionByName(nd_leg).unionByName(cur_leg)
 
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000

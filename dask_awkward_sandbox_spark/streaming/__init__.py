@@ -1,3 +1,4 @@
+from dask_awkward_sandbox_spark.streaming.curation import stream_curation_scores
 from dask_awkward_sandbox_spark.streaming.neardup import stream_neardup_dedup
 from dask_awkward_sandbox_spark.streaming.similarity import stream_ivf_append
 from dask_awkward_sandbox_spark.streaming.events import (
@@ -18,4 +19,5 @@ __all__ = [
     "run_stream_to_parquet",
     "stream_ivf_append",
     "stream_neardup_dedup",
+    "stream_curation_scores",
 ]

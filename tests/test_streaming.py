@@ -628,3 +628,71 @@ def test_streaming_lm_scoring(spark):
         ).collect()
     }
     assert got == exp and len(got) > 100
+
+
+def test_stream_curation_scores_idempotent_replay(spark, tmp_path):
+    """stream_curation_scores (late r11): the scored sink must equal
+    the batch projection row-for-row, record micro-batch attribution,
+    and — the delivery contract — a full REPLAY from a fresh
+    checkpoint (every batch re-delivered) must leave the sink
+    unchanged via dynamic partition overwrite."""
+    import time
+
+    from dask_awkward_sandbox_spark.functions import text_analysis as ta
+    from dask_awkward_sandbox_spark.plans.common import read
+    from dask_awkward_sandbox_spark.streaming import stream_curation_scores
+
+    in_path = str(tmp_path / "in")
+    d = read(spark, SF, "documents").select("doc_id", "text")
+    d.filter(F.col("doc_id") % 2 == 0).repartition(1).write.mode(
+        "overwrite"
+    ).json(in_path)
+    time.sleep(1.2)  # file source orders by mtime: batch 2 second
+    d.filter(F.col("doc_id") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).json(in_path)
+
+    out = str(tmp_path / "out")
+
+    def run(ckpt):
+        stream_curation_scores(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_path),
+            out_path=out,
+            checkpoint=str(tmp_path / ckpt),
+        )
+
+    run("ckpt")
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    toks = ta.tokens(F.col("text"))
+    exp = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_ws"),
+            ta.lang_id(F.col("text")).alias("pred_lang"),
+            ta.quality_score(F.col("text")).alias("quality"),
+            ta.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert len(got) == len(exp) > 0
+    for k, e in exp.items():
+        g = got[k]
+        assert (g["n_ws"], g["pred_lang"], g["fp"]) == (
+            e["n_ws"], e["pred_lang"], e["fp"],
+        )
+        assert g["quality"] == e["quality"]  # exact double
+        # micro-batch attribution: evens arrived in batch 0, odds in 1
+        assert g["batch_id"] == k % 2
+
+    # replay from a fresh checkpoint: both batches re-delivered, the
+    # batch_id-partitioned dynamic overwrite makes it a no-op
+    run("ckpt_replay")
+    again = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(again) == len(got)
+    assert all(
+        (again[k]["n_ws"], again[k]["fp"], again[k]["batch_id"])
+        == (got[k]["n_ws"], got[k]["fp"], got[k]["batch_id"])
+        for k in got
+    )
