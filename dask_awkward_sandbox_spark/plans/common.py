@@ -161,3 +161,21 @@ def fld_map(arr: Column, name: str, f) -> Column:
     values — the pruning-friendly spelling of
     ``transform(arr, s -> f(s[name]))``."""
     return F.transform(arr.getField(name), f)
+
+
+def backdate_files(path: str, seconds: float = 30.0) -> None:
+    """Push every file currently under ``path`` ``seconds`` into the
+    past (os.utime). The file stream source orders files by mtime, so
+    a later append lands in a strictly later micro-batch WITHOUT the
+    wall-clock sleep the gate slots used to pay (late r11 — three
+    1.2s sleeps per q_stream_dedup run, one per q_ann_ivf_assign):
+    backdating what's already on disk is deterministic regardless of
+    how fast the second write follows."""
+    import os
+    import time
+
+    past = time.time() - seconds
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (past, past))

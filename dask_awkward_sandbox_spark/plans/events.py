@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_awkward_sandbox_spark.plans.common import cents, read
+from dask_awkward_sandbox_spark.plans.common import backdate_files, cents, read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds — exact integer compare
@@ -322,7 +322,6 @@ def q_stream_sessionize(spark, sf_dir):
     itself exercises the late-merge path, and the final emitted set is
     unchanged because emission is watermark-final."""
     import os
-    import time
 
     from dask_awkward_sandbox_spark.streaming import sessionize_stateful
     from dask_awkward_sandbox_spark.streaming.events import (
@@ -343,7 +342,7 @@ def q_stream_sessionize(spark, sf_dir):
     e.filter(~deferred).repartition(1).write.mode("overwrite").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
-    time.sleep(1.2)  # file source orders by mtime: late file strictly second
+    backdate_files(path)  # file source orders by mtime: late file second
     e.filter(deferred).repartition(1).write.mode("append").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
@@ -486,7 +485,6 @@ def q_stream_dedup(spark, sf_dir):
     breaks every curation row's hash."""
     import os
     import shutil
-    import time
 
     from dask_awkward_sandbox_spark.streaming import stream_neardup_dedup
     from dask_awkward_sandbox_spark.streaming.events import (
@@ -504,7 +502,7 @@ def q_stream_dedup(spark, sf_dir):
     e.repartition(1).write.mode("overwrite").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
-    time.sleep(1.2)  # file source orders by mtime: dup file strictly second
+    backdate_files(path)  # file source orders by mtime: dup file second
     e.filter(dup_window).repartition(1).write.mode("append").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
@@ -553,7 +551,7 @@ def q_stream_dedup(spark, sf_dir):
         )
     )
     b1.repartition(1).write.mode("overwrite").json(in_path)
-    time.sleep(1.2)  # file source orders by mtime: batch 2 strictly second
+    backdate_files(in_path)  # file source orders by mtime: batch 2 second
     b2.repartition(1).write.mode("append").json(in_path)
     stream_neardup_dedup(
         spark.readStream.schema("doc_id long, text string")

@@ -20,7 +20,7 @@ from dask_awkward_sandbox_spark.functions import (
     similarity,
     text_analysis as ta,
 )
-from dask_awkward_sandbox_spark.plans.common import parquet_row_count, read
+from dask_awkward_sandbox_spark.plans.common import backdate_files, parquet_row_count, read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 # DuckDB fragments mirroring text_analysis definitions exactly.
@@ -1168,7 +1168,6 @@ def q_ann_ivf_assign(spark, sf_dir):
     # exactly-once) or the poison breaks every row's hash.
     import os
     import shutil
-    import time
 
     from dask_awkward_sandbox_spark.streaming.similarity import (
         stream_ivf_append,
@@ -1186,7 +1185,7 @@ def q_ann_ivf_assign(spark, sf_dir):
     samp.filter(F.col("vec_id") % 100 == 0).repartition(1).write.mode(
         "overwrite"
     ).json(in_path)
-    time.sleep(1.2)  # file source orders by mtime: batch 2 strictly second
+    backdate_files(in_path)  # file source orders by mtime: batch 2 second
     samp.filter(F.col("vec_id") % 100 != 0).repartition(1).write.mode(
         "append"
     ).json(in_path)
