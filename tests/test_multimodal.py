@@ -737,10 +737,10 @@ def test_jpeg_gates_and_error_surfaces():
     i = base.find(b"\xff\xc0")
     assert i > 0
 
-    prog = bytearray(base)
-    prog[i + 1] = 0xC2
-    with pytest.raises(DecodeUnavailable, match="progressive"):
-        jpeg_decode(bytes(prog))
+    lossless = bytearray(base)
+    lossless[i + 1] = 0xC3
+    with pytest.raises(DecodeUnavailable, match="lossless"):
+        jpeg_decode(bytes(lossless))
 
     arith = bytearray(base)
     arith[i + 1] = 0xC9
@@ -759,6 +759,130 @@ def test_jpeg_gates_and_error_surfaces():
     # truncated entropy data: chop mid-scan
     with pytest.raises(ValueError, match="truncated|Huffman"):
         jpeg_decode(bytes(base[:-8]))
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) decode — T.81 Annex G (late r11): the
+    progressive encoder writes the SAME quantized coefficients as the
+    baseline encoder, so a correct multi-scan decode (spectral
+    selection, DC+AC successive approximation, cross-block EOBn runs,
+    non-interleaved AC scan geometry) must be PIXEL-IDENTICAL to the
+    baseline stream's decode."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    gray = ((x * 7 + y * 3) % 256).astype(np.uint8)
+
+    base_rgb = jpeg_decode(jpeg_encode(rgb, quality=90))[2]
+    base_gray = jpeg_decode(jpeg_encode(gray, quality=90))[2]
+
+    # default libjpeg-style script (DC Al=1 + AC bands Al=1 + refines)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(gray, quality=90))[2], base_gray
+    )
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(rgb, quality=90))[2], base_rgb
+    )
+    # spectral selection only (exercises EOBn runs without SA)
+    scans = [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+             ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(rgb, quality=90, scans=scans))[2],
+        base_rgb,
+    )
+    # 4:2:0 progressive
+    b420 = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))[2]
+    p420 = jpeg_decode(
+        jpeg_encode_progressive(rgb, quality=90, subsample=True)
+    )[2]
+    assert np.array_equal(p420, b420)
+    # deep successive approximation: two AC refinement levels
+    scans = [([0], 0, 0, 0, 2), ([0], 1, 63, 0, 2), ([0], 1, 63, 2, 1),
+             ([0], 1, 63, 1, 0), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0)]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(gray, quality=90, scans=scans))[2],
+        base_gray,
+    )
+    # flat image: every AC band is a single EOBn run across all blocks
+    flat = np.full((32, 48), 130, dtype=np.uint8)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(flat, quality=75))[2],
+        jpeg_decode(jpeg_encode(flat, quality=75))[2],
+    )
+
+
+def test_jpeg_progressive_fuzz_equivalence():
+    """Randomized scripts/sizes/qualities: progressive decode equals
+    baseline decode bit-for-bit on every trial."""
+    import numpy as np
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for _trial in range(8):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        q = int(rng.integers(20, 98))
+        gray = bool(rng.integers(0, 2))
+        sub = (not gray) and bool(rng.integers(0, 2))
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        nc = 1 if gray else 3
+        al0 = int(rng.integers(0, 3))
+        split = int(rng.integers(2, 62))
+        scans = [(list(range(nc)), 0, 0, 0, al0)]
+        for ci in range(nc):
+            scans += [([ci], 1, split, 0, al0), ([ci], split + 1, 63, 0, al0)]
+        for a in range(al0, 0, -1):
+            for ci in range(nc):
+                scans += [([ci], 1, 63, a, a - 1)]
+            scans += [(list(range(nc)), 0, 0, a, a - 1)]
+        b = jpeg_decode(jpeg_encode(px, quality=q, subsample=sub))[2]
+        p = jpeg_decode(
+            jpeg_encode_progressive(px, quality=q, subsample=sub, scans=scans)
+        )[2]
+        assert np.array_equal(b, p), (h, w, q, gray, sub, al0, split)
+
+
+def test_jpeg_progressive_error_surfaces():
+    """Malformed progressive scan headers raise directed ValueErrors."""
+    import numpy as np
+    import pytest
+
+    from dask_awkward_sandbox_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    gray = _const_block_gray(16, 16)
+    with pytest.raises(ValueError, match="mix DC and AC"):
+        jpeg_encode_progressive(gray, scans=[([0], 0, 63, 0, 0)])
+    with pytest.raises(ValueError, match="one component"):
+        jpeg_encode_progressive(
+            np.stack([gray] * 3, axis=-1), scans=[([0, 1], 1, 63, 0, 0)]
+        )
+    # decoder: an AC scan claiming Ss=0 is a bad spectral band
+    buf = bytearray(jpeg_encode_progressive(gray, scans=[([0], 0, 0, 0, 0),
+                                                         ([0], 1, 63, 0, 0)]))
+    # SOS layout: FFDA len(2) Ns(1) [cid tdta] Ss Se AhAl — Ss at +7
+    i = buf.rfind(b"\xff\xda")
+    assert i > 0 and buf[i + 7] == 1  # Ss byte of the AC scan
+    buf[i + 7] = 0
+    with pytest.raises(ValueError, match="spectral band"):
+        jpeg_decode(bytes(buf))
 
 
 def test_jpeg_spark_decode_and_resize(spark):
