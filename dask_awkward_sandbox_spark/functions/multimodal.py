@@ -302,9 +302,10 @@ def resize_bmp(
 # decodes via the pass-grid reassembly; r11 adds sub-byte depths
 # (1/2/4 gray + palette, MSB-first packed scanlines, incl. Adam7) —
 # every spec-legal PNG decodes. JPEG decodes too (r11, late):
-# functions/jpegcodec.py implements baseline sequential T.81
-# (Huffman + DCT) pure-Python; only progressive/arithmetic/12-bit
-# scans stay gated there with directed errors.
+# functions/jpegcodec.py implements baseline sequential AND
+# progressive T.81 (Huffman + DCT + Annex G successive
+# approximation) pure-Python; only arithmetic/lossless/12-bit scans
+# stay gated there with directed errors.
 # ---------------------------------------------------------------------------
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -577,10 +578,11 @@ def _decode_png_pixels(buf: bytes):
 def decode_jpeg(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInArrow baseline-JPEG decode to per-image stats — the same
     shape as :func:`decode_png`: (media_id, width, height,
-    mean_pixel). r11: REAL decode via the pure-Python ITU T.81
-    baseline codec (functions/jpegcodec.py — marker walk, canonical
-    Huffman entropy decode, batched numpy IDCT, 4:2:0 upsampling);
-    progressive/arithmetic/12-bit scans stay gated inside the codec
+    mean_pixel). r11: REAL decode via the pure-Python ITU T.81 codec
+    (functions/jpegcodec.py — marker walk, canonical Huffman entropy
+    decode, batched numpy IDCT, 4:2:0 upsampling; late r11 adds full
+    progressive/SOF2 decode incl. successive approximation);
+    arithmetic/lossless/12-bit scans stay gated inside the codec
     with directed DecodeUnavailable errors."""
     import numpy as np
     import pyarrow as pa
