@@ -102,11 +102,42 @@ def cents(col: Column) -> Column:
     return F.round(col * 100).cast("long")
 
 
+def shared_lineitem(
+    spark: SparkSession, sf_dir: str, fields: list[str]
+) -> DataFrame:
+    """ONE persisted narrow projection of lineitem feeding every branch
+    of a gate slot (r12, verdict items 1+5): the flat codegen legs and
+    the sampled hof_* twin both read the same ``InMemoryRelation``, so
+    the executed plan carries exactly one lineitem FileScan —
+    ``l_orderkey % 50`` prunes no row groups, so the r11 second-scan
+    form paid 2x scan IO for nothing.
+
+    Persist (MEMORY_AND_DISK) rather than ``repartition`` +
+    ReusedExchange: per-branch column pruning and filter pushdown
+    rewrite the exchange subtrees differently, so canonicalized-plan
+    reuse never fires (measured), while the cache is substituted by
+    analyzed-plan matching and survives both branches' rewrites.
+    Map-side partial aggregation is preserved (partials build ABOVE
+    the cache read), and the hof branch filters its ~2% sample from
+    cached batches.
+
+    100 TB story: this is the standard reused-frame pattern — each
+    executor caches its partitions of the ~4-7 column projection,
+    spilling to local disk; both consumers then pay zero remote IO.
+    On a real deployment lineitem would be bucketed by l_orderkey,
+    collapsing every downstream exchange too. Cache lifetime: entries
+    are LRU-evicted; bench.py clears the cache before every timed rep
+    so recorded walls always include the scan.
+    """
+    return read(spark, sf_dir, "lineitem").select("l_orderkey", *fields).persist()
+
+
 def order_items(
     spark: SparkSession,
     sf_dir: str,
     fields: list[str] | None = None,
     where: Column | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The awkward-style nested collection: one row per order with an
     ``items: array<struct>`` column, list-ordered by l_linenumber.
@@ -134,10 +165,15 @@ def order_items(
     gate slots run the retained HOF composition over a deterministic
     subsample so the driver hash executes the operator code paths at
     ~2% of the full-build cost.
+
+    ``base`` (r12) supplies a pre-projected lineitem frame — the
+    :func:`shared_lineitem` cache — so a slot's hof twin builds off
+    the SAME scan as its flat legs instead of a second table read;
+    ``fields`` must be a subset of its columns.
     """
     fields = fields or ITEM_FIELDS
     assert fields[0] == "l_linenumber", "linenumber must lead for deterministic sort"
-    li = read(spark, sf_dir, "lineitem")
+    li = base if base is not None else read(spark, sf_dir, "lineitem")
     if where is not None:
         li = li.filter(where)
     return li.groupBy("l_orderkey").agg(

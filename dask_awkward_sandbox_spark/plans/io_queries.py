@@ -30,7 +30,13 @@ from dask_awkward_sandbox_spark.io import (
 )
 from dask_awkward_sandbox_spark.io.text import to_text
 from dask_awkward_sandbox_spark.operators import structure as st
-from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items, read
+from dask_awkward_sandbox_spark.plans.common import (
+    cents,
+    fld_map,
+    order_items,
+    read,
+    shared_lineitem,
+)
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SCRATCH = "/root/repo/.scratch"
@@ -79,18 +85,29 @@ def q_parquet_roundtrip(spark, sf_dir):
     hatch); the per-row qty2 values it computes aggregate per order,
     incl. a linenumber-weighted dot that is NOT derivable from the
     other columns, so a broken Arrow kernel breaks the hash."""
-    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
+    # one lineitem scan feeds both the nested write side and the
+    # mapInArrow legs below (r12 single-scan pass)
+    li_base = shared_lineitem(spark, sf_dir, ["l_linenumber", "l_quantity"])
+    it = order_items(
+        spark, sf_dir, fields=["l_linenumber", "l_quantity"], base=li_base
+    )
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
-    back = from_parquet(spark, path, columns=["l_orderkey", "items"])
+    # r12 (verdict items 1+5): the read-back frame feeds FIVE branches
+    # (nested_side, to_dataframe explode, enforce_type explode, and
+    # the two sampled hof legs) — persist it so the executed plan
+    # scans the roundtrip file ONCE and every branch reads the
+    # InMemoryRelation; and the hof leg joins drop their broadcast
+    # hints (the sampled side is a fixed ~2% fraction — linear in the
+    # data — so AQE must keep the right to degrade to sort-merge).
+    back = from_parquet(spark, path, columns=["l_orderkey", "items"]).persist()
     # r11 (verdict item 3): full-data reductions run CODEGEN — n_items
     # is size(), and sum_qty_c rides the to_dataframe explode below
     # (same nested parquet column, flat hash aggregate) instead of an
     # interpreted per-list fold; the fold itself stays under the gate
     # as the sampled hof_sum_qty_c leg, computed on a FILTERED pass
-    # over the read-back frame and broadcast-left-joined (a per-row
-    # guarded fold still pays one interpreted expression per order —
-    # the q_sort_argsort second-scan note)
+    # (a per-row guarded fold would pay one interpreted expression per
+    # order — the q_sort_argsort note)
     samp = F.col("l_orderkey") % 50 == 0
     q = fld_map(F.col("items"), "l_quantity", cents)
     nested_side = back.select(
@@ -138,12 +155,11 @@ def q_parquet_roundtrip(spark, sf_dir):
             F.filter(F.col("items"), lambda s: s["l_bogus"].isNull())
         ).cast("long").alias("hof_enf_n_bogus_null"),
     )
-    # mp_* legs: map_partitions over the flat lineitem scan
+    # mp_* legs: map_partitions over the flat lineitem frame (the
+    # shared cache — no second lineitem scan)
     import pyarrow as pa
 
-    li = read(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
+    li = li_base
 
     def fn(batches):
         for b in batches:
@@ -175,8 +191,8 @@ def q_parquet_roundtrip(spark, sf_dir):
         nested_side.join(flat_side, "l_orderkey")
         .join(enf_side, "l_orderkey")
         .join(mp_side, "l_orderkey")
-        .join(F.broadcast(hof_nested), "l_orderkey", "left")
-        .join(F.broadcast(hof_enf), "l_orderkey", "left")
+        .join(hof_nested, "l_orderkey", "left")
+        .join(hof_enf, "l_orderkey", "left")
     )
 
 

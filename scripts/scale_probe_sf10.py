@@ -116,9 +116,13 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(fn, reps=1):
+def _timed(fn, reps=1, spark=None):
     best = None
     for _ in range(reps):
+        if spark is not None:
+            # r12: gate slots persist their shared scan — clear so
+            # every rep pays it (min-of-reps must stay cold-cache)
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
@@ -201,8 +205,12 @@ def main() -> None:
         # re-measurements steady-stated at ~5.5x; the committed
         # artifact must carry the steady-state number)
         reps = EXTRA_REPS.get(name, 2)
-        t_sf1[name] = _timed(lambda: _noop(QUERIES[name](spark, SF1_DIR)), reps=reps)
-        t_sf10[name] = _timed(lambda: _noop(QUERIES[name](spark, SF10_DIR)), reps=reps)
+        t_sf1[name] = _timed(
+            lambda: _noop(QUERIES[name](spark, SF1_DIR)), reps=reps, spark=spark
+        )
+        t_sf10[name] = _timed(
+            lambda: _noop(QUERIES[name](spark, SF10_DIR)), reps=reps, spark=spark
+        )
         growth[name] = round(t_sf10[name] / t_sf1[name], 2)
         print(f"# {name}: sf1 {t_sf1[name]}s sf10 {t_sf10[name]}s "
               f"growth {growth[name]}x stable={stable[name]}", file=sys.stderr)

@@ -54,9 +54,32 @@ def test_final_line_fits_driver_tail_capture():
                 "mapped_total": 999.999,
                 "ratio": 999.999,
             },
+            "box_factor": 999.999,
         }
     )
     assert len(line) <= 1800, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
+
+
+def test_gate_nonheadliner_covers_registry_complement():
+    """r12 (verdict item 3): the aux line's gate_nonheadliner block
+    must time exactly the registered slots bench does not headline, so
+    cost relocations between hosts stay visible round-over-round. The
+    box_factor control divides by the r01 record's q1 wall — pin it to
+    the committed BENCH_r01.json value."""
+    import json
+    import os
+
+    import bench
+    from dask_awkward_sandbox_spark.plans import QUERIES
+
+    complement = sorted(set(QUERIES) - set(bench.HEADLINERS))
+    assert complement, "every slot headlined — drop the block instead"
+    # the function iterates the same complement (source-level contract)
+    assert callable(bench.gate_nonheadliner)
+    r01 = json.load(
+        open(os.path.join(os.path.dirname(bench.__file__), "BENCH_r01.json"))
+    )
+    assert bench.Q1_CONTROL_R01 == r01["parsed"]["queries"]["q1_pricing_summary"]
 
 
 def test_baseline_mapped_slots_are_headliners():

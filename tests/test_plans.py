@@ -606,20 +606,138 @@ def test_reduce_order_count_plan_is_join_free(spark):
     per-row join (the r7 left-join shape tripled the slot's cost and
     was the only plan-unstable slot at sf1).
 
-    r11: the per-order hof_* sample legs come from the HOF twin over a
-    SECOND filtered scan, broadcast-left-joined by l_orderkey (the
-    in-aggregate conditional-collect variant taxed every input row
-    through the ObjectHashAggregate: 5.29x sf10 growth vs ~3.8x). The
-    contract becomes: the flat path still has no shuffle join — the
-    ONLY join is the single broadcast of the ~2% sampled legs — and
-    the exchange count is bounded (main groupBy + twin build +
-    broadcast)."""
+    r11: the per-order hof_* sample legs come from the HOF twin,
+    joined by l_orderkey (the in-aggregate conditional-collect variant
+    taxed every input row through the ObjectHashAggregate: 5.29x sf10
+    growth vs ~3.8x). r12: the twin reads the slot's own persisted
+    scan and the leg join is UNhinted — AQE broadcasts while small and
+    may degrade to a co-clustered sort-merge at scale, so the contract
+    becomes: exactly ONE join in the plan (the sampled legs — its
+    physical strategy is AQE's call), every lineitem scan under the
+    shared cache, and a bounded exchange count (window + twin build +
+    at most a join-side exchange)."""
     from dask_awkward_sandbox_spark.plans import QUERIES
 
+    spark.catalog.clearCache()
     df = QUERIES["q_reduce_order_count"](spark, SF)
     plan = _physical(df)
-    for op in ("SortMergeJoin", "ShuffledHashJoin"):
-        assert op not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 1, plan
-    assert plan.count("Exchange") <= 3, plan
-    assert plan.count("Scan parquet") == 2, plan
+    n_joins = sum(
+        plan.count(op)
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan
+    assert plan.count("Exchange") <= 4, plan
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation"), plan
+
+
+# r12 (verdict items 1+5): the gate re-coupling's scale contract.
+# hint budget = ResolvedHint nodes allowed in the analyzed plan; only
+# q_concatenate keeps any — two crossJoin attaches of 1-row GLOBAL
+# aggregates, bounded at any scale (the r11 verdict's carve-out). The
+# six r11-weak slots must carry ZERO hints: their sampled hof side is
+# a fixed FRACTION of the data, and a hint-forced broadcast of a
+# linearly-growing side OOMs at 100x where AQE would degrade to
+# sort-merge.
+_HOF_SLOT_HINT_BUDGET = {
+    "q_flatten_softmax": 0,
+    "q_sort_argsort": 0,
+    "q_cartesian_combinations": 0,
+    "q_pad_fill_none": 0,
+    "q_reduce_order_count": 0,
+    "q_parquet_roundtrip": 0,
+    "q_concatenate": 2,
+}
+
+
+def test_hof_slots_one_scan_no_forced_broadcast(spark):
+    """Every re-coupled slot reads its fact table ONCE (the
+    common.shared_lineitem / persisted-roundtrip cache): all FileScans
+    in the executed plan must sit under an InMemoryRelation (text
+    renders one scan line per cache reference, so scan lines == cache
+    renders iff no branch escaped the cache), and the analyzed plan
+    holds no broadcast hint beyond the inventoried bounded ones."""
+    from dask_awkward_sandbox_spark.plans import QUERIES
+
+    for name, hint_budget in _HOF_SLOT_HINT_BUDGET.items():
+        spark.catalog.clearCache()
+        df = QUERIES[name](spark, SF)
+        qe = df._jdf.queryExecution()
+        hints = qe.analyzed().toString().count("ResolvedHint")
+        assert hints == hint_budget, (name, hints, hint_budget)
+        phys = qe.executedPlan().toString()
+        n_scan = phys.count("Scan parquet")
+        n_cache = phys.count("InMemoryRelation")
+        assert n_cache >= 1, (name, "expected a shared persisted scan")
+        assert n_scan == n_cache, (
+            name, n_scan, n_cache, "a branch escaped the shared cache",
+        )
+
+
+def test_plans_broadcast_hint_sites_inventoried():
+    """Authorship-time sweep of the whole plans/ package: every
+    ``F.broadcast`` call must sit in an inventoried function whose
+    hinted side is bounded by construction. A new hint anywhere in a
+    registered plan fails here until its boundedness is argued in the
+    inventory — the assert the r11 verdict asked for, at the level
+    where the hazard is introduced.
+
+    Boundedness notes for the inventory:
+    - tpch/tpch_full dim-side hints: nation/region are fixed-size;
+      customer/supplier/part hints follow the brief's broadcast-small-
+      dims pattern and are load-shed by AQE on the panel datasets —
+      flagged here so any NEW fact-side hint is reviewed.
+    - crossJoin attaches (q_small_sources root/text/lake stats,
+      q17-style avg thresholds, q_concatenate axis=None legs): 1-row
+      global aggregates.
+    - llm.py mixture join: per-language plan frame, bounded by the
+      language domain.
+    """
+    import ast
+    import pathlib
+
+    plans_dir = pathlib.Path(__file__).parent.parent / (
+        "dask_awkward_sandbox_spark/plans"
+    )
+    found: dict[tuple[str, str], int] = {}
+    for path in sorted(plans_dir.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            n = sum(
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                for node in ast.walk(fn)
+            )
+            if n:
+                key = (path.name, fn.name)
+                found[key] = max(found.get(key, 0), n)
+
+    expected = {
+        ("io_queries.py", "q_small_sources"): 9,
+        ("llm.py", "q_data_mixture"): 1,
+        ("nested.py", "q_concatenate"): 2,
+        ("tpch.py", "q3_shipping_priority"): 1,
+        ("tpch.py", "q5_local_supplier"): 4,
+        ("tpch.py", "q_top_customers"): 1,
+        ("tpch.py", "q10_returned_items"): 2,
+        ("tpch.py", "q16_supplier_breadth"): 1,
+        ("tpch.py", "q18_large_orders"): 1,
+        ("tpch.py", "q7_volume_shipping"): 4,
+        ("tpch.py", "q14_promo_effect"): 1,
+        ("tpch.py", "q19_disjunctive"): 1,
+        ("tpch_full.py", "q2_min_cost_supplier"): 1,
+        ("tpch_full.py", "q8_market_share"): 3,
+        ("tpch_full.py", "q9_product_type_profit"): 1,
+        ("tpch_full.py", "q11_important_stock"): 2,
+        ("tpch_full.py", "q15_top_supplier"): 1,
+        ("tpch_full.py", "q17_small_quantity_revenue"): 1,
+        ("tpch_full.py", "q20_potential_promotion"): 1,
+        ("tpch_full.py", "q21_waiting_supplier"): 1,
+        ("tpch_full.py", "q22_sales_opportunity"): 1,
+    }
+    assert found == expected, {
+        "new_or_moved": {k: v for k, v in found.items() if expected.get(k) != v},
+        "removed": {k: v for k, v in expected.items() if found.get(k) != v},
+    }
