@@ -112,12 +112,15 @@ class RawRootBackend:
     r6/r7 verdicts' "minimal uncompressed-basket reader" — the
     BMP/WAV-codec precedent applied to TTrees). io/rootfile.py holds
     the format layer: TFile header walk, TKey chain, big-endian basket
-    arrays, zlib (``ZL``) + LZ4 (``L4``, r10) block framing, embedded
-    TTree streamer walk, leaf-counter jagged branches, and (r10)
-    simple-container TBranchElement (vector<basic>) via basket
-    entry-offset tables; ZSTD/LZMA baskets and object/nested-container
-    branches stay gated behind DecodeUnavailable with pointers at the
-    uproot backend.
+    arrays, all four compression framings (ZL/L4/ZS/XZ), embedded
+    TTree streamer walk, leaf-counter jagged branches, simple
+    containers (vector<basic>/vector<vector<basic>>/vector<string>)
+    via basket entry-offset tables, and (r12) user-class branches via
+    StreamerInfo records — unsplit objects surface as struct columns
+    and member-wise TClonesArray as array<struct>. Classes with
+    non-basic members, object-wise clones streams, and counter-less
+    variable branches stay gated behind DecodeUnavailable with
+    pointers at the uproot backend.
 
     Flat branches are the nanoAOD scalar surface (event ids, counts,
     HLT flags, MET): per-branch baskets decode independently, so
@@ -168,6 +171,18 @@ class RawRootBackend:
         # basket entry-offset tables); r11 adds list<list<elem>>
         # (vector<vector<basic>>) and list<string> (vector<string>)
         def _typ(n):
+            if n in f.objects:
+                # r12: unsplit user-class branch -> one struct per entry
+                return pa.struct(
+                    [(m, cls._ARROW[l]) for m, l in f.streamers[f.objects[n]]]
+                )
+            if n in f.clones:
+                # r12: TClonesArray -> list<struct> per entry
+                return pa.list_(
+                    pa.struct(
+                        [(m, cls._ARROW[l]) for m, l in f.streamers[f.clones[n]]]
+                    )
+                )
             if n in f.nested_vectors:
                 return pa.list_(pa.list_(cls._ARROW[f.branches[n]]))
             if n in f.string_vectors:
@@ -193,6 +208,27 @@ class RawRootBackend:
         schema = self._schema_of(f, branches)
         cols = {}
         for n in schema.names:
+            if n in f.objects:
+                mem = f.object_members(n)
+                cols[n] = pa.StructArray.from_arrays(
+                    [pa.array(mem[m][start:stop]) for m, _ in f.streamers[f.objects[n]]],
+                    names=[m for m, _ in f.streamers[f.objects[n]]],
+                )
+                continue
+            if n in f.clones:
+                mem = f.clones_members(n)
+                off = np.zeros(f.num_entries() + 1, dtype=np.int64)
+                np.cumsum(f.branch_lengths(n), out=off[1:])
+                lo, hi = int(off[start]), int(off[stop])
+                members = f.streamers[f.clones[n]]
+                cols[n] = pa.ListArray.from_arrays(
+                    pa.array(off[start : stop + 1] - lo, type=pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [pa.array(mem[m][lo:hi]) for m, _ in members],
+                        names=[m for m, _ in members],
+                    ),
+                )
+                continue
             vals = f.branch_array(n)
             if n in f.nested_vectors:
                 # list<list<T>>: outer offsets over inner-vector counts,

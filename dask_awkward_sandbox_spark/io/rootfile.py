@@ -46,16 +46,23 @@ standalone-``TBranch``-key layout (title = leaflist, the real
 ``TTree::Branch(name, addr, "pt/D")`` leaflist contract with
 simplified placement; r8).
 
+USER-CLASS branches decode via streamer info (r12): the
+"StreamerInfo" TList key's TStreamerInfo records (public
+TStreamerInfo/TStreamerElement layout, basic fType codes) provide the
+member recipe for (a) unsplit object branches — one version-header +
+members record per entry — and (b) TClonesArray branches streamed
+MEMBER-WISE (the kStreamedMemberWise fVersion bit, ROOT's default).
+
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
 variable-length branches WITHOUT a counter leaf (their per-entry
 offsets live in TBasket/TTree streamer metadata this module does not
-parse), TBranchElement OBJECT/compound branches beyond
-vector<basic> / vector<vector<basic>> / vector<string> (need
-streamer-info records), and class/object back-reference tags inside
-object arrays. All four ROOT compression algorithms (ZL/L4/ZS/XZ)
-decode. The writer exists so tests can round-trip real
-bytes without uproot in the container (the BMP/WAV codec precedent);
-``embed_tree=True`` writes the embedded layout.
+parse), classes whose streamer declares object/array/base members
+(only basic-type members decode), OBJECT-wise TClonesArray streams,
+and class/object back-reference tags inside object arrays. All four
+ROOT compression algorithms (ZL/L4/ZS/XZ) decode. The writer exists
+so tests can round-trip real bytes without uproot in the container
+(the BMP/WAV codec precedent); ``embed_tree=True`` writes the
+embedded layout.
 """
 
 from __future__ import annotations
@@ -120,6 +127,58 @@ NESTED_VECTOR_CLASSES = {
     "vector<vector<short>>": "S",
 }
 STRING_VECTOR_CLASS = "vector<string>"
+
+# ---------------------------------------------------------------------------
+# Streamer info (r12): user-class TBranchElement decode
+#
+# Real ROOT describes every streamed class in TStreamerInfo records —
+# a TList under the "StreamerInfo" TKey (fSeekInfo) holding, per
+# class, a TNamed(classname) + fCheckSum + fClassVersion + a TObjArray
+# of TStreamerElements (member name, fType code, fSize, fTypeName).
+# This module writes and reads that public layout for SIMPLE classes
+# — every member a basic type (the TVirtualStreamerInfo type codes
+# below) — and uses the recipe to decode two branch shapes:
+#
+# - an UNSPLIT user-class branch (TBranchElement, fClassName = the
+#   class): per-entry payload = version header + members in
+#   declaration order, big-endian; entry boundaries from the basket
+#   entry-offset table (the same table the container branches use),
+# - a TClonesArray branch (fClassName = "TClonesArray", element class
+#   in fClonesName): per-entry payload = version header with the
+#   kStreamedMemberWise bit (0x4000 — ROOT's default since v4) +
+#   TObject + fName + int32 nobjects + int32 fLowerBound + uint16
+#   element-class version + MEMBER-WISE runs (all nobjects values of
+#   member 0, then member 1, ...). Object-wise streams (bit unset),
+#   classes with object/array/base members, and back-reference tags
+#   stay gated with directed errors naming the uproot backend.
+#
+# fCheckSum is written 0 (it guards schema evolution on ROOT's side;
+# this reader keys on the element list itself and uproot ignores it).
+# ---------------------------------------------------------------------------
+
+# public TVirtualStreamerInfo basic-type codes <-> leaflist letters
+STREAMER_TYPE_OF_LETTER = {
+    "B": 1,   # kChar
+    "S": 2,   # kShort
+    "I": 3,   # kInt
+    "F": 5,   # kFloat
+    "D": 8,   # kDouble
+    "b": 11,  # kUChar
+    "s": 12,  # kUShort
+    "i": 13,  # kUInt
+    "L": 16,  # kLong64
+    "l": 17,  # kULong64
+    "O": 18,  # kBool
+}
+LETTER_OF_STREAMER_TYPE = {v: k for k, v in STREAMER_TYPE_OF_LETTER.items()}
+# the C++ type names fTypeName carries for each code
+_STREAMER_TYPENAMES = {
+    "B": "char", "S": "short", "I": "int", "F": "float", "D": "double",
+    "b": "unsigned char", "s": "unsigned short", "i": "unsigned int",
+    "L": "Long64_t", "l": "ULong64_t", "O": "bool",
+}
+_K_MEMBERWISE = 0x4000  # TBuffer::kStreamedMemberWise flag in fVersion
+_CLONES_RE_TITLE = "TClonesArray({})"  # standalone-key title encoding
 
 
 @dataclass
@@ -290,6 +349,106 @@ def _r_objarray(b: bytes, off: int):
     return out, end
 
 
+def _w_streamer_element(name: str, letter: str) -> bytes:
+    """TStreamerBasicType: version(2){ TStreamerElement version(4){
+    TNamed(member, "") + fType + fSize + fArrayLength + fArrayDim +
+    fMaxIndex[5] + fTypeName } } — the public element layout."""
+    size = int(np.dtype(LEAF_DTYPES[letter]).itemsize)
+    base = _w_version(
+        _w_tnamed(name, "")
+        + struct.pack(">iiii", STREAMER_TYPE_OF_LETTER[letter], size, 0, 0)
+        + struct.pack(">5i", 0, 0, 0, 0, 0)
+        + _wstring(_STREAMER_TYPENAMES[letter]),
+        4,
+    )
+    return _w_version(base, 2)
+
+
+def _w_streamerinfo_list(classes: dict[str, list[tuple[str, str]]]) -> bytes:
+    """The StreamerInfo key payload: a streamed TList(v5) of
+    TStreamerInfo(v9) records — TNamed(classname) + uint32 fCheckSum
+    (written 0, documented above) + int32 fClassVersion + fElements
+    TObjArray. TList elements each carry the new-class tag + a
+    trailing (empty) per-element option TString."""
+    body = _w_tobject() + _wstring("") + struct.pack(">i", len(classes))
+    for cname, members in classes.items():
+        info = _w_version(
+            _w_tnamed(cname, "")
+            + struct.pack(">Ii", 0, 1)
+            + _w_objarray(
+                [("TStreamerBasicType", _w_streamer_element(n, l)) for n, l in members]
+            ),
+            9,
+        )
+        body += struct.pack(">I", _NEW_CLASS_TAG) + b"TStreamerInfo\x00"
+        body += info
+        body += b"\x00"  # empty option TString
+    return _w_version(body, 5)
+
+
+def _r_streamerinfo_list(b: bytes) -> dict[str, list[tuple[str, str]]]:
+    """-> {classname: [(member, leaf letter)]}. Entries that are not
+    TStreamerInfo, and elements that are not basic-type members, raise
+    directed errors (full streamer territory -> uproot)."""
+    _end, _v, off = _r_version(b, 0)
+    off = _r_tobject(b, off)
+    _name, off = _tstring(b, off)
+    (n,) = struct.unpack_from(">i", b, off)
+    off += 4
+    out: dict[str, list[tuple[str, str]]] = {}
+    for _ in range(n):
+        (tag,) = struct.unpack_from(">I", b, off)
+        off += 4
+        if tag != _NEW_CLASS_TAG:
+            raise DecodeUnavailable(
+                "StreamerInfo list uses a class/object back-reference tag "
+                "— only new-class-tag streams decode here; use uproot"
+            )
+        nul = b.index(b"\x00", off)
+        cls = b[off:nul].decode()
+        off = nul + 1
+        obj_end, _ver, p = _r_version(b, off)
+        if cls == "TStreamerInfo":
+            cname, _t, p = _r_tnamed(b, p)
+            _chk, _cver = struct.unpack_from(">Ii", b, p)
+            els, _aend = _r_objarray(b, p + 8)
+            members: list[tuple[str, str]] = []
+            for ecls, eoff, _eend in els:
+                if ecls != "TStreamerBasicType":
+                    raise DecodeUnavailable(
+                        f"streamer for {cname!r}: member element {ecls!r} — "
+                        "only basic-type members decode here (object/array/"
+                        "base members need the full streamer walk; use "
+                        "uproot)"
+                    )
+                _e_end, _ev, ep = _r_version(b, eoff)  # TStreamerBasicType
+                _be_end, _bv, bp = _r_version(b, ep)   # TStreamerElement base
+                mname, _mt, named_end = _r_tnamed(b, bp)
+                ftype, fsize = struct.unpack_from(">ii", b, named_end)
+                letter = LETTER_OF_STREAMER_TYPE.get(ftype)
+                if letter is None:
+                    raise DecodeUnavailable(
+                        f"streamer for {cname!r}: member {mname!r} has type "
+                        f"code {ftype} — only basic-type codes "
+                        f"{sorted(LETTER_OF_STREAMER_TYPE)} decode here "
+                        "(use uproot)"
+                    )
+                want = int(np.dtype(LEAF_DTYPES[letter]).itemsize)
+                if fsize != want:
+                    raise ValueError(
+                        f"streamer for {cname!r}: member {mname!r} declares "
+                        f"fSize {fsize}, type code {ftype} is {want} bytes"
+                    )
+                members.append((mname, letter))
+            out[cname] = members
+        # anything else in the list: skip via byte count (real files
+        # also carry TStreamerInfos for ROOT's own classes and TLists
+        # of rules — unmodeled entries must not break the walk)
+        off = obj_end
+        _opt, off = _tstring(b, off)  # per-element option string
+    return out
+
+
 def _w_tree_payload(tree: str, branches: dict[str, str], entries: int) -> bytes:
     """Streamed TTree payload: TNamed + int64 entries + fBranches
     TObjArray of TBranch (TNamed name/leaflist + fLeaves TObjArray of
@@ -299,10 +458,22 @@ def _w_tree_payload(tree: str, branches: dict[str, str], entries: int) -> bytes:
     key the container decode on (r10)."""
     els = []
     for name, title in branches.items():
+        if title.startswith("TClonesArray("):
+            # clones branch (r12): fClassName "TClonesArray" followed
+            # by fClonesName — the element-class member real readers
+            # key the per-element decode on
+            be_body = (
+                _w_tnamed(name, "")
+                + _wstring("TClonesArray")
+                + _wstring(title[len("TClonesArray("):-1])
+            )
+            els.append(("TBranchElement", _w_version(be_body, 10)))
+            continue
         if (
             title in VECTOR_CLASSES
             or title in NESTED_VECTOR_CLASSES
             or title == STRING_VECTOR_CLASS
+            or "/" not in title  # user-class branch: title is the class
         ):
             be_body = _w_tnamed(name, "") + _wstring(title)
             els.append(("TBranchElement", _w_version(be_body, 10)))
@@ -332,12 +503,16 @@ def _r_tree_payload(b: bytes) -> tuple[str, int, dict[str, str]]:
     out: dict[str, str] = {}
     for classname, obj_off, _obj_end in els:
         if classname == "TBranchElement":
-            # simple-container branch (r10): TNamed + fClassName; the
-            # class name rides in the title slot of the result so
-            # _register_branch dispatches on it
+            # simple-container / user-class branch (r10/r12): TNamed +
+            # fClassName (+ fClonesName when fClassName is
+            # TClonesArray); the class rides in the title slot of the
+            # result so _register_branch dispatches on it
             _bend, _bver, boff = _r_version(b, obj_off)
             name, _title, named_end = _r_tnamed(b, boff)
-            clsname, _ = _tstring(b, named_end)
+            clsname, after = _tstring(b, named_end)
+            if clsname == "TClonesArray":
+                clones_cls, _ = _tstring(b, after)
+                clsname = _CLONES_RE_TITLE.format(clones_cls)
             out[name] = clsname
             continue
         if classname != "TBranch":
@@ -472,6 +647,17 @@ class RootFlatFile:
         self.nested_vectors: set[str] = set()
         self.string_vectors: set[str] = set()
         self._inner_lens: dict[str, np.ndarray] = {}
+        # r12: user-class branches decoded via streamer-info records —
+        # {branch: classname}; streamers = {classname: [(member,
+        # letter)]} parsed from the "StreamerInfo" TList key
+        self.objects: dict[str, str] = {}
+        self.clones: dict[str, str] = {}
+        self.streamers: dict[str, list[tuple[str, str]]] = {}
+        self._obj_members: dict[str, dict[str, np.ndarray]] = {}
+        self._obj_count: dict[str, int] = {}
+        # class-titled branches seen before the StreamerInfo key (real
+        # ROOT writes it at the END of the file) — resolved post-walk
+        self._pending_classes: list[tuple[str, str]] = []
         self.baskets: dict[str, list[Key]] = {}
         self.trees: set[str] = set()
         self._embedded_entries: int | None = None
@@ -506,7 +692,13 @@ class RootFlatFile:
                 # real-ROOT convention: basket key title = tree name
                 self.baskets.setdefault(k.name, []).append(k)
                 self.trees.add(k.title)
+            elif k.classname == "TList" and k.name == "StreamerInfo":
+                # r12: the class-description records (fSeekInfo in real
+                # files; recognized by name here since the walk visits
+                # every key anyway)
+                self.streamers = _r_streamerinfo_list(self._payload(k))
             seek += nbytes
+        self._resolve_pending_classes()
 
     _LEAF_RE = None  # compiled lazily below
 
@@ -537,6 +729,15 @@ class RootFlatFile:
             cls._LEAF_RE = _re.compile(r"^(\w+)(?:\[(\w+)\])?/(\w)$")
         m = cls._LEAF_RE.match(title)
         if m is None or m.group(3) not in LEAF_DTYPES:
+            # a class-shaped title (bare identifier, or the clones
+            # form) resolves against the streamer registry AFTER the
+            # key walk — real ROOT writes StreamerInfo at file end
+            if title.startswith("TClonesArray(") and title.endswith(")"):
+                self._pending_classes.append((name, title))
+                return
+            if title.isidentifier():
+                self._pending_classes.append((name, title))
+                return
             raise DecodeUnavailable(
                 f"branch {name!r}: leaflist {title!r} is not a "
                 "single-leaf flat or counter-jagged type — compound "
@@ -562,6 +763,169 @@ class RootFlatFile:
             else:
                 self.counters[name] = counter
 
+    def _resolve_pending_classes(self) -> None:
+        """Bind class-titled branches to their streamer recipes (r12).
+        Runs after the key walk so it does not matter whether the
+        StreamerInfo key precedes or follows the branch metadata."""
+        for name, title in self._pending_classes:
+            if title.startswith("TClonesArray("):
+                cls = title[len("TClonesArray("):-1]
+                if cls not in self.streamers:
+                    raise DecodeUnavailable(
+                        f"branch {name!r}: TClonesArray of {cls!r}, but this "
+                        "file carries no streamer info for it — only classes "
+                        "described by a StreamerInfo record with basic-type "
+                        "members decode here (use uproot)"
+                    )
+                self.clones[name] = cls
+            else:
+                if title not in self.streamers:
+                    raise DecodeUnavailable(
+                        f"branch {name!r}: class {title!r} has no streamer "
+                        "info record in this file — object branches decode "
+                        "only when a StreamerInfo record describes their "
+                        "(basic-type) members (use uproot)"
+                    )
+                self.objects[name] = title
+            # marker entry so the branch lists/validations see it; all
+            # decode dispatch is via self.objects/self.clones
+            self.branches[name] = title
+        self._pending_classes.clear()
+
+    def object_members(self, name: str) -> dict[str, np.ndarray]:
+        """Member arrays of an unsplit user-class branch (r12): one
+        value per entry per member, in streamer declaration order."""
+        if name not in self.objects:
+            raise KeyError(f"{name!r} is not a user-class object branch")
+        if name not in self._obj_members:
+            self._decode_object_baskets(name)
+        return self._obj_members[name]
+
+    def clones_members(self, name: str) -> dict[str, np.ndarray]:
+        """Concatenated member value streams of a TClonesArray branch
+        (r12); per-entry element counts come from
+        :meth:`branch_lengths`."""
+        if name not in self.clones:
+            raise KeyError(f"{name!r} is not a TClonesArray branch")
+        if name not in self._obj_members:
+            self._decode_clones_baskets(name)
+        return self._obj_members[name]
+
+    def _decode_object_baskets(self, name: str) -> None:
+        """Decode an unsplit user-class branch: per-entry payload is a
+        version header (byte count + fClassVersion) followed by the
+        class's basic members in streamer declaration order, big-
+        endian. Every entry has the same fixed size, so headers
+        validate and members gather with vectorized fancy indexing —
+        no per-entry Python loop (the _decode_vector_baskets
+        pattern)."""
+        members = self.streamers[self.objects[name]]
+        sizes = [int(np.dtype(LEAF_DTYPES[l]).itemsize) for _, l in members]
+        total = sum(sizes)
+        parts: dict[str, list[np.ndarray]] = {m: [] for m, _ in members}
+        count = 0
+        for payload, offs, ends in self._entry_spans(name, min_span=6):
+            nev = len(offs)
+            if nev == 0:
+                continue
+            if ((ends - offs) != 6 + total).any():
+                raise ValueError(
+                    f"object basket {name!r}: entry spans disagree with the "
+                    f"class size ({total} member bytes + 6-byte header)"
+                )
+            pay = np.frombuffer(payload, dtype=np.uint8, count=int(ends[-1]))
+            hidx = (offs[:, None] + np.arange(4)[None, :]).ravel()
+            hdr = pay[hidx].reshape(nev, 4).astype(np.int64)
+            bc = (hdr[:, 0] << 24) | (hdr[:, 1] << 16) | (hdr[:, 2] << 8) | hdr[:, 3]
+            if ((bc & _BYTECOUNT_MASK) == 0).any():
+                raise ValueError(
+                    f"object basket {name!r}: entry header missing "
+                    "kByteCountMask"
+                )
+            if ((bc & ~_BYTECOUNT_MASK) != 2 + total).any():
+                raise ValueError(
+                    f"object basket {name!r}: entry byte count disagrees "
+                    "with the streamer member sizes"
+                )
+            moff = 6
+            for (mname, letter), isz in zip(members, sizes):
+                dt = np.dtype(LEAF_DTYPES[letter])
+                idx = (offs[:, None] + (moff + np.arange(isz))[None, :]).ravel()
+                parts[mname].append(np.frombuffer(pay[idx].tobytes(), dtype=dt))
+                moff += isz
+            count += nev
+        self._obj_members[name] = {
+            m: self._native(np.concatenate(v) if v else
+                            np.empty(0, dtype=np.dtype(LEAF_DTYPES[l])), l)
+            for (m, l), v in zip(members, (parts[m] for m, _ in members))
+        }
+        self._obj_count[name] = count
+
+    def _decode_clones_baskets(self, name: str) -> None:
+        """Decode a TClonesArray branch streamed MEMBER-WISE (ROOT's
+        default; the kStreamedMemberWise bit in the entry's fVersion):
+        version header + TObject + fName + int32 nobjects + int32
+        fLowerBound + uint16 element-class version, then all nobjects
+        values of each member consecutively. The variable-length fName
+        forces a per-entry walk (the nested-vector precedent: object
+        branches are a per-file read path; production readers ride
+        uproot). Object-wise streams are gated with a directed
+        error."""
+        members = self.streamers[self.clones[name]]
+        parts: dict[str, list[np.ndarray]] = {m: [] for m, _ in members}
+        lens: list[int] = []
+        for payload, offs, ends in self._entry_spans(name, min_span=6):
+            for o, e in zip(offs.tolist(), ends.tolist()):
+                bc, ver = struct.unpack_from(">IH", payload, o)
+                if not bc & _BYTECOUNT_MASK:
+                    raise ValueError(
+                        f"clones basket {name!r}: entry header missing "
+                        "kByteCountMask"
+                    )
+                if not ver & _K_MEMBERWISE:
+                    raise DecodeUnavailable(
+                        f"clones basket {name!r}: OBJECT-wise TClonesArray "
+                        "stream (kStreamedMemberWise unset) — only the "
+                        "member-wise default decodes here (use uproot)"
+                    )
+                p = _r_tobject(payload, o + 6)
+                _nm, p = _tstring(payload, p)
+                nobj, _lower = struct.unpack_from(">ii", payload, p)
+                p += 8
+                if nobj < 0:
+                    raise ValueError(
+                        f"clones basket {name!r}: negative element count"
+                    )
+                p += 2  # element-class fClassVersion
+                lens.append(nobj)
+                for mname, letter in members:
+                    dt = np.dtype(LEAF_DTYPES[letter])
+                    if p + nobj * dt.itemsize > e:
+                        raise ValueError(
+                            f"clones basket {name!r}: member run overruns "
+                            "its entry span"
+                        )
+                    parts[mname].append(
+                        np.frombuffer(payload, dtype=dt, count=nobj, offset=p)
+                    )
+                    p += nobj * dt.itemsize
+                if p != e:
+                    raise ValueError(
+                        f"clones basket {name!r}: entry has trailing bytes "
+                        "after its member runs"
+                    )
+        self._obj_members[name] = {
+            m: self._native(np.concatenate(v) if v else
+                            np.empty(0, dtype=np.dtype(LEAF_DTYPES[l])), l)
+            for (m, l), v in zip(members, (parts[m] for m, _ in members))
+        }
+        self._veclens[name] = np.asarray(lens, dtype=np.int64)
+
+    @staticmethod
+    def _native(arr: np.ndarray, letter: str) -> np.ndarray:
+        arr = arr.astype(arr.dtype.newbyteorder("="), copy=False)
+        return arr.astype(bool) if letter == "O" else arr
+
     def _payload(self, k: Key) -> bytes:
         raw = self._buf[k.seek + k.keylen : k.seek + k.nbytes]
         return _decompress(raw, k.objlen) if k.compressed else raw
@@ -572,13 +936,15 @@ class RootFlatFile:
     _BASKET_TRAILER = ">HIIII"  # fVersion fBufferSize fNevBufSize fNevBuf fLast
     _BASKET_TRAILER_LEN = 19
 
-    def _entry_spans(self, name: str):
+    def _entry_spans(self, name: str, min_span: int = 10):
         """Yield (payload, offs, ends) per basket of a container
         branch: the entry-offset table parse shared by the flat
-        (r10) and nested/string (r11) container decoders. ``offs``/
-        ``ends`` are keylen-relative byte spans of each entry's
-        serialized payload, validated monotone with at least the
-        10-byte outer header per entry."""
+        (r10) and nested/string (r11) container decoders and the
+        object/clones decoders (r12). ``offs``/``ends`` are
+        keylen-relative byte spans of each entry's serialized payload,
+        validated monotone with at least ``min_span`` bytes per entry
+        (10 for containers: version header + int32 size; 6 for
+        user-class objects: version header only)."""
         for k in self.baskets.get(name, []):
             tl = self._BASKET_TRAILER_LEN
             tr = self._buf[k.seek + k.keylen - tl : k.seek + k.keylen]
@@ -615,8 +981,8 @@ class RootFlatFile:
             ends = np.append(offs[1:], data_len)
             if nev and (
                 offs[0] != 0
-                or (np.diff(offs) < 10).any()
-                or data_len < offs[-1] + 10
+                or (np.diff(offs) < min_span).any()
+                or data_len < offs[-1] + min_span
             ):
                 raise ValueError(
                     f"vector basket {name!r}: non-monotone or truncated "
@@ -795,6 +1161,11 @@ class RootFlatFile:
         if name in self.string_vectors:
             self._decode_string_vector_baskets(name)
             return self._decoded[name]
+        if name in self.objects or name in self.clones:
+            raise TypeError(
+                f"branch {name!r} holds user-class objects — read its "
+                "member arrays via object_members()/clones_members()"
+            )
         dt = np.dtype(LEAF_DTYPES[self.branches[name]])
         parts = [
             np.frombuffer(self._payload(k), dtype=dt)
@@ -823,6 +1194,10 @@ class RootFlatFile:
         if name in self.nested_vectors or name in self.string_vectors:
             if name not in self._veclens:
                 self.branch_array(name)
+            return self._veclens[name]
+        if name in self.clones:
+            if name not in self._veclens:
+                self._decode_clones_baskets(name)
             return self._veclens[name]
         if name in self.fixed_lens:
             k = self.fixed_lens[name]
@@ -887,12 +1262,15 @@ class RootFlatFile:
             and name not in self.vectors
             and name not in self.nested_vectors
             and name not in self.string_vectors
+            and name not in self.objects
+            and name not in self.clones
         }
         counts.update(
             {
                 name: self._vector_entry_count(name)
                 for name in (
                     self.vectors | self.nested_vectors | self.string_vectors
+                    | set(self.objects) | set(self.clones)
                 )
                 if self.baskets.get(name)
             }
@@ -934,6 +1312,7 @@ def write_root_flat(
     compress: bool | str = False,
     embed_tree: bool = False,
     big_file: bool = False,
+    classes: dict[str, list[tuple[str, str]]] | None = None,
 ) -> None:
     """Write a minimal flat/counter-jagged ROOT file: TFile header +
     branch metadata + TBasket keys holding big-endian value arrays,
@@ -964,19 +1343,64 @@ def write_root_flat(
     version-1004 keys carrying 64-bit fSeekKey/fSeekPdir (which
     :func:`parse_key` reads). The small form keeps its directed
     2 GiB guard; at 100 TB every production file should be big-form.
+
+    ``classes`` (r12) registers simple user classes —
+    {classname: [(member, leaf letter)]} — written as TStreamerInfo
+    records in a trailing "StreamerInfo" TList key (where real ROOT
+    puts them). Two new specs use them: ``"obj:Cls"`` (values = one
+    member tuple per entry; unsplit user-class TBranchElement) and
+    ``"clones:Cls"`` (values = one list of member tuples per entry;
+    TClonesArray streamed member-wise with the kStreamedMemberWise
+    version bit, ROOT's default).
     """
     if compress not in (False, True, "zlib", "lz4", "zstd", "lzma"):
         raise ValueError(
             "compress must be False/True/'zlib'/'lz4'/'zstd'/'lzma', "
             f"got {compress!r}"
         )
+    classes = classes or {}
+    for cname, members in classes.items():
+        bad = [(m, l) for m, l in members if l not in STREAMER_TYPE_OF_LETTER]
+        if bad or not members:
+            raise ValueError(
+                f"class {cname!r}: members must be (name, basic leaf "
+                f"letter) pairs from {sorted(STREAMER_TYPE_OF_LETTER)}, "
+                f"got {bad or 'none'}"
+            )
     parsed: dict[str, tuple[str, str | None, object]] = {}
     vectors: set[str] = set()
     nested: set[str] = set()
     strvecs: set[str] = set()
+    objbr: dict[str, str] = {}
+    clonesbr: dict[str, str] = {}
     titles: dict[str, str] = {}
     for name, (spec, values) in data.items():
         counter = None
+        if spec.startswith("obj:") or spec.startswith("clones:"):
+            kind, _, cname = spec.partition(":")
+            if cname not in classes:
+                raise ValueError(
+                    f"branch {name!r}: spec {spec!r} needs class {cname!r} "
+                    "in the classes= registry"
+                )
+            nm = len(classes[cname])
+            ents = values if kind == "clones" else [[v] for v in values]
+            for i, ent in enumerate(ents):
+                wrong = [t for t in ent if len(t) != nm]
+                if wrong:
+                    raise ValueError(
+                        f"branch {name!r}: entry {i} holds a "
+                        f"{len(wrong[0])}-tuple, class {cname!r} has "
+                        f"{nm} members"
+                    )
+            if kind == "obj":
+                objbr[name] = cname
+                titles[name] = cname
+            else:
+                clonesbr[name] = cname
+                titles[name] = _CLONES_RE_TITLE.format(cname)
+            parsed[name] = (None, None, values)
+            continue
         if spec in VECTOR_CLASSES:
             # simple-container TBranchElement (r10): values are a list
             # of per-entry lists; lengths ride in the basket
@@ -1068,6 +1492,8 @@ def write_root_flat(
 
     seek = 100
     for name, (leaf, counter, _values) in parsed.items():
+        if name in objbr or name in clonesbr:
+            continue  # class branches: titles set, leaf is the streamer's
         if leaf not in LEAF_DTYPES and name not in strvecs:
             raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
         if name not in vectors and name not in nested and name not in strvecs:
@@ -1153,15 +1579,81 @@ def write_root_flat(
         records.append(rec)
         seek += len(rec)
     for name, (leaf, counter, values) in parsed.items():
+        is_class = name in objbr or name in clonesbr
         if not embed_tree:
             cls = (
                 "TBranchElement"
                 if name in vectors or name in nested or name in strvecs
+                or is_class
                 else "TBranch"
             )
             rec = key_record(cls, name, titles[name], b"", 0, seek)
             records.append(rec)
             seek += len(rec)
+        if is_class:
+            members = classes[objbr.get(name) or clonesbr[name]]
+            dts = [np.dtype(LEAF_DTYPES[l]) for _, l in members]
+
+            def _pack_members(tup) -> bytes:
+                return b"".join(
+                    np.asarray(v).astype(dt).tobytes()
+                    for v, dt in zip(tup, dts)
+                )
+
+            def _entry_payload(ent) -> bytes:
+                if name in objbr:
+                    body = _pack_members(ent)
+                    return (
+                        struct.pack(">IH", (2 + len(body)) | _BYTECOUNT_MASK, 1)
+                        + body
+                    )
+                # TClonesArray, member-wise: TObject + fName + counts +
+                # element-class version, then per member all values
+                body = (
+                    _w_tobject()
+                    + _wstring("")
+                    + struct.pack(">ii", len(ent), 0)
+                    + struct.pack(">H", 1)
+                )
+                for j, dt in enumerate(dts):
+                    body += np.asarray(
+                        [t[j] for t in ent]
+                    ).astype(dt).tobytes()
+                return (
+                    struct.pack(
+                        ">IH",
+                        (2 + len(body)) | _BYTECOUNT_MASK,
+                        3 | _K_MEMBERWISE,
+                    )
+                    + body
+                )
+
+            kl = key_len("TBasket", name, tree, trailer_len=19)
+            for start in range(0, max(len(values), 1), basket_entries):
+                ents = values[start : start + basket_entries]
+                if not ents:
+                    continue
+                data_buf = bytearray()
+                offs: list[int] = []
+                for ent in ents:
+                    offs.append(kl + len(data_buf))
+                    data_buf += _entry_payload(ent)
+                flast = kl + len(data_buf)
+                raw = (
+                    bytes(data_buf)
+                    + struct.pack(">i", len(ents))
+                    + b"".join(struct.pack(">i", o) for o in offs)
+                )
+                trailer = struct.pack(
+                    ">HIIII", 3, len(raw), 4, len(ents), flast
+                ) + bytes([0])
+                rec = key_record(
+                    "TBasket", name, tree, compress_payload(raw), len(raw),
+                    seek, trailer=trailer,
+                )
+                records.append(rec)
+                seek += len(rec)
+            continue
         if name in vectors or name in nested or name in strvecs:
             dt = np.dtype(LEAF_DTYPES[leaf]) if name not in strvecs else None
 
@@ -1250,6 +1742,17 @@ def write_root_flat(
             rec = key_record("TBasket", name, tree, compress_payload(raw), len(raw), seek)
             records.append(rec)
             seek += len(rec)
+
+    if classes:
+        # trailing StreamerInfo key — where real ROOT writes the class
+        # descriptions (fSeekInfo points at the file tail)
+        payload = _w_streamerinfo_list(classes)
+        rec = key_record(
+            "TList", "StreamerInfo", "Doubly linked list", payload,
+            len(payload), seek,
+        )
+        records.append(rec)
+        seek += len(rec)
 
     end = seek
     # public fCompress encoding: algorithm*100 + level (zlib=1xx,

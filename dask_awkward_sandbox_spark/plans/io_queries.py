@@ -224,6 +224,10 @@ _SMALL_SOURCES_ORACLE = f"""
       select e.i, (((e.i*7 + j.j*3) % 500) * 10 + 50) as pt_c
       from root_ent e, lateral (select unnest(range(e.i % 4)) as j) j
     ),
+    root_hits as (
+      select e.i, e.i*10 + j.j as hid, (((e.i + 2*j.j) % 31) * 50) as x_c
+      from root_ent e, lateral (select unnest(range((e.i*3 + 1) % 5)) as j) j
+    ),
     rt as (
       select cast({_ROOT_N} as bigint) as root_n,
              cast((select sum(1000000 + i) from root_ent) as bigint) as root_sum_event,
@@ -238,7 +242,15 @@ _SMALL_SOURCES_ORACLE = f"""
                as root_zstd_dot,
              cast((select sum(pt_c) from root_vals) as bigint) as root_lzma_sum_pt_c,
              cast((select sum((i % 97) * pt_c) from root_vals) as bigint)
-               as root_lzma_dot
+               as root_lzma_dot,
+             cast((select count(*) from root_hits) as bigint) as root_obj_n_hits,
+             cast((select sum(hid) from root_hits) as bigint) as root_obj_sum_id,
+             cast((select sum(x_c) from root_hits) as bigint) as root_obj_sum_x_c,
+             cast((select sum((i % 89) * (hid + x_c)) from root_hits) as bigint)
+               as root_obj_dot,
+             cast((select sum(5000 + i) from root_ent) as bigint) as root_obj_sum_run,
+             cast((select sum((i % 13) * 25) from root_ent) as bigint)
+               as root_obj_sum_w_c
     ),
     j as (
       select event_type, cast(count(*) as bigint) as n,
@@ -311,7 +323,11 @@ def q_small_sources(spark, sf_dir):
       from_root(backend=RawRootBackend) across basket AND entry-range
       cuts, and aggregated; the oracle recomputes from the closed-form
       per-entry generator. This puts the io/rootfile.py byte decoder
-      under the driver's value gate every round.
+      under the driver's value gate every round. root_lz4_/zstd_/lzma_
+      twins re-run the decode under each compression framing, and
+      root_obj_* legs (r12) cover the streamer-info path: an unsplit
+      user-class branch (struct column) and a member-wise TClonesArray
+      (array<struct>) written with a real StreamerInfo key.
     - lake_* legs (late r9): the snapshot-table lakehouse contract
       under the value gate — create a table from an events slice,
       apply ONE upsert that both updates (doubled value_c for
@@ -503,6 +519,70 @@ def q_small_sources(spark, sf_dir):
         ),
     )
     root_stats = root_stats.crossJoin(F.broadcast(root_lzma_stats))
+    # root_obj_* legs (r12): user-class branches via streamer-info —
+    # an unsplit object branch (meta: one struct per entry) and a
+    # TClonesArray branch (hits: member-wise stream, array<struct>),
+    # written with a real StreamerInfo TList key and read back through
+    # the same from_root path in the EMBEDDED metadata layout; the
+    # oracle replays the closed-form generator. root_obj_dot is
+    # boundary-sensitive (entry index times per-entry member sums), so
+    # values credited to the wrong entry break the hash even when
+    # totals survive.
+    rpatho = os.path.join(_scratch(sf_dir, "root_gate"), "events_obj.root")
+    hits = [
+        [(int(ii) * 10 + j, ((int(ii) + 2 * j) % 31) / 2.0)
+         for j in range((int(ii) * 3 + 1) % 5)]
+        for ii in i
+    ]
+    metas = [(5000 + int(ii), (int(ii) % 13) * 0.25) for ii in i]
+    write_root_flat(
+        rpatho,
+        "Events",
+        {
+            "event": ("L", 1_000_000 + i),
+            "meta": ("obj:EvtMeta", metas),
+            "hits": ("clones:Hit", hits),
+        },
+        classes={
+            "EvtMeta": [("run", "L"), ("w", "D")],
+            "Hit": [("id", "I"), ("x", "F")],
+        },
+        basket_entries=_ROOT_N // 4,
+        compress="zstd",
+        embed_tree=True,
+    )
+    rdfo = from_root(spark, rpatho, tree="Events", step_size=_ROOT_N // 3,
+                     backend=RawRootBackend())
+    hit_sum = F.aggregate(
+        F.col("hits"),
+        F.lit(0).cast("long"),
+        lambda a, h: a + h["id"].cast("long") + F.round(h["x"] * 100).cast("long"),
+    )
+    root_obj_stats = rdfo.select(
+        "event",
+        F.size("hits").alias("nh"),
+        F.aggregate(
+            F.col("hits"), F.lit(0).cast("long"),
+            lambda a, h: a + h["id"].cast("long"),
+        ).alias("hid_sum"),
+        F.aggregate(
+            F.col("hits"), F.lit(0).cast("long"),
+            lambda a, h: a + F.round(h["x"] * 100).cast("long"),
+        ).alias("x_c_sum"),
+        hit_sum.alias("hx_sum"),
+        F.col("meta")["run"].alias("run"),
+        F.round(F.col("meta")["w"] * 100).cast("long").alias("w_c"),
+    ).agg(
+        F.sum("nh").cast("long").alias("root_obj_n_hits"),
+        F.sum("hid_sum").alias("root_obj_sum_id"),
+        F.sum("x_c_sum").alias("root_obj_sum_x_c"),
+        F.sum(((F.col("event") - 1_000_000) % 89) * F.col("hx_sum")).alias(
+            "root_obj_dot"
+        ),
+        F.sum("run").alias("root_obj_sum_run"),
+        F.sum("w_c").alias("root_obj_sum_w_c"),
+    )
+    root_stats = root_stats.crossJoin(F.broadcast(root_obj_stats))
 
     # lakehouse snapshot legs (late r9): deterministic per run — the
     # table is rebuilt from scratch each call

@@ -715,7 +715,7 @@ def test_plans_broadcast_hint_sites_inventoried():
                 found[key] = max(found.get(key, 0), n)
 
     expected = {
-        ("io_queries.py", "q_small_sources"): 9,
+        ("io_queries.py", "q_small_sources"): 10,
         ("llm.py", "q_data_mixture"): 1,
         ("nested.py", "q_concatenate"): 2,
         ("tpch.py", "q3_shipping_priority"): 1,
