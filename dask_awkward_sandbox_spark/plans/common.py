@@ -105,29 +105,36 @@ def cents(col: Column) -> Column:
 def shared_lineitem(
     spark: SparkSession, sf_dir: str, fields: list[str]
 ) -> DataFrame:
-    """ONE persisted narrow projection of lineitem feeding every branch
-    of a gate slot (r12, verdict items 1+5): the flat codegen legs and
-    the sampled hof_* twin both read the same ``InMemoryRelation``, so
-    the executed plan carries exactly one lineitem FileScan —
-    ``l_orderkey % 50`` prunes no row groups, so the r11 second-scan
-    form paid 2x scan IO for nothing.
+    """ONE persisted narrow projection of lineitem feeding every
+    branch of a gate slot — BUILT, MEASURED, AND REJECTED for the
+    registered plans (r12, verdict item 5). Retained only as the
+    cache-form builder for the A/B probe (scripts/hof_form_ab.py).
 
-    Persist (MEMORY_AND_DISK) rather than ``repartition`` +
-    ReusedExchange: per-branch column pruning and filter pushdown
-    rewrite the exchange subtrees differently, so canonicalized-plan
-    reuse never fires (measured), while the cache is substituted by
-    analyzed-plan matching and survives both branches' rewrites.
-    Map-side partial aggregation is preserved (partials build ABOVE
-    the cache read), and the hof branch filters its ~2% sample from
-    cached batches.
+    The idea: the flat codegen legs and the sampled hof_* twin read
+    the same ``InMemoryRelation``, so the executed plan carries one
+    lineitem FileScan (``l_orderkey % 50`` prunes no row groups, so
+    the two-scan form re-reads the whole table). Persist rather than
+    ``repartition`` + ReusedExchange because per-branch column pruning
+    and filter pushdown rewrite the exchange subtrees differently and
+    canonicalized-plan reuse never fires (measured), while cache
+    substitution matches the analyzed plan and survives both
+    branches' rewrites.
 
-    100 TB story: this is the standard reused-frame pattern — each
-    executor caches its partitions of the ~4-7 column projection,
-    spilling to local disk; both consumers then pay zero remote IO.
-    On a real deployment lineitem would be bucketed by l_orderkey,
-    collapsing every downstream exchange too. Cache lifetime: entries
-    are LRU-evicted; bench.py clears the cache before every timed rep
-    so recorded walls always include the scan.
+    The measurement (SCALE_SF10.json ``hof_form_ab``): ISOLATED
+    min-of-2 puts the two forms within ~10% of each other (the second
+    scan of a narrow parquet projection is near-free) — but inside
+    the 48-slot panel's long JVM session the cache form COLLAPSED
+    2-3x on every re-coupled slot (q_cartesian_combinations sf10
+    22.5s vs 10.2s two-scan; q_concatenate doubled at both scales):
+    materializing a 60M-row columnar cache inside aged executors
+    triggers eviction/GC churn the stateless scan form never pays.
+    The registered slots therefore keep two scans (robust under
+    session aging, parity when fresh); the order-grained
+    q_parquet_roundtrip frame (|orders| rows, five consumers of an
+    expensive nested scan) is the one place the persist measured
+    neutral-to-better and stays. At 100 TB the real fix is bucketing
+    lineitem by l_orderkey, which removes the rebuild shuffle
+    entirely and makes both forms moot.
     """
     return read(spark, sf_dir, "lineitem").select("l_orderkey", *fields).persist()
 
@@ -166,10 +173,11 @@ def order_items(
     subsample so the driver hash executes the operator code paths at
     ~2% of the full-build cost.
 
-    ``base`` (r12) supplies a pre-projected lineitem frame — the
-    :func:`shared_lineitem` cache — so a slot's hof twin builds off
-    the SAME scan as its flat legs instead of a second table read;
-    ``fields`` must be a subset of its columns.
+    ``base`` (r12) supplies a pre-projected lineitem frame so a hof
+    twin can build off a provided scan — the hook
+    scripts/hof_form_ab.py uses to rebuild the measured-and-rejected
+    single-scan cache form (see :func:`shared_lineitem`); ``fields``
+    must be a subset of its columns.
     """
     fields = fields or ITEM_FIELDS
     assert fields[0] == "l_linenumber", "linenumber must lead for deterministic sort"

@@ -30,13 +30,7 @@ from dask_awkward_sandbox_spark.io import (
 )
 from dask_awkward_sandbox_spark.io.text import to_text
 from dask_awkward_sandbox_spark.operators import structure as st
-from dask_awkward_sandbox_spark.plans.common import (
-    cents,
-    fld_map,
-    order_items,
-    read,
-    shared_lineitem,
-)
+from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items, read
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SCRATCH = "/root/repo/.scratch"
@@ -85,21 +79,21 @@ def q_parquet_roundtrip(spark, sf_dir):
     hatch); the per-row qty2 values it computes aggregate per order,
     incl. a linenumber-weighted dot that is NOT derivable from the
     other columns, so a broken Arrow kernel breaks the hash."""
-    # one lineitem scan feeds both the nested write side and the
-    # mapInArrow legs below (r12 single-scan pass)
-    li_base = shared_lineitem(spark, sf_dir, ["l_linenumber", "l_quantity"])
-    it = order_items(
-        spark, sf_dir, fields=["l_linenumber", "l_quantity"], base=li_base
-    )
+    it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
     # r12 (verdict items 1+5): the read-back frame feeds FIVE branches
     # (nested_side, to_dataframe explode, enforce_type explode, and
     # the two sampled hof legs) — persist it so the executed plan
     # scans the roundtrip file ONCE and every branch reads the
-    # InMemoryRelation; and the hof leg joins drop their broadcast
-    # hints (the sampled side is a fixed ~2% fraction — linear in the
-    # data — so AQE must keep the right to degrade to sort-merge).
+    # InMemoryRelation. Unlike the fact-projection caches (measured
+    # and reverted — nested.py q_flatten_softmax note), this frame is
+    # ORDER-grained (|orders| rows, ~4x smaller than lineitem) with
+    # five consumers of an expensive nested-parquet scan: the persist
+    # form measured neutral-to-better here (sf10 growth 8.18 -> 7.0)
+    # and stays. The hof leg joins drop their broadcast hints (the
+    # sampled side is a fixed ~2% fraction — linear in the data — so
+    # AQE must keep the right to degrade to sort-merge).
     back = from_parquet(spark, path, columns=["l_orderkey", "items"]).persist()
     # r11 (verdict item 3): full-data reductions run CODEGEN — n_items
     # is size(), and sum_qty_c rides the to_dataframe explode below
@@ -155,11 +149,12 @@ def q_parquet_roundtrip(spark, sf_dir):
             F.filter(F.col("items"), lambda s: s["l_bogus"].isNull())
         ).cast("long").alias("hof_enf_n_bogus_null"),
     )
-    # mp_* legs: map_partitions over the flat lineitem frame (the
-    # shared cache — no second lineitem scan)
+    # mp_* legs: map_partitions over the flat lineitem scan
     import pyarrow as pa
 
-    li = li_base
+    li = read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
 
     def fn(batches):
         for b in batches:

