@@ -187,6 +187,9 @@ class RawRootBackend:
                 return pa.list_(pa.list_(cls._ARROW[f.branches[n]]))
             if n in f.string_vectors:
                 return pa.list_(pa.string())
+            if n in f.cstrings:
+                # r12: TLeafC "name/C" — one string per entry
+                return pa.string()
             if n in f.counters or n in f.vectors or n in f.fixed_lens:
                 # fixed-size ("pos[3]/D") branches surface as lists of
                 # constant length k (r11) — uproot's regular-array
@@ -230,6 +233,9 @@ class RawRootBackend:
                 )
                 continue
             vals = f.branch_array(n)
+            if n in f.cstrings:
+                cols[n] = pa.array(list(vals[start:stop]), type=pa.string())
+                continue
             if n in f.nested_vectors:
                 # list<list<T>>: outer offsets over inner-vector counts,
                 # inner offsets over element counts — both off the

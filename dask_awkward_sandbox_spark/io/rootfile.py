@@ -35,7 +35,9 @@ module already reads — no basket-internal offset tables needed.
 FIXED-SIZE array branches (``"pos[3]/D"`` — a numeric repeat count,
 uproot's regular-array shape; r11) decode as constant-length lists:
 the value stream is sliced every k elements, with a directed error
-when the stream is not a multiple of the declared size.
+when the stream is not a multiple of the declared size. TLeafC
+string branches (``"tag/C"``; r12) decode as one string per entry —
+TString bytes behind the basket entry-offset table.
 
 Branch metadata decodes from BOTH layouts (r9): the embedded-streamer
 layout real ROOT uses — a ``TTree`` key whose payload streams the
@@ -638,6 +640,10 @@ class RootFlatFile:
         # uproot surfaces these as regular arrays; here they read as
         # lists of constant length k
         self.fixed_lens: dict[str, int] = {}
+        # TLeafC string branches ("tag/C", r12): one C-string per
+        # entry — TString bytes per entry, boundaries from the basket
+        # entry-offset table (variable-size leaves always carry one)
+        self.cstrings: set[str] = set()
         # simple-container TBranchElement branches (r10): lengths come
         # from each basket's entry-offset table, not a counter branch
         self.vectors: set[str] = set()
@@ -728,7 +734,7 @@ class RootFlatFile:
         if cls._LEAF_RE is None:
             cls._LEAF_RE = _re.compile(r"^(\w+)(?:\[(\w+)\])?/(\w)$")
         m = cls._LEAF_RE.match(title)
-        if m is None or m.group(3) not in LEAF_DTYPES:
+        if m is None or (m.group(3) not in LEAF_DTYPES and m.group(3) != "C"):
             # a class-shaped title (bare identifier, or the clones
             # form) resolves against the streamer registry AFTER the
             # key walk — real ROOT writes StreamerInfo at file end
@@ -750,6 +756,18 @@ class RootFlatFile:
                 f"branch {name!r}: leaflist {title!r} names "
                 f"a different leaf {nm!r}"
             )
+        if leaf == "C":
+            # TLeafC (r12): one C-string per entry; a repeat count on
+            # a string leaf has no public single-leaf meaning
+            if counter is not None:
+                raise DecodeUnavailable(
+                    f"branch {name!r}: counter/sized string leaflist "
+                    f"{title!r} — only plain 'name/C' decodes here "
+                    "(use uproot)"
+                )
+            self.branches[name] = "C"
+            self.cstrings.add(name)
+            return
         self.branches[name] = leaf
         if counter is not None:
             if counter.isdigit():
@@ -1078,6 +1096,23 @@ class RootFlatFile:
         self._decoded[name] = np.asarray(strings, dtype=object)
         self._veclens[name] = np.asarray(outer, dtype=np.int64)
 
+    def _decode_cstring_baskets(self, name: str) -> None:
+        """Decode a TLeafC branch (r12): each entry is ONE TString
+        (u8 length with the 255 -> int32 escape + bytes), boundaries
+        from the basket entry-offset table; an entry whose string does
+        not exactly fill its span fails loudly."""
+        strings: list[str] = []
+        for payload, offs, ends in self._entry_spans(name, min_span=1):
+            for o, e in zip(offs.tolist(), ends.tolist()):
+                s, p = _tstring(payload, o)
+                if p != e:
+                    raise ValueError(
+                        f"string basket {name!r}: entry bytes disagree with "
+                        "the offset-table span"
+                    )
+                strings.append(s)
+        self._decoded[name] = np.asarray(strings, dtype=object)
+
     def _decode_vector_baskets(self, name: str) -> None:
         """Decode a simple-container (TBranchElement) branch laid out
         the way real ROOT places it (uproot-compatible): the basket
@@ -1166,6 +1201,9 @@ class RootFlatFile:
                 f"branch {name!r} holds user-class objects — read its "
                 "member arrays via object_members()/clones_members()"
             )
+        if name in self.cstrings:
+            self._decode_cstring_baskets(name)
+            return self._decoded[name]
         dt = np.dtype(LEAF_DTYPES[self.branches[name]])
         parts = [
             np.frombuffer(self._payload(k), dtype=dt)
@@ -1264,13 +1302,14 @@ class RootFlatFile:
             and name not in self.string_vectors
             and name not in self.objects
             and name not in self.clones
+            and name not in self.cstrings
         }
         counts.update(
             {
                 name: self._vector_entry_count(name)
                 for name in (
                     self.vectors | self.nested_vectors | self.string_vectors
-                    | set(self.objects) | set(self.clones)
+                    | self.cstrings | set(self.objects) | set(self.clones)
                 )
                 if self.baskets.get(name)
             }
@@ -1371,6 +1410,7 @@ def write_root_flat(
     vectors: set[str] = set()
     nested: set[str] = set()
     strvecs: set[str] = set()
+    cstrs: set[str] = set()
     objbr: dict[str, str] = {}
     clonesbr: dict[str, str] = {}
     titles: dict[str, str] = {}
@@ -1418,6 +1458,12 @@ def write_root_flat(
             strvecs.add(name)
             leaf = "C"
             titles[name] = spec
+        elif spec == "C":
+            # TLeafC (r12): one C-string per entry, written like the
+            # container branches — TString entry payloads behind the
+            # basket entry-offset table + 19-byte trailer
+            cstrs.add(name)
+            leaf = "C"
         elif spec.startswith("["):
             counter, _, leaf = spec[1:].partition("]")
         else:
@@ -1494,7 +1540,7 @@ def write_root_flat(
     for name, (leaf, counter, _values) in parsed.items():
         if name in objbr or name in clonesbr:
             continue  # class branches: titles set, leaf is the streamer's
-        if leaf not in LEAF_DTYPES and name not in strvecs:
+        if leaf not in LEAF_DTYPES and name not in strvecs and name not in cstrs:
             raise ValueError(f"unsupported leaf type {leaf!r} for {name!r}")
         if name not in vectors and name not in nested and name not in strvecs:
             titles[name] = (
@@ -1654,10 +1700,18 @@ def write_root_flat(
                 records.append(rec)
                 seek += len(rec)
             continue
-        if name in vectors or name in nested or name in strvecs:
-            dt = np.dtype(LEAF_DTYPES[leaf]) if name not in strvecs else None
+        if name in vectors or name in nested or name in strvecs or name in cstrs:
+            dt = (
+                np.dtype(LEAF_DTYPES[leaf])
+                if name not in strvecs and name not in cstrs
+                else None
+            )
 
             def _entry_payload(ent) -> bytes:
+                if name in cstrs:
+                    # TLeafC: a bare TString per entry, no version
+                    # header (the leaflist contract, not an object)
+                    return _wstring(ent)
                 if name in vectors:
                     a = np.asarray(ent).astype(dt)
                     return (

@@ -245,7 +245,11 @@ _SMALL_SOURCES_ORACLE = f"""
                as root_obj_dot,
              cast((select sum(5000 + i) from root_ent) as bigint) as root_obj_sum_run,
              cast((select sum((i % 13) * 25) from root_ent) as bigint)
-               as root_obj_sum_w_c
+               as root_obj_sum_w_c,
+             cast((select sum(1 + (i % 3)) from root_ent) as bigint)
+               as root_cstr_len,
+             cast((select sum((i % 83) * (65 + (i % 5))) from root_ent) as bigint)
+               as root_cstr_dot
     ),
     j as (
       select event_type, cast(count(*) as bigint) as n,
@@ -530,6 +534,10 @@ def q_small_sources(spark, sf_dir):
         for ii in i
     ]
     metas = [(5000 + int(ii), (int(ii) % 13) * 0.25) for ii in i]
+    # root_cstr_* legs (late r12): a TLeafC "tag/C" string branch in
+    # the same file — per-entry TStrings behind the basket
+    # entry-offset table; the dot leg is boundary-sensitive
+    tags = [chr(65 + int(ii) % 5) * (1 + int(ii) % 3) for ii in i]
     write_root_flat(
         rpatho,
         "Events",
@@ -537,6 +545,7 @@ def q_small_sources(spark, sf_dir):
             "event": ("L", 1_000_000 + i),
             "meta": ("obj:EvtMeta", metas),
             "hits": ("clones:Hit", hits),
+            "tag": ("C", tags),
         },
         classes={
             "EvtMeta": [("run", "L"), ("w", "D")],
@@ -567,6 +576,8 @@ def q_small_sources(spark, sf_dir):
         hit_sum.alias("hx_sum"),
         F.col("meta")["run"].alias("run"),
         F.round(F.col("meta")["w"] * 100).cast("long").alias("w_c"),
+        F.length("tag").cast("long").alias("tag_len"),
+        F.ascii(F.substring("tag", 1, 1)).cast("long").alias("tag_c0"),
     ).agg(
         F.sum("nh").cast("long").alias("root_obj_n_hits"),
         F.sum("hid_sum").alias("root_obj_sum_id"),
@@ -576,6 +587,10 @@ def q_small_sources(spark, sf_dir):
         ),
         F.sum("run").alias("root_obj_sum_run"),
         F.sum("w_c").alias("root_obj_sum_w_c"),
+        F.sum("tag_len").alias("root_cstr_len"),
+        F.sum(((F.col("event") - 1_000_000) % 83) * F.col("tag_c0")).alias(
+            "root_cstr_dot"
+        ),
     )
     root_stats = root_stats.crossJoin(F.broadcast(root_obj_stats))
 
