@@ -326,7 +326,8 @@ def q_small_sources(spark, sf_dir):
       twins re-run the decode under each compression framing, and
       root_obj_* legs (r12) cover the streamer-info path: an unsplit
       user-class branch (struct column) and a member-wise TClonesArray
-      (array<struct>) written with a real StreamerInfo key.
+      (array<struct>) written with a real StreamerInfo key; root_cstr_*
+      legs (late r12) cover TLeafC "tag/C" string branches.
     - lake_* legs (late r9): the snapshot-table lakehouse contract
       under the value gate — create a table from an events slice,
       apply ONE upsert that both updates (doubled value_c for
