@@ -333,19 +333,24 @@ def q_stream_sessionize(spark, sf_dir):
     path = os.path.join("/root/repo/.scratch", tag, "stream_sessionize_json")
     e = read(spark, sf_dir, "events")
     tus = F.unix_micros(F.col("ts"))
-    max_us = e.agg(F.max(tus)).collect()[0][0]
+    # the scalar max rides the plan as a 1-row broadcast crossJoin
+    # (the q11/q15 pattern) — no driver collect, each write stays a
+    # single job at any scale
+    mx = e.agg(F.max(tus).alias("_max_us"))
+    ex = e.crossJoin(F.broadcast(mx))
     # deferred slice: strictly inside (final_watermark + 10min,
     # max - 1min] so batch 1 still carries the stream-head event (the
     # watermark never regresses) and no deferred row is droppable late
-    lo, hi = max_us - WATERMARK_US + 600_000_000, max_us - 60_000_000
+    lo = F.col("_max_us") - F.lit(WATERMARK_US - 600_000_000)
+    hi = F.col("_max_us") - F.lit(60_000_000)
     deferred = (tus >= lo) & (tus <= hi) & (F.col("event_id") % 7 == 0)
-    e.filter(~deferred).repartition(1).write.mode("overwrite").option(
-        "timestampFormat", JSON_TS_FORMAT
-    ).json(path)
+    ex.filter(~deferred).drop("_max_us").repartition(1).write.mode(
+        "overwrite"
+    ).option("timestampFormat", JSON_TS_FORMAT).json(path)
     backdate_files(path)  # file source orders by mtime: late file second
-    e.filter(deferred).repartition(1).write.mode("append").option(
-        "timestampFormat", JSON_TS_FORMAT
-    ).json(path)
+    ex.filter(deferred).drop("_max_us").repartition(1).write.mode(
+        "append"
+    ).option("timestampFormat", JSON_TS_FORMAT).json(path)
 
     out = sessionize_stateful(
         stream_events_from_dir(spark, path, max_files_per_trigger=1)
@@ -497,13 +502,17 @@ def q_stream_dedup(spark, sf_dir):
     path = os.path.join("/root/repo/.scratch", tag, "stream_dedup_json")
     e = read(spark, sf_dir, "events")
     tus = F.unix_micros(F.col("ts"))
-    max_us = e.agg(F.max(tus)).collect()[0][0]
-    dup_window = tus >= max_us - 1_800_000_000  # last 30 min re-emitted
+    # scalar max as a 1-row broadcast (q11/q15 pattern), not a collect
+    mx = e.agg(F.max(tus).alias("_max_us"))
+    # last 30 min re-emitted as the duplicate file
+    dup_window = tus >= F.col("_max_us") - F.lit(1_800_000_000)
     e.repartition(1).write.mode("overwrite").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
     backdate_files(path)  # file source orders by mtime: dup file second
-    e.filter(dup_window).repartition(1).write.mode("append").option(
+    e.crossJoin(F.broadcast(mx)).filter(dup_window).drop(
+        "_max_us"
+    ).repartition(1).write.mode("append").option(
         "timestampFormat", JSON_TS_FORMAT
     ).json(path)
 

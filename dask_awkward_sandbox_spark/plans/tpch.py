@@ -83,15 +83,17 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3. Scale: customer is the small side of orders⋈customer —
-    broadcast it; lineitem⋈orders shuffles once on orderkey; top-k is
-    a total order (revenue desc, unique orderkey asc)."""
+    """TPC-H Q3. Scale: customer scales with SF, so it carries NO
+    broadcast hint — AQE picks BHJ while it fits and demotes to SMJ
+    beyond autoBroadcastJoinThreshold (a forced hint would OOM the
+    build side at 100 TB); lineitem⋈orders shuffles once on orderkey;
+    top-k is a total order (revenue desc, unique orderkey asc)."""
     cut = F.lit("1998-06-01").cast("timestamp")
     c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
     li = read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
-        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+        c, o["o_custkey"] == c["c_custkey"]
     )
     return (
         j.groupBy("l_orderkey", "o_orderdate")
@@ -124,8 +126,11 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier(spark, sf_dir):
-    """TPC-H Q5. Scale: region/nation/supplier/customer all broadcast;
-    the only shuffle is lineitem⋈orders on orderkey + final 5-group agg."""
+    """TPC-H Q5. Scale: region/nation keep broadcast hints (fixed 5/25
+    rows at every SF); customer/supplier scale with SF so they are
+    unhinted — AQE broadcasts them while small and shuffles beyond the
+    threshold. Core shuffle is lineitem⋈orders on orderkey + final
+    5-group agg."""
     r = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = read(spark, sf_dir, "nation")
     c = read(spark, sf_dir, "customer")
@@ -137,9 +142,9 @@ def q5_local_supplier(spark, sf_dir):
     li = read(spark, sf_dir, "lineitem")
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
         )
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
@@ -162,7 +167,8 @@ def q5_local_supplier(spark, sf_dir):
 )
 def q_top_customers(spark, sf_dir):
     """Join + agg + deterministic top-k. Scale: aggregate orders FIRST
-    (shrinks to one row per customer), then broadcast-join customer —
+    (shrinks to one row per customer), then join customer unhinted
+    (customer scales with SF; AQE broadcasts only while it fits) —
     never shuffle the pre-agg fact against the dim."""
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
@@ -171,7 +177,7 @@ def q_top_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
         .select("c_custkey", "c_name", "total_c", "n_orders")
         .orderBy(F.desc("total_c"), F.asc("c_custkey"))
         .limit(20)
@@ -232,7 +238,7 @@ def q18_large_orders(spark, sf_dir):
     filter runs on the per-order nested aggregate BEFORE joining
     orders/customer, so the join input is the small filtered set.
     Scale: one fact shuffle for the groupBy; orders joins on its
-    primary key; customer broadcast."""
+    primary key; customer unhinted (SF-scaling side — AQE decides)."""
     li = read(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -243,7 +249,7 @@ def q18_large_orders(spark, sf_dir):
     c = read(spark, sf_dir, "customer")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_custkey",
@@ -272,8 +278,9 @@ def q18_large_orders(spark, sf_dir):
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 (returned-item revenue by customer). Scale: the
     returnflag filter pushes to the lineitem scan; lineitem-orders is
-    the one fact-fact shuffle join (on orderkey); customer and nation
-    broadcast onto the aggregated stream."""
+    the one fact-fact shuffle join (on orderkey); nation keeps its
+    hint (25 rows always); customer is unhinted — it scales with SF,
+    so AQE chooses BHJ only while it fits."""
     li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = read(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
@@ -281,7 +288,7 @@ def q10_returned_items(spark, sf_dir):
     rev = _disc_price_u(li)
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).alias("revenue_u"), F.count(F.lit(1)).alias("n_items"))
@@ -349,9 +356,10 @@ def q_money_decimal(spark, sf_dir):
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 (cross-nation shipping volume by year). Scale: one
-    fact-fact shuffle (lineitem⋈orders on orderkey); supplier,
-    customer and both nation legs broadcast; the inequality filter
-    runs post-broadcast, never a shuffle of its own."""
+    fact-fact shuffle (lineitem⋈orders on orderkey); both nation legs
+    keep hints (fixed 25 rows); supplier/customer are unhinted
+    (SF-scaling — AQE decides); the inequality filter runs after the
+    nation joins, never a shuffle of its own."""
     li = read(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -364,8 +372,8 @@ def q7_volume_shipping(spark, sf_dir):
     rev = _disc_price_u(li)
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -421,8 +429,9 @@ def q4_priority_semi(spark, sf_dir):
     """,
 )
 def q14_promo_effect(spark, sf_dir):
-    """TPC-H Q14: promo revenue share for one ship-month. part is the
-    broadcast dim; the month filter pushes to the lineitem scan. The
+    """TPC-H Q14: promo revenue share for one ship-month. part scales
+    with SF so the join is unhinted (AQE broadcasts it while small);
+    the month filter pushes to the lineitem scan. The
     ratio is computed from exact integer unit sums with the same
     expression both engines."""
     li = read(spark, sf_dir, "lineitem").filter(
@@ -430,7 +439,7 @@ def q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     p = read(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     rev = _disc_price_u(j)
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
     return j.agg(
@@ -459,7 +468,7 @@ def q16_supplier_breadth(spark, sf_dir):
     p = read(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", F.substring("p_type", 1, 6).alias("p_type6")
     )
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     return j.groupBy("p_brand", "p_type6").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.count(F.lit(1)).alias("n_items"),
@@ -484,10 +493,11 @@ def q19_disjunctive(spark, sf_dir):
     """TPC-H Q19 shape: revenue under a DISJUNCTION of
     (brand, size-range, qty-range) branches. Catalyst pushes the
     common conjuncts and keeps the OR as one scan predicate — one pass
-    over lineitem, part broadcast, no union-of-three-scans."""
+    over lineitem, part joined unhinted (SF-scaling side; AQE
+    decides), no union-of-three-scans."""
     li = read(spark, sf_dir, "lineitem")
     p = read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     qty = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (qty >= 1) & (qty <= 20))

@@ -448,15 +448,16 @@ def q17_small_quantity_revenue(spark, sf_dir):
     average shape — lineitems under 20% of their part's average
     quantity. qty*5 < sum(qty) is the exact-arithmetic form of
     qty < 0.2*avg (avoids a division both engines would have to
-    round identically). Spark-first: per-part sums join back
-    broadcast; part filter prunes first. One row out."""
+    round identically). Spark-first: per-part sums join back; the
+    part filter prunes first and joins UNHINTED (part scales with
+    SF — AQE broadcasts only while it fits). One row out."""
     li = read(spark, sf_dir, "lineitem")
     part = read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum("l_quantity").alias("_sum_qty")
     )
     out = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") * 5 < F.col("_sum_qty"))
         .agg(
@@ -593,7 +594,7 @@ def q21_waiting_supplier(spark, sf_dir):
     )
     sup = read(spark, sf_dir, "supplier")
     out = (
-        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        waiting.join(sup, waiting.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
