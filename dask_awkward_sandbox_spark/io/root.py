@@ -162,6 +162,13 @@ class RawRootBackend:
     @classmethod
     def _schema_of(cls, f, branches):
         names = list(branches) if branches is not None else sorted(f.branches)
+        # a branch whose class has no fully-basic streamer opens fine
+        # but cannot be REQUESTED — directed error over a bare KeyError
+        for b in names:
+            if b in f.unresolved:
+                from .rootfile import DecodeUnavailable
+
+                raise DecodeUnavailable(f.unresolved[b])
         unknown = [b for b in names if b not in f.branches]
         if unknown:
             raise KeyError(f"unknown branches {unknown}; have {sorted(f.branches)}")

@@ -53,7 +53,12 @@ USER-CLASS branches decode via streamer info (r12): the
 TStreamerInfo/TStreamerElement layout, basic fType codes) provide the
 member recipe for (a) unsplit object branches — one version-header +
 members record per entry — and (b) TClonesArray branches streamed
-MEMBER-WISE (the kStreamedMemberWise fVersion bit, ROOT's default).
+MEMBER-WISE. NOTE: the member-wise entry layout implemented here
+round-trips THIS module's writer and is validated against it only;
+real ROOT places the element class as a "ClassName;version" TString
+after fLowerBound with the member-wise bit on the element-class
+Version_t, so genuine clones branches misalign (failing loudly on the
+span checks) — production clones reads ride uproot.
 
 What stays GATED (DecodeUnavailable, like multimodal's PIL/ffmpeg):
 variable-length branches WITHOUT a counter leaf (their per-entry
@@ -147,12 +152,16 @@ STRING_VECTOR_CLASS = "vector<string>"
 #   entry-offset table (the same table the container branches use),
 # - a TClonesArray branch (fClassName = "TClonesArray", element class
 #   in fClonesName): per-entry payload = version header with the
-#   kStreamedMemberWise bit (0x4000 — ROOT's default since v4) +
-#   TObject + fName + int32 nobjects + int32 fLowerBound + uint16
-#   element-class version + MEMBER-WISE runs (all nobjects values of
-#   member 0, then member 1, ...). Object-wise streams (bit unset),
-#   classes with object/array/base members, and back-reference tags
-#   stay gated with directed errors naming the uproot backend.
+#   kStreamedMemberWise bit (0x4000) + TObject + fName + int32
+#   nobjects + int32 fLowerBound + uint16 element version +
+#   MEMBER-WISE runs (all nobjects values of member 0, then member 1,
+#   ...). This layout round-trips THIS module's writer; real ROOT
+#   streams a "ClassName;version" TString after fLowerBound with the
+#   member-wise bit on the element-class Version_t, so genuine clones
+#   streams misalign and fail loudly on the span checks (use uproot).
+#   Object-wise streams (bit unset), classes with object/array/base
+#   members, and back-reference tags stay gated with directed errors
+#   naming the uproot backend.
 #
 # fCheckSum is written 0 (it guards schema evolution on ROOT's side;
 # this reader keys on the element list itself and uproot ignores it).
@@ -389,9 +398,18 @@ def _w_streamerinfo_list(classes: dict[str, list[tuple[str, str]]]) -> bytes:
 
 
 def _r_streamerinfo_list(b: bytes) -> dict[str, list[tuple[str, str]]]:
-    """-> {classname: [(member, leaf letter)]}. Entries that are not
-    TStreamerInfo, and elements that are not basic-type members, raise
-    directed errors (full streamer territory -> uproot)."""
+    """-> {classname: [(member, leaf letter)]} of the FULLY-BASIC
+    classes only. Real ROOT StreamerInfo lists carry records this
+    module does not model — infos for ROOT's own classes (TTree,
+    TBranch, ... with TStreamerBase/object members), class/object
+    back-reference tags after the first occurrence, schema-evolution
+    rule lists — so the walk is TOLERANT: any entry or member element
+    it cannot model is SKIPPED (not raised on), and a back-reference
+    tag (whose byte span is not navigable without the reference
+    table) STOPS the walk, keeping the classes collected so far. The
+    directed use-uproot error is raised lazily by
+    _resolve_pending_classes / branch access, only when a branch
+    actually needs a class that is not in the returned registry."""
     _end, _v, off = _r_version(b, 0)
     off = _r_tobject(b, off)
     _name, off = _tstring(b, off)
@@ -402,53 +420,56 @@ def _r_streamerinfo_list(b: bytes) -> dict[str, list[tuple[str, str]]]:
         (tag,) = struct.unpack_from(">I", b, off)
         off += 4
         if tag != _NEW_CLASS_TAG:
-            raise DecodeUnavailable(
-                "StreamerInfo list uses a class/object back-reference tag "
-                "— only new-class-tag streams decode here; use uproot"
-            )
+            # back-reference tag: no byte count to skip by — stop here
+            break
         nul = b.index(b"\x00", off)
         cls = b[off:nul].decode()
         off = nul + 1
         obj_end, _ver, p = _r_version(b, off)
         if cls == "TStreamerInfo":
-            cname, _t, p = _r_tnamed(b, p)
-            _chk, _cver = struct.unpack_from(">Ii", b, p)
-            els, _aend = _r_objarray(b, p + 8)
-            members: list[tuple[str, str]] = []
-            for ecls, eoff, _eend in els:
-                if ecls != "TStreamerBasicType":
-                    raise DecodeUnavailable(
-                        f"streamer for {cname!r}: member element {ecls!r} — "
-                        "only basic-type members decode here (object/array/"
-                        "base members need the full streamer walk; use "
-                        "uproot)"
-                    )
-                _e_end, _ev, ep = _r_version(b, eoff)  # TStreamerBasicType
-                _be_end, _bv, bp = _r_version(b, ep)   # TStreamerElement base
-                mname, _mt, named_end = _r_tnamed(b, bp)
-                ftype, fsize = struct.unpack_from(">ii", b, named_end)
-                letter = LETTER_OF_STREAMER_TYPE.get(ftype)
-                if letter is None:
-                    raise DecodeUnavailable(
-                        f"streamer for {cname!r}: member {mname!r} has type "
-                        f"code {ftype} — only basic-type codes "
-                        f"{sorted(LETTER_OF_STREAMER_TYPE)} decode here "
-                        "(use uproot)"
-                    )
-                want = int(np.dtype(LEAF_DTYPES[letter]).itemsize)
-                if fsize != want:
-                    raise ValueError(
-                        f"streamer for {cname!r}: member {mname!r} declares "
-                        f"fSize {fsize}, type code {ftype} is {want} bytes"
-                    )
-                members.append((mname, letter))
-            out[cname] = members
-        # anything else in the list: skip via byte count (real files
-        # also carry TStreamerInfos for ROOT's own classes and TLists
-        # of rules — unmodeled entries must not break the walk)
+            members = _r_one_streamerinfo(b, p)
+            if members is not None:
+                cname, mems = members
+                out[cname] = mems
+        # anything else in the list (and any unmodeled TStreamerInfo):
+        # skip via byte count — unmodeled entries must not break the
+        # walk
         off = obj_end
         _opt, off = _tstring(b, off)  # per-element option string
     return out
+
+
+def _r_one_streamerinfo(
+    b: bytes, p: int
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """Parse one TStreamerInfo record body at ``p``; return
+    (classname, [(member, letter)]) when EVERY element is a modeled
+    basic-type member, else None (the class is simply not registered
+    — branches that need it get the directed error lazily)."""
+    try:
+        cname, _t, p = _r_tnamed(b, p)
+        _chk, _cver = struct.unpack_from(">Ii", b, p)
+        els, _aend = _r_objarray(b, p + 8)
+        members: list[tuple[str, str]] = []
+        for ecls, eoff, _eend in els:
+            if ecls != "TStreamerBasicType":
+                return None  # object/array/base/string member
+            _e_end, _ev, ep = _r_version(b, eoff)  # TStreamerBasicType
+            _be_end, _bv, bp = _r_version(b, ep)   # TStreamerElement base
+            mname, _mt, named_end = _r_tnamed(b, bp)
+            ftype, fsize = struct.unpack_from(">ii", b, named_end)
+            letter = LETTER_OF_STREAMER_TYPE.get(ftype)
+            if letter is None:
+                return None  # counter/array-dim/object type code
+            want = int(np.dtype(LEAF_DTYPES[letter]).itemsize)
+            if fsize != want:
+                return None  # array-shaped basic member (fSize = k*want)
+            members.append((mname, letter))
+        return cname, members
+    except (DecodeUnavailable, ValueError, struct.error, IndexError):
+        # elements TObjArray with back-reference element tags, or any
+        # layout this module does not model — skip the class
+        return None
 
 
 def _w_tree_payload(tree: str, branches: dict[str, str], entries: int) -> bytes:
@@ -658,6 +679,10 @@ class RootFlatFile:
         # letter)]} parsed from the "StreamerInfo" TList key
         self.objects: dict[str, str] = {}
         self.clones: dict[str, str] = {}
+        # r13: class branches whose streamer is absent/not fully basic
+        # — {branch: directed error}; raised lazily on access, never
+        # at open (real files always carry unmodeled streamer records)
+        self.unresolved: dict[str, str] = {}
         self.streamers: dict[str, list[tuple[str, str]]] = {}
         self._obj_members: dict[str, dict[str, np.ndarray]] = {}
         self._obj_count: dict[str, int] = {}
@@ -784,26 +809,36 @@ class RootFlatFile:
     def _resolve_pending_classes(self) -> None:
         """Bind class-titled branches to their streamer recipes (r12).
         Runs after the key walk so it does not matter whether the
-        StreamerInfo key precedes or follows the branch metadata."""
+        StreamerInfo key precedes or follows the branch metadata.
+
+        r13: a branch whose class has NO fully-basic streamer record
+        (the tolerant walk skips unmodeled records) does not fail the
+        open — real files always carry unmodeled infos for ROOT's own
+        classes, and a reader touching only the flat/jagged branches
+        must not care. The branch lands in ``self.unresolved`` and the
+        directed use-uproot error is raised only when it is actually
+        requested (branch_array / schema / member access)."""
         for name, title in self._pending_classes:
             if title.startswith("TClonesArray("):
                 cls = title[len("TClonesArray("):-1]
                 if cls not in self.streamers:
-                    raise DecodeUnavailable(
+                    self.unresolved[name] = (
                         f"branch {name!r}: TClonesArray of {cls!r}, but this "
-                        "file carries no streamer info for it — only classes "
-                        "described by a StreamerInfo record with basic-type "
-                        "members decode here (use uproot)"
+                        "file carries no fully-basic StreamerInfo record for "
+                        "it — only classes whose streamer has exclusively "
+                        "basic-type members decode here (use uproot)"
                     )
+                    continue
                 self.clones[name] = cls
             else:
                 if title not in self.streamers:
-                    raise DecodeUnavailable(
-                        f"branch {name!r}: class {title!r} has no streamer "
-                        "info record in this file — object branches decode "
-                        "only when a StreamerInfo record describes their "
-                        "(basic-type) members (use uproot)"
+                    self.unresolved[name] = (
+                        f"branch {name!r}: class {title!r} has no fully-basic "
+                        "StreamerInfo record in this file — object branches "
+                        "decode only when a streamer record describes their "
+                        "members as all basic types (use uproot)"
                     )
+                    continue
                 self.objects[name] = title
             # marker entry so the branch lists/validations see it; all
             # decode dispatch is via self.objects/self.clones
@@ -813,6 +848,8 @@ class RootFlatFile:
     def object_members(self, name: str) -> dict[str, np.ndarray]:
         """Member arrays of an unsplit user-class branch (r12): one
         value per entry per member, in streamer declaration order."""
+        if name in self.unresolved:
+            raise DecodeUnavailable(self.unresolved[name])
         if name not in self.objects:
             raise KeyError(f"{name!r} is not a user-class object branch")
         if name not in self._obj_members:
@@ -823,6 +860,8 @@ class RootFlatFile:
         """Concatenated member value streams of a TClonesArray branch
         (r12); per-entry element counts come from
         :meth:`branch_lengths`."""
+        if name in self.unresolved:
+            raise DecodeUnavailable(self.unresolved[name])
         if name not in self.clones:
             raise KeyError(f"{name!r} is not a TClonesArray branch")
         if name not in self._obj_members:
@@ -880,15 +919,17 @@ class RootFlatFile:
         self._obj_count[name] = count
 
     def _decode_clones_baskets(self, name: str) -> None:
-        """Decode a TClonesArray branch streamed MEMBER-WISE (ROOT's
-        default; the kStreamedMemberWise bit in the entry's fVersion):
-        version header + TObject + fName + int32 nobjects + int32
-        fLowerBound + uint16 element-class version, then all nobjects
-        values of each member consecutively. The variable-length fName
-        forces a per-entry walk (the nested-vector precedent: object
-        branches are a per-file read path; production readers ride
-        uproot). Object-wise streams are gated with a directed
-        error."""
+        """Decode a TClonesArray branch streamed MEMBER-WISE (the
+        kStreamedMemberWise bit in the entry's fVersion): version
+        header + TObject + fName + int32 nobjects + int32 fLowerBound
+        + uint16 element version, then all nobjects values of each
+        member consecutively. This is THIS module's writer layout —
+        real ROOT's member-wise clones framing differs (element class
+        as a trailing TString, bit on the element Version_t) and
+        misaligns here, failing loudly on the span/header checks; the
+        variable-length fName forces a per-entry walk anyway, so
+        production clones reads ride uproot. Object-wise streams are
+        gated with a directed error."""
         members = self.streamers[self.clones[name]]
         parts: dict[str, list[np.ndarray]] = {m: [] for m, _ in members}
         lens: list[int] = []
@@ -1185,6 +1226,8 @@ class RootFlatFile:
         got = self._decoded.get(name)
         if got is not None:
             return got
+        if name in self.unresolved:
+            raise DecodeUnavailable(self.unresolved[name])
         if name not in self.branches:
             raise KeyError(f"no branch {name!r}; have {sorted(self.branches)}")
         if name in self.vectors:
@@ -1247,6 +1290,8 @@ class RootFlatFile:
                     f"size {k}"
                 )
             return np.full(total // k, k, dtype=np.int64)
+        if name in self.unresolved:
+            raise DecodeUnavailable(self.unresolved[name])
         if name not in self.counters:
             raise KeyError(f"{name!r} is not a counter-jagged branch")
         return self._counter_lengths(name)
@@ -1390,7 +1435,8 @@ def write_root_flat(
     member tuple per entry; unsplit user-class TBranchElement) and
     ``"clones:Cls"`` (values = one list of member tuples per entry;
     TClonesArray streamed member-wise with the kStreamedMemberWise
-    version bit, ROOT's default).
+    version bit — this module's framing, not byte-exact real ROOT;
+    see _decode_clones_baskets).
     """
     if compress not in (False, True, "zlib", "lz4", "zstd", "lzma"):
         raise ValueError(

@@ -1131,8 +1131,15 @@ def test_object_branch_error_surfaces(tmp_path):
     buf[i] = ord("X")
     p2 = str(tmp_path / "gate1b.root")
     open(p2, "wb").write(bytes(buf))
-    with pytest.raises(DecodeUnavailable, match="no streamer"):
-        RootFlatFile(p2)
+    # r13: the OPEN succeeds (real files always carry streamer records
+    # this module does not model); the directed error comes only when
+    # the class branch is actually requested
+    f2 = RootFlatFile(p2)
+    assert "evt" in f2.unresolved and "evt" not in f2.branches
+    with pytest.raises(DecodeUnavailable, match="no fully-basic"):
+        f2.object_members("evt")
+    with pytest.raises(DecodeUnavailable, match="no fully-basic"):
+        f2.branch_array("evt")
 
     # object-wise clones stream: clear the kStreamedMemberWise bit in
     # the first entry's version header
@@ -1178,6 +1185,95 @@ def test_object_branch_array_guard(tmp_path):
         f.branch_array("evt")
     with pytest.raises(KeyError, match="not a user-class"):
         f.object_members("hits")
+
+
+def test_streamerinfo_walk_tolerates_real_file_records(tmp_path):
+    """Real ROOT StreamerInfo lists carry records this module does not
+    model: infos for ROOT's own classes (TStreamerBase/object
+    members), back-reference tags after the first entry, rule lists.
+    The r13 tolerant walk must SKIP unmodeled records, register the
+    fully-basic classes it finds, and STOP (not raise) at a
+    back-reference tag — so a genuine file's flat/jagged branches keep
+    decoding."""
+    import struct
+
+    from dask_awkward_sandbox_spark.io.rootfile import (
+        _NEW_CLASS_TAG,
+        _r_streamerinfo_list,
+        _w_objarray,
+        _w_streamer_element,
+        _w_tnamed,
+        _w_tobject,
+        _w_version,
+        _wstring,
+    )
+
+    def info(cname, elements):
+        body = _w_version(
+            _w_tnamed(cname, "")
+            + struct.pack(">Ii", 0, 1)
+            + _w_objarray(elements),
+            9,
+        )
+        return struct.pack(">I", _NEW_CLASS_TAG) + b"TStreamerInfo\x00" + body + b"\x00"
+
+    basic = lambda n, l: ("TStreamerBasicType", _w_streamer_element(n, l))
+    # a TTree-like info with a base-class member: must be skipped
+    ttree_info = info(
+        "TTree", [("TStreamerBase", _w_version(_w_tnamed("TNamed", ""), 4)), basic("fEntries", "L")]
+    )
+    # a fully-basic user class: must register
+    evt_info = info("Evt", [basic("run", "L"), basic("w", "D")])
+    # a back-reference class tag (high bit set, not the new-class
+    # tag): no byte count to skip by -> the walk stops HERE
+    backref = struct.pack(">I", 0x80000042) + b"\xde\xad\xbe\xef"
+    # a class after the back-reference is unreachable by design
+    unreachable = info("Never", [basic("x", "I")])
+    body = _w_tobject() + _wstring("") + struct.pack(">i", 4)
+    payload = _w_version(body + ttree_info + evt_info + backref + unreachable, 5)
+    got = _r_streamerinfo_list(payload)
+    assert got == {"Evt": [("run", "L"), ("w", "D")]}
+
+
+def test_unresolved_class_branch_does_not_block_flat_reads(tmp_path):
+    """A file mixing a flat branch with a class branch whose streamer
+    record is unmodeled must open, expose and decode the flat branch,
+    and give the directed error only for the class branch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dask_awkward_sandbox_spark.io.root import RawRootBackend
+    from dask_awkward_sandbox_spark.io.rootfile import (
+        RootFlatFile,
+        write_root_flat,
+    )
+
+    path = str(tmp_path / "mixed.root")
+    write_root_flat(
+        path, "T",
+        {"event": ("L", np.arange(7, dtype=np.int64)),
+         "evt": ("obj:Evt", [(i, 0.5 * i, i % 3) for i in range(7)])},
+        classes={"Evt": _HIT_CLASSES["Evt"]},
+    )
+    buf = bytearray(open(path, "rb").read())
+    i = bytes(buf).index(b"StreamerInfo")
+    buf[i] = ord("X")  # hide the streamer key from the walk
+    p2 = str(tmp_path / "mixed2.root")
+    open(p2, "wb").write(bytes(buf))
+
+    f = RootFlatFile(p2)
+    assert f.branch_array("event").tolist() == list(range(7))
+    assert f.num_entries() == 7
+    assert "evt" in f.unresolved
+
+    be = RawRootBackend()
+    # schema over all branches: unresolved ones are simply absent
+    schema = be.arrow_schema(p2, "T", None)
+    assert schema.names == ["event"]
+    assert schema.field("event").type == pa.int64()
+    # explicitly requesting the unresolved branch -> directed error
+    with pytest.raises(DecodeUnavailable, match="no fully-basic"):
+        be.arrow_schema(p2, "T", ["evt"])
 
 
 # ---------------------------------------------------------------------------
