@@ -339,8 +339,8 @@ def gate_nonheadliner(spark, sf_dir: str) -> dict:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        walls[name] = round(time.perf_counter() - t0, 3)
-    return {"queries": walls, "total": round(sum(walls.values()), 3)}
+        walls[name] = round(time.perf_counter() - t0, 2)
+    return {"total": round(sum(walls.values()), 2), "queries": walls}
 
 
 def main() -> None:
@@ -419,14 +419,17 @@ def main() -> None:
         # since r1, so any round-over-round wall comparison should be
         # normalized by this instead of hand-computed controls
         "box_factor": round(timings["q1_pricing_summary"] / Q1_CONTROL_R01, 3),
+        # r13 (verdict item 5): the non-headliner gate-slot walls ride
+        # the FINAL line — the driver's ~2000-char tail capture
+        # truncated them out of BENCH_r12 when they lived on the aux
+        # line. 2-decimal walls keep the worst-case line ~1.7k chars
+        # (tests/test_bench_contract.py pins the width).
+        "gate_nonheadliner": gate_nonheadliner(spark, sf_dir),
     }
     aux = {
         "metric": "bench_aux",
         "spread_min_max": spread,
         "skew_demo": skew_demo(spark, sf_dir, reps),
-        # r12 (verdict item 3): non-headliner gate-slot walls, one rep
-        # each — keeps leg relocations to non-benched hosts observable
-        "gate_nonheadliner": gate_nonheadliner(spark, sf_dir),
     }
     # min-of-2 at sf1: the sf0.1 warmup does not warm the sf1 dataset
     # (fresh file listing, codegen, AQE stats), and a single rep

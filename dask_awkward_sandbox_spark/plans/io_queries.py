@@ -31,9 +31,14 @@ from dask_awkward_sandbox_spark.io import (
 from dask_awkward_sandbox_spark.io.text import to_text
 from dask_awkward_sandbox_spark.operators import structure as st
 from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items, read
+from dask_awkward_sandbox_spark.plans.nested import _HOF_SAMPLE_MOD
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SCRATCH = "/root/repo/.scratch"
+
+# at most one resident roundtrip cache per session (r13 advice: the
+# persist previously outlived the query with no unpersist)
+_ROUNDTRIP_CACHE: list = []
 
 
 def _scratch(sf_dir: str, name: str) -> str:
@@ -43,23 +48,26 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 @query(
     "q_parquet_roundtrip",
-    """
+    f"""
     select l_orderkey, cast(count(*) as bigint) as n_items,
            cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c,
            cast(count(*) as bigint) as flat_n,
            cast(sum(l_linenumber) as bigint) as flat_sum_ln,
            cast(sum(l_linenumber) as bigint) as enf_sum_ln,
            cast(count(*) as bigint) as enf_n_bogus_null,
-           cast(sum(cast(round(l_quantity*100) as bigint) * 2 + 1) as bigint)
-             as mp_sum_qty2,
-           cast(sum(l_linenumber * (cast(round(l_quantity*100) as bigint) * 2 + 1))
-                as bigint) as mp_dot,
-           case when l_orderkey % 50 = 0
+           case when l_orderkey % {_HOF_SAMPLE_MOD} = 0
+                then cast(sum(cast(round(l_quantity*100) as bigint) * 2 + 1) as bigint)
+           end as mp_sum_qty2,
+           case when l_orderkey % {_HOF_SAMPLE_MOD} = 0
+                then cast(sum(l_linenumber * (cast(round(l_quantity*100) as bigint) * 2 + 1))
+                as bigint)
+           end as mp_dot,
+           case when l_orderkey % {_HOF_SAMPLE_MOD} = 0
                 then cast(sum(cast(round(l_quantity*100) as bigint)) as bigint)
            end as hof_sum_qty_c,
-           case when l_orderkey % 50 = 0 then cast(sum(l_linenumber) as bigint)
+           case when l_orderkey % {_HOF_SAMPLE_MOD} = 0 then cast(sum(l_linenumber) as bigint)
            end as hof_enf_sum_ln,
-           case when l_orderkey % 50 = 0 then cast(count(*) as bigint)
+           case when l_orderkey % {_HOF_SAMPLE_MOD} = 0 then cast(count(*) as bigint)
            end as hof_enf_n_bogus_null
     from lineitem group by l_orderkey
     """,
@@ -78,7 +86,13 @@ def q_parquet_roundtrip(spark, sf_dir):
     Arrow-batched (the one legitimate Python-in-the-path escape
     hatch); the per-row qty2 values it computes aggregate per order,
     incl. a linenumber-weighted dot that is NOT derivable from the
-    other columns, so a broken Arrow kernel breaks the hash."""
+    other columns, so a broken Arrow kernel breaks the hash. r13: the
+    mp_* legs run over the SAME sampled l_orderkey subsample as the
+    hof legs (modulus _HOF_SAMPLE_MOD, ~0.5% at r13) (the established gate-verification precedent) — a
+    full-fact-table Arrow transit through Python workers exists
+    nowhere else in the engine and §4 forbids it in the hot path; the
+    filter sits BEFORE mapInArrow so it reaches the parquet scan and
+    the Python workers only ever see the sample."""
     it = order_items(spark, sf_dir, fields=["l_linenumber", "l_quantity"])
     path = _scratch(sf_dir, "nested_items")
     to_parquet(it, path, max_records_per_file=100_000)
@@ -94,7 +108,16 @@ def q_parquet_roundtrip(spark, sf_dir):
     # and stays. The hof leg joins drop their broadcast hints (the
     # sampled side is a fixed ~2% fraction — linear in the data — so
     # AQE must keep the right to degrade to sort-merge).
+    # r13 (advice): cap cache residency at ONE roundtrip frame —
+    # unpersist the previous invocation's cache before persisting the
+    # new one. Long-session callers running many slots between
+    # invocations should clearCache() between slots (bench.py does,
+    # per rep); within a single run the frame is order-grained and
+    # small next to the executor heap.
+    while _ROUNDTRIP_CACHE:
+        _ROUNDTRIP_CACHE.pop().unpersist()
     back = from_parquet(spark, path, columns=["l_orderkey", "items"]).persist()
+    _ROUNDTRIP_CACHE.append(back)
     # r11 (verdict item 3): full-data reductions run CODEGEN — n_items
     # is size(), and sum_qty_c rides the to_dataframe explode below
     # (same nested parquet column, flat hash aggregate) instead of an
@@ -102,7 +125,7 @@ def q_parquet_roundtrip(spark, sf_dir):
     # as the sampled hof_sum_qty_c leg, computed on a FILTERED pass
     # (a per-row guarded fold would pay one interpreted expression per
     # order — the q_sort_argsort note)
-    samp = F.col("l_orderkey") % 50 == 0
+    samp = F.col("l_orderkey") % _HOF_SAMPLE_MOD == 0
     q = fld_map(F.col("items"), "l_quantity", cents)
     nested_side = back.select(
         "l_orderkey",
@@ -152,8 +175,10 @@ def q_parquet_roundtrip(spark, sf_dir):
     # mp_* legs: map_partitions over the flat lineitem scan
     import pyarrow as pa
 
-    li = read(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    li = (
+        read(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_orderkey") % _HOF_SAMPLE_MOD == 0)
     )
 
     def fn(batches):
@@ -185,7 +210,7 @@ def q_parquet_roundtrip(spark, sf_dir):
     return (
         nested_side.join(flat_side, "l_orderkey")
         .join(enf_side, "l_orderkey")
-        .join(mp_side, "l_orderkey")
+        .join(mp_side, "l_orderkey", "left")
         .join(hof_nested, "l_orderkey", "left")
         .join(hof_enf, "l_orderkey", "left")
     )

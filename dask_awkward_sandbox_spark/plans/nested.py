@@ -48,16 +48,16 @@ ORD = "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnfla
 # just their closed-form flat algebra. The filter lands before the
 # build's groupBy, so only sampled rows shuffle into the twin.
 #
-# r12 (verdict item 1): the sample is a fixed FRACTION (~2%), so the
+# r12 (verdict item 1): the sample is a fixed FRACTION (~0.5%, r13: modulus 50 -> 200), so the
 # twin's output grows LINEARLY with the data — any hint-forced
 # broadcast of it is a 100x-scale OOM. The leg joins therefore carry
 # NO broadcast hint: AQE broadcasts while the side is small and falls
 # back to a sort-merge co-clustered on the same l_orderkey the flat
 # side already shuffles on. (Bounding the sample by COUNT instead
 # would keep broadcasts legal forever but changes the sampled keys
-# with input size, breaking the fixed `% 50` oracle replay — the
+# with input size, breaking the fixed modulus oracle replay — the
 # hint drop is the value-stable fix.)
-_HOF_SAMPLE_MOD = 50
+_HOF_SAMPLE_MOD = 200
 _HOF_SAMPLE_SQL = f"l_orderkey % {_HOF_SAMPLE_MOD} = 0"
 
 
@@ -113,17 +113,24 @@ def _disc_c(items):
            {QC} as qty_c, {PC} as price_c,
            round(ex/sm, 6) as softmax,
            r2.run_len,
-           case when s.l_orderkey % 50 = 0 then cast(s.idx as bigint) end
+           case when s.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then cast(s.idx as bigint) end
              as hof_idx,
-           case when s.l_orderkey % 50 = 0 then round(ex/sm, 6) end
+           case when s.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then round(ex/sm, 6) end
              as hof_softmax,
-           case when s.l_orderkey % 50 = 0 then r2.run_len end as hof_run_len
+           case when s.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then r2.run_len end as hof_run_len
     from s left join r2 on r2.l_orderkey = s.l_orderkey and r2.idx = s.idx
     """,
 )
-def q_flatten_softmax(spark, sf_dir):
+def q_flatten_softmax(spark, sf_dir, base=None):
     """ak.local_index + ak.softmax (axis=1, numerically stable) +
     ak.run_lengths + flatten, per order.
+
+    ``base``: optional pre-read lineitem frame — the sorted-bucketed-
+    table path (r13, scripts/sorted_bucket_ab.py): a table bucketed on
+    l_orderkey and sortBy'd on the full ORD prefix feeds the first
+    window with its scan ordering, so the 7-column comparator Sort
+    (the measured sf10 bottleneck, SCALE_SF10 stage_profile) vanishes
+    from the plan; both legs read it.
 
     r11 (verdict item 3 — the codegen template applied to the last
     full-HOF slots): the registered form runs FLAT — ONE exchange on
@@ -157,7 +164,7 @@ def q_flatten_softmax(spark, sf_dir):
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax", "l_returnflag", "l_linestatus",
     ]
-    li = read(spark, sf_dir, "lineitem")
+    li = base if base is not None else read(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(*ord_cols)
     wf = Window.partitionBy("l_orderkey").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -220,7 +227,7 @@ def q_flatten_softmax(spark, sf_dir):
         F.round(F.col("_ex") / F.col("_sm"), 6).alias("softmax"),
         "run_len",
     )
-    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    hof = q_flatten_softmax_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=base)
     hof_legs = hof.select(
         "l_orderkey",
         "idx",
@@ -663,25 +670,30 @@ def q_cartesian_combinations_hof(spark, sf_dir, where=None, base=None):
            coalesce(v.qty_c, -1) as qty_f,
            b.ones_n, b.full7_sum, b.zeros_sum, b.n_close, b.n_far, b.nanfix_sum,
            b.ew_sum,
-           case when g.l_orderkey % 50 = 0 then v.qty_c end as hof_qty_c,
-           case when g.l_orderkey % 50 = 0 then coalesce(v.qty_c, -1) end
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then v.qty_c end as hof_qty_c,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then coalesce(v.qty_c, -1) end
              as hof_qty_f,
-           case when g.l_orderkey % 50 = 0 then b.ones_n end as hof_ones_n,
-           case when g.l_orderkey % 50 = 0 then b.full7_sum end as hof_full7_sum,
-           case when g.l_orderkey % 50 = 0 then b.zeros_sum end as hof_zeros_sum,
-           case when g.l_orderkey % 50 = 0 then b.n_close end as hof_n_close,
-           case when g.l_orderkey % 50 = 0 then b.n_far end as hof_n_far,
-           case when g.l_orderkey % 50 = 0 then b.nanfix_sum end as hof_nanfix_sum,
-           case when g.l_orderkey % 50 = 0 then b.ew_sum end as hof_ew_sum
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.ones_n end as hof_ones_n,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.full7_sum end as hof_full7_sum,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.zeros_sum end as hof_zeros_sum,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.n_close end as hof_n_close,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.n_far end as hof_n_far,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.nanfix_sum end as hof_nanfix_sum,
+           case when g.l_orderkey % {_HOF_SAMPLE_MOD} = 0 then b.ew_sum end as hof_ew_sum
     from g cross join i
     left join v on v.l_orderkey = g.l_orderkey and v.idx = i.idx
     join b on b.l_orderkey = g.l_orderkey
     """,
 )
-def q_pad_fill_none(spark, sf_dir):
+def q_pad_fill_none(spark, sf_dir, base=None):
     """ak.pad_none(target=4, clip=True) / ak.fill_none exploded side
     by side, plus the elementwise like/close/nan_to_num/ufunc family
     as per-order legs.
+
+    ``base``: optional pre-read lineitem frame (sorted-bucketed-table
+    path, r13 — see q_flatten_softmax): the rank window's
+    (l_linenumber, l_quantity) ordering is a PREFIX of the table's
+    sortBy, so the Sort elides the same way.
 
     r11 (verdict item 3): the registered form runs FLAT — the padded
     view is a (idx -> qty) map collected per order off ONE window
@@ -701,7 +713,7 @@ def q_pad_fill_none(spark, sf_dir):
     reverted — q_flatten_softmax note)."""
     from pyspark.sql import Window
 
-    li = read(spark, sf_dir, "lineitem")
+    li = base if base is not None else read(spark, sf_dir, "lineitem")
     # rank by the PRUNED (l_linenumber, l_quantity) prefix, not the
     # full 7-column ORD: rows tying on the prefix share l_quantity, so
     # the exposed qty at every idx is identical under any tie
@@ -711,12 +723,12 @@ def q_pad_fill_none(spark, sf_dir):
         "l_linenumber", "l_quantity"
     )
     qc = cents(F.col("l_quantity"))
-    base = li.select(
+    ranked = li.select(
         "l_orderkey",
         qc.alias("_qc"),
         (F.row_number().over(w) - 1).cast("long").alias("_idx"),
     )
-    g1 = base.groupBy("l_orderkey").agg(
+    g1 = ranked.groupBy("l_orderkey").agg(
         F.map_from_entries(
             F.collect_list(
                 F.when(
@@ -750,9 +762,11 @@ def q_pad_fill_none(spark, sf_dir):
     )
     # r11/r12: the HOF twin runs the genuine pad_none/fill_none/
     # ones_like/isclose/nan_to_num/NestedArray composition over the
-    # ~2% subsample off the SAME persisted scan; its per-(order, idx)
-    # rows left-join onto the flat explode without a broadcast hint
-    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE())
+    # ~2% subsample as its OWN second scan (the shared-persisted-scan
+    # form was measured and reverted — SCALE_SF10 hof_form_ab); its
+    # per-(order, idx) rows left-join onto the flat explode without a
+    # broadcast hint
+    hof = q_pad_fill_none_hof(spark, sf_dir, where=_HOF_SAMPLE(), base=base)
     hof_legs = hof.select(
         "l_orderkey",
         "idx",
@@ -1199,9 +1213,11 @@ def q_reduce_order_count(spark, sf_dir):
         leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
     )
     # r11/r12: the fused struct-accumulator HOF twin runs over the ~2%
-    # subsample off the SAME persisted scan and left-joins 13 legs
-    # covering every fold family — sum/prod/min/max/ptp/count/any/all/
-    # argmin/argmax plus the mean/m3/corr formula exprs
+    # subsample as its OWN second scan (the shared-persisted-scan form
+    # was measured and reverted — SCALE_SF10 hof_form_ab) and
+    # left-joins 13 legs covering every fold family — sum/prod/min/
+    # max/ptp/count/any/all/argmin/argmax plus the mean/m3/corr
+    # formula exprs
     hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE())
     hof_legs = hof.select(
         "l_orderkey",

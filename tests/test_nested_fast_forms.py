@@ -5,8 +5,8 @@ row-identical to the retained nested-HOF compositions — two
 implementations of one contract may not drift.
 
 r11: the registered slots ALSO carry per-order hof_* legs — the HOF
-composition evaluated over the deterministic ~2% l_orderkey%50
-subsample inside the same aggregate — so the driver hash executes the
+composition evaluated over the deterministic fixed-modulus l_orderkey
+subsample (plans.nested._HOF_SAMPLE_MOD) inside the same aggregate — so the driver hash executes the
 HOF code paths directly. These pins now (a) project the shared
 contract columns for the full-data comparison and (b) assert each
 sampled row's hof_* leg equals its flat twin (two independent
@@ -29,7 +29,11 @@ def _project(rows, cols):
     return [{c: r[c] for c in cols} for r in rows]
 
 
-def _check_hof_legs(rows, pairs, mod=50):
+def _check_hof_legs(rows, pairs, mod=None):
+    if mod is None:
+        from dask_awkward_sandbox_spark.plans.nested import _HOF_SAMPLE_MOD
+
+        mod = _HOF_SAMPLE_MOD
     sampled = 0
     for r in rows:
         hit = r["l_orderkey"] % mod == 0
