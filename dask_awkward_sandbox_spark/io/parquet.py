@@ -11,6 +11,8 @@ directory layout (``partition_by``).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -57,7 +59,7 @@ def to_bucketed_table(
     table: str,
     bucket_by: str,
     num_buckets: int = 32,
-    sort_by: str | None = None,
+    sort_by: str | Sequence[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed managed table: rows hash-partitioned into
@@ -68,10 +70,23 @@ def to_bucketed_table(
     table needs NO Exchange — the table layout IS the shuffle, paid
     once at write time and amortized over every downstream query.
     tests/test_plans.py asserts the Exchange-free plan.
+
+    r13: ``sort_by`` accepts a column LIST, and a sorted write first
+    repartitions on the bucket key so each bucket lands in exactly ONE
+    file — the condition under which FileSourceScanExec reports the
+    bucket sort as its outputOrdering, letting Catalyst elide the Sort
+    under windows/aggregations ordered on a prefix of
+    (bucket_by, *sort_by). Multiple files per bucket would interleave,
+    so Spark ignores multi-file bucket sort metadata; the repartition
+    is what makes "pay the sort once at write" actually true at read.
     """
-    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
     if sort_by:
-        w = w.sortBy(sort_by)
+        cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        df = df.repartition(num_buckets, bucket_by)
+        w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
+        w = w.sortBy(cols[0], *cols[1:])
+    else:
+        w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
     w.saveAsTable(table)
 
 

@@ -686,6 +686,51 @@ def test_hof_slots_scan_shape_no_forced_broadcast(spark):
             assert n_cache == n_caches, (name, n_cache, n_caches)
 
 
+def test_sorted_bucket_table_elides_window_sort(spark):
+    """The r13 fix for the window-sort-bound slots (SCALE_SF10
+    stage_profile: the 7-column ORD comparator Sort is the sf10
+    bottleneck): over plans.common.sorted_lineitem (bucketed +
+    sortBy'd, one file per bucket, legacy bucketed-scan-ordering conf)
+    the ORD Sort must VANISH from q_flatten_softmax's executed plan
+    (only cheap numeric idx/_run_id sorts remain) and q_pad_fill_none
+    must plan with NO Sort at all — while both stay row-identical to
+    the plain-parquet forms."""
+    import re
+
+    from dask_awkward_sandbox_spark.plans.common import sorted_lineitem
+    from dask_awkward_sandbox_spark.plans.nested import (
+        q_flatten_softmax,
+        q_pad_fill_none,
+    )
+
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(key, None)
+    try:
+        t = sorted_lineitem(spark, SF, num_buckets=8)
+        flat = q_flatten_softmax(spark, SF, base=t)
+        plan = flat._jdf.queryExecution().executedPlan().toString()
+        ord_sorts = [
+            ln for ln in plan.splitlines()
+            if re.search(r"\bSort \[", ln) and "l_linestatus" in ln
+        ]
+        assert not ord_sorts, ord_sorts
+        assert sorted(map(tuple, flat.collect())) == sorted(
+            map(tuple, q_flatten_softmax(spark, SF).collect())
+        )
+
+        pad = q_pad_fill_none(spark, SF, base=t)
+        plan2 = pad._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\bSort \[", plan2), plan2
+        assert sorted(map(tuple, pad.collect())) == sorted(
+            map(tuple, q_pad_fill_none(spark, SF).collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_plans_broadcast_hint_sites_inventoried():
     """Authorship-time sweep of the whole plans/ package: every
     ``F.broadcast`` call must sit in an inventoried function whose
