@@ -106,7 +106,9 @@ REGISTERED = [
 # r8's knn sf10 cell read 10.6x in the official artifact and 7.8x in a
 # same-day rerun — the one noisy cell in the panel; min-of-3 instead
 # of min-of-2 to pin its steady state (r8-verdict item 6)
-EXTRA_REPS = {"q_knn_join": 3}
+# q_ann_bruteforce r13 (verdict item 6): min-of-3, the q_knn_join
+# treatment — its r12 cell swung 8.1x->18.8x with no code change
+EXTRA_REPS = {"q_knn_join": 3, "q_ann_bruteforce": 3}
 
 SF1_DIR = "/root/repo/.scaledata/sf1"
 SF10_DIR = "/root/repo/.scaledata/sf10"
