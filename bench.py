@@ -368,8 +368,19 @@ def main() -> None:
     # r11 (verdict item 7): three slots drifted +-0.1s across r8-r10
     # with unchanged plans — box variance, visible in their spread.
     # They are cheap; min-of-5 stops the artifact reading noise as
-    # regression.
-    extra_reps = {"q_lm_perplexity": 5, "q_dedup_exact": 5, "q_text_metrics": 5}
+    # regression. r13 adds q_dedup_minhash_clusters: the iterative
+    # localCheckpoint rounds make its wall scheduler-latency-bound, so
+    # it swings independently of the throughput-bound q1 control (a
+    # bad box patch recorded [13.8, 25.6] in-run where the isolated
+    # box-normalized min is ~4.6s, flat since r11 — and the SAME run's
+    # sf1 cell was 7.98s on 10x the data, proving the sf0.1 cell was
+    # latency, not compute).
+    extra_reps = {
+        "q_lm_perplexity": 5,
+        "q_dedup_exact": 5,
+        "q_text_metrics": 5,
+        "q_dedup_minhash_clusters": 5,
+    }
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINERS:

@@ -31,7 +31,19 @@ from dask_awkward_sandbox_spark.io import (
 from dask_awkward_sandbox_spark.io.text import to_text
 from dask_awkward_sandbox_spark.operators import structure as st
 from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items, read
-from dask_awkward_sandbox_spark.plans.nested import _HOF_SAMPLE_MOD
+from dask_awkward_sandbox_spark.plans.nested import (
+    DC,
+    ORD,
+    PC,
+    QC,
+    _HOF_SAMPLE,
+    _HOF_SAMPLE_MOD,
+    _HOF_SAMPLE_SQL,
+    _PAIR_SUMS,
+    q_cartesian_combinations_hof,
+    q_reduce_order_count_hof,
+    q_sort_argsort_hof,
+)
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SCRATCH = "/root/repo/.scratch"
@@ -49,6 +61,7 @@ def _scratch(sf_dir: str, name: str) -> str:
 @query(
     "q_parquet_roundtrip",
     f"""
+    with base as (
     select l_orderkey, cast(count(*) as bigint) as n_items,
            cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_c,
            cast(count(*) as bigint) as flat_n,
@@ -69,7 +82,128 @@ def _scratch(sf_dir: str, name: str) -> str:
            end as hof_enf_sum_ln,
            case when l_orderkey % {_HOF_SAMPLE_MOD} = 0 then cast(count(*) as bigint)
            end as hof_enf_n_bogus_null
-    from lineitem group by l_orderkey
+    from lineitem group by l_orderkey),
+    -- r13 (verdict item 7): the three relocated HOF-twin leg sets,
+    -- replayed over the SAMPLED orders only and left-joined (null for
+    -- unsampled orders). Expression text copied verbatim from the
+    -- donor slots' oracles so values are bit-identical.
+    li_s as (select * from lineitem where {_HOF_SAMPLE_SQL}),
+    sr as (select l_orderkey, {QC} as qc,
+                  row_number() over (partition by l_orderkey order by {QC} desc) as rn
+           from li_s),
+    st1 as (select l_orderkey, qc as top1_qty_c from sr where rn = 1),
+    st2 as (select l_orderkey, qc as top2_qty_c from sr where rn = 2),
+    sa as (select l_orderkey, cast(l_linenumber as bigint) as min_ln, {QC} as min_qty_c
+           from li_s
+           qualify row_number() over (partition by l_orderkey
+                                      order by l_quantity asc, {ORD}) = 1),
+    sm as (select l_orderkey, max(case when l_linenumber <> 1 then {QC} end) as top1_masked_qty_c
+           from li_s group by l_orderkey),
+    sb as (
+      select l_orderkey,
+             cast(count(*) as bigint) as n_items,
+             cast(count(case when {QC} > 4500 then 1 end) as bigint) as n_high,
+             cast(coalesce(sum(case when l_returnflag = 'R' then {QC} end), 0) as bigint)
+               as masked_sum,
+             cast(count(case when l_returnflag = 'R' then 1 end) as bigint) as n_kept,
+             cast(sum(case when l_returnflag = 'R' then {QC} else -{QC} end) as bigint)
+               as signed_sum
+      from li_s group by l_orderkey),
+    sf as (
+      select l_orderkey, cast(l_linenumber as bigint) as first_ln, {QC} as first_qty_c
+      from li_s
+      qualify row_number() over (partition by l_orderkey order by {ORD}) = 1),
+    sort_legs as (
+      select sa.l_orderkey,
+             st1.top1_qty_c as hof_sort_top1_qty_c,
+             st2.top2_qty_c as hof_sort_top2_qty_c,
+             sa.min_ln as hof_sort_min_ln,
+             sa.min_qty_c as hof_sort_min_qty_c,
+             sm.top1_masked_qty_c as hof_sort_top1_masked_qty_c,
+             sb.n_items as hof_sort_n_items,
+             sb.n_high as hof_sort_n_high,
+             sb.masked_sum as hof_sort_masked_sum,
+             sb.n_kept as hof_sort_n_kept,
+             sb.signed_sum as hof_sort_signed_sum,
+             sf.first_ln as hof_sort_first_ln,
+             sf.first_qty_c as hof_sort_first_qty_c
+      from sa join st1 using (l_orderkey) left join st2 using (l_orderkey)
+              join sm using (l_orderkey) join sb using (l_orderkey)
+              join sf using (l_orderkey)),
+    rb as (
+      select l_orderkey,
+             cast(sum({QC}) as bigint) as sum_qty_c,
+             cast(round(exp(sum(ln(greatest({DC}, 1))))) as bigint) as prod_disc_c,
+             cast(min({QC}) as bigint) as min_qty_c,
+             cast(max({PC}) as bigint) as max_price_c,
+             cast(max({QC}) - min({QC}) as bigint) as ptp_qty_c,
+             cast(count(case when {DC} <> 0 then 1 end) as bigint) as n_discounted,
+             cast(bool_or({DC} > 5) as int) as any_big_disc,
+             cast(bool_and({QC} < 4500) as int) as all_small_qty
+      from li_s group by l_orderkey),
+    rv as (select l_orderkey,
+                  cast(row_number() over (partition by l_orderkey order by {ORD}) - 1
+                       as bigint) as idx,
+                  {QC} as qc
+           from li_s),
+    rmn as (select l_orderkey, idx as argmin_qty from rv
+            qualify row_number() over (partition by l_orderkey order by qc asc, idx asc) = 1),
+    rmx as (select l_orderkey, idx as argmax_qty from rv
+            qualify row_number() over (partition by l_orderkey order by qc desc, idx asc) = 1),
+    rst as (select l_orderkey,
+                   cast(count(*) as double) as nn,
+                   cast(sum({QC}) as double) as s1,
+                   cast(sum({QC}*{QC}*{QC}) as double) as s3
+            from li_s group by l_orderkey),
+    rps as (select * from ({_PAIR_SUMS}) where {_HOF_SAMPLE_SQL}),
+    rfi as (
+      select l_orderkey,
+             (sxy/n - (sx/n)*(sy/n))
+                   / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) as corr_qp
+      from rps
+      where n*sxx - sx*sx <> 0
+        and (sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n)) > 0
+        and sw*wsxx - wsx*wsx <> 0
+        and (wsxx/sw - (wsx/sw)*(wsx/sw)) * (wsyy/sw - (wsy/sw)*(wsy/sw)) > 0),
+    red_legs as (
+      select rb.l_orderkey,
+             rb.sum_qty_c as hof_red_sum_qty_c,
+             rb.prod_disc_c as hof_red_prod_disc_c,
+             rb.min_qty_c as hof_red_min_qty_c,
+             rb.max_price_c as hof_red_max_price_c,
+             rb.ptp_qty_c as hof_red_ptp_qty_c,
+             rb.n_discounted as hof_red_n_discounted,
+             rb.any_big_disc as hof_red_any_big_disc,
+             rb.all_small_qty as hof_red_all_small_qty,
+             rmn.argmin_qty as hof_red_argmin_qty,
+             rmx.argmax_qty as hof_red_argmax_qty,
+             rst.s1/rst.nn/100 as hof_red_mean_qty,
+             rst.s3/rst.nn/1000000 as hof_red_m3,
+             rfi.corr_qp as hof_red_corr_qp
+      from rb join rmn using (l_orderkey) join rmx using (l_orderkey)
+              join rst using (l_orderkey)
+              left join rfi using (l_orderkey)),
+    cs as (select l_orderkey, count(*) as n,
+                  sum({QC}) as sq, sum({QC}*{QC}) as sqq, sum({DC}) as sd,
+                  sum({QC} * {PC}) as dot,
+                  sum({PC} * (100 - {DC})) as dpu
+           from li_s group by l_orderkey),
+    cart_legs as (
+      select l_orderkey,
+             cast(n*n as bigint) as hof_cart_n_pairs_cart,
+             cast(sq*sd as bigint) as hof_cart_cross_sum,
+             cast(n*(n-1)/2 as bigint) as hof_cart_n_pairs_comb,
+             cast((sq*sq - sqq)/2 as bigint) as hof_cart_pair_sum,
+             cast(dot as bigint) as hof_cart_dot_c,
+             cast(dpu as bigint) as hof_cart_sum_disc_price_u
+      from cs)
+    select base.*, sort_legs.* exclude (l_orderkey),
+           red_legs.* exclude (l_orderkey),
+           cart_legs.* exclude (l_orderkey)
+    from base
+    left join sort_legs using (l_orderkey)
+    left join red_legs using (l_orderkey)
+    left join cart_legs using (l_orderkey)
     """,
 )
 def q_parquet_roundtrip(spark, sf_dir):
@@ -207,12 +341,59 @@ def q_parquet_roundtrip(spark, sf_dir):
         F.sum("qty2").alias("mp_sum_qty2"),
         F.sum(F.col("l_linenumber") * F.col("qty2")).alias("mp_dot"),
     )
+    # r13 (verdict item 7): the three HOF twins relocated here from
+    # their baseline-mapped donors (q_sort_argsort, q_reduce_order_count,
+    # q_cartesian_combinations map to r01 rows; this slot does not).
+    # Each twin keeps its own sampled scan (the measured two-scan
+    # shape) and left-joins per order; the oracle replays each leg
+    # from sampled CTEs copied verbatim from the donor oracles.
+    sort_twin = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE()).select(
+        "l_orderkey",
+        F.col("top1_qty_c").alias("hof_sort_top1_qty_c"),
+        F.col("top2_qty_c").alias("hof_sort_top2_qty_c"),
+        F.col("min_ln").alias("hof_sort_min_ln"),
+        F.col("min_qty_c").alias("hof_sort_min_qty_c"),
+        F.col("top1_masked_qty_c").alias("hof_sort_top1_masked_qty_c"),
+        F.col("n_items").cast("long").alias("hof_sort_n_items"),
+        F.col("n_high").cast("long").alias("hof_sort_n_high"),
+        F.col("masked_sum").alias("hof_sort_masked_sum"),
+        F.col("n_kept").alias("hof_sort_n_kept"),
+        F.col("signed_sum").alias("hof_sort_signed_sum"),
+        F.col("first_ln").alias("hof_sort_first_ln"),
+        F.col("first_qty_c").alias("hof_sort_first_qty_c"),
+    )
+    red_twin = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE()).select(
+        "l_orderkey",
+        *[
+            F.col(k).alias(f"hof_red_{k}")
+            for k in (
+                "sum_qty_c", "prod_disc_c", "min_qty_c", "max_price_c",
+                "ptp_qty_c", "n_discounted", "any_big_disc",
+                "all_small_qty", "argmin_qty", "argmax_qty", "mean_qty",
+                "m3", "corr_qp",
+            )
+        ],
+    )
+    cart_twin = q_cartesian_combinations_hof(
+        spark, sf_dir, where=_HOF_SAMPLE()
+    ).select(
+        "l_orderkey",
+        F.col("n_pairs_cart").cast("long").alias("hof_cart_n_pairs_cart"),
+        F.col("cross_sum").alias("hof_cart_cross_sum"),
+        F.col("n_pairs_comb").cast("long").alias("hof_cart_n_pairs_comb"),
+        F.col("pair_sum").alias("hof_cart_pair_sum"),
+        F.col("dot_c").alias("hof_cart_dot_c"),
+        F.col("sum_disc_price_u").alias("hof_cart_sum_disc_price_u"),
+    )
     return (
         nested_side.join(flat_side, "l_orderkey")
         .join(enf_side, "l_orderkey")
         .join(mp_side, "l_orderkey", "left")
         .join(hof_nested, "l_orderkey", "left")
         .join(hof_enf, "l_orderkey", "left")
+        .join(sort_twin, "l_orderkey", "left")
+        .join(red_twin, "l_orderkey", "left")
+        .join(cart_twin, "l_orderkey", "left")
     )
 
 

@@ -301,20 +301,7 @@ def q_flatten_softmax_hof(spark, sf_dir, where=None, base=None):
       from a join t1 using (l_orderkey) left join t2 using (l_orderkey)
              join m using (l_orderkey) join b using (l_orderkey)
              join f using (l_orderkey))
-    select rr.*,
-           case when {_HOF_SAMPLE_SQL} then top1_qty_c end as hof_top1_qty_c,
-           case when {_HOF_SAMPLE_SQL} then top2_qty_c end as hof_top2_qty_c,
-           case when {_HOF_SAMPLE_SQL} then min_ln end as hof_min_ln,
-           case when {_HOF_SAMPLE_SQL} then min_qty_c end as hof_min_qty_c,
-           case when {_HOF_SAMPLE_SQL} then top1_masked_qty_c end as hof_top1_masked_qty_c,
-           case when {_HOF_SAMPLE_SQL} then n_items end as hof_n_items,
-           case when {_HOF_SAMPLE_SQL} then n_high end as hof_n_high,
-           case when {_HOF_SAMPLE_SQL} then masked_sum end as hof_masked_sum,
-           case when {_HOF_SAMPLE_SQL} then n_kept end as hof_n_kept,
-           case when {_HOF_SAMPLE_SQL} then signed_sum end as hof_signed_sum,
-           case when {_HOF_SAMPLE_SQL} then first_ln end as hof_first_ln,
-           case when {_HOF_SAMPLE_SQL} then first_qty_c end as hof_first_qty_c
-    from rr
+    select rr.* from rr
     """,
 )
 def q_sort_argsort(spark, sf_dir):
@@ -404,23 +391,11 @@ def q_sort_argsort(spark, sf_dir):
         F.col("_first")["ln"].cast("long").alias("first_ln"),
         cents(F.col("_first")["qty"]).alias("first_qty_c"),
     )
-    hof = q_sort_argsort_hof(spark, sf_dir, where=_HOF_SAMPLE())
-    hof_legs = hof.select(
-        "l_orderkey",
-        F.col("top1_qty_c").alias("hof_top1_qty_c"),
-        F.col("top2_qty_c").alias("hof_top2_qty_c"),
-        F.col("min_ln").alias("hof_min_ln"),
-        F.col("min_qty_c").alias("hof_min_qty_c"),
-        F.col("top1_masked_qty_c").alias("hof_top1_masked_qty_c"),
-        F.col("n_items").cast("long").alias("hof_n_items"),
-        F.col("n_high").cast("long").alias("hof_n_high"),
-        F.col("masked_sum").alias("hof_masked_sum"),
-        F.col("n_kept").alias("hof_n_kept"),
-        F.col("signed_sum").alias("hof_signed_sum"),
-        F.col("first_ln").alias("hof_first_ln"),
-        F.col("first_qty_c").alias("hof_first_qty_c"),
-    )
-    return flat.join(hof_legs, "l_orderkey", "left")
+    # r13 (verdict item 7): the sampled HOF twin legs moved to the
+    # non-baseline-mapped host q_parquet_roundtrip (hof_sort_* columns
+    # there) — this slot maps to r01's q_sort row, and the twin was
+    # ~45% of its wall while belonging to no baseline row
+    return flat
 
 
 def _sort_argsort_leg_exprs(items, q, is_r):
@@ -509,14 +484,7 @@ def q_sort_argsort_hof(spark, sf_dir, where=None, base=None):
              cast(dot as bigint) as dot_c,
              cast(dpu as bigint) as sum_disc_price_u
       from s)
-    select rr.*,
-           case when {_HOF_SAMPLE_SQL} then n_pairs_cart end as hof_n_pairs_cart,
-           case when {_HOF_SAMPLE_SQL} then cross_sum end as hof_cross_sum,
-           case when {_HOF_SAMPLE_SQL} then n_pairs_comb end as hof_n_pairs_comb,
-           case when {_HOF_SAMPLE_SQL} then pair_sum end as hof_pair_sum,
-           case when {_HOF_SAMPLE_SQL} then dot_c end as hof_dot_c,
-           case when {_HOF_SAMPLE_SQL} then sum_disc_price_u end as hof_sum_disc_price_u
-    from rr
+    select rr.* from rr
     """,
 )
 def q_cartesian_combinations(spark, sf_dir):
@@ -564,20 +532,11 @@ def q_cartesian_combinations(spark, sf_dir):
         F.col("dot").alias("dot_c"),
         F.col("dpu").alias("sum_disc_price_u"),
     )
-    # r11/r12: the HOF twin runs over the ~2% subsample — pair arrays
-    # stay bounded (2% of orders x <=7-item lists) — and its legs
-    # left-join without a broadcast hint
-    hof = q_cartesian_combinations_hof(spark, sf_dir, where=_HOF_SAMPLE())
-    hof_legs = hof.select(
-        "l_orderkey",
-        F.col("n_pairs_cart").cast("long").alias("hof_n_pairs_cart"),
-        F.col("cross_sum").alias("hof_cross_sum"),
-        F.col("n_pairs_comb").cast("long").alias("hof_n_pairs_comb"),
-        F.col("pair_sum").alias("hof_pair_sum"),
-        F.col("dot_c").alias("hof_dot_c"),
-        F.col("sum_disc_price_u").alias("hof_sum_disc_price_u"),
-    )
-    return flat.join(hof_legs, "l_orderkey", "left")
+    # r13 (verdict item 7): the sampled HOF twin legs moved to
+    # q_parquet_roundtrip (hof_cart_* columns) — this slot maps to
+    # r01's q_combinations row, and the twin belonged to no baseline
+    # row
+    return flat
 
 
 def _cart_pre_exprs(items):
@@ -1071,21 +1030,7 @@ _PAIR_SUMS = f"""
       from b join mn using (l_orderkey) join mx using (l_orderkey)
              join st using (l_orderkey)
              left join fi using (l_orderkey))
-    select rr.*,
-           case when {_HOF_SAMPLE_SQL} then sum_qty_c end as hof_sum_qty_c,
-           case when {_HOF_SAMPLE_SQL} then prod_disc_c end as hof_prod_disc_c,
-           case when {_HOF_SAMPLE_SQL} then min_qty_c end as hof_min_qty_c,
-           case when {_HOF_SAMPLE_SQL} then max_price_c end as hof_max_price_c,
-           case when {_HOF_SAMPLE_SQL} then ptp_qty_c end as hof_ptp_qty_c,
-           case when {_HOF_SAMPLE_SQL} then n_discounted end as hof_n_discounted,
-           case when {_HOF_SAMPLE_SQL} then any_big_disc end as hof_any_big_disc,
-           case when {_HOF_SAMPLE_SQL} then all_small_qty end as hof_all_small_qty,
-           case when {_HOF_SAMPLE_SQL} then argmin_qty end as hof_argmin_qty,
-           case when {_HOF_SAMPLE_SQL} then argmax_qty end as hof_argmax_qty,
-           case when {_HOF_SAMPLE_SQL} then mean_qty end as hof_mean_qty,
-           case when {_HOF_SAMPLE_SQL} then m3 end as hof_m3,
-           case when {_HOF_SAMPLE_SQL} then corr_qp end as hof_corr_qp
-    from rr
+    select rr.* from rr
     """,
 )
 def q_reduce_order_count(spark, sf_dir):
@@ -1212,26 +1157,11 @@ def q_reduce_order_count(spark, sf_dir):
         leg(wsxy / sw - (wsx / sw) * (wsy / sw), "wcovar_qp"),
         leg((wsxy / sw - (wsx / sw) * (wsy / sw)) / F.sqrt(wvar_xy), "wcorr_qp"),
     )
-    # r11/r12: the fused struct-accumulator HOF twin runs over the ~2%
-    # subsample as its OWN second scan (the shared-persisted-scan form
-    # was measured and reverted — SCALE_SF10 hof_form_ab) and
-    # left-joins 13 legs covering every fold family — sum/prod/min/
-    # max/ptp/count/any/all/argmin/argmax plus the mean/m3/corr
-    # formula exprs
-    hof = q_reduce_order_count_hof(spark, sf_dir, where=_HOF_SAMPLE())
-    hof_legs = hof.select(
-        "l_orderkey",
-        *[
-            F.col(k).alias(f"hof_{k}")
-            for k in (
-                "sum_qty_c", "prod_disc_c", "min_qty_c", "max_price_c",
-                "ptp_qty_c", "n_discounted", "any_big_disc",
-                "all_small_qty", "argmin_qty", "argmax_qty", "mean_qty",
-                "m3", "corr_qp",
-            )
-        ],
-    )
-    return flat.join(hof_legs, "l_orderkey", "left")
+    # r13 (verdict item 7): the fused struct-accumulator HOF twin's
+    # sampled legs moved to q_parquet_roundtrip (hof_red_* columns) —
+    # this slot maps to r01's q_reduce_sum row, and the twin was ~45%
+    # of its wall while belonging to no baseline row
+    return flat
 
 
 def _reduce_acc_expr(items):

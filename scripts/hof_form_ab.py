@@ -16,6 +16,12 @@ SCALE_SF10.json's ``hof_form_ab`` block.
 
 Usage: python scripts/hof_form_ab.py [sf_dir ...]
 (defaults to .scaledata/sf1 and .scaledata/sf10 when present)
+
+NOTE (r13): the registered donor slots no longer carry the twin legs
+at all (relocated to q_parquet_roundtrip, verdict item 7), so this
+script now reconstructs the HISTORICAL r12 shapes on both sides of
+its A/B — the recorded hof_form_ab evidence stands as the reason the
+two-scan form shipped, but the registered slots have moved past it.
 """
 
 from __future__ import annotations
@@ -95,8 +101,28 @@ def main() -> None:
     for d in dirs:
         tag = d.rstrip("/").rsplit("/", 1)[-1]
         rec: dict[str, float] = {}
+        def _two_scan_r12():
+            # r13: the registered slot dropped its twin; rebuild the
+            # r12 two-scan shape (flat slot + sampled twin join) so
+            # the A/B still compares like with like
+            from dask_awkward_sandbox_spark.plans import nested as N
+
+            flat = QUERIES[slot](spark, d)
+            hof = N.q_cartesian_combinations_hof(
+                spark, d, where=N._HOF_SAMPLE()
+            ).select(
+                "l_orderkey",
+                F.col("n_pairs_cart").cast("long").alias("hof_n_pairs_cart"),
+                F.col("cross_sum").alias("hof_cross_sum"),
+                F.col("n_pairs_comb").cast("long").alias("hof_n_pairs_comb"),
+                F.col("pair_sum").alias("hof_pair_sum"),
+                F.col("dot_c").alias("hof_dot_c"),
+                F.col("sum_disc_price_u").alias("hof_sum_disc_price_u"),
+            )
+            return flat.join(hof, "l_orderkey", "left")
+
         for form, build in (
-            ("two_scan", lambda: QUERIES[slot](spark, d)),
+            ("two_scan", _two_scan_r12),
             ("cache", lambda: _cache_form(slot, spark, d)),
         ):
             best = None

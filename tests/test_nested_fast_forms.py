@@ -57,23 +57,9 @@ def test_sort_argsort_forms_agree(spark):
     assert len(fast_full) == len(hof) > 0
     cols = list(hof[0])
     assert _project(fast_full, cols) == hof
-    _check_hof_legs(
-        fast_full,
-        {
-            "hof_top1_qty_c": "top1_qty_c",
-            "hof_top2_qty_c": "top2_qty_c",
-            "hof_min_ln": "min_ln",
-            "hof_min_qty_c": "min_qty_c",
-            "hof_top1_masked_qty_c": "top1_masked_qty_c",
-            "hof_n_items": "n_items",
-            "hof_n_high": "n_high",
-            "hof_masked_sum": "masked_sum",
-            "hof_n_kept": "n_kept",
-            "hof_signed_sum": "signed_sum",
-            "hof_first_ln": "first_ln",
-            "hof_first_qty_c": "first_qty_c",
-        },
-    )
+    # r13: the sampled hof_* gate legs moved to q_parquet_roundtrip
+    # (hof_sort_* columns) — cross-slot leg parity pinned in
+    # test_relocated_twin_legs_match_donor_flat below
 
 
 def test_concatenate_axis_none_forms_agree(spark):
@@ -112,24 +98,7 @@ def test_reduce_order_count_forms_agree(spark):
     assert len(fast_full) == len(hof) > 0
     cols = list(hof[0])
     assert _project(fast_full, cols) == hof
-    _check_hof_legs(
-        fast_full,
-        {
-            "hof_sum_qty_c": "sum_qty_c",
-            "hof_prod_disc_c": "prod_disc_c",
-            "hof_min_qty_c": "min_qty_c",
-            "hof_max_price_c": "max_price_c",
-            "hof_ptp_qty_c": "ptp_qty_c",
-            "hof_n_discounted": "n_discounted",
-            "hof_any_big_disc": "any_big_disc",
-            "hof_all_small_qty": "all_small_qty",
-            "hof_argmin_qty": "argmin_qty",
-            "hof_argmax_qty": "argmax_qty",
-            "hof_mean_qty": "mean_qty",
-            "hof_m3": "m3",
-            "hof_corr_qp": "corr_qp",
-        },
-    )
+    # r13: sampled hof_* legs moved to q_parquet_roundtrip (hof_red_*)
 
 
 def test_cartesian_combinations_forms_agree(spark):
@@ -143,17 +112,7 @@ def test_cartesian_combinations_forms_agree(spark):
     assert len(fast_full) == len(hof) > 0
     cols = list(hof[0])
     assert _project(fast_full, cols) == hof
-    _check_hof_legs(
-        fast_full,
-        {
-            "hof_n_pairs_cart": "n_pairs_cart",
-            "hof_cross_sum": "cross_sum",
-            "hof_n_pairs_comb": "n_pairs_comb",
-            "hof_pair_sum": "pair_sum",
-            "hof_dot_c": "dot_c",
-            "hof_sum_disc_price_u": "sum_disc_price_u",
-        },
-    )
+    # r13: sampled hof_* legs moved to q_parquet_roundtrip (hof_cart_*)
 
 
 def test_flatten_softmax_forms_agree(spark):
@@ -181,3 +140,51 @@ def test_flatten_softmax_forms_agree(spark):
             "hof_run_len": "run_len",
         },
     )
+
+
+def test_relocated_twin_legs_match_donor_flat(spark):
+    """r13 (verdict item 7): the three sampled HOF-twin leg sets moved
+    from their baseline-mapped donor slots into q_parquet_roundtrip
+    (hof_sort_*/hof_red_*/hof_cart_* columns). The two-implementation
+    pin survives the move: every sampled order's relocated legs must
+    equal the DONOR slot's flat columns (computed by a codegen plan
+    the twin never shares), and unsampled orders' legs must be null."""
+    from dask_awkward_sandbox_spark.plans.io_queries import q_parquet_roundtrip
+    from dask_awkward_sandbox_spark.plans.nested import (
+        _HOF_SAMPLE_MOD,
+        q_cartesian_combinations,
+        q_reduce_order_count,
+        q_sort_argsort,
+    )
+
+    rt = {r["l_orderkey"]: r for r in _rows(q_parquet_roundtrip(spark, SF))}
+    donors = {
+        "hof_sort_": (q_sort_argsort, [
+            "top1_qty_c", "top2_qty_c", "min_ln", "min_qty_c",
+            "top1_masked_qty_c", "n_items", "n_high", "masked_sum",
+            "n_kept", "signed_sum", "first_ln", "first_qty_c",
+        ]),
+        "hof_red_": (q_reduce_order_count, [
+            "sum_qty_c", "prod_disc_c", "min_qty_c", "max_price_c",
+            "ptp_qty_c", "n_discounted", "any_big_disc", "all_small_qty",
+            "argmin_qty", "argmax_qty", "mean_qty", "m3", "corr_qp",
+        ]),
+        "hof_cart_": (q_cartesian_combinations, [
+            "n_pairs_cart", "cross_sum", "n_pairs_comb", "pair_sum",
+            "dot_c", "sum_disc_price_u",
+        ]),
+    }
+    sampled = 0
+    for prefix, (donor, legs) in donors.items():
+        for d in _rows(donor(spark, SF)):
+            r = rt[d["l_orderkey"]]
+            hit = d["l_orderkey"] % _HOF_SAMPLE_MOD == 0
+            sampled += hit
+            for leg in legs:
+                if hit:
+                    assert r[prefix + leg] == d[leg], (
+                        d["l_orderkey"], prefix + leg, r[prefix + leg], d[leg]
+                    )
+                else:
+                    assert r[prefix + leg] is None, (d["l_orderkey"], prefix + leg)
+    assert sampled > 0

@@ -606,16 +606,9 @@ def test_reduce_order_count_plan_is_join_free(spark):
     per-row join (the r7 left-join shape tripled the slot's cost and
     was the only plan-unstable slot at sf1).
 
-    r11: the per-order hof_* sample legs come from the HOF twin over
-    a second filtered scan, joined by l_orderkey (the in-aggregate
-    conditional-collect variant taxed every input row through the
-    ObjectHashAggregate: 5.29x sf10 growth vs ~3.8x). r12: the leg
-    join is UNhinted — AQE broadcasts while small and may degrade to
-    a co-clustered sort-merge at scale — so the contract becomes:
-    exactly ONE join in the plan (the sampled legs; its physical
-    strategy is AQE's call), exactly TWO lineitem scans (flat + twin;
-    the single-scan cache form was measured and reverted — see
-    SCALE_SF10.json hof_form_ab), and a bounded exchange count."""
+    r13 (verdict item 7): the sampled HOF twin relocated to
+    q_parquet_roundtrip, so the slot is join-free AGAIN — the original
+    r8 contract — with exactly ONE lineitem scan and no cache."""
     from dask_awkward_sandbox_spark.plans import QUERIES
 
     spark.catalog.clearCache()
@@ -625,9 +618,9 @@ def test_reduce_order_count_plan_is_join_free(spark):
         plan.count(op)
         for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    assert n_joins == 1, plan
-    assert plan.count("Exchange") <= 4, plan
-    assert plan.count("Scan parquet") == 2, plan
+    assert n_joins == 0, plan
+    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("Scan parquet") == 1, plan
     assert "InMemoryRelation" not in plan, plan
 
 
@@ -648,14 +641,18 @@ def test_reduce_order_count_plan_is_join_free(spark):
 # ORDER-grained roundtrip-frame persist (five consumers), so there
 # every roundtrip scan sits under the cache plus one naked lineitem
 # scan for the mapInArrow legs.
+# r13 (verdict item 7): the sort/reduce/cart twins moved into
+# q_parquet_roundtrip, so their donors drop to ONE scan and the
+# roundtrip slot carries the mp leg scan + three twin scans on top of
+# its cached roundtrip branches (scans == caches + 4).
 _HOF_SLOT_PLAN_BUDGET = {
     "q_flatten_softmax": (0, 2, 0),
-    "q_sort_argsort": (0, 2, 0),
-    "q_cartesian_combinations": (0, 2, 0),
+    "q_sort_argsort": (0, 1, 0),
+    "q_cartesian_combinations": (0, 1, 0),
     "q_pad_fill_none": (0, 2, 0),
-    "q_reduce_order_count": (0, 2, 0),
+    "q_reduce_order_count": (0, 1, 0),
     "q_concatenate": (2, 4, 0),
-    "q_parquet_roundtrip": (0, None, None),  # scans == caches + 1
+    "q_parquet_roundtrip": (0, None, None),  # scans == caches + 4
 }
 
 
@@ -676,10 +673,11 @@ def test_hof_slots_scan_shape_no_forced_broadcast(spark):
         n_cache = phys.count("InMemoryRelation")
         if n_scans is None:  # q_parquet_roundtrip
             assert n_cache >= 1, (name, "expected the roundtrip persist")
-            assert n_scan == n_cache + 1, (
+            assert n_scan == n_cache + 4, (
                 name, n_scan, n_cache,
                 "a roundtrip branch escaped the cache (or lineitem "
-                "scanned more than the one mapInArrow leg)",
+                "scanned other than the mapInArrow leg + the three "
+                "relocated twins)",
             )
         else:
             assert n_scan == n_scans, (name, n_scan, n_scans)
