@@ -238,8 +238,19 @@ def main() -> None:
     )
     if delta:
         out["plan_delta"] = delta
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALE_SF10.json"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE_SF10.json")
+    # preserve aux blocks other scripts merged into the record
+    # (hof_form_ab, sorted_bucket_ab, remeasure attributions, ...) —
+    # a probe refresh must not clobber them (it did once, r13)
+    if os.path.isfile(path):
+        try:
+            prev = json.load(open(path))
+        except ValueError:
+            prev = {}
+        for k, v in prev.items():
+            out.setdefault(k, v)
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
