@@ -273,6 +273,35 @@ def q_window_funcs(spark, sf_dir):
 WATERMARK_US = 3600 * 1_000_000  # sessionize_stateful's 1-hour watermark
 
 
+
+class _scoped_stream_shuffle:
+    """Scope ``spark.sql.shuffle.partitions`` down for the streaming
+    gate slots (r13): every stateful streaming operator allocates one
+    state-store task PER shuffle partition PER micro-batch, and these
+    slots replay KB-scale demo streams (60k events / 500 docs split
+    into two files) where 32 state partitions are pure per-task
+    overhead — measured: q_stream_dedup 75.7s -> 64.3s (cold) and
+    86.9 -> 33.5s (warm) at 4 partitions, q_stream_sessionize
+    8.2 -> 5.5s. At 100 TB the state partition count is a per-workload
+    knob sized to STATE VOLUME (set it high for a billion-key dedup);
+    defaulting it to the batch shuffle size is wrong in both
+    directions, which is exactly what this scoping documents. The conf
+    is restored on exit, so the returned batch frame (memory/parquet
+    sink reads) plans under the session default."""
+
+    N = "4"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.N)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 @query(
     "q_stream_sessionize",
     f"""
@@ -321,51 +350,52 @@ def q_stream_sessionize(spark, sf_dir):
     merge them into already-buffered sessions — the driver oracle
     itself exercises the late-merge path, and the final emitted set is
     unchanged because emission is watermark-final."""
-    import os
+    with _scoped_stream_shuffle(spark):
+        import os
 
-    from dask_awkward_sandbox_spark.streaming import sessionize_stateful
-    from dask_awkward_sandbox_spark.streaming.events import (
-        JSON_TS_FORMAT,
-        stream_events_from_dir,
-    )
+        from dask_awkward_sandbox_spark.streaming import sessionize_stateful
+        from dask_awkward_sandbox_spark.streaming.events import (
+            JSON_TS_FORMAT,
+            stream_events_from_dir,
+        )
 
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join("/root/repo/.scratch", tag, "stream_sessionize_json")
-    e = read(spark, sf_dir, "events")
-    tus = F.unix_micros(F.col("ts"))
-    # the scalar max rides the plan as a 1-row broadcast crossJoin
-    # (the q11/q15 pattern) — no driver collect, each write stays a
-    # single job at any scale
-    mx = e.agg(F.max(tus).alias("_max_us"))
-    ex = e.crossJoin(F.broadcast(mx))
-    # deferred slice: strictly inside (final_watermark + 10min,
-    # max - 1min] so batch 1 still carries the stream-head event (the
-    # watermark never regresses) and no deferred row is droppable late
-    lo = F.col("_max_us") - F.lit(WATERMARK_US - 600_000_000)
-    hi = F.col("_max_us") - F.lit(60_000_000)
-    deferred = (tus >= lo) & (tus <= hi) & (F.col("event_id") % 7 == 0)
-    ex.filter(~deferred).drop("_max_us").repartition(1).write.mode(
-        "overwrite"
-    ).option("timestampFormat", JSON_TS_FORMAT).json(path)
-    backdate_files(path)  # file source orders by mtime: late file second
-    ex.filter(deferred).drop("_max_us").repartition(1).write.mode(
-        "append"
-    ).option("timestampFormat", JSON_TS_FORMAT).json(path)
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = os.path.join("/root/repo/.scratch", tag, "stream_sessionize_json")
+        e = read(spark, sf_dir, "events")
+        tus = F.unix_micros(F.col("ts"))
+        # the scalar max rides the plan as a 1-row broadcast crossJoin
+        # (the q11/q15 pattern) — no driver collect, each write stays a
+        # single job at any scale
+        mx = e.agg(F.max(tus).alias("_max_us"))
+        ex = e.crossJoin(F.broadcast(mx))
+        # deferred slice: strictly inside (final_watermark + 10min,
+        # max - 1min] so batch 1 still carries the stream-head event (the
+        # watermark never regresses) and no deferred row is droppable late
+        lo = F.col("_max_us") - F.lit(WATERMARK_US - 600_000_000)
+        hi = F.col("_max_us") - F.lit(60_000_000)
+        deferred = (tus >= lo) & (tus <= hi) & (F.col("event_id") % 7 == 0)
+        ex.filter(~deferred).drop("_max_us").repartition(1).write.mode(
+            "overwrite"
+        ).option("timestampFormat", JSON_TS_FORMAT).json(path)
+        backdate_files(path)  # file source orders by mtime: late file second
+        ex.filter(deferred).drop("_max_us").repartition(1).write.mode(
+            "append"
+        ).option("timestampFormat", JSON_TS_FORMAT).json(path)
 
-    out = sessionize_stateful(
-        stream_events_from_dir(spark, path, max_files_per_trigger=1)
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_stream_sessionize_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("q_stream_sessionize_sink").select(
-        "user_id", "session_start_us", "n_events"
-    )
+        out = sessionize_stateful(
+            stream_events_from_dir(spark, path, max_files_per_trigger=1)
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q_stream_sessionize_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("q_stream_sessionize_sink").select(
+            "user_id", "session_start_us", "n_events"
+        )
 
 
 _ND_OFF = 1_000_000_000_000  # planted near-dup copy id offset (collision-free)
@@ -488,136 +518,137 @@ def q_stream_dedup(spark, sf_dir):
     fresh checkpoint — dynamic partition overwrite must leave the
     sink row count unchanged (the exactly-once contract) or a poison
     breaks every curation row's hash."""
-    import os
-    import shutil
+    with _scoped_stream_shuffle(spark):
+        import os
+        import shutil
 
-    from dask_awkward_sandbox_spark.streaming import stream_neardup_dedup
-    from dask_awkward_sandbox_spark.streaming.events import (
-        JSON_TS_FORMAT,
-        stream_dedup_exact,
-        stream_events_from_dir,
-    )
-
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join("/root/repo/.scratch", tag, "stream_dedup_json")
-    e = read(spark, sf_dir, "events")
-    tus = F.unix_micros(F.col("ts"))
-    # scalar max as a 1-row broadcast (q11/q15 pattern), not a collect
-    mx = e.agg(F.max(tus).alias("_max_us"))
-    # last 30 min re-emitted as the duplicate file
-    dup_window = tus >= F.col("_max_us") - F.lit(1_800_000_000)
-    e.repartition(1).write.mode("overwrite").option(
-        "timestampFormat", JSON_TS_FORMAT
-    ).json(path)
-    backdate_files(path)  # file source orders by mtime: dup file second
-    e.crossJoin(F.broadcast(mx)).filter(dup_window).drop(
-        "_max_us"
-    ).repartition(1).write.mode("append").option(
-        "timestampFormat", JSON_TS_FORMAT
-    ).json(path)
-
-    deduped = stream_dedup_exact(
-        stream_events_from_dir(spark, path, max_files_per_trigger=1),
-        keys=["event_id"],
-        watermark="1 hour",
-    )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("q_stream_dedup_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    exact_leg = (
-        spark.table("q_stream_dedup_sink")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        from dask_awkward_sandbox_spark.streaming import stream_neardup_dedup
+        from dask_awkward_sandbox_spark.streaming.events import (
+            JSON_TS_FORMAT,
+            stream_dedup_exact,
+            stream_events_from_dir,
         )
-        .select(
-            F.lit("exact").alias("leg"),
-            F.col("event_type").alias("key"),
-            "n",
-            "n_users",
-            "sum_value_c",
-            F.lit(None).cast("double").alias("score"),
+
+        tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = os.path.join("/root/repo/.scratch", tag, "stream_dedup_json")
+        e = read(spark, sf_dir, "events")
+        tus = F.unix_micros(F.col("ts"))
+        # scalar max as a 1-row broadcast (q11/q15 pattern), not a collect
+        mx = e.agg(F.max(tus).alias("_max_us"))
+        # last 30 min re-emitted as the duplicate file
+        dup_window = tus >= F.col("_max_us") - F.lit(1_800_000_000)
+        e.repartition(1).write.mode("overwrite").option(
+            "timestampFormat", JSON_TS_FORMAT
+        ).json(path)
+        backdate_files(path)  # file source orders by mtime: dup file second
+        e.crossJoin(F.broadcast(mx)).filter(dup_window).drop(
+            "_max_us"
+        ).repartition(1).write.mode("append").option(
+            "timestampFormat", JSON_TS_FORMAT
+        ).json(path)
+
+        deduped = stream_dedup_exact(
+            stream_events_from_dir(spark, path, max_files_per_trigger=1),
+            keys=["event_id"],
+            watermark="1 hour",
         )
-    )
-
-    # neardup leg: rebuild the stream dirs from scratch each call so
-    # the two-batch replay (and its store) is deterministic per run
-    nd_base = os.path.join("/root/repo/.scratch", tag, "stream_neardup")
-    shutil.rmtree(nd_base, ignore_errors=True)
-    in_path = os.path.join(nd_base, "in")
-    d = read(spark, sf_dir, "documents").select("doc_id", "text")
-    b1 = d.filter(F.col("doc_id") % 2 == 0)
-    b2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
-        d.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + F.lit(_ND_OFF)).alias("doc_id"), "text"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("q_stream_dedup_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    b1.repartition(1).write.mode("overwrite").json(in_path)
-    backdate_files(in_path)  # file source orders by mtime: batch 2 second
-    b2.repartition(1).write.mode("append").json(in_path)
-    stream_neardup_dedup(
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .json(in_path),
-        store_path=os.path.join(nd_base, "store"),
-        out_path=os.path.join(nd_base, "out"),
-        checkpoint=os.path.join(nd_base, "ckpt"),
-        num_perms=16,
-        bands=4,
-        min_match=0.75,
-    )
-    nd_leg = spark.read.parquet(os.path.join(nd_base, "out")).select(
-        F.lit("neardup").alias("leg"),
-        F.col("doc").cast("string").alias("key"),
-        F.col("is_dup").cast("long").alias("n"),
-        F.col("dup_of").alias("n_users"),
-        F.lit(None).cast("long").alias("sum_value_c"),
-        F.lit(None).cast("double").alias("score"),
-    )
+        q.awaitTermination()
+        exact_leg = (
+            spark.table("q_stream_dedup_sink")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+            )
+            .select(
+                F.lit("exact").alias("leg"),
+                F.col("event_type").alias("key"),
+                "n",
+                "n_users",
+                "sum_value_c",
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
 
-    # curation leg (late r11): the SAME two-batch document stream
-    # through stream_curation_scores — stateless scan-side scoring
-    # with the idempotent batch_id-partitioned sink, REPLAYED from a
-    # fresh checkpoint (both batches re-delivered): dynamic partition
-    # overwrite must leave the sink row count unchanged or the poison
-    # breaks every curation row's hash. Scores (whitespace tokens,
-    # lang-id, quality double, position-weighted fingerprint) are the
-    # exact batch expressions, replayed by the oracle per document.
-    from dask_awkward_sandbox_spark.streaming import stream_curation_scores
-
-    cur_base = os.path.join(nd_base, "curation")
-    cur_out = os.path.join(cur_base, "out")
-
-    def _run_curation(ckpt: str) -> None:
-        stream_curation_scores(
+        # neardup leg: rebuild the stream dirs from scratch each call so
+        # the two-batch replay (and its store) is deterministic per run
+        nd_base = os.path.join("/root/repo/.scratch", tag, "stream_neardup")
+        shutil.rmtree(nd_base, ignore_errors=True)
+        in_path = os.path.join(nd_base, "in")
+        d = read(spark, sf_dir, "documents").select("doc_id", "text")
+        b1 = d.filter(F.col("doc_id") % 2 == 0)
+        b2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + F.lit(_ND_OFF)).alias("doc_id"), "text"
+            )
+        )
+        b1.repartition(1).write.mode("overwrite").json(in_path)
+        backdate_files(in_path)  # file source orders by mtime: batch 2 second
+        b2.repartition(1).write.mode("append").json(in_path)
+        stream_neardup_dedup(
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
             .json(in_path),
-            out_path=cur_out,
-            checkpoint=os.path.join(cur_base, ckpt),
+            store_path=os.path.join(nd_base, "store"),
+            out_path=os.path.join(nd_base, "out"),
+            checkpoint=os.path.join(nd_base, "ckpt"),
+            num_perms=16,
+            bands=4,
+            min_match=0.75,
+        )
+        nd_leg = spark.read.parquet(os.path.join(nd_base, "out")).select(
+            F.lit("neardup").alias("leg"),
+            F.col("doc").cast("string").alias("key"),
+            F.col("is_dup").cast("long").alias("n"),
+            F.col("dup_of").alias("n_users"),
+            F.lit(None).cast("long").alias("sum_value_c"),
+            F.lit(None).cast("double").alias("score"),
         )
 
-    _run_curation("ckpt")
-    n_first = spark.read.parquet(cur_out).count()
-    _run_curation("ckpt_replay")  # fresh checkpoint: both batches again
-    n_replayed = spark.read.parquet(cur_out).count()
-    poison = 0 if n_first == n_replayed else 10**9
-    cur_leg = spark.read.parquet(cur_out).select(
-        F.lit("curation").alias("leg"),
-        F.col("doc_id").cast("string").alias("key"),
-        (F.col("n_ws") + F.lit(poison)).alias("n"),
-        F.col("fp").alias("n_users"),
-        F.lit(None).cast("long").alias("sum_value_c"),
-        F.col("quality").alias("score"),
-    )
-    return exact_leg.unionByName(nd_leg).unionByName(cur_leg)
+        # curation leg (late r11): the SAME two-batch document stream
+        # through stream_curation_scores — stateless scan-side scoring
+        # with the idempotent batch_id-partitioned sink, REPLAYED from a
+        # fresh checkpoint (both batches re-delivered): dynamic partition
+        # overwrite must leave the sink row count unchanged or the poison
+        # breaks every curation row's hash. Scores (whitespace tokens,
+        # lang-id, quality double, position-weighted fingerprint) are the
+        # exact batch expressions, replayed by the oracle per document.
+        from dask_awkward_sandbox_spark.streaming import stream_curation_scores
+
+        cur_base = os.path.join(nd_base, "curation")
+        cur_out = os.path.join(cur_base, "out")
+
+        def _run_curation(ckpt: str) -> None:
+            stream_curation_scores(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(in_path),
+                out_path=cur_out,
+                checkpoint=os.path.join(cur_base, ckpt),
+            )
+
+        _run_curation("ckpt")
+        n_first = spark.read.parquet(cur_out).count()
+        _run_curation("ckpt_replay")  # fresh checkpoint: both batches again
+        n_replayed = spark.read.parquet(cur_out).count()
+        poison = 0 if n_first == n_replayed else 10**9
+        cur_leg = spark.read.parquet(cur_out).select(
+            F.lit("curation").alias("leg"),
+            F.col("doc_id").cast("string").alias("key"),
+            (F.col("n_ws") + F.lit(poison)).alias("n"),
+            F.col("fp").alias("n_users"),
+            F.lit(None).cast("long").alias("sum_value_c"),
+            F.col("quality").alias("score"),
+        )
+        return exact_leg.unionByName(nd_leg).unionByName(cur_leg)
 
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000
