@@ -85,9 +85,23 @@ def to_bucketed_table(
         df = df.repartition(num_buckets, bucket_by)
         w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
         w = w.sortBy(cols[0], *cols[1:])
+        # r14 (advice): a session-level spark.sql.files.maxRecordsPerFile
+        # would silently split buckets into multiple files, and Spark
+        # drops sort metadata for multi-file buckets — the advertised
+        # Sort elision would quietly disappear. Clear it for this write.
+        spark = df.sparkSession
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(key, None)
+        try:
+            if prev not in (None, "0"):
+                spark.conf.set(key, "0")
+            w.saveAsTable(table)
+        finally:
+            if prev not in (None, "0"):
+                spark.conf.set(key, prev)
     else:
         w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_by)
-    w.saveAsTable(table)
+        w.saveAsTable(table)
 
 
 def from_table(spark: SparkSession, table: str) -> DataFrame:

@@ -141,6 +141,39 @@ def shared_lineitem(
     return read(spark, sf_dir, "lineitem").select("l_orderkey", *fields).persist()
 
 
+class bucketed_sort_scan:
+    """Scope ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    around the reads that want a sorted bucketed table's write-time
+    sort advertised as the scan's outputOrdering (so Catalyst elides
+    the downstream Sort). Since Spark 3.0 the scan reports its bucket
+    sort only under this conf, because a sorted bucketed scan cannot
+    split files — parallelism drops to the bucket count for EVERY
+    bucketed-table read planned while it is set. That trade is right
+    for the window slots (the comparator Sort costs more than the lost
+    split) and wrong as a session-wide default (r13 shipped it sticky;
+    the r13 advice flagged the invisible cross-query side effect), so
+    callers scope it: plan AND execute the sorted-table reads inside
+    the ``with`` block. At 100 TB num_buckets is sized to the cluster
+    (e.g. 2048), so the parallelism cap is not a real constraint."""
+
+    KEY = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.set(self.KEY, "true")
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.prev)
+        return False
+
+
 def sorted_lineitem(spark: SparkSession, sf_dir: str, num_buckets: int = 32):
     """Bucketed + SORTED lineitem table for the window-bound slots
     (r13, verdict item 3): bucketBy(l_orderkey) + sortBy(l_orderkey,
@@ -151,32 +184,32 @@ def sorted_lineitem(spark: SparkSession, sf_dir: str, num_buckets: int = 32):
     comparator CPU, not spill). This is SURVEY §4's "pay the sort once
     at write" made real for the sort, not just the shuffle.
 
-    Requires ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
-    (set here, sticky): since Spark 3.0 the scan advertises its bucket
-    sort only under this conf because a sorted bucketed scan cannot
-    split files — parallelism drops to num_buckets for bucketed-table
-    reads. That is exactly the trade the window slots want (the Sort
-    costs more than the lost split); non-bucketed scans are untouched,
-    and at 100 TB you size num_buckets to the cluster (e.g. 2048), so
-    the cap is not a real constraint. Builds once per (sf tag,
-    num_buckets) and reuses the managed table across calls.
-    """
+    The Sort elision additionally needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` AT READ
+    TIME — r14 (advice): no longer set sticky here; wrap the reads in
+    :class:`bucketed_sort_scan` (the probe scripts and plan test do).
+    Builds once per (sf tag, num_buckets) and reuses the managed table
+    across calls."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
     table = f"lineitem_sorted_{tag}_{num_buckets}"
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     if not spark.catalog.tableExists(table):
-        import shutil
-
         from dask_awkward_sandbox_spark.io import to_bucketed_table
 
         # the session catalog is in-memory: a managed-table LOCATION
         # from an earlier session survives on disk with no catalog row
         # (bucket/sort metadata lives in the catalog, so the files
-        # alone are useless) — clear the orphan and rebuild
+        # alone are useless) — clear the orphan and rebuild. r14
+        # (advice): delete via the Hadoop FileSystem of the warehouse
+        # URI, not shutil — a hdfs:// or s3a:// warehouse would have
+        # silently no-op'd under removeprefix("file:") + rmtree and
+        # the saveAsTable below would hit the leftover files.
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "/root/repo/.scratch/warehouse"
-        ).removeprefix("file:")
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        )
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(wh + "/" + table)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)  # recursive; False if absent — both fine
         li = read(spark, sf_dir, "lineitem")
         to_bucketed_table(
             li, table, "l_orderkey", num_buckets=num_buckets,
@@ -217,7 +250,7 @@ def order_items(
     matching rows reach the shuffle) — the r11 bounded-HOF-leg hook:
     gate slots run the retained HOF composition over a deterministic
     subsample so the driver hash executes the operator code paths at
-    ~2% of the full-build cost.
+    ~0.5% of the full-build cost.
 
     ``base`` (r12) supplies a pre-projected lineitem frame so a hof
     twin can build off a provided scan — the hook

@@ -50,7 +50,13 @@ SCRATCH = "/root/repo/.scratch"
 
 # at most one resident roundtrip cache per session (r13 advice: the
 # persist previously outlived the query with no unpersist)
-_ROUNDTRIP_CACHE: list = []
+import threading
+
+# one persisted roundtrip frame per scratch path (see the r14 note in
+# q_parquet_roundtrip: replacing an entry tracks the overwrite of its
+# source files, so the old frame was already invalid)
+_ROUNDTRIP_CACHE: dict = {}
+_ROUNDTRIP_LOCK = threading.Lock()
 
 
 def _scratch(sf_dir: str, name: str) -> str:
@@ -222,7 +228,8 @@ def q_parquet_roundtrip(spark, sf_dir):
     incl. a linenumber-weighted dot that is NOT derivable from the
     other columns, so a broken Arrow kernel breaks the hash. r13: the
     mp_* legs run over the SAME sampled l_orderkey subsample as the
-    hof legs (modulus _HOF_SAMPLE_MOD, ~0.5% at r13) (the established gate-verification precedent) — a
+    hof legs (modulus _HOF_SAMPLE_MOD, ~0.5% at r13 — the established
+    gate-verification precedent) — a
     full-fact-table Arrow transit through Python workers exists
     nowhere else in the engine and §4 forbids it in the hot path; the
     filter sits BEFORE mapInArrow so it reaches the parquet scan and
@@ -240,18 +247,24 @@ def q_parquet_roundtrip(spark, sf_dir):
     # five consumers of an expensive nested-parquet scan: the persist
     # form measured neutral-to-better here (sf10 growth 8.18 -> 7.0)
     # and stays. The hof leg joins drop their broadcast hints (the
-    # sampled side is a fixed ~2% fraction — linear in the data — so
+    # sampled side is a fixed ~0.5% fraction — linear in the data — so
     # AQE must keep the right to degrade to sort-merge).
-    # r13 (advice): cap cache residency at ONE roundtrip frame —
-    # unpersist the previous invocation's cache before persisting the
-    # new one. Long-session callers running many slots between
-    # invocations should clearCache() between slots (bench.py does,
-    # per rep); within a single run the frame is order-grained and
-    # small next to the executor heap.
-    while _ROUNDTRIP_CACHE:
-        _ROUNDTRIP_CACHE.pop().unpersist()
-    back = from_parquet(spark, path, columns=["l_orderkey", "items"]).persist()
-    _ROUNDTRIP_CACHE.append(back)
+    # r13 (advice): cap cache residency at ONE roundtrip frame per
+    # sf_dir. r14 (advice): keyed by the scratch path and lock-guarded
+    # — replacing the entry is CORRECT, not just economical, because
+    # this call just OVERWROTE that path's parquet files, so any frame
+    # a caller still holds from an earlier invocation is invalid either
+    # way (its source files are gone); the non-blocking unpersist only
+    # makes the recompute-on-touch explicit. Different sf_dirs keep
+    # independent entries. Long-session callers running many slots
+    # between invocations should clearCache() between slots (bench.py
+    # does, per rep).
+    with _ROUNDTRIP_LOCK:
+        prev = _ROUNDTRIP_CACHE.pop(path, None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        back = from_parquet(spark, path, columns=["l_orderkey", "items"]).persist()
+        _ROUNDTRIP_CACHE[path] = back
     # r11 (verdict item 3): full-data reductions run CODEGEN — n_items
     # is size(), and sum_qty_c rides the to_dataframe explode below
     # (same nested parquet column, flat hash aggregate) instead of an

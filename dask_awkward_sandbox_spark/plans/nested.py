@@ -41,7 +41,7 @@ ORD = "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnfla
 
 # r11 (verdict item 1 — gate/HOF re-coupling): each codegen-rewritten
 # slot re-runs its retained HOF composition over this deterministic
-# ~2% order subsample and exposes aggregate hof_* legs in the
+# ~0.5% order subsample and exposes aggregate hof_* legs in the
 # registered output, so the driver's per-round value hash EXECUTES the
 # nested-operator code paths (sort/argsort/cartesian/combinations/
 # struct-accumulator reducers/axis-None folds) at every scale — not
@@ -143,7 +143,7 @@ def q_flatten_softmax(spark, sf_dir, base=None):
     collect_list structs and folded four interpreted HOF passes per
     list (sf10 37.7s, growth 7.51x). The HOF composition stays in
     :func:`q_flatten_softmax_hof`, pinned row-identical, AND runs
-    under the driver hash per-element for the ~2% sampled orders.
+    under the driver hash per-element for the ~0.5% sampled orders.
 
     r12 (verdict item 1): the leg join carries NO broadcast hint —
     the sampled side is a fixed FRACTION of the data, so a hint-forced
@@ -332,7 +332,7 @@ def q_sort_argsort(spark, sf_dir):
     move).
 
     r11 (verdict item 1): the slot ALSO runs the HOF twin itself over
-    the deterministic ~2% subsample and left-joins its legs (hof_*)
+    the deterministic ~0.5% subsample and left-joins its legs (hof_*)
     onto the flat output by l_orderkey — null for unsampled orders,
     per-order equality with the flat twin for sampled ones, all under
     the driver hash. (The first r11 shape — conditional collect_list
@@ -664,7 +664,7 @@ def q_pad_fill_none(spark, sf_dir, base=None):
     One exchange; the r10 nested form was interpretation-bound at
     sf10 30.8s / 7.00x. The HOF composition stays in
     :func:`q_pad_fill_none_hof`, pinned row-identical, AND runs under
-    the driver hash for the ~2% sampled orders (the q_sort_argsort
+    the driver hash for the ~0.5% sampled orders (the q_sort_argsort
     note): hof_qty_c/hof_qty_f carry the HOF pad_none/fill_none
     elements and the scalar hof_* legs the genuine
     like/isclose/nan_to_num/NestedArray ops. r12: leg join unhinted
@@ -721,7 +721,7 @@ def q_pad_fill_none(spark, sf_dir, base=None):
     )
     # r11/r12: the HOF twin runs the genuine pad_none/fill_none/
     # ones_like/isclose/nan_to_num/NestedArray composition over the
-    # ~2% subsample as its OWN second scan (the shared-persisted-scan
+    # ~0.5% subsample as its OWN second scan (the shared-persisted-scan
     # form was measured and reverted — SCALE_SF10 hof_form_ab); its
     # per-(order, idx) rows left-join onto the flat explode without a
     # broadcast hint
@@ -850,7 +850,7 @@ def q_concatenate(spark, sf_dir):
     is 8 conditional codegen COUNTs with the same floor((x-lo)/width)
     bin rule. r11 (verdict item 1): hof_* legs run the retained
     axis=None HOF composition (per-list JVM folds + re-aggregation,
-    histogram_axis1 in-row folds) over the ~2% sampled orders through
+    histogram_axis1 in-row folds) over the ~0.5% sampled orders through
     its own filtered build, broadcast onto every row like the flat
     global legs — so the driver hash executes the fold code paths at
     a second-scan constant (the in-aggregate conditional-collect
@@ -901,7 +901,7 @@ def q_concatenate(spark, sf_dir):
             for i in range(_HIST_BINS)
         ],
     )
-    # r11: the retained axis=None HOF composition runs over the ~2%
+    # r11: the retained axis=None HOF composition runs over the ~0.5%
     # subsample through its own filtered build and broadcasts its
     # 1-row legs like the flat ones
     hof = q_concatenate_axis_none_hof(

@@ -35,7 +35,10 @@ SLOTS = ("q_flatten_softmax", "q_pad_fill_none")
 
 def main() -> None:
     from dask_awkward_sandbox_spark.plans import nested as N
-    from dask_awkward_sandbox_spark.plans.common import sorted_lineitem
+    from dask_awkward_sandbox_spark.plans.common import (
+        bucketed_sort_scan,
+        sorted_lineitem,
+    )
     from dask_awkward_sandbox_spark.session import get_spark
 
     dirs = sys.argv[1:] or [
@@ -65,9 +68,12 @@ def main() -> None:
                 for _ in range(2):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
-                    fn(spark, d, base=base).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
+                    # r14 (advice): the ordering conf is scoped per
+                    # read now, never session-sticky
+                    with bucketed_sort_scan(spark):
+                        fn(spark, d, base=base).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                 walls[form] = round(best, 3)

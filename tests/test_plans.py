@@ -701,9 +701,9 @@ def test_sorted_bucket_table_elides_window_sort(spark):
         q_pad_fill_none,
     )
 
-    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    prev = spark.conf.get(key, None)
-    try:
+    from dask_awkward_sandbox_spark.plans.common import bucketed_sort_scan
+
+    with bucketed_sort_scan(spark):
         t = sorted_lineitem(spark, SF, num_buckets=8)
         flat = q_flatten_softmax(spark, SF, base=t)
         plan = flat._jdf.queryExecution().executedPlan().toString()
@@ -722,11 +722,10 @@ def test_sorted_bucket_table_elides_window_sort(spark):
         assert sorted(map(tuple, pad.collect())) == sorted(
             map(tuple, q_pad_fill_none(spark, SF).collect())
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    # r14 (advice): the conf is scoped by bucketed_sort_scan now —
+    # assert it did not leak into the session
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    assert spark.conf.get(key, None) in (None, "false")
 
 
 def test_plans_broadcast_hint_sites_inventoried():
