@@ -286,6 +286,44 @@ def fld_map(arr: Column, name: str, f) -> Column:
     return F.transform(arr.getField(name), f)
 
 
+def staged_stream_dir(path: str, key: str, build) -> None:
+    """Build a DETERMINISTIC stream-input directory once and reuse it
+    across invocations (r14, verdict item 2): the streaming gate slots
+    used to re-write their json input files (a full events/documents
+    table, repartition(1)) on EVERY call — pure fixed cost, since the
+    staged bytes are a function of the source table alone. ``key``
+    must encode everything the staging depends on (a format-version
+    tag + the source identity, e.g. its footer row count); a sibling
+    marker file records the key, and any mismatch — new staging code,
+    different dataset under the same path — rebuilds from scratch.
+    The marker lives NEXT TO the dir, never inside it: the json file
+    source reads every file in its directory regardless of extension,
+    and a stray marker would parse as a corrupt-record row.
+
+    Reuse is sound for the replay contracts because each run still
+    starts its stream from a FRESH checkpoint (the slots rmtree their
+    checkpoint/store dirs per call); only the input bytes — and their
+    backdated mtime ordering, which persists on disk — are shared."""
+    import hashlib
+    import os
+    import shutil
+
+    marker = path.rstrip("/") + ".staged_" + hashlib.md5(
+        key.encode()
+    ).hexdigest()[:16]
+    if os.path.isfile(marker) and os.path.isdir(path):
+        return
+    # drop stale markers for this path (old keys) before rebuilding
+    import glob
+
+    for m in glob.glob(path.rstrip("/") + ".staged_*"):
+        os.unlink(m)
+    shutil.rmtree(path, ignore_errors=True)
+    build()
+    with open(marker, "w") as f:
+        f.write(key)
+
+
 def backdate_files(path: str, seconds: float = 30.0) -> None:
     """Push every file currently under ``path`` ``seconds`` into the
     past (os.utime). The file stream source orders files by mtime, so

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_awkward_sandbox_spark.plans.common import backdate_files, cents, read
+from dask_awkward_sandbox_spark.plans.common import (
+    backdate_files,
+    cents,
+    parquet_row_count,
+    read,
+    staged_stream_dir,
+)
 from dask_awkward_sandbox_spark.plans.registry import query
 
 SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds — exact integer compare
@@ -361,26 +367,39 @@ def q_stream_sessionize(spark, sf_dir):
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         path = os.path.join("/root/repo/.scratch", tag, "stream_sessionize_json")
-        e = read(spark, sf_dir, "events")
-        tus = F.unix_micros(F.col("ts"))
-        # the scalar max rides the plan as a 1-row broadcast crossJoin
-        # (the q11/q15 pattern) — no driver collect, each write stays a
-        # single job at any scale
-        mx = e.agg(F.max(tus).alias("_max_us"))
-        ex = e.crossJoin(F.broadcast(mx))
-        # deferred slice: strictly inside (final_watermark + 10min,
-        # max - 1min] so batch 1 still carries the stream-head event (the
-        # watermark never regresses) and no deferred row is droppable late
-        lo = F.col("_max_us") - F.lit(WATERMARK_US - 600_000_000)
-        hi = F.col("_max_us") - F.lit(60_000_000)
-        deferred = (tus >= lo) & (tus <= hi) & (F.col("event_id") % 7 == 0)
-        ex.filter(~deferred).drop("_max_us").repartition(1).write.mode(
-            "overwrite"
-        ).option("timestampFormat", JSON_TS_FORMAT).json(path)
-        backdate_files(path)  # file source orders by mtime: late file second
-        ex.filter(deferred).drop("_max_us").repartition(1).write.mode(
-            "append"
-        ).option("timestampFormat", JSON_TS_FORMAT).json(path)
+
+        def _stage() -> None:
+            e = read(spark, sf_dir, "events")
+            tus = F.unix_micros(F.col("ts"))
+            # the scalar max rides the plan as a 1-row broadcast
+            # crossJoin (the q11/q15 pattern) — no driver collect, each
+            # write stays a single job at any scale
+            mx = e.agg(F.max(tus).alias("_max_us"))
+            ex = e.crossJoin(F.broadcast(mx))
+            # deferred slice: strictly inside (final_watermark + 10min,
+            # max - 1min] so batch 1 still carries the stream-head event
+            # (the watermark never regresses) and no deferred row is
+            # droppable late
+            lo = F.col("_max_us") - F.lit(WATERMARK_US - 600_000_000)
+            hi = F.col("_max_us") - F.lit(60_000_000)
+            deferred = (tus >= lo) & (tus <= hi) & (F.col("event_id") % 7 == 0)
+            ex.filter(~deferred).drop("_max_us").repartition(1).write.mode(
+                "overwrite"
+            ).option("timestampFormat", JSON_TS_FORMAT).json(path)
+            backdate_files(path)  # file source orders by mtime: late file second
+            ex.filter(deferred).drop("_max_us").repartition(1).write.mode(
+                "append"
+            ).option("timestampFormat", JSON_TS_FORMAT).json(path)
+
+        # r14 (verdict item 2): the staged two-file replay is a pure
+        # function of the events table — build it once, reuse across
+        # invocations (the stream itself still runs from a fresh
+        # ephemeral checkpoint every call)
+        staged_stream_dir(
+            path,
+            f"sessionize-v1:{sf_dir}:{parquet_row_count(sf_dir, 'events')}",
+            _stage,
+        )
 
         out = sessionize_stateful(
             stream_events_from_dir(spark, path, max_files_per_trigger=1)
@@ -531,21 +550,31 @@ def q_stream_dedup(spark, sf_dir):
 
         tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         path = os.path.join("/root/repo/.scratch", tag, "stream_dedup_json")
-        e = read(spark, sf_dir, "events")
-        tus = F.unix_micros(F.col("ts"))
-        # scalar max as a 1-row broadcast (q11/q15 pattern), not a collect
-        mx = e.agg(F.max(tus).alias("_max_us"))
-        # last 30 min re-emitted as the duplicate file
-        dup_window = tus >= F.col("_max_us") - F.lit(1_800_000_000)
-        e.repartition(1).write.mode("overwrite").option(
-            "timestampFormat", JSON_TS_FORMAT
-        ).json(path)
-        backdate_files(path)  # file source orders by mtime: dup file second
-        e.crossJoin(F.broadcast(mx)).filter(dup_window).drop(
-            "_max_us"
-        ).repartition(1).write.mode("append").option(
-            "timestampFormat", JSON_TS_FORMAT
-        ).json(path)
+        n_events = parquet_row_count(sf_dir, "events")
+
+        def _stage_events() -> None:
+            e = read(spark, sf_dir, "events")
+            tus = F.unix_micros(F.col("ts"))
+            # scalar max as a 1-row broadcast (q11/q15 pattern), not a
+            # collect
+            mx = e.agg(F.max(tus).alias("_max_us"))
+            # last 30 min re-emitted as the duplicate file
+            dup_window = tus >= F.col("_max_us") - F.lit(1_800_000_000)
+            e.repartition(1).write.mode("overwrite").option(
+                "timestampFormat", JSON_TS_FORMAT
+            ).json(path)
+            backdate_files(path)  # file source orders by mtime: dup file second
+            e.crossJoin(F.broadcast(mx)).filter(dup_window).drop(
+                "_max_us"
+            ).repartition(1).write.mode("append").option(
+                "timestampFormat", JSON_TS_FORMAT
+            ).json(path)
+
+        # r14 (verdict item 2): stage once per source table — the
+        # replay files are a pure function of events.parquet, and
+        # re-writing them per call was fixed cost (the dedup stream
+        # itself still runs from a fresh ephemeral checkpoint)
+        staged_stream_dir(path, f"dedup-v1:{sf_dir}:{n_events}", _stage_events)
 
         deduped = stream_dedup_exact(
             stream_events_from_dir(spark, path, max_files_per_trigger=1),
@@ -578,21 +607,28 @@ def q_stream_dedup(spark, sf_dir):
             )
         )
 
-        # neardup leg: rebuild the stream dirs from scratch each call so
-        # the two-batch replay (and its store) is deterministic per run
+        # neardup leg: the two-batch INPUT is a pure function of the
+        # documents table — staged once OUTSIDE nd_base (r14); the
+        # store/out/checkpoint dirs under nd_base rebuild from scratch
+        # each call so the replay (and its store) stays deterministic
         nd_base = os.path.join("/root/repo/.scratch", tag, "stream_neardup")
-        shutil.rmtree(nd_base, ignore_errors=True)
-        in_path = os.path.join(nd_base, "in")
-        d = read(spark, sf_dir, "documents").select("doc_id", "text")
-        b1 = d.filter(F.col("doc_id") % 2 == 0)
-        b2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
-            d.filter(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + F.lit(_ND_OFF)).alias("doc_id"), "text"
+        in_path = os.path.join("/root/repo/.scratch", tag, "stream_neardup_in")
+        n_docs = parquet_row_count(sf_dir, "documents")
+
+        def _stage_docs() -> None:
+            d = read(spark, sf_dir, "documents").select("doc_id", "text")
+            b1 = d.filter(F.col("doc_id") % 2 == 0)
+            b2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+                d.filter(F.col("doc_id") % 10 == 0).select(
+                    (F.col("doc_id") + F.lit(_ND_OFF)).alias("doc_id"), "text"
+                )
             )
-        )
-        b1.repartition(1).write.mode("overwrite").json(in_path)
-        backdate_files(in_path)  # file source orders by mtime: batch 2 second
-        b2.repartition(1).write.mode("append").json(in_path)
+            b1.repartition(1).write.mode("overwrite").json(in_path)
+            backdate_files(in_path)  # file source: batch 2 second
+            b2.repartition(1).write.mode("append").json(in_path)
+
+        staged_stream_dir(in_path, f"neardup-v1:{sf_dir}:{n_docs}", _stage_docs)
+        shutil.rmtree(nd_base, ignore_errors=True)
         stream_neardup_dedup(
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -603,6 +639,9 @@ def q_stream_dedup(spark, sf_dir):
             num_perms=16,
             bands=4,
             min_match=0.75,
+            # each micro-batch is ONE json file — spread the signature
+            # fold across cores (see _batch_state's r14 note)
+            spread=8,
         )
         nd_leg = spark.read.parquet(os.path.join(nd_base, "out")).select(
             F.lit("neardup").alias("leg"),
