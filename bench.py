@@ -95,6 +95,19 @@ BASELINE_MAPPED = {
 # r12 verdict item 3 asks the artifact to self-document this).
 Q1_CONTROL_R01 = 0.769
 
+# r14 (verdict item 1a): a SINGLE q1 control cannot arbitrate per-slot
+# deltas — its own wall swung 0.59-1.95s within three hours in r13.
+# box_factor is now the MEDIAN ratio over four plan-stable controls
+# (code and plan unchanged since r1; rows from BENCH_r01.json), so one
+# control landing inside a load burst no longer poisons the
+# normalization. Per-control ratios ride the aux line (box_controls).
+BOX_CONTROLS_R01 = {
+    "q1_pricing_summary": 0.769,
+    "q3_shipping_priority": 1.185,
+    "q6_forecast_revenue": 0.335,
+    "q18_large_orders": 0.961,
+}
+
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -343,8 +356,65 @@ def gate_nonheadliner(spark, sf_dir: str) -> dict:
     return {"total": round(sum(walls.values()), 2), "queries": walls}
 
 
+def isolated_main(slots: list[str], reps: int, sf_dir: str) -> None:
+    """Subprocess mode (r14, verdict items 1b+4): time the given slots
+    min-of-``reps`` in a FRESH session — fresh JVM, fresh Python
+    workers, zero cache — so the cells are free of the 50-slot panel's
+    session aging (three rounds of hand-re-measured 3x inflation on
+    the Python-worker slots made this a standing mode, not a prose
+    note). Prints ONE JSON line {slot: wall} and exits."""
+    from dask_awkward_sandbox_spark.plans import QUERIES
+    from dask_awkward_sandbox_spark.session import get_spark
+
+    spark = get_spark("dwax-bench-isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in slots:  # codegen/JIT warmup, same as the panel's
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    walls: dict[str, float] = {}
+    for name in slots:
+        samples = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        walls[name] = round(min(samples), 3)
+    print(json.dumps(walls))
+    sys.stdout.flush()
+
+
+def run_isolated(slots: list[str], reps: int, sf_dir: str) -> dict:
+    """Launch isolated_main in a subprocess; {} with an error key on
+    any failure so the driver's bench run never dies on the probe."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--slots", ",".join(slots), "--reps", str(reps),
+             "--sf-dir", sf_dir],
+            capture_output=True, timeout=1500, text=True,
+        )
+        lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not lines:
+            return {"error": f"rc={p.returncode}", "tail": p.stderr[-200:]}
+        return json.loads(lines[-1])
+    except Exception as exc:  # noqa: BLE001 — record, don't crash
+        return {"error": str(exc)[:200]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--slots" in sys.argv:
+        i = sys.argv.index("--slots")
+        slots = sys.argv[i + 1].split(",")
+        reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 3
+        if "--sf-dir" in sys.argv:
+            sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+        isolated_main(slots, reps, sf_dir)
+        return
     from dask_awkward_sandbox_spark.plans import QUERIES
     from dask_awkward_sandbox_spark.session import get_spark
 
@@ -392,7 +462,9 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
+        # 2dp: the final line must stay inside the driver's ~2000-char
+        # tail capture now that the isolated block rides it (r14)
+        timings[name] = round(min(samples), 2)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -413,6 +485,45 @@ def main() -> None:
     # for the CURRENT headliner count and asserts it fits.
     base_total = round(sum(BASELINE_MAPPED.values()), 3)
     mapped_total = round(sum(timings[k] for k in BASELINE_MAPPED if k in timings), 3)
+    # r14 (verdict item 1a): box_factor = MEDIAN over the four
+    # plan-stable controls, not the single q1 wall (see BOX_CONTROLS_R01)
+    ctrl_ratios = {
+        k: round(timings[k] / v, 3) for k, v in BOX_CONTROLS_R01.items()
+    }
+    box_factor = sorted(ctrl_ratios.values())[1:3]
+    box_factor = round(sum(box_factor) / 2, 3)  # median of 4 = mean of middle two
+    # r14 (verdict items 1b+4): isolated min-of-3 of every
+    # baseline-mapped slot in a FRESH subprocess session, emitted on
+    # the final line so the grading gate is decidable from the driver
+    # artifact. The per-slot values ride as an ARRAY in
+    # sorted(BASELINE_MAPPED) key order — the full named dict (~550
+    # chars) would push the final line past the driver's ~2000-char
+    # tail capture; the named copy rides the aux line.
+    iso_block: dict = {}
+    iso_named: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
+        iso_named = run_isolated(sorted(BASELINE_MAPPED), 3, sf_dir)
+        if "error" not in iso_named:
+            iso_total = round(sum(iso_named.values()), 2)
+            # normalize by the median box control measured IN the
+            # isolated session itself (all four controls are mapped
+            # slots, so their isolated cells exist) — the cells and
+            # their normalizer must share a session or aging skews one
+            iso_ctrl = sorted(
+                iso_named[k] / v for k, v in BOX_CONTROLS_R01.items()
+            )[1:3]
+            iso_box = round(sum(iso_ctrl) / 2, 3)
+            iso_block = {
+                "keys": "sorted(BASELINE_MAPPED)",
+                "vals": [round(iso_named[k], 2) for k in sorted(BASELINE_MAPPED)],
+                "total": iso_total,
+                "ratio": round(iso_total / base_total, 3),
+                "box": iso_box,
+                "norm": round(iso_total / base_total / iso_box, 3)
+                if iso_box else None,
+            }
+        else:
+            iso_block = iso_named
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -425,21 +536,45 @@ def main() -> None:
             "mapped_total": mapped_total,
             "ratio": round(mapped_total / base_total, 3),
         },
-        # box-speed control (r12, verdict items 3+7): this run's q1
-        # min over the r01 record's 0.769s — q1 is plan-identical
-        # since r1, so any round-over-round wall comparison should be
-        # normalized by this instead of hand-computed controls
-        "box_factor": round(timings["q1_pricing_summary"] / Q1_CONTROL_R01, 3),
+        "baseline_mapped_isolated": iso_block,
+        "box_factor": box_factor,
         # r13 (verdict item 5): the non-headliner gate-slot walls ride
         # the FINAL line — the driver's ~2000-char tail capture
         # truncated them out of BENCH_r12 when they lived on the aux
-        # line. 2-decimal walls keep the worst-case line ~1.7k chars
+        # line. 2-decimal walls keep the worst-case line in budget
         # (tests/test_bench_contract.py pins the width).
         "gate_nonheadliner": gate_nonheadliner(spark, sf_dir),
     }
+    # r14 (verdict item 6): measure the r01-shape 15-min windowed agg
+    # standalone so q_events_windowed's baseline excess (its r01 row
+    # never carried the rollup-cascade/hh/hll legs) is a measured
+    # column, not a prose note
+    from dask_awkward_sandbox_spark.plans.events import events_windowed_r01_shape
+
+    r01_shape_samples = []
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        events_windowed_r01_shape(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        r01_shape_samples.append(time.perf_counter() - t0)
     aux = {
         "metric": "bench_aux",
         "spread_min_max": spread,
+        "box_controls": ctrl_ratios,
+        "events_windowed_decomposition": {
+            "full_slot": timings.get("q_events_windowed"),
+            "r01_shape": round(min(r01_shape_samples), 3),
+            "baseline_row": BASELINE_MAPPED["q_events_windowed"],
+        },
+        "baseline_mapped_isolated_named": iso_named,
+        # the python-worker non-mapped slot the r13 verdict named
+        # (q_ann_ivf_assign/q_dedup_minhash are mapped, covered above)
+        "isolated_nonmapped": (
+            run_isolated(["q_knn_join"], 3, sf_dir)
+            if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1" else {}
+        ),
         "skew_demo": skew_demo(spark, sf_dir, reps),
     }
     # min-of-2 at sf1: the sf0.1 warmup does not warm the sf1 dataset

