@@ -362,25 +362,52 @@ def isolated_main(slots: list[str], reps: int, sf_dir: str) -> None:
     workers, zero cache — so the cells are free of the 50-slot panel's
     session aging (three rounds of hand-re-measured 3x inflation on
     the Python-worker slots made this a standing mode, not a prose
-    note). Prints ONE JSON line {slot: wall} and exits."""
+    note).
+
+    DEEP warmup (late r14): the first recorded isolated run read
+    systematically HIGH — complex slots 1.3-3x their warm-panel cells
+    (q_events_windowed 3.88 vs 1.25) while the simple control scans
+    moved only ~10%, so the in-session normalization could not cancel
+    it. A per-rep probe showed fresh-session walls still improving at
+    rep 6 (4.61, 3.06, 4.08, 2.34, 2.70, ... toward the panel cell):
+    C2 JIT compilation of Spark's aggregate/codegen internals, which
+    hits complex plans hardest and which the panel session has fully
+    amortized by the time it measures (100+ prior queries). A tiny-SF
+    pass compiles the generated classes but not the hot interpreter
+    paths, so warmup here is the sf0.001 pass PLUS two full passes
+    over the slot list AT TARGET SF before any timing — the timed
+    min-of-``reps`` then measures steady-state plan execution in a
+    session whose Python-worker population comes from these slots
+    alone (the aging-free cell the block exists for), not JIT ramp.
+    Prints ONE JSON line {slot: wall} and exits."""
     from dask_awkward_sandbox_spark.plans import QUERIES
     from dask_awkward_sandbox_spark.session import get_spark
 
     spark = get_spark("dwax-bench-isolated")
     spark.sparkContext.setLogLevel("ERROR")
-    for name in slots:  # codegen/JIT warmup, same as the panel's
+    for name in slots:  # codegen compile at tiny SF
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-    walls: dict[str, float] = {}
-    for name in slots:
-        samples = []
-        for _ in range(reps):
+    for _ in range(2):  # JIT steady-state at target SF
+        for name in slots:
+            spark.catalog.clearCache()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    # INTERLEAVED reps (the skew_demo lesson): box contention comes in
+    # bursts, so back-to-back reps of one slot can land entirely inside
+    # a burst and poison its min — a validation run on a burst patch
+    # read q_dedup_simhash 9.23s where calm runs read 3.4-4.2s.
+    # Round-robin gives every slot exposure across the whole window.
+    samples: dict[str, list[float]] = {name: [] for name in slots}
+    for _ in range(reps):
+        for name in slots:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        walls[name] = round(min(samples), 3)
+            samples[name].append(time.perf_counter() - t0)
+    walls = {name: round(min(s), 3) for name, s in samples.items()}
     print(json.dumps(walls))
     sys.stdout.flush()
 
