@@ -540,11 +540,14 @@ def main() -> None:
                 iso_named[k] / v for k, v in BOX_CONTROLS_R01.items()
             )[1:3]
             iso_box = round(sum(iso_ctrl) / 2, 3)
+            # final-line budget: "keys" doc (vals ride in
+            # sorted(BASELINE_MAPPED) order — pinned by the contract
+            # test + the aux line's named dict) and "ratio"
+            # (= total / 21.376) are derivable; only vals/total/box/
+            # norm ride the capture-constrained line
             iso_block = {
-                "keys": "sorted(BASELINE_MAPPED)",
                 "vals": [round(iso_named[k], 2) for k in sorted(BASELINE_MAPPED)],
                 "total": iso_total,
-                "ratio": round(iso_total / base_total, 3),
                 "box": iso_box,
                 "norm": round(iso_total / base_total / iso_box, 3)
                 if iso_box else None,
@@ -572,29 +575,59 @@ def main() -> None:
         # (tests/test_bench_contract.py pins the width).
         "gate_nonheadliner": gate_nonheadliner(spark, sf_dir),
     }
-    # r14 (verdict item 6): measure the r01-shape 15-min windowed agg
-    # standalone so q_events_windowed's baseline excess (its r01 row
-    # never carried the rollup-cascade/hh/hll legs) is a measured
-    # column, not a prose note
-    from dask_awkward_sandbox_spark.plans.events import events_windowed_r01_shape
+    # r14 (verdict item 6, GENERALIZED late-r14): measure the
+    # r01-equivalent shape of EVERY mapped slot that carries extra
+    # legs (plans/r01_shapes.py — same operators/parameters as the
+    # BENCH_r01 slots, on today's engine), so slot-wall / r01-row
+    # stops conflating added work with regression. Per-shape cells
+    # ride this aux line; the shape-total vs row-total ratio (the
+    # comparable-work parity answer) rides the final line. Interleaved
+    # reps, same burst rationale as isolated_main.
+    from dask_awkward_sandbox_spark.plans.r01_shapes import R01_SHAPES
 
-    r01_shape_samples = []
-    for _ in range(reps):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        events_windowed_r01_shape(spark, sf_dir).write.format("noop").mode(
+    shape_items = [
+        (slot, nm, row, fn)
+        for slot, lst in R01_SHAPES.items()
+        for (nm, row, fn) in lst
+    ]
+    for _, _, _, fn in shape_items:  # codegen warmup (session is JIT-warm)
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-        r01_shape_samples.append(time.perf_counter() - t0)
+    shape_samples: dict[str, list[float]] = {nm: [] for _, nm, _, _ in shape_items}
+    for _ in range(reps):
+        for _, nm, _, fn in shape_items:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            shape_samples[nm].append(time.perf_counter() - t0)
+    shape_walls = {nm: round(min(s), 3) for nm, s in shape_samples.items()}
+    r01_aux = {}
+    for slot, lst in R01_SHAPES.items():
+        wall = round(sum(shape_walls[nm] for nm, _, _ in lst), 3)
+        rows = round(sum(r for _, r, _ in lst), 3)
+        r01_aux[slot] = {
+            "full_slot": timings.get(slot),
+            "shapes": {nm: shape_walls[nm] for nm, _, _ in lst},
+            "rows": rows,
+            "ratio": round(wall / rows, 3),
+        }
+    shape_total = round(sum(shape_walls.values()), 2)
+    shape_rows_total = round(
+        sum(r for lst in R01_SHAPES.values() for _, r, _ in lst), 3
+    )
+    # "rows" (the fixed 9.344 baseline constant) rides only the aux
+    # line's per-slot table — the final line carries the two numbers
+    # that vary
+    out["r01_shapes"] = {
+        "wall": shape_total,
+        "ratio": round(shape_total / shape_rows_total, 3),
+    }
     aux = {
         "metric": "bench_aux",
         "spread_min_max": spread,
         "box_controls": ctrl_ratios,
-        "events_windowed_decomposition": {
-            "full_slot": timings.get("q_events_windowed"),
-            "r01_shape": round(min(r01_shape_samples), 3),
-            "baseline_row": BASELINE_MAPPED["q_events_windowed"],
-        },
+        "r01_shape_ratios": r01_aux,
         "baseline_mapped_isolated_named": iso_named,
         # the python-worker non-mapped slot the r13 verdict named
         # (q_ann_ivf_assign/q_dedup_minhash are mapped, covered above)

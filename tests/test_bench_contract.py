@@ -61,10 +61,8 @@ def test_final_line_fits_driver_tail_capture():
             # sorted(BASELINE_MAPPED) order — the full named dict
             # (~550 chars) would blow the tail budget; it rides aux
             "baseline_mapped_isolated": {
-                "keys": "sorted(BASELINE_MAPPED)",
                 "vals": [999.99] * len(bench.BASELINE_MAPPED),
                 "total": 99999.99,
-                "ratio": 999.999,
                 "box": 999.999,
                 "norm": 999.999,
             },
@@ -72,9 +70,35 @@ def test_final_line_fits_driver_tail_capture():
             # r13: non-headliner walls ride the final line so the
             # driver's tail capture keeps them in the record
             "gate_nonheadliner": {"total": 99999.99, "queries": non},
+            # late r14: comparable-work totals (per-shape cells on aux)
+            "r01_shapes": {"wall": 999.99, "ratio": 999.999},
         }
     )
     assert len(line) <= 1960, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
+
+
+def test_r01_shapes_table_consistent():
+    """plans/r01_shapes.py: every shaped slot must be a
+    BASELINE_MAPPED headliner, its per-shape rows must sum to the
+    slot's BASELINE_MAPPED row (same numbers, decomposed), and each
+    shape must build a plan against the tiny SF."""
+    import bench
+    from dask_awkward_sandbox_spark.plans.r01_shapes import R01_SHAPES
+
+    for slot, lst in R01_SHAPES.items():
+        assert slot in bench.BASELINE_MAPPED, slot
+        assert slot in bench.HEADLINERS, slot
+        rows = round(sum(r for _, r, _ in lst), 3)
+        assert rows == bench.BASELINE_MAPPED[slot], (slot, rows)
+
+
+def test_r01_shapes_build_plans(spark):
+    from dask_awkward_sandbox_spark.plans.r01_shapes import R01_SHAPES
+
+    for lst in R01_SHAPES.values():
+        for _, _, fn in lst:
+            # schema resolution = full analysis; no execution needed
+            assert fn(spark, "/root/testdata/sf0.001").schema is not None
 
 
 def test_gate_nonheadliner_covers_registry_complement():
