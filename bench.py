@@ -616,7 +616,7 @@ def main() -> None:
     shape_rows_total = round(
         sum(r for lst in R01_SHAPES.values() for _, r, _ in lst), 3
     )
-    # "rows" (the fixed 9.344 baseline constant) rides only the aux
+    # "rows" (the fixed baseline-rows constant) rides only the aux
     # line's per-slot table — the final line carries the two numbers
     # that vary
     out["r01_shapes"] = {

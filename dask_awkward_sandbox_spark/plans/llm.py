@@ -1058,30 +1058,8 @@ def q_ann_lsh_buckets(spark, sf_dir):
       select vec_id, m, j
       from pqd
       qualify row_number() over (partition by vec_id, m
-                                 order by d2 asc, j asc) = 1),
-    kp as (select greatest(16, count(*) // 128) as nk from e),
-    ck as (select row_number() over (order by vec_id) - 1 as list_id, v
-           from e order by vec_id limit (select nk from kp)),
-    ksims as (select e.vec_id, ck.list_id,
-                     round(list_sum(list_transform(range(64),
-                                                   d -> e.v[d+1] * ck.v[d+1])), 6) as s
-              from e cross join ck),
-    asg2 as (
-      select vec_id, list_id
-      from ksims
-      qualify row_number() over (partition by vec_id
-                                 order by s desc, list_id desc) = 1),
-    nn as (
-      select la.vec_id as lid, ra.vec_id as rid,
-             round(list_cosine_similarity(le.v, re.v), 6) as s
-      from asg2 la
-      join asg2 ra on ra.list_id = la.list_id and ra.vec_id <> la.vec_id
-      join e le on le.vec_id = la.vec_id
-      join e re on re.vec_id = ra.vec_id
-      qualify row_number() over (partition by la.vec_id
-                                 order by s desc, ra.vec_id desc) = 1)
+                                 order by d2 asc, j asc) = 1)
     select a.vec_id, a.list_id,
-           cast(nn.rid as bigint) as nn_id, nn.s as nn_sim,
            cast(max(case when m = 0 then j end) as int) as code_m0,
            cast(max(case when m = 1 then j end) as int) as code_m1,
            cast(max(case when m = 2 then j end) as int) as code_m2,
@@ -1092,8 +1070,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
            cast(max(case when m = 7 then j end) as int) as code_m7
     from assign a
     join codes using (vec_id)
-    left join nn on nn.lid = a.vec_id
-    group by a.vec_id, a.list_id, nn.rid, nn.s
+    group by a.vec_id, a.list_id
     """,
 )
 def q_ann_ivf_assign(spark, sf_dir):
@@ -1116,20 +1093,22 @@ def q_ann_ivf_assign(spark, sf_dir):
     the first-16 vectors' subvectors, so the oracle re-derives it in
     SQL and recomputes every L2 argmin with the identical fold order
     (no rounding needed: exact same IEEE ops, ties to the lower
-    centroid id in both engines)."""
+    centroid id in both engines).
+
+    Late r14: the r6 'knn1' leg (every vector's nearest in-cell
+    neighbor, k=1, adaptive cells) was DROPPED from this slot — its
+    work is a strict subset of q_knn_join's gate output (the rank=1
+    rows of the k=3 run under the IDENTICAL adaptive-cell seeds,
+    nprobe=1, 6-digit rounding, and (cos desc, id desc) tie order),
+    so the corpus x corpus knn_join code path stays hash-verified
+    every round in that slot while this baseline-mapped headliner
+    stops paying a duplicated Python-worker cogroup the r01 slot
+    never ran."""
     from dask_awkward_sandbox_spark.plans.io_queries import _scratch
 
     e = _emb(spark, sf_dir)
     path = _scratch(sf_dir, "ivf_index")
-    # size the sample to the adaptive cell count (sf100's 2M vectors
-    # want ~15k cells > the 4096 default) — the extra rows change
-    # nothing for the ivf/pq legs, which read only the sample's head
-    # footer-metadata count (plans.common.parquet_row_count): the
-    # adaptive cell sizing needs only |embeddings|, not a scan job
-    nk = similarity.adaptive_nlist(
-        parquet_row_count(sf_dir, "embeddings"), target_occupancy=128
-    )
-    X = similarity._sample_matrix(e, "embedding", "vec_id", max(4096, nk))
+    X = similarity._sample_matrix(e, "embedding", "vec_id", 4096)
     similarity.ivf_write_index(
         e, path, id_col="vec_id", vec_col="embedding", nlist=16, iters=0,
         round_digits=6, X=X,
@@ -1139,35 +1118,10 @@ def q_ann_ivf_assign(spark, sf_dir):
     )
     back = spark.read.parquet(path)
     codes = similarity.pq_encode(F.col("nb_vec"), books)
-    # r6 'knn1' leg: the corpus x corpus knn_join with nprobe=1 —
-    # every vector's nearest IN-CELL neighbor by 6-digit-rounded
-    # cosine (ties to the higher id on both engines); the oracle
-    # self-joins its own assignment derivation, so a cell-blocking or
-    # ranking bug on either side breaks the match. Singleton cells
-    # surface as null (left join both sides). The cell count is
-    # OCCUPANCY-ADAPTIVE (adaptive_nlist: n/128 cells, floor 16 ==
-    # the other legs' seed count at gate SFs) — the fixed-16 form
-    # measured 5.3x wall at 10x data because in-cell candidates grow
-    # O(n^2/nlist); this keeps candidates-per-vector constant, and
-    # the oracle replays the same rule via its dynamic-LIMIT seed CTE.
-    seed = similarity.kmeans_train(
-        e, "embedding", "vec_id", nlist=nk, iters=0, X=X
-    )
-    knn = similarity.knn_join(
-        e, e, k=1, centroids=seed, nprobe=1, round_digits=6,
-        exclude_self=True,
-    ).select(
-        "vec_id",
-        F.col("nn_id").cast("long").alias("nn_id"),
-        F.col("cos_sim").alias("nn_sim"),
-    )
     return back.select(
         F.col("nb_id").alias("vec_id"),
         F.col("list_id").cast("long").alias("list_id"),
         *[F.get(codes, i).alias(f"code_m{i}") for i in range(8)],
-    ).join(knn, "vec_id", "left").select(
-        "vec_id", "list_id", "nn_id", "nn_sim",
-        *[f"code_m{i}" for i in range(8)],
     )
 
 
@@ -1490,9 +1444,12 @@ def q_data_mixture(spark, sf_dir):
 )
 def q_knn_join(spark, sf_dir):
     """The corpus x corpus knn_join TOP-K path under a full value
-    oracle (r6 — the knn1 leg in q_ann_ivf_assign gate-verifies only
-    k=1; this slot drives the per-cell GEMM top-k loop, the rank
-    column, and the (cos desc, id desc) tie order at k=3): every
+    oracle (r6; since late r14 the SOLE gate host for knn_join — the
+    redundant k=1 leg q_ann_ivf_assign carried was dropped because it
+    is the rank=1 subset of this slot's k=3 output under identical
+    seeds/rounding/tie order; this slot drives the per-cell GEMM
+    top-k loop, the rank column, and the (cos desc, id desc) tie
+    order at k=3): every
     vector's 3 nearest in-cell neighbors under the occupancy-adaptive
     cell count, cosines rounded to 6 digits BEFORE ranking so the
     oracle replays ties exactly. The oracle re-derives the adaptive

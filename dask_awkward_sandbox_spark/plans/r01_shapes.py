@@ -19,17 +19,17 @@ artifact.
 Shape sources (resurrected from the r01 tree, commit b5be721^):
 plans/nested.py q_sort/q_reduce_sum, plans/strings_queries.py
 q_str_split_join, plans/llm.py q_token_count/q_fingerprint/
-q_minhash_sig/q_dedup_simhash/q_ann_bruteforce/q_ann_ivf, and
-plans/events.py q_events_windowed (the latter lives in
-plans/events.events_windowed_r01_shape since the r14 decomposition
-work; referenced here for the unified table).
+q_minhash_sig/q_dedup_simhash/q_ann_bruteforce/q_ann_ivf.
 
 These are UNREGISTERED: the 50-slot registry and its oracles are
 untouched; the shapes exist only as bench measurement subjects. Slots
 at or below their r01 rows in the running panel (q_cartesian_
 combinations, q_events_sessionize, the five TPC-H controls,
 q_dedup_minhash_clusters) need no shape — their full slot IS the
-comparable, and the four controls double as the box normalizer.
+comparable, and the four controls double as the box normalizer. Since
+the late-r14 leg relocation q_events_windowed is in that group too:
+the registered slot is byte-equivalent to its r01 query again (the
+rollup/hh/hll legs moved to q_events_funnel_retention).
 """
 
 from __future__ import annotations
@@ -42,7 +42,6 @@ from dask_awkward_sandbox_spark.operators import reducers as red
 from dask_awkward_sandbox_spark.operators import strings as s
 from dask_awkward_sandbox_spark.operators import structure as st
 from dask_awkward_sandbox_spark.plans.common import cents, order_items, read
-from dask_awkward_sandbox_spark.plans.events import events_windowed_r01_shape
 
 _R01_NUM_PERMS = 8  # r01 llm.py NUM_PERMS
 _R01_SIMHASH_BITS = 16  # r01 simhash width (widened to 56 in r9)
@@ -173,7 +172,7 @@ R01_SHAPES = {
         ("q_ann_bruteforce_r01", 1.218, ann_bruteforce_r01_shape)
     ],
     "q_ann_ivf_assign": [("q_ann_ivf", 1.923, ann_ivf_r01_shape)],
-    "q_events_windowed": [
-        ("q_events_windowed_r01", 0.411, events_windowed_r01_shape)
-    ],
+    # q_events_windowed needs no shape since the late-r14 leg
+    # relocation: the registered slot IS the r01 query again (the
+    # rollup/hh/hll legs moved to q_events_funnel_retention).
 }

@@ -51,8 +51,10 @@ def stream_events_from_dir(
 
 def windowed_counts(stream: DataFrame, window: str = "15 minutes", watermark: str = "1 hour"):
     """Event-time tumbling window per event_type with late-data
-    watermark (tests pin it to its batch twin; the registered
-    q_events_windowed slot grew into the rollup cascade in late r5)."""
+    watermark (tests pin it to its batch twin — since the late-r14 leg
+    relocation that twin is the registered q_events_windowed slot
+    itself again; the rollup cascade lives in
+    q_events_funnel_retention)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("event_type", F.window("ts", window).alias("w"))

@@ -44,9 +44,10 @@ def test_windowed_counts_stream_equals_batch(spark):
         (r["event_type"], r["bucket_start"]): (r["n"], r["sum_value_c"])
         for r in spark.table(name).collect()
     }
-    # batch twin of the same 15-min tumbling aggregation (the former
-    # q_events_windowed shape; the registered slot is now the rollup
-    # cascade, whose hour leg test_streaming_rollup covers)
+    # batch twin of the same 15-min tumbling aggregation (== the
+    # registered q_events_windowed slot again since the late-r14 leg
+    # relocation; the rollup cascade's hour leg, now hosted by
+    # q_events_funnel_retention, is covered by test_streaming_rollup)
     batch = (
         read(spark, SF, "events")
         .groupBy("event_type", F.window("ts", "15 minutes").alias("w"))
