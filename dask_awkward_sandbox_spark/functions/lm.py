@@ -73,6 +73,7 @@ def lm_train(
     docs: DataFrame,
     text_col: str = "text",
     vocab_size: int = 4096,
+    tokens_col: str | None = None,
 ) -> BigramLM:
     """Count-based training. Vocabulary is the top ``vocab_size``
     tokens by (count desc, token asc) — a total order both engines
@@ -87,9 +88,17 @@ def lm_train(
     (one cheap sum(size) scan — no explode), so training costs two
     corpus scans and scoring three, total. The bigram table stays a
     lazy corpus aggregate: it is vocabulary-MAPPED but corpus-sized
-    lineage, referenced exactly once per scoring action."""
+    lineage, referenced exactly once per scoring action.
+
+    ``tokens_col`` (r14 optimization): when set, the input frame
+    already carries the tokenized array under that column and the
+    per-scan re-tokenization is skipped — ``lm_perplexity`` passes a
+    PERSISTED tokenized frame so its five corpus passes (two eager
+    training collects + bigram/score/base at action time) tokenize
+    the corpus ONCE instead of five times (guide §1.2 per-task work:
+    the regexp split was the dominant repeated cost)."""
     spark = docs.sparkSession
-    ts = ta.tokens(F.col(text_col))
+    ts = F.col(tokens_col) if tokens_col else ta.tokens(F.col(text_col))
     vocab_rows = (
         docs.select(F.explode(ts).alias("w"))
         .groupBy("w")
@@ -127,6 +136,7 @@ def lm_score(
     model: BigramLM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document add-one bigram log-likelihood and perplexity.
 
@@ -137,8 +147,9 @@ def lm_score(
     (id, n_tokens, n_pairs, sum_bi, avg_logp, ppl) — counts exact,
     avg_logp rounded to 6 and ppl=exp(-avg_logp) to 3 digits so the
     cross-engine ln/exp ulp never flips a value hash; token-free and
-    single-token docs carry nulls for the pair-derived columns."""
-    ts = ta.tokens(F.col(text_col))
+    single-token docs carry nulls for the pair-derived columns.
+    ``tokens_col``: precomputed token array (see ``lm_train``)."""
+    ts = F.col(tokens_col) if tokens_col else ta.tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col), F.size(ts).cast("long").alias("n_tokens")
     )
@@ -186,18 +197,50 @@ def lm_score(
     )
 
 
+_TOK_CACHE: list = []
+
+
 def lm_perplexity(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_size: int = 4096,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """Train on the corpus and score the same corpus — the held-in
     form the quality-filter stage uses when no reference corpus is
     supplied (outlier-perplexity docs are the boilerplate/gibberish
-    tail on BOTH held-in and held-out scoring)."""
+    tail on BOTH held-in and held-out scoring).
+
+    r14 optimization (guide §1.2 / §5): the corpus is tokenized ONCE
+    into a persisted (MEMORY_AND_DISK) ``(id, tokens)`` frame that
+    every training/scoring pass reads, instead of re-running the
+    regexp tokenizer five times (vocab collect, total collect, bigram
+    aggregate, score pairs, per-doc base). Values are bit-identical —
+    the tokenizer is a pure deterministic function, evaluated once vs
+    five times. The persist is per-invocation (each call re-tokenizes
+    from the parquet input; callers/bench clearCache between runs)
+    and single-slot resident: a new call unpersists the previous
+    frame (the _ROUNDTRIP_CACHE precedent). At 100 TB the cache is a
+    serialized columnar spill ~ corpus-sized; the tokenizer is
+    CPU-dense enough (per-doc regexp split) that one materialization
+    beats four recomputes, and ``persist_tokens=False`` restores the
+    recompute form for deployments where even the spill is unwanted."""
+    tok_col = "_lm_toks"
+    tok = docs.select(F.col(id_col), ta.tokens(F.col(text_col)).alias(tok_col))
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        while _TOK_CACHE:
+            _TOK_CACHE.pop().unpersist(blocking=False)
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        _TOK_CACHE.append(tok)
     return lm_score(
-        docs, lm_train(docs, text_col, vocab_size), id_col, text_col
+        tok,
+        lm_train(tok, text_col, vocab_size, tokens_col=tok_col),
+        id_col,
+        text_col,
+        tokens_col=tok_col,
     )
 
 

@@ -141,6 +141,33 @@ def shared_lineitem(
     return read(spark, sf_dir, "lineitem").select("l_orderkey", *fields).persist()
 
 
+class scoped_conf:
+    """Set one Spark SQL conf for the duration of a block and restore
+    the previous value (or unset) on exit — the generic form of the
+    scoped-conf pattern :class:`bucketed_sort_scan` and the streaming
+    slots' shuffle scoping already use (r14 optimization round). Only
+    sound for confs read at PLAN/EXECUTION time of work that both
+    happens inside the block; callers must run their eager actions
+    inside the ``with``."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark = spark
+        self.key = key
+        self.value = value
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
+
+
 class bucketed_sort_scan:
     """Scope ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
     around the reads that want a sorted bucketed table's write-time

@@ -30,7 +30,13 @@ from dask_awkward_sandbox_spark.io import (
 )
 from dask_awkward_sandbox_spark.io.text import to_text
 from dask_awkward_sandbox_spark.operators import structure as st
-from dask_awkward_sandbox_spark.plans.common import cents, fld_map, order_items, read
+from dask_awkward_sandbox_spark.plans.common import (
+    cents,
+    fld_map,
+    order_items,
+    read,
+    scoped_conf,
+)
 from dask_awkward_sandbox_spark.plans.nested import (
     DC,
     ORD,
@@ -826,19 +832,29 @@ def q_small_sources(spark, sf_dir):
         "event_id", "event_type", cents(F.col("value")).alias("value_c")
     )
     base = ev.filter(F.col("event_id") % 7 == 0)
-    lh.create_snapshot_table(base, lpath, ["event_id"], n_buckets=8)
-    upd = (
-        base.filter(F.col("event_id") % 21 == 0)
-        .withColumn("value_c", F.col("value_c") * 2)
-        .unionByName(
-            ev.filter((F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0))
+    # r14 optimization: the gate table is an 8-bucket KB-scale slice,
+    # but its eager create/upsert jobs planned their groupBy/anti-join
+    # shuffles at the session's 64 partitions — pure per-task overhead
+    # (the streaming slots' state-partition scoping, applied to the
+    # lake legs; guide §2.2 fewer-larger partitions). Scoped to the
+    # bucket count: at 100 TB n_buckets (and this conf) are sized to
+    # the table, and AQE still coalesces from high counts on a real
+    # cluster. Values are partitioning-invariant (groupBy/struct-min
+    # and anti-join results do not depend on partition count).
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        lh.create_snapshot_table(base, lpath, ["event_id"], n_buckets=8)
+        upd = (
+            base.filter(F.col("event_id") % 21 == 0)
+            .withColumn("value_c", F.col("value_c") * 2)
+            .unionByName(
+                ev.filter((F.col("event_id") % 11 == 0) & (F.col("event_id") % 7 != 0))
+            )
+            .withColumn("src", F.lit("u"))
         )
-        .withColumn("src", F.lit("u"))
-    )
-    applied = lh.snapshot_upsert(spark, lpath, upd, batch_id="gate-b1")
-    # exactly-once: the replay must be a metadata no-op; poison the
-    # n_src_null leg if either flag is wrong so the value hash breaks
-    replayed = lh.snapshot_upsert(spark, lpath, upd, batch_id="gate-b1")
+        applied = lh.snapshot_upsert(spark, lpath, upd, batch_id="gate-b1")
+        # exactly-once: the replay must be a metadata no-op; poison the
+        # n_src_null leg if either flag is wrong so the value hash breaks
+        replayed = lh.snapshot_upsert(spark, lpath, upd, batch_id="gate-b1")
     poison = 0 if (applied is True and replayed is False) else 10**9
     latest = lh.read_snapshot_table(spark, lpath)
     v0 = lh.read_snapshot_table(spark, lpath, version=0)

@@ -63,6 +63,17 @@ def get_spark(app_name: str = "dask-awkward-sandbox-spark") -> SparkSession:
         # JVM on the 128 GiB box; on a real cluster this knob is
         # per-executor memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "40g"))
+        # r14 (guide §5): bound the IDLE Python-worker pool. The pool
+        # is unbounded by default; a long session running many
+        # mapInArrow/applyInPandas stages was measured holding 60+
+        # idle pyspark.daemon workers (~6 GB RSS) — dead weight that
+        # competes with the page cache the parquet scans live on. One
+        # stage needs at most `cpus` workers concurrently (busy
+        # workers don't count against the idle bound), so capping the
+        # idle pool at the core count keeps full reuse within and
+        # across stages and only evicts the long tail. On a real
+        # cluster this is per-executor and sized the same way.
+        .config("spark.python.factory.idleWorkerMaxPoolSize", cpus)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -231,3 +231,25 @@ def test_literal_unk_token_in_corpus(spark):
         exp = _py_score(t.split(), vocab, pyuni, bi, vn)
         assert (got[i]["n_pairs"], got[i]["sum_bi"]) == exp[:2]
         assert got[i]["avg_logp"] == pytest.approx(exp[2], abs=2e-6)
+
+
+def test_perplexity_tokenize_once_persist_parity(spark):
+    """r14 optimization: lm_perplexity tokenizes the corpus ONCE into a
+    persisted frame (guide §1.2/§5). The persisted and recompute forms
+    must be bit-identical (same expression tree, evaluated once vs
+    five times), the returned plan must actually read the cache
+    (InMemoryRelation), and the module cache must hold at most ONE
+    resident frame across invocations."""
+    SF = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = lm.lm_perplexity(docs)
+    slow = lm.lm_perplexity(docs, persist_tokens=False)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    rows_fast = {r["doc_id"]: tuple(r) for r in fast.collect()}
+    rows_slow = {r["doc_id"]: tuple(r) for r in slow.collect()}
+    assert rows_fast == rows_slow
+    assert len(lm._TOK_CACHE) <= 1  # single resident tokenized frame
+    # a second invocation replaces (unpersists) the previous entry
+    lm.lm_perplexity(docs).collect()
+    assert len(lm._TOK_CACHE) <= 1
