@@ -108,6 +108,24 @@ BOX_CONTROLS_R01 = {
     "q18_large_orders": 0.961,
 }
 
+# r15 (verdict items 1+7): isolated fresh-JVM min-of-3 cells for the
+# slots the r14 PERF table could not arbitrate — the seven headliners
+# that "regressed" with zero code change (box-corrected 2-3x, all in
+# the overhead-bound sub-second class) plus q_knn_join (whose isolated
+# cell previously rode only the truncated aux line). The per-slot
+# values ride the FINAL line as an array in THIS order (the named dict
+# rides the aux line); q_dedup_simhash, the seventh flagged slot, is
+# BASELINE_MAPPED so its isolated cell already rides the mapped block.
+ISO_EXTRA = [
+    "q_asof_join",
+    "q_data_mixture",
+    "q_dedup_paragraph",
+    "q_interval_join",
+    "q_knn_join",
+    "q_range_join",
+    "q_window_funcs",
+]
+
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -528,8 +546,13 @@ def main() -> None:
     # tail capture; the named copy rides the aux line.
     iso_block: dict = {}
     iso_named: dict = {}
+    iso_extra_named: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1":
         iso_named = run_isolated(sorted(BASELINE_MAPPED), 3, sf_dir)
+        # r15 (verdict items 1+7): the flagged non-mapped slots get
+        # their own fresh-JVM isolated min-of-3 cells, final-line
+        # visible (array in ISO_EXTRA order; -1 marks a failed probe)
+        iso_extra_named = run_isolated(ISO_EXTRA, 3, sf_dir)
         if "error" not in iso_named:
             iso_total = round(sum(iso_named.values()), 2)
             # normalize by the median box control measured IN the
@@ -540,15 +563,13 @@ def main() -> None:
                 iso_named[k] / v for k, v in BOX_CONTROLS_R01.items()
             )[1:3]
             iso_box = round(sum(iso_ctrl) / 2, 3)
-            # final-line budget: "keys" doc (vals ride in
-            # sorted(BASELINE_MAPPED) order — pinned by the contract
-            # test + the aux line's named dict) and "ratio"
-            # (= total / 21.376) are derivable; only vals/total/box/
-            # norm ride the capture-constrained line
+            # final-line budget (r15: total and box moved to the aux
+            # line — both derivable from vals + source constants; the
+            # freed chars pay for iso_extra): "keys" doc — vals ride
+            # in sorted(BASELINE_MAPPED) order, pinned by the contract
+            # test + the aux line's named dict
             iso_block = {
                 "vals": [round(iso_named[k], 2) for k in sorted(BASELINE_MAPPED)],
-                "total": iso_total,
-                "box": iso_box,
                 "norm": round(iso_total / base_total / iso_box, 3)
                 if iso_box else None,
             }
@@ -560,13 +581,21 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # the BASELINE.md-mapped grading ratio (see BASELINE_MAPPED)
+        # the BASELINE.md-mapped grading ratio (see BASELINE_MAPPED).
+        # r15 final-line budget: baseline_total is a source constant
+        # (21.376) and mapped_total = ratio x it (also re-derivable by
+        # summing the mapped slots' in-panel cells above) — both moved
+        # to the aux line so iso_extra fits the driver's tail capture
         "baseline_mapped": {
-            "baseline_total": base_total,
-            "mapped_total": mapped_total,
             "ratio": round(mapped_total / base_total, 3),
         },
         "baseline_mapped_isolated": iso_block,
+        # isolated fresh-JVM cells for the ISO_EXTRA slots, in that
+        # order (named dict on the aux line; -1 = probe failed)
+        "iso_extra": [
+            round(iso_extra_named.get(k, -1), 2) for k in ISO_EXTRA
+        ] if iso_extra_named and "error" not in iso_extra_named
+        else iso_extra_named,
         "box_factor": box_factor,
         # r13 (verdict item 5): the non-headliner gate-slot walls ride
         # the FINAL line — the driver's ~2000-char tail capture
@@ -617,24 +646,25 @@ def main() -> None:
         sum(r for lst in R01_SHAPES.values() for _, r, _ in lst), 3
     )
     # "rows" (the fixed baseline-rows constant) rides only the aux
-    # line's per-slot table — the final line carries the two numbers
-    # that vary
-    out["r01_shapes"] = {
-        "wall": shape_total,
-        "ratio": round(shape_total / shape_rows_total, 3),
-    }
+    # line's per-slot table; r15: "ratio" (= wall / the 9.94 rows
+    # constant) moved to the aux table too — derivable, and the freed
+    # final-line chars pay for iso_extra
+    out["r01_shapes"] = {"wall": shape_total}
     aux = {
         "metric": "bench_aux",
         "spread_min_max": spread,
         "box_controls": ctrl_ratios,
+        "baseline_mapped_full": {
+            "baseline_total": base_total,
+            "mapped_total": mapped_total,
+        },
+        "r01_shapes_ratio": round(shape_total / shape_rows_total, 3),
         "r01_shape_ratios": r01_aux,
         "baseline_mapped_isolated_named": iso_named,
-        # the python-worker non-mapped slot the r13 verdict named
-        # (q_ann_ivf_assign/q_dedup_minhash are mapped, covered above)
-        "isolated_nonmapped": (
-            run_isolated(["q_knn_join"], 3, sf_dir)
-            if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED") != "1" else {}
-        ),
+        # named form of the final line's iso_extra array (r15 —
+        # supersedes r14's single-slot isolated_nonmapped block:
+        # q_knn_join now rides ISO_EXTRA with the verdict-flagged set)
+        "iso_extra_named": iso_extra_named,
         "skew_demo": skew_demo(spark, sf_dir, reps),
     }
     # min-of-2 at sf1: the sf0.1 warmup does not warm the sf1 dataset

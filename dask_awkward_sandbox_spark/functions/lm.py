@@ -85,8 +85,10 @@ def lm_train(
     scoring DAG (two vocab broadcast joins, one unigram join, plus
     the vn count) would re-run the full explode+groupBy corpus
     aggregate. The <unk> count is total tokens minus the vocabulary's
-    (one cheap sum(size) scan — no explode), so training costs two
-    corpus scans and scoring three, total. The bigram table stays a
+    (a cheap sum(size) branch — no explode), so training costs ONE
+    eager job (r15: the vocab top-V and the total-token count ride a
+    single tagged union, where r14 submitted them as two separate
+    actions) and scoring three scans, total. The bigram table stays a
     lazy corpus aggregate: it is vocabulary-MAPPED but corpus-sized
     lineage, referenced exactly once per scoring action.
 
@@ -99,15 +101,33 @@ def lm_train(
     the regexp split was the dominant repeated cost)."""
     spark = docs.sparkSession
     ts = F.col(tokens_col) if tokens_col else ta.tokens(F.col(text_col))
-    vocab_rows = (
+    # r15 (guide §1.2): ONE eager action for both training scalars —
+    # the top-V vocabulary rows and the total-token count ride one
+    # union (branch-tagged by `_t`), so training submits a single job
+    # instead of two. The total branch keeps the exact sum(size(ts))
+    # form (not sum of unigram counts) so null-text semantics are
+    # bit-identical to the two-action form it replaces. Selection is
+    # unchanged: (count desc, token asc) limit V — membership is all
+    # downstream consumers use, and TakeOrderedAndProject picks the
+    # identical cutoff inside the union.
+    rows = (
         docs.select(F.explode(ts).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(vocab_size)
+        .select(F.lit(True).alias("_t"), "w", "c")
+        .unionByName(
+            docs.select(F.sum(F.size(ts)).alias("c")).select(
+                F.lit(False).alias("_t"),
+                F.lit(None).cast("string").alias("w"),
+                "c",
+            )
+        )
         .collect()
     )
-    total = docs.select(F.sum(F.size(ts)).alias("n")).collect()[0]["n"] or 0
+    vocab_rows = [r for r in rows if r["_t"]]
+    total = next(r["c"] for r in rows if not r["_t"]) or 0
     in_vocab = sum(r["c"] for r in vocab_rows)
     vocab = spark.createDataFrame(
         [(r["w"],) for r in vocab_rows], "w string"
@@ -221,7 +241,15 @@ def lm_perplexity(
     five times. The persist is per-invocation (each call re-tokenizes
     from the parquet input; callers/bench clearCache between runs)
     and single-slot resident: a new call unpersists the previous
-    frame (the _ROUNDTRIP_CACHE precedent). At 100 TB the cache is a
+    frame (the _ROUNDTRIP_CACHE precedent) — so a returned frame must
+    be ACTIONED before lm_perplexity is called again: the next call
+    evicts the previous call's persisted tokens, and a still-lazy
+    result from the earlier call then silently recomputes (values
+    stay correct; only the tokenize-once optimization is lost). The
+    module-level cache is also unsynchronized — single-threaded
+    driver use is assumed (see plans/common.scoped_conf). Callers
+    needing overlapping lifecycles should call lm_train/lm_score
+    directly with their own persisted tokens frame. At 100 TB the cache is a
     serialized columnar spill ~ corpus-sized; the tokenizer is
     CPU-dense enough (per-doc regexp split) that one materialization
     beats four recomputes, and ``persist_tokens=False`` restores the

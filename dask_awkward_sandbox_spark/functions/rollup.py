@@ -79,6 +79,21 @@ def _reagg_column(name: str) -> Column:
     )
 
 
+def rollup_step(
+    prev: DataFrame, grain: str, group_by: list[str] | None = None
+) -> DataFrame:
+    """ONE cascade step: re-aggregate a finer rollup (as produced by
+    :func:`rollup_once` / a previous step) to the coarser ``grain``,
+    never touching raw data. Extracted from :func:`rollup_cascade`
+    (r15) so callers can materialize/share an intermediate grain
+    between consumers and still derive the next grain from it."""
+    keys = [time_bucket(F.col("bucket"), grain).alias("bucket"), *(group_by or [])]
+    value_cols = [
+        c for c in prev.columns if c != "bucket" and c not in (group_by or [])
+    ]
+    return prev.groupBy(*keys).agg(*[_reagg_column(c) for c in value_cols])
+
+
 def rollup_cascade(
     df: DataFrame,
     ts_col: str,
@@ -118,11 +133,7 @@ def rollup_cascade(
     out[grains[0]] = finest
     prev = finest
     for g in grains[1:]:
-        keys = [time_bucket(F.col("bucket"), g).alias("bucket"), *(group_by or [])]
-        value_cols = [
-            c for c in prev.columns if c != "bucket" and c not in (group_by or [])
-        ]
-        prev = prev.groupBy(*keys).agg(*[_reagg_column(c) for c in value_cols])
+        prev = rollup_step(prev, g, group_by)
         out[g] = prev
     return out
 

@@ -93,16 +93,23 @@ def count_min(
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, min_fraction: float = 0.01
+    df: DataFrame, col: str, min_fraction: float = 0.01,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Values occurring in more than ``min_fraction`` of rows, with
     exact counts: map-side partial counts shuffle only one row per
     distinct value, and the total rides the plan as a broadcast 1-row
     aggregate (no driver-side count action — the whole thing stays one
-    lazy DataFrame). Output: (value, n, fraction), descending."""
-    counts = df.groupBy(F.col(col).alias("value")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    lazy DataFrame). Output: (value, n, fraction), descending.
+
+    ``weight_col`` (r15, guide §2.4): when the input is already a
+    partial aggregate carrying a count column (e.g. a time-bucket
+    rollup's ``n_rows``), sum that column instead of counting rows —
+    counts re-aggregate losslessly, so the result is identical to
+    running over raw data while the scan+shuffle run over |buckets|
+    rows instead of |raw|."""
+    agg_n = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    counts = df.groupBy(F.col(col).alias("value")).agg(agg_n.alias("n"))
     total = counts.agg(F.sum("n").alias("_total"))
     out = (
         counts.crossJoin(F.broadcast(total))

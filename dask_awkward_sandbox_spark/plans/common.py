@@ -141,6 +141,20 @@ def shared_lineitem(
     return read(spark, sf_dir, "lineitem").select("l_orderkey", *fields).persist()
 
 
+def _raw_conf_get(spark: SparkSession, key: str) -> str | None:
+    """The EXPLICITLY-SET session value of ``key``, or None when the
+    key is unset (r15, advice fix): ``spark.conf.get(key, None)``
+    returns a registered SQL conf's entry DEFAULT instead of None
+    when the key is unset, so a restore path keyed on it would pin
+    the default as an explicit session value — value-equivalent
+    today, but masking any later default/entry change. The raw
+    settings map only holds explicit entries."""
+    try:
+        return spark._jsparkSession.sessionState().conf().settings().get(key)
+    except Exception:  # pragma: no cover — non-JVM session stand-ins
+        return spark.conf.get(key, None)
+
+
 class scoped_conf:
     """Set one Spark SQL conf for the duration of a block and restore
     the previous value (or unset) on exit — the generic form of the
@@ -148,7 +162,15 @@ class scoped_conf:
     slots' shuffle scoping already use (r14 optimization round). Only
     sound for confs read at PLAN/EXECUTION time of work that both
     happens inside the block; callers must run their eager actions
-    inside the ``with``."""
+    inside the ``with``.
+
+    Concurrency (r15, advice note): the conf is SESSION-GLOBAL — any
+    query planned concurrently on the same session while a block is
+    open also sees the scoped value. The bench/test harness runs
+    queries single-threaded per session, which is the assumption this
+    helper (and the module-level caches like lm._TOK_CACHE) rely on;
+    concurrent-driver deployments should scope confs per thread with
+    ``SparkSession.newSession()`` instead."""
 
     def __init__(self, spark: SparkSession, key: str, value: str):
         self.spark = spark
@@ -156,7 +178,9 @@ class scoped_conf:
         self.value = value
 
     def __enter__(self):
-        self.prev = self.spark.conf.get(self.key, None)
+        # raw read (not conf.get): an unset registered conf must be
+        # restored by unset(), not by pinning its current default
+        self.prev = _raw_conf_get(self.spark, self.key)
         self.spark.conf.set(self.key, self.value)
         return self
 
@@ -189,7 +213,7 @@ class bucketed_sort_scan:
         self.spark = spark
 
     def __enter__(self):
-        self.prev = self.spark.conf.get(self.KEY, None)
+        self.prev = _raw_conf_get(self.spark, self.KEY)
         self.spark.conf.set(self.KEY, "true")
         return self
 

@@ -622,11 +622,20 @@ def _rollup_hh_hll_legs(e):
       mn=1 unconditionally: a merge bug or out-of-bound estimate
       flips the flag and the driver's value hash catches it.
 
-    Scale: one raw scan (ReusedExchange feeds both grains), the day
-    grain re-aggregates |hour-buckets| rows, heavy hitters shuffles
-    one row per distinct value; the hll leg's merge reads |hour-bucket|
-    sketch rows, never raw data — the petabyte daily→monthly
-    distinct-count shape."""
+    Scale (r15, verdict item 3 — two raw aggregations, was four):
+    the hour rollup is localCheckpointed (per-invocation, inside the
+    timed region — the q_dedup_simhash precedent) so its THREE
+    consumers (the 'hour' leg, the day cascade step, the
+    heavy-hitters leg) share one materialization instead of each
+    re-scanning raw events under their own column pruning; the
+    heavy-hitters counts are SUMMED from the hour rollup's n_rows
+    (counts re-aggregate losslessly — identical values, |buckets|
+    rows scanned instead of |raw|); and the hll leg's direct-day
+    sketch and exact countDistinct are FUSED into one aggregation
+    over one raw scan (they share keys), one join instead of two.
+    The day grain still derives from the hour ROLLUP (rollup_step —
+    the lossless-cascade contract the driver's hash proves), and the
+    merged-vs-direct-vs-exact comparison is unchanged."""
     from dask_awkward_sandbox_spark.functions import rollup as ru
     from dask_awkward_sandbox_spark.functions import sketches as sk
 
@@ -635,9 +644,11 @@ def _rollup_hh_hll_legs(e):
         "min_value_c": F.min(cents(F.col("value"))),
         "max_value_c": F.max(cents(F.col("value"))),
     }
-    cascade = ru.rollup_cascade(e, "ts", ["hour", "day"], measures,
-                                group_by=["event_type"],
-                                distinct_cols=["user_id"])
+    hour = ru.rollup_once(
+        e, "ts", "hour", measures, group_by=["event_type"],
+        distinct_cols=["user_id"],
+    ).localCheckpoint(eager=False)
+    cascade = {"hour": hour, "day": ru.rollup_step(hour, "day", ["event_type"])}
 
     def leg(df, name):
         return df.select(
@@ -651,7 +662,9 @@ def _rollup_hh_hll_legs(e):
             F.lit(None).cast("double").alias("frac"),
         )
 
-    hh = sk.heavy_hitters(e, "event_type", min_fraction=0.15).select(
+    hh = sk.heavy_hitters(
+        cascade["hour"], "event_type", min_fraction=0.15, weight_col="n_rows"
+    ).select(
         F.lit("hh").alias("section"),
         F.col("value").alias("k1"),
         F.lit(None).cast("long").alias("k2"),
@@ -662,16 +675,21 @@ def _rollup_hh_hll_legs(e):
         F.col("fraction").alias("frac"),
     )
 
-    # 'hll' leg: merged-vs-direct-vs-exact per (day, event_type)
-    day_direct = ru.rollup_once(
-        e, "ts", "day", {}, group_by=["event_type"], distinct_cols=["user_id"]
-    ).select(
-        "bucket", "event_type",
-        F.hll_sketch_estimate("hll_user_id").alias("_est_direct"),
-    )
-    exact = e.groupBy(
+    # 'hll' leg: merged-vs-direct-vs-exact per (day, event_type).
+    # r15: the direct-from-raw sketch and the exact countDistinct
+    # share their grouping keys, so ONE aggregation over ONE raw scan
+    # computes both (mixed distinct + sketch aggregate — Spark plans
+    # the distinct via Expand), where r14 ran two independent raw
+    # aggregations and joined three ways.
+    day_direct_exact = e.groupBy(
         F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
-    ).agg(F.countDistinct("user_id").alias("_exact"))
+    ).agg(
+        F.countDistinct("user_id").alias("_exact"),
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("_hs"),
+    ).select(
+        "bucket", "event_type", "_exact",
+        F.hll_sketch_estimate("_hs").alias("_est_direct"),
+    )
     merged = cascade["day"].select(
         "bucket", "event_type",
         F.hll_sketch_estimate("hll_user_id").alias("_est_merged"),
@@ -681,8 +699,7 @@ def _rollup_hh_hll_legs(e):
         <= F.greatest(F.col("_exact") * 0.05, F.lit(2.0))
     )
     hll_leg = (
-        merged.join(day_direct, ["bucket", "event_type"])
-        .join(exact, ["bucket", "event_type"])
+        merged.join(day_direct_exact, ["bucket", "event_type"])
         .select(
             F.lit("hll").alias("section"),
             F.col("event_type").alias("k1"),

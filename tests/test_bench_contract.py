@@ -52,29 +52,47 @@ def test_final_line_fits_driver_tail_capture():
             "unit": "sec",
             "queries": worst,
             "sf": 0.001,
-            "baseline_mapped": {
-                "baseline_total": 999.999,
-                "mapped_total": 999.999,
-                "ratio": 999.999,
-            },
+            # r15: only the grading ratio rides the final line —
+            # baseline_total is a source constant and mapped_total is
+            # derivable (ratio x constant, or summing the mapped
+            # slots' in-panel cells); both moved to the aux line
+            "baseline_mapped": {"ratio": 999.999},
             # r14: isolated min-of-3 per-slot cells as an ARRAY in
             # sorted(BASELINE_MAPPED) order — the full named dict
-            # (~550 chars) would blow the tail budget; it rides aux
+            # (~550 chars) would blow the tail budget; it rides aux.
+            # r15: total and box moved to aux (derivable from vals)
             "baseline_mapped_isolated": {
                 "vals": [999.99] * len(bench.BASELINE_MAPPED),
-                "total": 99999.99,
-                "box": 999.999,
                 "norm": 999.999,
             },
+            # r15 (verdict items 1+7): isolated cells for the flagged
+            # non-mapped slots, array in ISO_EXTRA order
+            "iso_extra": [999.99] * len(bench.ISO_EXTRA),
             "box_factor": 999.999,
             # r13: non-headliner walls ride the final line so the
             # driver's tail capture keeps them in the record
             "gate_nonheadliner": {"total": 99999.99, "queries": non},
-            # late r14: comparable-work totals (per-shape cells on aux)
-            "r01_shapes": {"wall": 999.99, "ratio": 999.999},
+            # late r14: comparable-work totals (per-shape cells +
+            # ratio on aux)
+            "r01_shapes": {"wall": 999.99},
         }
     )
     assert len(line) <= 1960, (len(line), "final bench line nearing the driver's ~2000-char tail capture")
+
+
+def test_iso_extra_slots_resolve():
+    """Every ISO_EXTRA slot must be registered (the isolated
+    subprocess would die on an unknown name) and must NOT be
+    baseline-mapped (those already ride the mapped isolated block —
+    double-timing would waste bench wall)."""
+    import bench
+    from dask_awkward_sandbox_spark.plans import QUERIES
+
+    missing = [n for n in bench.ISO_EXTRA if n not in QUERIES]
+    assert not missing, missing
+    overlap = [n for n in bench.ISO_EXTRA if n in bench.BASELINE_MAPPED]
+    assert not overlap, overlap
+    assert bench.ISO_EXTRA == sorted(bench.ISO_EXTRA)
 
 
 def test_r01_shapes_table_consistent():
