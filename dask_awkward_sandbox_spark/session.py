@@ -76,6 +76,18 @@ def get_spark(app_name: str = "dask-awkward-sandbox-spark") -> SparkSession:
         .config("spark.python.factory.idleWorkerMaxPoolSize", cpus)
         .config("spark.ui.enabled", "false")
     )
+    # r15: optional shuffle/scratch dir override (static conf, so it
+    # must land at builder time). The TEST harness points this at
+    # tmpfs — this sandbox's block device intermittently makes tiny
+    # shuffle-file writes cost seconds, and test correctness does not
+    # depend on where shuffle files live. Unset for the bench/driver
+    # (comparability with prior rounds) and wrong on a real cluster,
+    # where local dirs are provisioned NVMe and shuffle data exceeds
+    # RAM.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
 
 

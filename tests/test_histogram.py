@@ -43,7 +43,7 @@ def test_flat_histogram_flow_bins(spark):
     assert got == {-1: 1, 0: 1, 1: 2, 2: 1}
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(rows=st.lists(
     st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=0, max_size=10),

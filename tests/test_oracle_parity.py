@@ -64,6 +64,23 @@ def _query_names():
 
 NAMES, _ = _query_names()
 
+# r15 (verdict item 2, explicitly sanctioned): the full 50-slot
+# Spark-vs-DuckDB sweep is the single most expensive block of the
+# default suite (~2 min on a calm box, ~5 on a loaded one) and the
+# driver re-runs EXACTLY this comparison itself every round
+# (CORRECTNESS_r*.json, at sf0.001 and sf0.01) — so the default
+# `pytest tests/` run skips it to fit the driver's verification
+# window, and any query-touching change must run it explicitly:
+#   DWAX_ORACLE_TESTS=1 pytest tests/test_oracle_parity.py
+# (optionally with DWAX_TEST_SF=/root/testdata/sf0.01). Setting
+# DWAX_TEST_SF alone also enables it — an explicit SF request is an
+# explicit run request.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("DWAX_ORACLE_TESTS") != "1"
+    and "DWAX_TEST_SF" not in os.environ,
+    reason="driver-covered oracle sweep; set DWAX_ORACLE_TESTS=1 to run",
+)
+
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, name):

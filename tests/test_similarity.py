@@ -365,7 +365,14 @@ def test_connected_components_long_path_converges_logarithmically(spark):
         connected_components,
     )
 
-    n = 3000
+    # r15 (driver pytest window): 3000 -> 256 nodes. The property is
+    # unchanged — diameter 255 still needs ~128 propagation-only
+    # rounds, far beyond max_iter=20, so ONLY contraction can finish;
+    # each contraction round is several eager-checkpoint jobs, so the
+    # node count sets round count (log2 n) and 3000 bought 4 extra
+    # rounds of pure fixed cost over 256 (this was the suite's
+    # second-most-expensive call at 68s).
+    n = 256
     ids = spark.range(n).select(F.col("id"))
     edges = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
@@ -373,7 +380,7 @@ def test_connected_components_long_path_converges_logarithmically(spark):
     stats: dict = {}
     out = connected_components(edges, ids, max_iter=20, stats=stats)
     assert stats["converged"], stats
-    assert stats["iterations"] <= 15, stats
+    assert stats["iterations"] <= 12, stats
     got = out.select(F.countDistinct("cluster"), F.min("cluster"),
                      F.count("*")).first()
     assert tuple(got) == (1, 0, n)
@@ -426,9 +433,15 @@ def test_kmeans_distributed_matches_driver(spark):
         )
         assert np.allclose(np.array(a), np.array(b), atol=1e-9), iters
 
+    # r15 (driver pytest window): iters 2 -> 1 on the real corpus —
+    # the synthetic blob case above already pins multi-iteration
+    # (iters=3) trajectory parity; the real-corpus leg only needs to
+    # cross init + one Lloyd round + the empty-cell rule on real data,
+    # and each distributed iteration is several eager jobs (this test
+    # was the suite's single most expensive call at 82s)
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    a = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=2)
-    b = sim.kmeans_train_distributed(emb, "embedding", "vec_id", nlist=8, iters=2)
+    a = sim.kmeans_train(emb, "embedding", "vec_id", nlist=8, iters=1)
+    b = sim.kmeans_train_distributed(emb, "embedding", "vec_id", nlist=8, iters=1)
     assert np.allclose(np.array(a), np.array(b), atol=1e-8)
 
 

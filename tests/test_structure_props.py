@@ -20,7 +20,7 @@ ragged = st.lists(
 )
 
 SETTINGS = dict(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -29,7 +29,7 @@ def _frame(spark, rows):
     )
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(data=st.lists(st.tuples(_vals, _vals, _vals), min_size=1, max_size=6))
 def test_weighted_mean_var_match_numpy(spark, data):
