@@ -194,9 +194,22 @@ class _scoped_stream_shuffle:
     defaulting it to the batch shuffle size is wrong in both
     directions, which is exactly what this scoping documents. The conf
     is restored on exit, so the returned batch frame (memory/parquet
-    sink reads) plans under the session default."""
+    sink reads) plans under the session default.
 
-    N = "4"
+    r15 (verdict item 6): 4 -> 16. Per-batch progress attribution
+    (scripts/stream_floor_profile.py) showed the floor is addBatch
+    COMPUTE — the applyInPandasWithState pass over the buffered
+    groups (sessionize batch0 4.6s of a 5.5s trigger; walCommit
+    ~50ms, state commit ~200ms) — and 4 partitions means 4 Python
+    workers for a 32-core box. Interleaved warm min-of-3 at
+    4/8/16/32: q_stream_sessionize 5.11 / 4.17 / 3.74 / 3.61s
+    (16 chosen: 32's extra state-store tasks buy nothing further —
+    3.61 vs 3.74 is inside noise and doubles per-batch store count);
+    q_stream_dedup 13.56 (4) vs 13.08 (16), marginally better. The
+    r13 measurement that favored 4 predates the box's bistable-I/O
+    diagnosis; the addBatch breakdown is the durable evidence."""
+
+    N = "16"
 
     def __init__(self, spark):
         self.spark = spark
